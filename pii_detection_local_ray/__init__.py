@@ -1,0 +1,12 @@
+"""Ray-Data-native language-ID + quality-filter + PII-scrub engine.
+
+A from-scratch re-expression of pritesh-2711/pii-detection-local's data
+processing capabilities (see SURVEY.md) as streaming ray.data.Dataset
+pipelines over zero-copy Arrow batches, designed for 10^12-file /
+multi-node scale but testable on one node.
+"""
+
+from . import config, corpus, exceptions  # noqa: F401
+from . import functions, pipelines, sources, stages, state  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,161 @@
+"""Central configuration: entity taxonomy, regex bank, quality thresholds.
+
+The entity-type taxonomy is anchored to the reference's label maps
+(reference: run_benchmarking.py:93-121 PRESIDIO_LABEL_MAP and
+src/consolidate_pii_datasets.py:36-146 LABEL_NORM) so every regex class
+the reference's rule-based comparison system recognises exists here, plus
+the secrets-in-code classes the north rule requires.
+
+All thresholds that define the keep/drop decision live here so that the
+Ray pipeline (pii_detection_local_ray.stages) and the independent
+pure-Python oracle (pii_detection_local_ray.corpus) share *constants* but
+not *implementations* - the oracle is a from-scratch single-process
+re-implementation used to verify the distributed engine at F1 >= 0.99.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# Input contract (reference: src/inference.py:36)
+# ---------------------------------------------------------------------------
+
+MAX_CHARS = 50_000  # texts longer than this are rejected / dropped
+REDACTION_TOKEN = "[REDACTED]"  # reference: src/inference.py:331
+CONFIDENCE_THRESHOLD = 0.5  # reference: src/inference.py:83
+
+# ---------------------------------------------------------------------------
+# Regex bank - PII & secrets-in-code scrubbers
+#
+# Order matters: it is the priority used for first-wins overlap resolution
+# and the alternation order of the fused single-pass scanner.  Pattern
+# classes follow the reference taxonomy (EMAIL, PHONE, SSN, CREDIT_CARD,
+# IP_ADDRESS, IBAN, CRYPTO_ADDRESS, URL per run_benchmarking.py:93-121)
+# plus secrets-in-code (AWS_KEY, GITHUB_TOKEN, PRIVATE_KEY, API_SECRET).
+# ---------------------------------------------------------------------------
+
+# NOTE: group names feed a combined alternation regex - keep them valid
+# Python identifiers and unique.
+REGEX_BANK: list[tuple[str, str]] = [
+    (
+        "EMAIL",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    ),
+    (
+        "AWS_KEY",
+        r"\b(?:AKIA|ASIA|ABIA|ACCA)[0-9A-Z]{16}\b",
+    ),
+    (
+        "GITHUB_TOKEN",
+        r"\bgh[pousr]_[A-Za-z0-9]{36}\b",
+    ),
+    (
+        "PRIVATE_KEY",
+        r"-----BEGIN (?:RSA |EC |DSA |OPENSSH )?PRIVATE KEY-----",
+    ),
+    (
+        "API_SECRET",
+        # key/secret/token/password = "value" assignments with a high-entropy-ish value
+        r"\b(?i:api[_-]?key|api[_-]?secret|secret[_-]?key|auth[_-]?token|access[_-]?token|password|passwd)\b\s*[:=]\s*[\"'](?:[^\"'\s]{8,})[\"']",
+    ),
+    (
+        "SSN",
+        r"\b\d{3}-\d{2}-\d{4}\b",
+    ),
+    (
+        "CREDIT_CARD",
+        r"\b(?:\d[ -]?){13,16}\b",
+    ),
+    (
+        "IP_ADDRESS",
+        r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
+    ),
+    (
+        "IPV6_ADDRESS",
+        # full 8-group form, or a compressed form containing "::" (avoids
+        # matching clock times like 12:30:45)
+        r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b|\b(?:[0-9A-Fa-f]{1,4}:)+:(?:[0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4}\b",
+    ),
+    (
+        "IBAN",
+        r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
+    ),
+    (
+        "CRYPTO_ADDRESS",
+        r"\b(?:bc1[a-z0-9]{25,62}|[13][a-km-zA-HJ-NP-Z1-9]{25,34}|0x[a-fA-F0-9]{40})\b",
+    ),
+    (
+        "PHONE",
+        r"(?:\+\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+    ),
+    (
+        "URL",
+        r"https?://[^\s\"'<>)\]]+",
+    ),
+]
+
+PII_TYPES: list[str] = [name for name, _ in REGEX_BANK]
+_PRIORITY = {name: i for i, (name, _) in enumerate(REGEX_BANK)}
+
+
+def pattern_priority(name: str) -> int:
+    return _PRIORITY.get(name, len(_PRIORITY))
+
+
+def compiled_bank() -> list[tuple[str, re.Pattern]]:
+    """Individually compiled patterns (used by the oracle and tests)."""
+    return [(name, re.compile(pat)) for name, pat in REGEX_BANK]
+
+
+# A cheap pre-filter: rows whose content contains none of these bytes can
+# skip the scan entirely (every pattern requires at least one of them).
+PREFILTER_RE = re.compile(r"[@\d]|-----BEGIN|https?://|(?i:key|secret|token|passw)")
+
+# ---------------------------------------------------------------------------
+# Quality-rule thresholds (heuristic filter; F3 fixtures in FIXTURES.md)
+# ---------------------------------------------------------------------------
+
+MAX_LINE_LEN = 1000  # minified / machine-generated line length cutoff
+MIN_ALNUM_FRAC = 0.25  # below this the file is binary-ish / punctuation soup
+MAX_DUP_LINE_RATIO = 0.60  # 1 - unique_nonblank_lines / nonblank_lines
+DUP_LINE_MIN_LINES = 10  # dup-line rule only applies to files with >= this many non-blank lines
+# bits/char from the char-trigram LM; calibrated: clean code 3.3-4.2,
+# prose/markdown ~5.5, random garbage ~6.6
+MAX_PERPLEXITY = 6.0
+LANGID_MIN_CONF = 0.65  # langid mismatch only drops when detector is confident
+
+# License / boilerplate markers (signal only - never auto-drop)
+LICENSE_MARKERS: list[str] = [
+    "MIT License",
+    "Apache License",
+    "Licensed under the Apache",
+    "GNU General Public License",
+    "Permission is hereby granted, free of charge",
+    "Redistribution and use in source and binary forms",
+]
+
+# Drop reasons in precedence order; first matching rule wins.
+DROP_REASONS = [
+    "empty",
+    "too_large",
+    "long_lines",
+    "low_alnum",
+    "dup_lines",
+    "lang_mismatch",
+    "high_perplexity",
+]
+
+# ---------------------------------------------------------------------------
+# Language taxonomy for the synthetic source-code corpus
+# ---------------------------------------------------------------------------
+
+EXT_TO_LANG = {
+    "py": "python",
+    "js": "javascript",
+    "go": "go",
+    "java": "java",
+    "md": "markdown",
+    "txt": "text",
+}
+LANGS = sorted(set(EXT_TO_LANG.values()))

@@ -1,0 +1,432 @@
+"""Deterministic synthetic source-code corpus + pure-Python oracle.
+
+Per BASELINE.json ``input_hint`` the engine's input is a Parquet table
+``(repo, path, commit, lang, content)``.  This module synthesises that
+table at any scale (seed 42, matching the reference's seed at
+src/data_preparation.py:34) with:
+
+  * a mega-repo holding ~30% of files (exercises groupby-repo skew salting)
+  * planted PII (emails/phones/SSNs/API keys/IPs in comments and string
+    literals - the reference's canonical test texts, test_detector.py:80-123)
+  * planted NER-grade names/orgs/locations/dates (stub model lexicons)
+  * planted quality defects (FIXTURES.md F3: long lines, low alnum frac,
+    duplicate lines, license headers, wrong-language prose, oversize, blank)
+  * clean files that must pass through byte-identical (sha256 equality)
+
+``oracle_expected`` computes the per-file expected output (keep,
+drop_reason, entity spans, scrubbed content, sha256 pre/post) with an
+*independent single-process implementation*: the regex scan uses
+per-pattern ``finditer`` + greedy (start, priority) overlap resolution
+and the quality rules are re-derived in plain Python, cross-checking the
+engine's vectorized batch implementations.  The deterministic model
+stages (langid heuristic, trigram perplexity, stub NER) are shared by
+construction - the oracle calls their pure per-text scoring functions.
+
+The oracle IS the reference decision function for the F1 >= 0.99 target
+(the upstream repo has no quality filter of its own; SURVEY.md intro).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .config import (
+    DUP_LINE_MIN_LINES,
+    EXT_TO_LANG,
+    LANGID_MIN_CONF,
+    LICENSE_MARKERS,
+    MAX_CHARS,
+    MAX_DUP_LINE_RATIO,
+    MAX_LINE_LEN,
+    MAX_PERPLEXITY,
+    MIN_ALNUM_FRAC,
+    REDACTION_TOKEN,
+    compiled_bank,
+    pattern_priority,
+)
+from .stages.langid import CODE_LANGS, LangIdBatch
+from .stages.perplexity import PerplexityBatch
+from .stages.stub_ner_model import (
+    FIRST_NAMES,
+    LAST_NAMES,
+    LOC_NAMES,
+    StubTokenModel,
+)
+from .sources.model_artifact import build_label_mapping, NER_ENTITY_TYPES
+
+SEED = 42
+
+# ---------------------------------------------------------------------------
+# Content templates
+# ---------------------------------------------------------------------------
+
+_TEMPLATES = {
+    "python": (
+        "# module generated for corpus testing\n"
+        "import os\n\n\n"
+        "def process_{name}(items):\n"
+        "    total = 0\n"
+        "    for item in items:\n"
+        "        total += item.value * {k}\n"
+        "    return total\n\n\n"
+        "def load_{name}(path):\n"
+        "    with open(path) as handle:\n"
+        "        return [line.strip() for line in handle]\n"
+    ),
+    "javascript": (
+        "// module generated for corpus testing\n"
+        "const factor = {k};\n\n"
+        "function process{Name}(items) {{\n"
+        "  const out = [];\n"
+        "  for (const item of items) {{\n"
+        "    out.push(item.value * factor);\n"
+        "  }}\n"
+        "  return out;\n"
+        "}}\n\n"
+        "module.exports = {{ process{Name} }};\n"
+    ),
+    "go": (
+        "package {name}\n\n"
+        "import \"fmt\"\n\n"
+        "func Process{Name}(items []int) int {{\n"
+        "\ttotal := 0\n"
+        "\tfor _, item := range items {{\n"
+        "\t\ttotal += item * {k}\n"
+        "\t}}\n"
+        "\tfmt.Println(total)\n"
+        "\treturn total\n"
+        "}}\n"
+    ),
+    "java": (
+        "// module generated for corpus testing\n"
+        "public class {Name}Processor {{\n"
+        "    private int factor = {k};\n\n"
+        "    public int process(int[] items) {{\n"
+        "        int total = 0;\n"
+        "        for (int item : items) {{\n"
+        "            total += item * factor;\n"
+        "        }}\n"
+        "        System.out.println(total);\n"
+        "        return total;\n"
+        "    }}\n"
+        "}}\n"
+    ),
+    "markdown": (
+        "# {Name} module\n\n"
+        "This document describes the {name} module and how it is used.\n\n"
+        "## Usage\n\n"
+        "- install the package\n"
+        "- run the command with the input file\n\n"
+        "```\nrun --input data.bin --factor {k}\n```\n"
+    ),
+    "text": (
+        "The {name} subsystem reads the input and writes the result to disk. "
+        "Each record contains the value of one item. "
+        "The values are aggregated by key and the totals are reported. "
+        "This is the plain description file for revision {k}.\n"
+    ),
+}
+
+_NAMES = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "zeta"]
+_LANG_TO_EXT = {v: k for k, v in EXT_TO_LANG.items()}
+
+_PROSE = (
+    "This file was supposed to contain source code but it holds prose instead. "
+    "The committee reviewed the proposal and decided that the plan was sound. "
+    "It was agreed that the work would continue into the following quarter. "
+    "Members of the team presented the findings to the board for approval.\n"
+) * 2
+
+_LICENSE_HEADER = (
+    "MIT License\n\n"
+    "Permission is hereby granted, free of charge, to any person obtaining a copy\n"
+    "of this software and associated documentation files.\n\n"
+)
+
+
+def _comment_prefix(lang: str) -> str:
+    return {"python": "# ", "javascript": "// ", "go": "// ", "java": "// ",
+            "markdown": "", "text": ""}[lang]
+
+
+def _pii_plants(rng: random.Random, lang: str) -> list[str]:
+    """1-3 PII-bearing lines for a file."""
+    c = _comment_prefix(lang)
+    first = rng.choice(FIRST_NAMES)
+    last = rng.choice(LAST_NAMES)
+    loc = rng.choice(LOC_NAMES)
+    options = [
+        f"{c}Contact: user{rng.randrange(1000)}@example{rng.randrange(9)}.com",
+        f"{c}Maintainer email alice.b{rng.randrange(100)}@corp.io",
+        f"{c}Call support at 555-{rng.randrange(100, 999)}-{rng.randrange(1000, 9999)}",
+        f"{c}SSN {rng.randrange(100, 999)}-{rng.randrange(10, 99)}-{rng.randrange(1000, 9999)}",
+        f'{c}server = "{rng.randrange(10, 250)}.{rng.randrange(0, 255)}.{rng.randrange(0, 255)}.{rng.randrange(1, 255)}"',
+        f'API_KEY = "AKIA{"".join(rng.choices("ABCDEFGHIJKLMNOPQRSTUVWXYZ234567", k=16))}"',
+        f'token = "ghp_{"".join(rng.choices("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789", k=36))}"',
+        f'password = "{"".join(rng.choices("abcdefghjkmnpqrstuvwxyz23456789", k=12))}"',
+        f"{c}card 4242 4242 4242 {rng.randrange(1000, 9999)}",
+        f"{c}Author: {first} {last}",
+        f"{c}Office location: {loc}",
+        f"{c}Released on {rng.randrange(10, 28):02d}/{rng.randrange(10, 12):02d}/{rng.randrange(2015, 2024)}",
+        f"{c}docs at https://docs.example{rng.randrange(9)}.com/guide",
+    ]
+    k = rng.randrange(1, 4)
+    return rng.sample(options, k)
+
+
+def _defect_content(rng: random.Random, kind: str, base: str, lang: str) -> str:
+    if kind == "long_line":
+        return base + "x = [" + ",".join(str(i) for i in range(600)) + "]\n"
+    if kind == "low_alnum":
+        return ("{}[]();,.<>!?|&^%$#@~" * 30 + "\n") * 5
+    if kind == "dup_lines":
+        line = "    retry_connect(host, port)\n"
+        return base + line * 50
+    if kind == "license":
+        return _LICENSE_HEADER + base
+    if kind == "prose_in_code":
+        return _PROSE
+    if kind == "oversize":
+        return base + ("# padding line with filler text for size\n" * 2500)
+    if kind == "blank":
+        return "   \n\n  \n"
+    if kind == "garbage":
+        rnd = "".join(rng.choices(
+            "qwxzjkvQWXZJKV0123456789+/=~!@#$%^&*()_", k=1200))
+        return "\n".join(rnd[i:i + 80] for i in range(0, len(rnd), 80)) + "\n"
+    raise ValueError(kind)
+
+
+DEFECT_KINDS = ["long_line", "low_alnum", "dup_lines", "license",
+                "prose_in_code", "oversize", "blank", "garbage"]
+
+
+def generate_corpus(
+    out_dir: str | Path,
+    n_files: int = 2000,
+    seed: int = SEED,
+    n_shards: int = 8,
+    pii_frac: float = 0.30,
+    defect_frac: float = 0.20,
+) -> Path:
+    """Writes ``{out_dir}/corpus/part-####.parquet`` shards; returns the
+    corpus dir (``{out_dir}/corpus`` - kept separate from the
+    ``expected.parquet`` oracle output so ``read_parquet(corpus_dir)``
+    sees a uniform schema).
+
+    Deterministic for a given (n_files, seed, n_shards).  Repo key is
+    skewed: org0/mega absorbs ~30% of files.
+    """
+    out_dir = Path(out_dir) / "corpus"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = random.Random(seed)
+    exts = list(EXT_TO_LANG)
+
+    rows = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
+    for i in range(n_files):
+        if rng.random() < 0.30:
+            repo = "org0/mega"
+        else:
+            repo = f"org{rng.randrange(1, 7)}/repo{rng.randrange(23)}"
+        ext = rng.choice(exts)
+        lang = EXT_TO_LANG[ext]
+        name = rng.choice(_NAMES)
+        base = _TEMPLATES[lang].format(
+            name=name, Name=name.capitalize(), k=rng.randrange(2, 9)
+        )
+
+        r = rng.random()
+        if r < defect_frac:
+            kind = DEFECT_KINDS[rng.randrange(len(DEFECT_KINDS))]
+            content = _defect_content(rng, kind, base, lang)
+        elif r < defect_frac + pii_frac:
+            lines = base.split("\n")
+            for plant in _pii_plants(rng, lang):
+                pos = rng.randrange(len(lines))
+                lines.insert(pos, plant)
+            content = "\n".join(lines)
+        else:
+            content = base
+
+        path = f"src/mod{rng.randrange(40)}/{name}{i}.{ext}"
+        commit = hashlib.sha1(f"{repo}|{path}|{seed}".encode()).hexdigest()
+        rows["repo"].append(repo)
+        rows["path"].append(path)
+        rows["commit"].append(commit)
+        rows["lang"].append(lang)
+        rows["content"].append(content)
+
+    table = pa.table(
+        {k: pa.array(v, pa.string()) for k, v in rows.items()}
+    )
+    shard_size = (n_files + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        shard = table.slice(s * shard_size, shard_size)
+        if shard.num_rows:
+            pq.write_table(shard, out_dir / f"part-{s:04d}.parquet")
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Oracle - independent single-process expected-output computation
+# ---------------------------------------------------------------------------
+
+
+class Oracle:
+    """Reference decision function (single-process, plain Python)."""
+
+    def __init__(self, with_ner: bool = True):
+        self.bank = compiled_bank()
+        self.langid = LangIdBatch()
+        self.ppl = PerplexityBatch()
+        self.with_ner = with_ner
+        if with_ner:
+            mapping = build_label_mapping(NER_ENTITY_TYPES)
+            self.ner_model = StubTokenModel(mapping["label2id"])
+            self.id2label = {int(k): v for k, v in mapping["id2label"].items()}
+
+    # --- regex scan: per-pattern finditer + greedy (start, priority) ---
+
+    def scan(self, text: str) -> list[dict]:
+        cands = []
+        for name, pat in self.bank:
+            for m in pat.finditer(text):
+                cands.append((m.start(), pattern_priority(name), m.end(), name))
+        cands.sort()
+        out, last_end = [], -1
+        for start, _prio, end, name in cands:
+            if start >= last_end:
+                out.append(
+                    {"text": text[start:end], "type": name, "start": start,
+                     "end": end, "confidence": 1.0}
+                )
+                last_end = end
+        return out
+
+    def ner_entities(self, text: str) -> list[dict]:
+        pred_ids, confs, offsets = self.ner_model.predict_one(text)
+        ents, cur = [], None
+        for pid, conf, (s, e) in zip(pred_ids, confs, offsets):
+            if s == 0 and e == 0:
+                continue
+            label = self.id2label.get(int(pid), "O")
+            if conf < 0.5:
+                label = "O"
+            if label.startswith("B-"):
+                if cur:
+                    ents.append(cur)
+                cur = {"type": label[2:], "start": s, "end": e, "confs": [conf]}
+            elif label.startswith("I-") and cur and cur["type"] == label[2:]:
+                cur["end"] = e
+                cur["confs"].append(conf)
+            else:
+                if cur:
+                    ents.append(cur)
+                cur = None
+        if cur:
+            ents.append(cur)
+        return [
+            {"text": text[c["start"]:c["end"]], "type": c["type"],
+             "start": c["start"], "end": c["end"],
+             "confidence": float(sum(c["confs"]) / len(c["confs"]))}
+            for c in ents
+        ]
+
+    @staticmethod
+    def redact(text: str, entities: list[dict]) -> str:
+        out = text
+        for e in sorted(entities, key=lambda e: e["start"], reverse=True):
+            out = out[: e["start"]] + REDACTION_TOKEN + out[e["end"]:]
+        return out
+
+    # --- quality + decision -------------------------------------------
+
+    def expected_row(self, lang: str, content: str) -> dict:
+        sha_pre = hashlib.sha256(content.encode()).hexdigest()
+        is_blank = not content.strip()
+        lines = content.split("\n")
+        nonblank = [l.strip() for l in lines if l.strip()]
+        enc = content.encode()
+        alnum = sum(1 for b in enc if chr(b).isascii() and chr(b).isalnum())
+        alnum_frac = alnum / len(enc) if enc else 0.0
+        max_line = max((len(l) for l in lines), default=0) if not is_blank else 0
+        dup_ratio = 1 - len(set(nonblank)) / len(nonblank) if nonblank else 0.0
+        license_hit = any(m in content for m in LICENSE_MARKERS)
+
+        detected, conf = self.langid.score(content)
+        ppl = self.ppl.score_text(content)
+
+        drop_reason = None
+        if is_blank:
+            drop_reason = "empty"
+        elif len(content) > MAX_CHARS:
+            drop_reason = "too_large"
+        elif max_line > MAX_LINE_LEN:
+            drop_reason = "long_lines"
+        elif alnum_frac < MIN_ALNUM_FRAC:
+            drop_reason = "low_alnum"
+        elif dup_ratio > MAX_DUP_LINE_RATIO and len(nonblank) >= DUP_LINE_MIN_LINES:
+            drop_reason = "dup_lines"
+        elif (
+            lang in CODE_LANGS
+            and conf >= LANGID_MIN_CONF
+            and detected not in ("unknown", lang)
+        ):
+            drop_reason = "lang_mismatch"
+        elif ppl > MAX_PERPLEXITY:
+            drop_reason = "high_perplexity"
+
+        ents = self.scan(content)
+        if self.with_ner:
+            ner = [
+                e for e in self.ner_entities(content)
+                if not any(e["start"] < b["end"] and b["start"] < e["end"]
+                           for b in ents)
+            ]
+            ents = sorted(ents + ner, key=lambda e: (e["start"], e["end"]))
+        scrubbed = self.redact(content, ents)
+        return {
+            "keep": drop_reason is None,
+            "drop_reason": drop_reason,
+            "entities": ents,
+            "has_pii": bool(ents),
+            "pii_types": sorted({e["type"] for e in ents}),
+            "scrubbed_content": scrubbed,
+            "content_sha256": sha_pre,
+            "scrubbed_sha256": sha_pre if not ents
+            else hashlib.sha256(scrubbed.encode()).hexdigest(),
+            "langid": detected,
+            "license_hit": license_hit,
+        }
+
+    def expected_table(self, corpus: pa.Table) -> pa.Table:
+        langs = corpus["lang"].to_pylist()
+        contents = corpus["content"].to_pylist()
+        rows = [self.expected_row(l, c) for l, c in zip(langs, contents)]
+        cols = {
+            "repo": corpus["repo"],
+            "path": corpus["path"],
+            "keep": pa.array([r["keep"] for r in rows], pa.bool_()),
+            "drop_reason": pa.array([r["drop_reason"] for r in rows], pa.string()),
+            "has_pii": pa.array([r["has_pii"] for r in rows], pa.bool_()),
+            "scrubbed_content": pa.array([r["scrubbed_content"] for r in rows], pa.string()),
+            "content_sha256": pa.array([r["content_sha256"] for r in rows], pa.string()),
+            "scrubbed_sha256": pa.array([r["scrubbed_sha256"] for r in rows], pa.string()),
+        }
+        return pa.table(cols)
+
+
+def write_expected(out_dir: str | Path, with_ner: bool = True) -> Path:
+    """Reads ``{out_dir}/corpus`` shards, writes ``{out_dir}/expected.parquet``."""
+    out_dir = Path(out_dir)
+    files = sorted((out_dir / "corpus").glob("part-*.parquet"))
+    table = pa.concat_tables([pq.read_table(f) for f in files])
+    expected = Oracle(with_ner=with_ner).expected_table(table)
+    out = out_dir / "expected.parquet"
+    pq.write_table(expected, out)
+    return out

@@ -1,0 +1,81 @@
+"""Typed exception tree mirroring the reference contract.
+
+Reference: src/exceptions.py:4-23 (hierarchy), :30-42 (to_dict envelope).
+Only the Model / Input branches are load-bearing for the engine; the
+File/API branches exist for the byte-ingestion parsers (sources/readers).
+"""
+
+from __future__ import annotations
+
+
+class PIIDetectionError(Exception):
+    def __init__(self, message: str, details: dict | None = None):
+        super().__init__(message)
+        self.message = message
+        self.details = details or {}
+
+    def to_dict(self) -> dict:
+        d = {"error": self.__class__.__name__, "message": self.message}
+        if self.details:
+            d["details"] = self.details
+        return d
+
+
+class ModelError(PIIDetectionError):
+    pass
+
+
+class ModelNotFoundError(ModelError):
+    def __init__(self, model_path: str):
+        super().__init__(
+            f"Model not found at '{model_path}'.",
+            details={"model_path": model_path},
+        )
+
+
+class ModelLoadError(ModelError):
+    def __init__(self, model_path: str, reason: str):
+        super().__init__(
+            f"Failed to load model from '{model_path}': {reason}",
+            details={"model_path": model_path, "reason": reason},
+        )
+
+
+class ModelInferenceError(ModelError):
+    def __init__(self, reason: str):
+        super().__init__(f"Inference failed: {reason}", details={"reason": reason})
+
+
+class InputError(PIIDetectionError):
+    pass
+
+
+class EmptyInputError(InputError):
+    def __init__(self, what: str = "text"):
+        super().__init__(f"Empty input: {what} is blank or empty.", details={"what": what})
+
+
+class InputTooLargeError(InputError):
+    def __init__(self, size: int, limit: int):
+        super().__init__(
+            f"Input too large: {size} chars exceeds limit of {limit}.",
+            details={"size": size, "limit": limit},
+        )
+
+
+class InvalidInputTypeError(InputError):
+    def __init__(self, type_name: str, position: int | None = None):
+        pos = f" at position {position}" if position is not None else ""
+        super().__init__(
+            f"Invalid input type '{type_name}'{pos}: expected str.",
+            details={"type": type_name, "position": position},
+        )
+
+
+class FileParsingError(PIIDetectionError):
+    pass
+
+
+class UnsupportedFileTypeError(FileParsingError):
+    def __init__(self, ext: str):
+        super().__init__(f"Unsupported file type: '{ext}'.", details={"extension": ext})

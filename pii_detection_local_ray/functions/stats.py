@@ -1,0 +1,70 @@
+"""Corpus-level PII statistics (reference G1 operator).
+
+Semantics match get_pii_statistics (reference: src/inference.py:190-205):
+  total_texts, texts_with_pii, texts_without_pii,
+  pii_rate (round 4), pii_type_distribution (desc-sorted by count,
+  counting texts containing the type, not mentions), errors.
+
+Computed distributed: counts via a partial pre-agg map_batches + tiny
+final combine (never a driver-side row loop); the type distribution via
+explode(pii_types) -> groupby(type).count() - also a small shuffle since
+the exploded table has one short row per (text, type) pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _partial_counts(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    has = batch["has_pii"].to_numpy(zero_copy_only=False).astype(np.int64).sum() \
+        if "has_pii" in batch.schema.names else 0
+    if "error" in batch.schema.names:
+        errs = n - batch["error"].null_count
+    else:
+        errs = 0
+    return pa.table(
+        {
+            "total": pa.array([n], pa.int64()),
+            "with_pii": pa.array([int(has)], pa.int64()),
+            "errors": pa.array([errs], pa.int64()),
+        }
+    )
+
+
+def _explode_types(batch: pa.Table) -> pa.Table:
+    types = batch["pii_types"].to_pylist()
+    flat = [t for row in types if row for t in row]
+    return pa.table({"pii_type": pa.array(flat, pa.string())})
+
+
+def pii_statistics(ds: ray.data.Dataset) -> dict:
+    """ds must carry has_pii, pii_types (and optionally error) columns."""
+    parts = ds.map_batches(_partial_counts, batch_format="pyarrow")
+    totals = parts.sum(["total", "with_pii", "errors"])
+    total = int(totals["sum(total)"])
+    with_pii = int(totals["sum(with_pii)"])
+    errors = int(totals["sum(errors)"])
+
+    dist_ds = (
+        ds.map_batches(_explode_types, batch_format="pyarrow")
+        .groupby("pii_type")
+        .count()
+    )
+    dist_rows = dist_ds.take_all()  # small: one row per distinct type
+    dist = {
+        r["pii_type"]: int(r["count()"])
+        for r in sorted(dist_rows, key=lambda r: (-r["count()"], r["pii_type"]))
+    }
+
+    return {
+        "total_texts": total,
+        "texts_with_pii": with_pii,
+        "texts_without_pii": total - with_pii,
+        "pii_rate": round(with_pii / total, 4) if total > 0 else 0.0,
+        "pii_type_distribution": dist,
+        "errors": errors,
+    }

@@ -1,0 +1,1 @@
+from . import filter_pipeline, repo_agg  # noqa: F401

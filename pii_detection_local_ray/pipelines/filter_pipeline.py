@@ -1,0 +1,113 @@
+"""Flagship pipeline: langid + quality-filter + PII-scrub over the
+source-code Parquet corpus (BASELINE.json north rule).
+
+Streaming ray.data.Dataset DAG - nothing materializes mid-pipeline:
+
+  read_parquet (column-pruned)
+    -> map_batches(QualityBatch)      stateless, zero-copy Arrow
+    -> map_batches(ScrubBatch)        stateless, fused regex scan+redact+sha
+    -> map_batches(LangIdBatch, actor pool)     stateful heuristic langid
+    -> map_batches(PerplexityBatch, actor pool) stateful trigram LM
+    -> [map_batches(NERDetector, actor pool)]   stateful token-classifier
+    -> map_batches(decide_batch)      stateless keep/drop decision
+
+Consumers: ``write_parquet`` for the scrubbed corpus,
+``pipelines.repo_agg`` for per-repo aggregates, or ``functions.stats``
+for corpus statistics.  For checkpointed, partition-resumable runs use
+``state.manifest.run_resumable`` with this module's ``build_pipeline``
+as the per-partition builder.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from ..stages.decide import decide_batch
+from ..stages.langid import LangIdBatch
+from ..stages.ner import NERDetector
+from ..stages.perplexity import PerplexityBatch
+from ..stages.quality import QualityBatch
+from ..stages.scrub import ScrubBatch
+
+# batch sizes: content rows are wide (0.05-50 kB of text) - a 1-4k-row
+# batch keeps per-batch Python overhead amortized while a batch x
+# concurrency stays well under a worker heap even at 50 kB/row.
+STATELESS_BATCH = 2048
+ACTOR_BATCH = 1024
+NER_BATCH = 256
+
+
+def build_pipeline(
+    corpus_path: str | list[str],
+    model_path: str | None = None,
+    with_ner: bool = True,
+    with_perplexity: bool = True,
+    concurrency: tuple[int, int] | int = (2, 8),
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Lazy Dataset; nothing executes until the caller consumes it."""
+    ds = ray.data.read_parquet(
+        corpus_path,
+        columns=columns or ["repo", "path", "commit", "lang", "content"],
+    )
+    ds = ds.map_batches(
+        QualityBatch(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=STATELESS_BATCH,
+    )
+    ds = ds.map_batches(
+        ScrubBatch(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=STATELESS_BATCH,
+    )
+    ds = ds.map_batches(
+        LangIdBatch,
+        batch_format="pyarrow",
+        batch_size=ACTOR_BATCH,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    if with_perplexity:
+        ds = ds.map_batches(
+            PerplexityBatch,
+            batch_format="pyarrow",
+            batch_size=ACTOR_BATCH,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    if with_ner:
+        if model_path is None:
+            raise ValueError("with_ner=True requires model_path")
+        ds = ds.map_batches(
+            NERDetector,
+            fn_constructor_kwargs={"model_path": model_path},
+            batch_format="pyarrow",
+            batch_size=NER_BATCH,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    ds = ds.map_batches(
+        decide_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=STATELESS_BATCH,
+    )
+    return ds
+
+
+OUTPUT_COLUMNS = [
+    "repo", "path", "commit", "lang",
+    "content_sha256", "scrubbed_content", "scrubbed_sha256",
+    "entities", "pii_types", "has_pii",
+    "langid", "langid_conf", "perplexity",
+    "n_chars", "n_lines", "n_nonblank", "max_line_len", "mean_line_len",
+    "alnum_frac", "dup_line_ratio", "license_hit", "is_blank",
+    "keep", "drop_reason",
+]
+
+
+def select_output(ds: ray.data.Dataset, with_perplexity: bool = True) -> ray.data.Dataset:
+    cols = [c for c in OUTPUT_COLUMNS if with_perplexity or c != "perplexity"]
+    return ds.select_columns(cols)

@@ -1,0 +1,111 @@
+"""Per-repo aggregates with explicit partial pre-aggregation + skew salting.
+
+A bare ``groupby("repo")`` on the full corpus is an all-to-all shuffle of
+every content row; a mega-repo (org0/mega holds ~30% of the synthetic
+corpus; real corpora are worse) lands on one reducer.  Instead:
+
+  1. partial pre-agg inside ``map_batches``: each batch emits at most one
+     row per (repo, salt) it contains - counts/sums only (algebraic
+     aggregates), so the shuffle moves O(batches x repos-per-batch) tiny
+     rows instead of O(files) wide rows.
+  2. the salt (hash(path) % salt_k, applied to every repo - cheap and
+     uniform) splits a hot repo's partials across salt_k reducer keys;
+     the final combine over (repo) is a second, trivially small groupby.
+  3. ratios (pii_rate, keep_rate) are finalized AFTER the last combine -
+     never pre-averaged (mean-of-means is wrong for skewed groups).
+
+At 100 TB this means the only data crossing the wire for repo stats is
+the partial-aggregate table, a few KB per input block.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _salt(paths: list[str], salt_k: int) -> np.ndarray:
+    # deterministic, process- and partition-count-invariant salt (crc32,
+    # NOT builtin hash() - that is randomized per worker process)
+    return np.array(
+        [zlib.crc32(p.encode()) for p in paths], dtype=np.int64
+    ) % salt_k
+
+
+class PartialRepoAgg:
+    """map_batches stage: one partial-aggregate row per (repo, salt) per batch."""
+
+    def __init__(self, salt_k: int = 16):
+        self.salt_k = salt_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        repos = batch["repo"].to_pylist()
+        salts = _salt(batch["path"].to_pylist(), self.salt_k)
+        keep = batch["keep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        has_pii = batch["has_pii"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbytes = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lic = batch["license_hit"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        acc: dict[tuple[str, int], list[int]] = {}
+        for i, (r, s) in enumerate(zip(repos, salts)):
+            a = acc.setdefault((r, int(s)), [0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += int(keep[i])
+            a[2] += int(has_pii[i])
+            a[3] += int(nbytes[i])
+            a[4] += int(lic[i])
+
+        keys = list(acc)
+        return pa.table(
+            {
+                "repo": pa.array([k[0] for k in keys], pa.string()),
+                "salt": pa.array([k[1] for k in keys], pa.int32()),
+                "files": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "kept": pa.array([acc[k][1] for k in keys], pa.int64()),
+                "with_pii": pa.array([acc[k][2] for k in keys], pa.int64()),
+                "chars": pa.array([acc[k][3] for k in keys], pa.int64()),
+                "license_files": pa.array([acc[k][4] for k in keys], pa.int64()),
+            }
+        )
+
+
+def repo_stats(filtered: ray.data.Dataset, salt_k: int = 16) -> ray.data.Dataset:
+    """filtered = output of filter_pipeline.build_pipeline (needs repo,
+    path, keep, has_pii, n_chars, license_hit columns)."""
+    partial = filtered.map_batches(
+        PartialRepoAgg(salt_k), batch_format="pyarrow", batch_size=4096
+    )
+    # stage 1: combine per (repo, salt) - hot repos fan out over salt_k keys
+    per_salt = partial.groupby(["repo", "salt"]).aggregate(
+        Sum("files", alias_name="files"),
+        Sum("kept", alias_name="kept"),
+        Sum("with_pii", alias_name="with_pii"),
+        Sum("chars", alias_name="chars"),
+        Sum("license_files", alias_name="license_files"),
+    )
+    # stage 2: tiny final combine per repo
+    final = per_salt.groupby("repo").aggregate(
+        Sum("files", alias_name="files"),
+        Sum("kept", alias_name="kept"),
+        Sum("with_pii", alias_name="with_pii"),
+        Sum("chars", alias_name="chars"),
+        Sum("license_files", alias_name="license_files"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        files = batch["files"].to_numpy(zero_copy_only=False).astype(np.float64)
+        kept = batch["kept"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pii = batch["with_pii"].to_numpy(zero_copy_only=False).astype(np.float64)
+        batch = batch.append_column(
+            "keep_rate", pa.array(np.round(kept / np.maximum(files, 1), 4))
+        )
+        batch = batch.append_column(
+            "pii_rate", pa.array(np.round(pii / np.maximum(files, 1), 4))
+        )
+        return batch
+
+    return final.map_batches(finalize, batch_format="pyarrow")

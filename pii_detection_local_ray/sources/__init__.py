@@ -1,0 +1,1 @@
+from . import model_artifact, readers  # noqa: F401

@@ -1,0 +1,87 @@
+"""Model artifact directory: write / validate (reference S7 operator).
+
+Layout and validation semantics mirror the reference model dir
+(src/inference.py:38-39 _REQUIRED_MODEL_FILES, :211-219
+_validate_model_path; label mapping shape src/data_preparation.py:179-186):
+a directory holding ``label_mapping.json`` + ``config.json``; labels are
+``["O"] + [B-T, I-T for each kept type T]``.
+
+The engine ships a deterministic stub token-classification model (no
+torch / no 400 MB download in this sandbox); the artifact format and the
+actor loading path are identical to what a real fine-tuned transformer
+would use - swap ``config.json``'s ``model_type`` and the NER actor's
+forward fn for the real thing on a GPU cluster.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from ..exceptions import ModelLoadError, ModelNotFoundError
+
+_REQUIRED_MODEL_FILES = {"label_mapping.json", "config.json"}
+
+# Entity types the stub NER model recognises (NER-grade types that the
+# regex bank cannot express - reference taxonomy subset).
+NER_ENTITY_TYPES = ["DATE", "LOC", "ORG", "PERSON"]
+
+
+def build_label_mapping(entity_types: list[str]) -> dict:
+    """labels = ["O"] + [B-T, I-T ...] (reference: src/data_preparation.py:179-186)."""
+    labels = ["O"]
+    for t in entity_types:
+        labels.extend([f"B-{t}", f"I-{t}"])
+    label2id = {l: i for i, l in enumerate(labels)}
+    return {
+        "labels": labels,
+        "label2id": label2id,
+        "id2label": {str(i): l for i, l in enumerate(labels)},
+        "kept_entity_types": list(entity_types),
+        "dropped_entity_types": [],
+        "num_labels": len(labels),
+    }
+
+
+def write_stub_model(model_dir: str | Path, entity_types: list[str] | None = None) -> Path:
+    """Create a valid model artifact directory for the stub NER model."""
+    model_dir = Path(model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+    mapping = build_label_mapping(entity_types or NER_ENTITY_TYPES)
+    (model_dir / "label_mapping.json").write_text(json.dumps(mapping, indent=2))
+    (model_dir / "config.json").write_text(
+        json.dumps(
+            {
+                "model_type": "stub-token-classification",
+                "num_labels": mapping["num_labels"],
+                "max_length": 512,
+            }
+        )
+    )
+    return model_dir
+
+
+def validate_model_path(model_path: str | Path) -> Path:
+    """Same checks as the reference (src/inference.py:211-219)."""
+    p = Path(model_path)
+    if not p.exists():
+        raise ModelNotFoundError(str(p))
+    missing = _REQUIRED_MODEL_FILES - {f.name for f in p.iterdir()}
+    if missing:
+        raise ModelLoadError(
+            str(p), f"Missing required files: {', '.join(sorted(missing))}"
+        )
+    return p
+
+
+def load_label_mapping(model_path: str | Path) -> tuple[dict, dict]:
+    """Returns (label2id, id2label) with int id2label keys
+    (reference: src/inference.py:92-97)."""
+    p = validate_model_path(model_path)
+    try:
+        mapping = json.loads((p / "label_mapping.json").read_text())
+        label2id = mapping["label2id"]
+        id2label = {int(k): v for k, v in mapping["id2label"].items()}
+    except (KeyError, ValueError, OSError) as exc:
+        raise ModelLoadError(str(p), str(exc)) from exc
+    return label2id, id2label

@@ -1,0 +1,100 @@
+"""Source readers / byte parsers (reference S8-S11 operators).
+
+The engine's primary source is Parquet (``ray.data.read_parquet`` with
+column pruning).  The reference also ingests raw text/CSV uploads
+(src/api.py:102-155); those parsers become Dataset stages here:
+
+  * read_text_as_units: one row per stripped non-blank line
+    (reference _parse_txt, src/api.py:102-119) - a flat_map-shaped
+    explode done vectorized inside map_batches.
+  * read_csv_units: CSV -> unpivoted (row_idx, column, value) text units
+    (reference _build_tabular_response unpivot, src/api.py:493-509).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def read_parquet(path, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def _explode_lines(batch: pa.Table) -> pa.Table:
+    """bytes/str 'text' column -> one row per non-blank stripped line."""
+    texts = batch["text"].to_pylist()
+    paths = (
+        batch["path"].to_pylist()
+        if "path" in batch.schema.names
+        else [None] * len(texts)
+    )
+    out_path, out_line_idx, out_text = [], [], []
+    for p, t in zip(paths, texts):
+        if isinstance(t, bytes):
+            t = t.decode("utf-8", errors="replace")
+        for i, line in enumerate(t.splitlines()):
+            s = line.strip()
+            if s:
+                out_path.append(p)
+                out_line_idx.append(i)
+                out_text.append(s)
+    return pa.table(
+        {
+            "path": pa.array(out_path, pa.string()),
+            "line_idx": pa.array(out_line_idx, pa.int32()),
+            "text": pa.array(out_text, pa.string()),
+        }
+    )
+
+
+def read_text_as_units(paths) -> ray.data.Dataset:
+    """.txt files -> one text unit per non-blank line (reference S9)."""
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    ds = ds.map_batches(
+        lambda b: _explode_lines(
+            pa.table({"path": b["path"], "text": b["bytes"]})
+        ),
+        batch_format="pyarrow",
+    )
+    return ds
+
+
+def unpivot_cells(batch: pa.Table, text_cols: list[str]) -> pa.Table:
+    """Tabular grid -> (row_idx, column, value) triples (reference M14).
+
+    Vectorized: one take+concat per column, no Python row loop.
+    """
+    n = batch.num_rows
+    pieces = []
+    for col in text_cols:
+        vals = pc.cast(batch[col], pa.string())
+        pieces.append(
+            pa.table(
+                {
+                    "row_idx": pa.array(range(n), pa.int64()),
+                    "column": pa.array([col] * n, pa.string()),
+                    "value": vals,
+                }
+            )
+        )
+    return pa.concat_tables(pieces)
+
+
+def read_csv_units(paths, text_cols: list[str] | None = None) -> ray.data.Dataset:
+    """CSV -> unpivoted text units (reference S10 + M14).
+
+    When text_cols is None all columns are used (reference
+    _resolve_columns default, src/api.py:158-181).
+    """
+    ds = ray.data.read_csv(paths)
+    cols = text_cols or ds.schema().names
+
+    def _un(batch: pa.Table) -> pa.Table:
+        missing = [c for c in cols if c not in batch.schema.names]
+        if missing:
+            raise ValueError(f"Columns not found: {missing}")
+        return unpivot_cells(batch, cols)
+
+    return ds.map_batches(_un, batch_format="pyarrow")

@@ -1,0 +1,1 @@
+from . import scrub, quality, langid, perplexity, ner, decide  # noqa: F401

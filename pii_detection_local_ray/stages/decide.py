@@ -1,0 +1,88 @@
+"""Keep/drop decision stage: a pure, vectorized function of the signal
+columns produced by the quality / langid / perplexity stages.
+
+Rules evaluate in precedence order (config.DROP_REASONS); the first
+matching rule supplies ``drop_reason``:
+
+  empty            is_blank
+  too_large        n_chars > MAX_CHARS      (reference: src/inference.py:36)
+  long_lines       max_line_len > MAX_LINE_LEN
+  low_alnum        alnum_frac < MIN_ALNUM_FRAC
+  dup_lines        dup_line_ratio > MAX_DUP_LINE_RATIO and n_nonblank >= DUP_LINE_MIN_LINES
+  lang_mismatch    declared lang is a programming language but the
+                   detector confidently (conf >= LANGID_MIN_CONF) says
+                   prose/markdown or a *different* programming language
+  high_perplexity  perplexity > MAX_PERPLEXITY
+
+license_hit is a signal only, never a drop (FIXTURES.md F3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import (
+    DUP_LINE_MIN_LINES,
+    LANGID_MIN_CONF,
+    MAX_CHARS,
+    MAX_DUP_LINE_RATIO,
+    MAX_LINE_LEN,
+    MAX_PERPLEXITY,
+    MIN_ALNUM_FRAC,
+)
+from .langid import CODE_LANGS
+
+
+def lang_mismatch_mask(declared, detected, conf) -> np.ndarray:
+    """Vectorized mismatch rule (shared semantics with the oracle)."""
+    declared = np.asarray(declared, dtype=object)
+    detected = np.asarray(detected, dtype=object)
+    conf = np.asarray(conf, dtype=np.float64)
+    is_code = np.array([d in CODE_LANGS for d in declared])
+    confident = conf >= LANGID_MIN_CONF
+    differs = np.array(
+        [d is not None and det is not None and det != "unknown" and det != d
+         for d, det in zip(declared, detected)]
+    )
+    return is_code & confident & differs
+
+
+def decide_batch(batch: pa.Table) -> pa.Table:
+    """Adds ``keep: bool`` and ``drop_reason: string (nullable)``."""
+    n = batch.num_rows
+    get = lambda name, dtype: batch[name].to_numpy(zero_copy_only=False).astype(dtype)
+
+    is_blank = get("is_blank", bool)
+    n_chars = get("n_chars", np.int64)
+    max_line = get("max_line_len", np.int64)
+    alnum = get("alnum_frac", np.float64)
+    dup = get("dup_line_ratio", np.float64)
+    nonblank = get("n_nonblank", np.int64)
+
+    reasons = np.array([None] * n, dtype=object)
+
+    def apply(mask: np.ndarray, reason: str):
+        sel = mask & (reasons == None)  # noqa: E711 - elementwise None check
+        reasons[sel] = reason
+
+    apply(is_blank, "empty")
+    apply(n_chars > MAX_CHARS, "too_large")
+    apply(max_line > MAX_LINE_LEN, "long_lines")
+    apply(~is_blank & (alnum < MIN_ALNUM_FRAC), "low_alnum")
+    apply((dup > MAX_DUP_LINE_RATIO) & (nonblank >= DUP_LINE_MIN_LINES), "dup_lines")
+
+    if "langid" in batch.schema.names:
+        declared = batch["lang"].to_pylist() if "lang" in batch.schema.names else [None] * n
+        detected = batch["langid"].to_pylist()
+        conf = get("langid_conf", np.float64)
+        apply(lang_mismatch_mask(declared, detected, conf), "lang_mismatch")
+
+    if "perplexity" in batch.schema.names:
+        ppl = get("perplexity", np.float64)
+        apply(ppl > MAX_PERPLEXITY, "high_perplexity")
+
+    keep = reasons == None  # noqa: E711
+    batch = batch.append_column("keep", pa.array(keep.astype(bool)))
+    batch = batch.append_column("drop_reason", pa.array(reasons, pa.string()))
+    return batch

@@ -1,0 +1,92 @@
+"""Stateful language-identification actor stage (fastText-style heuristic).
+
+Actor-pool pattern (reference analogue: FastPIIDetector's load-once /
+batch-call contract, src/inference.py:339-352 + src/api.py:66-78):
+feature regexes are compiled once per actor in ``__init__``; ``__call__``
+scores whole Arrow batches.
+
+Use:
+    ds.map_batches(LangIdBatch, batch_format="pyarrow",
+                   batch_size=1024, concurrency=(2, 8), num_cpus=1)
+
+Adds columns:
+    langid       detected language (config.LANGS or "unknown")
+    langid_conf  float32 in [0,1] - top score / total score
+
+The detector is a weighted keyword/structure n-gram heuristic over the
+six corpus languages.  Deterministic - no model download - but it keeps
+the fastText actor *protocol*: swap the class body for a real model
+without touching the pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# (language, weight, pattern) feature bank - compiled in actor __init__.
+_FEATURES: list[tuple[str, float, str]] = [
+    ("python", 3.0, r"\bdef \w+\s*\("),
+    ("python", 2.0, r"^\s*(?:import|from) \w+"),
+    ("python", 2.0, r"\bself\."),
+    ("python", 1.5, r"\belif\b|\bNone\b|\bTrue\b|\bFalse\b"),
+    ("python", 1.0, r"^\s*#"),
+    ("javascript", 3.0, r"\bfunction\s+\w*\(|=>"),
+    ("javascript", 2.5, r"\b(?:const|let)\s+\w+\s*="),
+    ("javascript", 2.0, r"\bconsole\.log\b|\brequire\(|\bmodule\.exports\b"),
+    ("javascript", 1.0, r";\s*$"),
+    ("go", 3.5, r"\bfunc \w+\s*\("),
+    ("go", 3.0, r"^package \w+|:="),
+    ("go", 2.0, r"\bfmt\.\w+|\btype \w+ struct\b"),
+    ("java", 3.0, r"\bpublic (?:class|static|void|int|String)\b"),
+    ("java", 2.5, r"\bprivate \w+|\bSystem\.out\b|@Override"),
+    ("java", 2.0, r"\bnew \w+\s*\("),
+    ("markdown", 3.0, r"^#{1,6} \S"),
+    ("markdown", 2.5, r"^```|\[[^\]]+\]\([^)]+\)"),
+    ("markdown", 1.5, r"^[-*] \S"),
+    ("text", 1.0, r"\b(?:the|and|of|to|is|in|that|was|for|with|this|are)\b"),
+    ("text", 1.5, r"\. [A-Z]"),
+]
+
+
+class LangIdBatch:
+    def __init__(self, content_col: str = "content"):
+        self.content_col = content_col
+        # load-once per actor: compiled feature bank
+        self.features = [
+            (lang, w, re.compile(pat, re.MULTILINE)) for lang, w, pat in _FEATURES
+        ]
+        self.languages = sorted({lang for lang, _, _ in _FEATURES})
+
+    def score(self, text: str) -> tuple[str, float]:
+        """Pure scoring for one text (also used by the test oracle)."""
+        if not text or not text.strip():
+            return "unknown", 0.0
+        norm = max(1.0, len(text) / 200.0)  # features per 200 chars
+        scores = dict.fromkeys(self.languages, 0.0)
+        for lang, w, pat in self.features:
+            cnt = len(pat.findall(text))
+            if cnt:
+                scores[lang] += w * min(cnt, 50) / norm
+        total = sum(scores.values())
+        if total <= 0:
+            return "unknown", 0.0
+        # deterministic argmax: highest score, ties by language name
+        best = max(self.languages, key=lambda l: (scores[l], l))
+        return best, scores[best] / total
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.content_col].to_pylist()
+        langs = np.empty(len(texts), dtype=object)
+        confs = np.zeros(len(texts), dtype=np.float32)
+        for i, t in enumerate(texts):
+            langs[i], confs[i] = self.score(t or "")
+        batch = batch.append_column("langid", pa.array(langs, pa.string()))
+        batch = batch.append_column("langid_conf", pa.array(confs, pa.float32()))
+        return batch
+
+
+# programming languages for the mismatch rule (see stages/decide.py)
+CODE_LANGS = {"python", "javascript", "go", "java"}

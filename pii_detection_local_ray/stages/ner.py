@@ -1,0 +1,215 @@
+"""Stateful NER PII-detection actor stage.
+
+This is the engine's equivalent of the reference's FastPIIDetector
+(src/inference.py:339-449) re-expressed as a Ray Data actor-pool stage:
+
+    ds.map_batches(NERDetector, fn_constructor_kwargs={"model_path": p},
+                   batch_format="pyarrow", batch_size=32,
+                   concurrency=(2, 8), num_cpus=1)
+
+``__init__`` == PIIDetector.__init__ (src/inference.py:80-123): validate
+model dir, load label mapping, build pii_types from B- labels, load the
+model once per actor.  ``__call__`` == batch_detect
+(src/inference.py:355-421): validate every row first, capture per-row
+errors in an ``error`` column (never raise - the output always has the
+same length/order as the input batch), run the batched forward pass on
+valid rows only, BIO-decode with the exact reference semantics
+(_extract_entities, src/inference.py:252-307):
+
+  * tokens with offset (0,0) (specials) are skipped
+  * confidence below threshold forces the label to O
+  * "B-X" opens a span; "I-X" extends only a matching open "X" span;
+    anything else closes the open span
+  * span confidence = mean of member token confidences
+
+and redact via reverse-start-order splice (src/inference.py:325-332).
+
+When the incoming batch already carries regex-scrub columns
+(``entities``/``scrubbed_content`` from stages/scrub.py), NER entities
+that overlap a regex span are discarded (regex bank has priority) and
+the merged entity set re-redacts the original content, updating
+``entities, pii_types, has_pii, scrubbed_content, scrubbed_sha256``.
+Standalone, it emits reference-PIIResult-shaped columns
+``entities, pii_types, has_pii, redacted_text, error``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import CONFIDENCE_THRESHOLD, MAX_CHARS, REDACTION_TOKEN
+from ..sources.model_artifact import load_label_mapping
+from .scrub import ENTITY_TYPE, sha256_hex
+from .stub_ner_model import StubTokenModel
+
+
+class NERDetector:
+    def __init__(
+        self,
+        model_path: str,
+        confidence_threshold: float = CONFIDENCE_THRESHOLD,
+        content_col: str = "content",
+    ):
+        # load-once-per-actor (reference: src/inference.py:80-123)
+        self.label2id, self.id2label = load_label_mapping(model_path)
+        self.confidence_threshold = confidence_threshold
+        self.content_col = content_col
+        self.model = StubTokenModel(self.label2id)
+        self.pii_types = sorted(
+            {l[2:] for l in self.id2label.values() if l.startswith("B-")}
+        )
+
+    # -- reference-semantics helpers -----------------------------------
+
+    def validate_text(self, text) -> str | None:
+        """Returns an error message (reference raises typed exceptions;
+        the batch path converts them to per-row errors,
+        src/inference.py:369-390)."""
+        if not isinstance(text, str):
+            return f"Invalid input type '{type(text).__name__}': expected str."
+        if not text.strip():
+            return "Empty input: text is blank or empty."
+        if len(text) > MAX_CHARS:
+            return f"Input too large: {len(text)} chars exceeds limit of {MAX_CHARS}."
+        return None
+
+    def extract_entities(self, text, pred_ids, confidences, offset_mapping):
+        """Exact BIO-decode semantics of src/inference.py:252-307."""
+        entities = []
+        cur_type = cur_start = cur_end = None
+        cur_confs: list[float] = []
+
+        def flush():
+            if cur_type is not None:
+                entities.append(
+                    {
+                        "text": text[cur_start:cur_end],
+                        "type": cur_type,
+                        "start": cur_start,
+                        "end": cur_end,
+                        "confidence": float(np.mean(cur_confs)),
+                    }
+                )
+
+        for pred_id, conf, (cs, ce) in zip(pred_ids, confidences, offset_mapping):
+            if cs == 0 and ce == 0:
+                continue
+            label = self.id2label.get(int(pred_id), "O")
+            if float(conf) < self.confidence_threshold:
+                label = "O"
+            if label.startswith("B-"):
+                flush()
+                cur_type, cur_start, cur_end = label[2:], cs, ce
+                cur_confs = [float(conf)]
+            elif label.startswith("I-") and cur_type == label[2:]:
+                cur_end = ce
+                cur_confs.append(float(conf))
+            else:
+                flush()
+                cur_type = cur_start = cur_end = None
+                cur_confs = []
+        flush()
+        return entities
+
+    @staticmethod
+    def apply_redaction(text: str, entities: list[dict]) -> str:
+        if not entities:
+            return text
+        out = text
+        for e in sorted(entities, key=lambda e: e["start"], reverse=True):
+            out = out[: e["start"]] + REDACTION_TOKEN + out[e["end"] :]
+        return out
+
+    def detect_batch(self, texts: list) -> list[dict]:
+        """PIIResult-shaped dicts, one per input, length always preserved."""
+        results = []
+        errors = [self.validate_text(t) for t in texts]
+        valid = [(i, t) for i, (t, err) in enumerate(zip(texts, errors)) if err is None]
+        preds = self.model.predict([t for _, t in valid])
+        by_idx = {i: p for (i, _), p in zip(valid, preds)}
+        for i, text in enumerate(texts):
+            if errors[i] is not None:
+                results.append(
+                    {
+                        "has_pii": False,
+                        "redacted_text": str(text) if not isinstance(text, str) else text,
+                        "pii_types": [],
+                        "entities": [],
+                        "error": errors[i],
+                    }
+                )
+                continue
+            pred_ids, confs, offsets = by_idx[i]
+            ents = self.extract_entities(text, pred_ids, confs, offsets)
+            results.append(
+                {
+                    "has_pii": bool(ents),
+                    "redacted_text": self.apply_redaction(text, ents),
+                    "pii_types": sorted({e["type"] for e in ents}),
+                    "entities": ents,
+                    "error": None,
+                }
+            )
+        return results
+
+    # -- Ray Data stage entry ------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.content_col].to_pylist()
+        results = self.detect_batch(texts)
+
+        if "entities" in batch.schema.names:
+            return self._merge_with_scrub(batch, texts, results)
+
+        batch = batch.append_column(
+            "entities", pa.array([r["entities"] for r in results], pa.list_(ENTITY_TYPE))
+        )
+        batch = batch.append_column(
+            "pii_types", pa.array([r["pii_types"] for r in results], pa.list_(pa.string()))
+        )
+        batch = batch.append_column(
+            "has_pii", pa.array([r["has_pii"] for r in results], pa.bool_())
+        )
+        batch = batch.append_column(
+            "redacted_text", pa.array([r["redacted_text"] for r in results], pa.string())
+        )
+        batch = batch.append_column(
+            "error", pa.array([r["error"] for r in results], pa.string())
+        )
+        return batch
+
+    def _merge_with_scrub(self, batch, texts, results) -> pa.Table:
+        regex_ents = batch["entities"].to_pylist()
+        scrubbed = batch["scrubbed_content"].to_pylist()
+        scrub_sha = batch["scrubbed_sha256"].to_pylist()
+        pre_sha = batch["content_sha256"].to_pylist()
+
+        merged_ents, merged_types, merged_has, errors = [], [], [], []
+        for i, (text, r) in enumerate(zip(texts, results)):
+            base = regex_ents[i] or []
+            ner = [
+                e
+                for e in r["entities"]
+                if not any(e["start"] < b["end"] and b["start"] < e["end"] for b in base)
+            ]
+            ents = sorted(base + ner, key=lambda e: (e["start"], e["end"]))
+            merged_ents.append(ents)
+            merged_types.append(sorted({e["type"] for e in ents}))
+            merged_has.append(bool(ents))
+            errors.append(r["error"])
+            if ner and r["error"] is None:
+                red = self.apply_redaction(text, ents)
+                scrubbed[i] = red
+                scrub_sha[i] = sha256_hex(red) if ents else pre_sha[i]
+
+        for name in ("entities", "pii_types", "has_pii", "scrubbed_content",
+                     "scrubbed_sha256"):
+            batch = batch.drop_columns([name])
+        batch = batch.append_column("entities", pa.array(merged_ents, pa.list_(ENTITY_TYPE)))
+        batch = batch.append_column("pii_types", pa.array(merged_types, pa.list_(pa.string())))
+        batch = batch.append_column("has_pii", pa.array(merged_has, pa.bool_()))
+        batch = batch.append_column("scrubbed_content", pa.array(scrubbed, pa.string()))
+        batch = batch.append_column("scrubbed_sha256", pa.array(scrub_sha, pa.string()))
+        batch = batch.append_column("error", pa.array(errors, pa.string()))
+        return batch

@@ -1,0 +1,107 @@
+"""Stateful char-trigram perplexity actor stage (KenLM-style scorer).
+
+Actor-pool pattern: the n-gram model (a 9604 x 98 count matrix over
+printable-ASCII contexts) is trained once per actor in ``__init__`` from
+a deterministic embedded seed corpus; ``__call__`` scores whole Arrow
+batches fully vectorized straight off the string buffers (no per-char
+Python).
+
+Adds column:
+    perplexity  float32 - bits per char under the trigram LM
+                (high = garbage / binary-ish content)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# vocabulary: printable ASCII 32..126 + newline + OOV  => 97 symbols
+_VOCAB = 97
+_OOV = _VOCAB - 1
+_NL = _VOCAB - 2
+
+_BYTE2ID = np.full(256, _OOV, dtype=np.int32)
+for _b in range(32, 127):
+    _BYTE2ID[_b] = _b - 32
+_BYTE2ID[0x0A] = _NL
+
+# Deterministic seed corpus: representative code + English prose.  The
+# model only needs to separate "normal code/text" (low bits/char) from
+# punctuation soup / random bytes (high bits/char).
+_SEED_CORPUS = (
+    "def compute_totals(items):\n"
+    "    total = 0\n"
+    "    for item in items:\n"
+    "        total += item.value\n"
+    "    return total\n"
+    "import os\nimport sys\nfrom pathlib import Path\n"
+    "class Handler:\n    def __init__(self, name):\n        self.name = name\n"
+    "function renderList(items) {\n  const out = [];\n"
+    "  for (const item of items) {\n    out.push(item.name);\n  }\n"
+    "  return out;\n}\nconsole.log(renderList(data));\n"
+    "func main() {\n\tfmt.Println(\"hello\")\n}\npackage main\n"
+    "public class Main {\n    public static void main(String[] args) {\n"
+    "        System.out.println(\"hello\");\n    }\n}\n"
+    "The quick brown fox jumps over the lazy dog. "
+    "This function reads the input file and returns a list of records. "
+    "Each record contains the name and the value of one item. "
+    "We then aggregate the values by key and write the result to disk. "
+    "# compute the mean value per group\n"
+    "result = sum(values) / len(values)\n"
+    "if __name__ == '__main__':\n    main()\n"
+    "for i in range(100):\n    print(i)\n"
+    "return a + b * c - d / e\n"
+    "x = [1, 2, 3, 4, 5]\ny = {'a': 1, 'b': 2}\n"
+) * 4
+
+
+class PerplexityBatch:
+    def __init__(self, content_col: str = "content", add_k: float = 0.1):
+        self.content_col = content_col
+        # train once per actor: trigram counts over the seed corpus
+        ids = _BYTE2ID[np.frombuffer(_SEED_CORPUS.encode(), dtype=np.uint8)]
+        counts = np.zeros((_VOCAB * _VOCAB, _VOCAB), dtype=np.float64)
+        ctx = ids[:-2] * _VOCAB + ids[1:-1]
+        np.add.at(counts, (ctx, ids[2:]), 1.0)
+        probs = (counts + add_k) / (counts.sum(axis=1, keepdims=True) + add_k * _VOCAB)
+        self.logp = np.log2(probs).astype(np.float32)  # (9409+, 97)
+
+    def score_text(self, text: str) -> float:
+        """Pure per-text scoring (used by tests / the oracle)."""
+        b = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8)
+        if len(b) < 3:
+            return 0.0
+        ids = _BYTE2ID[b]
+        lp = self.logp[ids[:-2] * _VOCAB + ids[1:-1], ids[2:]]
+        return float(-lp.mean())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.content_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(arr)
+        ppl = np.zeros(n, dtype=np.float32)
+        buffers = arr.buffers()
+        if buffers[2] is not None and n > 0:
+            off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+            offsets = np.frombuffer(buffers[1], dtype=off_dtype)[
+                arr.offset : arr.offset + n + 1
+            ].astype(np.int64)
+            data = np.frombuffer(buffers[2], dtype=np.uint8)[: offsets[-1]]
+            ids = _BYTE2ID[data]
+            N = len(ids)
+            # LP[i] = log p(char at i | chars at i-2, i-1), defined for i >= 2
+            lp_all = np.zeros(N, dtype=np.float64)
+            if N >= 3:
+                lp_all[2:] = self.logp[ids[:-2] * _VOCAB + ids[1:-1], ids[2:]]
+                # kill contributions whose context crosses a row boundary
+                for s in offsets[:-1]:
+                    lp_all[s : s + 2] = 0.0
+            cum = np.concatenate([[0.0], np.cumsum(lp_all)])
+            for i in range(n):
+                s, e = offsets[i], offsets[i + 1]
+                cnt = e - s - 2
+                if cnt > 0:
+                    ppl[i] = -(cum[e] - cum[s + 2]) / cnt
+        batch = batch.append_column("perplexity", pa.array(ppl, pa.float32()))
+        return batch

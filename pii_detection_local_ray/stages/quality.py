@@ -1,0 +1,114 @@
+"""Stateless heuristic quality-signal stage.
+
+Fused ``map_batches`` pass adding per-file quality signal columns
+(line-length stats, alphanumeric fraction, duplicate-line ratio,
+boilerplate/license detection - the rule set named in the north rule;
+aggregate analogues of the reference's EDA stats, notebooks/EDA.ipynb).
+
+Signal definitions (shared with the oracle via config constants):
+  n_chars         len(content) in unicode chars
+  n_lines         number of '\\n'-split lines
+  n_nonblank      number of lines with non-whitespace content
+  max_line_len    max line length in chars
+  mean_line_len   mean line length in chars
+  alnum_frac      ASCII-alphanumeric bytes / total UTF-8 bytes (0.0 for empty)
+  dup_line_ratio  1 - unique_stripped_nonblank / nonblank (0.0 when no nonblank)
+  license_hit     any config.LICENSE_MARKERS substring present (signal only)
+  is_blank        content is empty or all-whitespace
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import LICENSE_MARKERS
+
+# byte -> is ASCII alnum lookup table (vectorized via numpy fancy indexing)
+_ALNUM_LUT = np.zeros(256, dtype=np.uint8)
+for _c in range(256):
+    if chr(_c).isascii() and chr(_c).isalnum():
+        _ALNUM_LUT[_c] = 1
+
+
+def _alnum_fraction(arr: pa.Array) -> np.ndarray:
+    """Vectorized alnum fraction straight off the Arrow string buffers."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    if buffers[2] is None or len(arr) == 0:
+        return np.zeros(len(arr), dtype=np.float64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    is_alnum = _ALNUM_LUT[data]
+    cs = np.concatenate([[0], np.cumsum(is_alnum, dtype=np.int64)])
+    counts = cs[offsets[1:]] - cs[offsets[:-1]]
+    lens = (offsets[1:] - offsets[:-1]).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.where(lens > 0, counts / np.maximum(lens, 1), 0.0)
+    return frac
+
+
+class QualityBatch:
+    """``map_batches(QualityBatch(), batch_format="pyarrow")`` stage."""
+
+    def __init__(self, content_col: str = "content"):
+        self.content_col = content_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.content_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        n = len(arr)
+        n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        alnum_frac = _alnum_fraction(arr).astype(np.float32)
+
+        # license markers: vectorized substring search, OR-combined
+        lic = np.zeros(n, dtype=bool)
+        for marker in LICENSE_MARKERS:
+            hit = pc.fill_null(pc.match_substring(arr, marker), False)
+            lic |= hit.to_numpy(zero_copy_only=False).astype(bool)
+
+        max_line = np.zeros(n, dtype=np.int32)
+        mean_line = np.zeros(n, dtype=np.float32)
+        n_lines = np.zeros(n, dtype=np.int32)
+        n_nonblank = np.zeros(n, dtype=np.int32)
+        dup_ratio = np.zeros(n, dtype=np.float32)
+        is_blank = np.zeros(n, dtype=bool)
+
+        texts = arr.to_pylist()
+        for i, text in enumerate(texts):
+            if text is None or not text.strip():
+                is_blank[i] = True
+                n_lines[i] = 0 if not text else text.count("\n") + 1
+                continue
+            lines = text.split("\n")
+            n_lines[i] = len(lines)
+            lens = [len(l) for l in lines]
+            max_line[i] = max(lens)
+            mean_line[i] = sum(lens) / len(lens)
+            stripped = [l.strip() for l in lines]
+            nonblank = [l for l in stripped if l]
+            n_nonblank[i] = len(nonblank)
+            if nonblank:
+                dup_ratio[i] = 1.0 - len(set(nonblank)) / len(nonblank)
+
+        for name, vals in [
+            ("n_chars", pa.array(n_chars, pa.int64())),
+            ("n_lines", pa.array(n_lines, pa.int32())),
+            ("n_nonblank", pa.array(n_nonblank, pa.int32())),
+            ("max_line_len", pa.array(max_line, pa.int32())),
+            ("mean_line_len", pa.array(mean_line, pa.float32())),
+            ("alnum_frac", pa.array(alnum_frac, pa.float32())),
+            ("dup_line_ratio", pa.array(dup_ratio, pa.float32())),
+            ("license_hit", pa.array(lic)),
+            ("is_blank", pa.array(is_blank)),
+        ]:
+            batch = batch.append_column(name, vals)
+        return batch

@@ -1,0 +1,146 @@
+"""Stateless regex PII/secret scrub stage.
+
+One fused ``map_batches`` pass over zero-copy Arrow batches:
+content -> entity spans -> redacted content -> sha256 pre/post.
+
+Semantics anchored to the reference:
+- entity dict shape {text, type, start, end, confidence}
+  (reference: src/inference.py:309-323 _make_entity)
+- redaction = replace spans with "[REDACTED]" in reverse start order so
+  earlier offsets stay valid; identity when no entities
+  (reference: src/inference.py:325-332 _apply_redaction)
+- pii_types = sorted unique entity types
+  (reference: src/inference.py:417 batch_detect)
+
+Scan semantics: a single combined alternation regex over the pattern bank
+(config.REGEX_BANK) - leftmost match wins, ties broken by bank order,
+scanning resumes after each match end, so spans never overlap.  The
+regexes are compiled once at module import (stateless-task friendly: the
+module is imported once per worker process, not per batch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import REGEX_BANK, REDACTION_TOKEN
+
+# Compiled once per worker process at import time.
+COMBINED_RE: re.Pattern = re.compile(
+    "|".join(f"(?P<{name}>{pat})" for name, pat in REGEX_BANK)
+)
+
+ENTITY_TYPE = pa.struct(
+    [
+        ("text", pa.string()),
+        ("type", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("confidence", pa.float32()),
+    ]
+)
+
+
+def scan_entities(text: str) -> list[dict]:
+    """Single-pass scan; returns reference-shaped entity dicts.
+
+    Regex matches are deterministic, so confidence is 1.0 (the NER stage
+    produces model confidences; see stages/ner.py).
+    """
+    out = []
+    for m in COMBINED_RE.finditer(text):
+        start, end = m.span()
+        out.append(
+            {
+                "text": text[start:end],
+                "type": m.lastgroup,
+                "start": start,
+                "end": end,
+                "confidence": 1.0,
+            }
+        )
+    return out
+
+
+def apply_redaction(text: str, entities: list[dict]) -> str:
+    """Reverse-start-order splice (reference: src/inference.py:325-332)."""
+    if not entities:
+        return text
+    out = text
+    for e in sorted(entities, key=lambda e: e["start"], reverse=True):
+        out = out[: e["start"]] + REDACTION_TOKEN + out[e["end"] :]
+    return out
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8", errors="surrogatepass")).hexdigest()
+
+
+class ScrubBatch:
+    """Callable for ``map_batches(ScrubBatch(content_col), batch_format="pyarrow")``.
+
+    Plain function-style stage (no per-actor state beyond module-level
+    compiled regexes), packaged as a class only to parameterise the column
+    name.  Adds columns:
+      content_sha256   sha256 hex of the original content
+      entities         list<struct<text,type,start,end,confidence>>
+      pii_types        list<string> (sorted unique)
+      has_pii          bool
+      scrubbed_content string - redacted content ([REDACTED] splice)
+      scrubbed_sha256  sha256 hex of scrubbed content
+
+    Invariant (north rule): has_pii == False => scrubbed_sha256 == content_sha256
+    and scrubbed_content is byte-identical to content.
+    """
+
+    def __init__(self, content_col: str = "content"):
+        self.content_col = content_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.content_col]
+        texts = col.to_pylist()
+        n = len(texts)
+
+        pre_sha = np.empty(n, dtype=object)
+        post_sha = np.empty(n, dtype=object)
+        scrubbed = np.empty(n, dtype=object)
+        all_entities: list[list[dict]] = [None] * n
+        pii_types: list[list[str]] = [None] * n
+        has_pii = np.zeros(n, dtype=bool)
+
+        search = COMBINED_RE.search
+        for i, text in enumerate(texts):
+            if text is None:
+                text = ""
+            h = sha256_hex(text)
+            pre_sha[i] = h
+            # fast path: no candidate match at all
+            if search(text) is None:
+                all_entities[i] = []
+                pii_types[i] = []
+                scrubbed[i] = text
+                post_sha[i] = h
+                continue
+            ents = scan_entities(text)
+            all_entities[i] = ents
+            pii_types[i] = sorted({e["type"] for e in ents})
+            has_pii[i] = bool(ents)
+            red = apply_redaction(text, ents)
+            scrubbed[i] = red
+            post_sha[i] = h if not ents else sha256_hex(red)
+
+        batch = batch.append_column("content_sha256", pa.array(pre_sha, pa.string()))
+        batch = batch.append_column(
+            "entities", pa.array(all_entities, pa.list_(ENTITY_TYPE))
+        )
+        batch = batch.append_column(
+            "pii_types", pa.array(pii_types, pa.list_(pa.string()))
+        )
+        batch = batch.append_column("has_pii", pa.array(has_pii))
+        batch = batch.append_column("scrubbed_content", pa.array(scrubbed, pa.string()))
+        batch = batch.append_column("scrubbed_sha256", pa.array(post_sha, pa.string()))
+        return batch

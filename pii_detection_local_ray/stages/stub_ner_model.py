@@ -1,0 +1,89 @@
+"""Deterministic stand-in token-classification model for the NER actor.
+
+The container has no torch / transformers and no network, so the 400 MB
+DeBERTa forward pass is replaced by a deterministic lexicon+rule token
+classifier with the *same output interface* as the reference model path:
+per-token ``(pred_ids, confidences, offset_mapping)`` including leading /
+trailing special tokens with offset ``(0, 0)`` (so the BIO decoder's
+special-token skip rule, reference src/inference.py:268-269, is
+exercised).  The surrounding actor (stages/ner.py) is model-agnostic:
+swap this class for a real transformer on a GPU cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# Lexicons - also used by the synthetic corpus generator (corpus.py) so
+# fixtures and model agree on what a "name" is.
+FIRST_NAMES = [
+    "Ahmed", "Alice", "Carlos", "Elena", "Jane", "John", "Maria", "Priya",
+    "Robert", "Wei",
+]
+LAST_NAMES = [
+    "Brown", "Chen", "Doe", "Garcia", "Ivanova", "Kumar", "Muller",
+    "Nguyen", "Patel", "Smith",
+]
+LOC_NAMES = ["Austin", "Berlin", "London", "Mumbai", "Paris", "Tokyo"]
+ORG_SUFFIXES = {"Inc", "Inc.", "Corp", "Corp.", "LLC", "Ltd", "Ltd."}
+# names emitted below the 0.5 confidence threshold -> decoder must drop
+LOW_CONF_NAMES = ["Pat", "Sam"]
+
+_TOKEN_RE = re.compile(r"\S+")
+_DATE_RE = re.compile(r"^(?:\d{2}/\d{2}/\d{4}|\d{4}-\d{2}-\d{2})$")
+_PUNCT = ".,;:!?)(\"'`"
+
+_FIRST = set(FIRST_NAMES)
+_LAST = set(LAST_NAMES)
+_LOCS = set(LOC_NAMES)
+_LOW = set(LOW_CONF_NAMES)
+
+
+class StubTokenModel:
+    """predict(texts) -> list of (pred_ids, confidences, offset_mapping)."""
+
+    def __init__(self, label2id: dict[str, int]):
+        self.label2id = label2id
+
+    def _id(self, label: str) -> int:
+        return self.label2id.get(label, self.label2id.get("O", 0))
+
+    def predict_one(self, text: str):
+        tokens = [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+        n = len(tokens)
+        labels = ["O"] * n
+        confs = [0.99] * n
+
+        cores = [t[0].strip(_PUNCT) for t in tokens]
+        capitalized = [bool(c) and c[0].isupper() for c in cores]
+
+        for i, core in enumerate(cores):
+            if _DATE_RE.match(core):
+                labels[i], confs[i] = "B-DATE", 0.95
+            elif core in _FIRST:
+                labels[i], confs[i] = "B-PERSON", 0.92
+                if i + 1 < n and cores[i + 1] in _LAST:
+                    labels[i + 1], confs[i + 1] = "I-PERSON", 0.90
+            elif core in _LOCS and labels[i] == "O":
+                labels[i], confs[i] = "B-LOC", 0.85
+            elif core in _LOW and labels[i] == "O":
+                labels[i], confs[i] = "B-PERSON", 0.40  # sub-threshold
+            elif core in ORG_SUFFIXES and i > 0 and capitalized[i - 1] \
+                    and labels[i - 1] == "O" and cores[i - 1] not in _FIRST:
+                labels[i - 1], confs[i - 1] = "B-ORG", 0.88
+                labels[i], confs[i] = "I-ORG", 0.88
+
+        # leading/trailing special tokens with offsets (0,0), like a real
+        # HF tokenizer's [CLS]/[SEP]
+        pred_ids = np.array(
+            [self._id("O")] + [self._id(l) for l in labels] + [self._id("O")],
+            dtype=np.int64,
+        )
+        confidences = np.array([1.0] + confs + [1.0], dtype=np.float64)
+        offset_mapping = [(0, 0)] + [(s, e) for _, s, e in tokens] + [(0, 0)]
+        return pred_ids, confidences, offset_mapping
+
+    def predict(self, texts: list[str]):
+        return [self.predict_one(t) for t in texts]

@@ -1,0 +1,119 @@
+"""Per-partition lineage manifests + checkpointed resume (north rule).
+
+Ray Data has no job-level checkpointing (SURVEY.md section 4), so resume
+is engine-level and bespoke:
+
+  * the input file list is grouped into deterministic partitions
+    (partition id = index into the sorted file list - stable across runs)
+  * each partition runs as its own bounded Dataset pipeline and writes to
+    ``{out_dir}/part={pid}/`` ATOMICALLY: write to a temp dir, fsync-free
+    directory rename, then write the manifest row
+    ``{out_dir}/_manifests/part-{pid}.json`` with lineage
+    (input files, row count, output bytes, output sha256, wall time)
+  * a restarted run lists completed manifests and skips those partitions;
+    a partition that died mid-write left only a temp dir, which is
+    removed and re-run.
+
+On a real cluster each partition is itself fully parallel (a partition
+is hundreds of input shards), so the loop costs no parallelism at scale
+- it bounds the blast radius of a failure to one partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import shutil
+import time
+from pathlib import Path
+from typing import Callable, Iterable
+
+import ray.data
+
+
+def partition_inputs(files: Iterable[str | Path], files_per_partition: int) -> list[list[str]]:
+    files = sorted(str(f) for f in files)
+    return [
+        files[i : i + files_per_partition]
+        for i in range(0, len(files), files_per_partition)
+    ]
+
+
+def completed_partitions(out_dir: str | Path) -> dict[int, dict]:
+    mdir = Path(out_dir) / "_manifests"
+    done = {}
+    if mdir.exists():
+        for f in sorted(mdir.glob("part-*.json")):
+            row = json.loads(f.read_text())
+            done[row["partition_id"]] = row
+    return done
+
+
+def _dir_sha256(d: Path) -> str:
+    h = hashlib.sha256()
+    for f in sorted(d.rglob("*")):
+        if f.is_file():
+            h.update(f.name.encode())
+            h.update(f.read_bytes())
+    return h.hexdigest()
+
+
+def run_resumable(
+    input_files: Iterable[str | Path],
+    out_dir: str | Path,
+    build_fn: Callable[[list[str]], "ray.data.Dataset"],
+    files_per_partition: int = 2,
+) -> list[dict]:
+    """Runs ``build_fn(files) -> Dataset`` per partition, resumably.
+
+    Returns the full manifest list (completed + newly run).
+    """
+    out_dir = Path(out_dir)
+    (out_dir / "_manifests").mkdir(parents=True, exist_ok=True)
+    parts = partition_inputs(input_files, files_per_partition)
+    done = completed_partitions(out_dir)
+
+    manifests = []
+    for pid, files in enumerate(parts):
+        if pid in done:
+            manifests.append(done[pid])
+            continue
+        final_dir = out_dir / f"part={pid}"
+        tmp_dir = out_dir / f"_tmp-part={pid}"
+        for d in (final_dir, tmp_dir):  # clear wreckage of a dead attempt
+            if d.exists():
+                shutil.rmtree(d)
+
+        t0 = time.perf_counter()
+        ds = build_fn(files)
+        ds.write_parquet(str(tmp_dir))
+        # row count from the written files' parquet metadata (no re-read)
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in tmp_dir.glob("*.parquet")
+        )
+        out_bytes = sum(f.stat().st_size for f in tmp_dir.rglob("*") if f.is_file())
+        tmp_dir.rename(final_dir)  # atomic within one filesystem
+
+        row = {
+            "partition_id": pid,
+            "input_files": files,
+            "row_count": rows,
+            "output_bytes": out_bytes,
+            "output_sha256": _dir_sha256(final_dir),
+            "wall_time_sec": round(time.perf_counter() - t0, 3),
+        }
+        mpath = out_dir / "_manifests" / f"part-{pid}.json"
+        mtmp = mpath.with_suffix(".json.tmp")
+        mtmp.write_text(json.dumps(row, indent=1))
+        mtmp.rename(mpath)
+        manifests.append(row)
+    return manifests
+
+
+def read_output(out_dir: str | Path) -> "ray.data.Dataset":
+    """Read every completed partition back as one Dataset."""
+    out_dir = Path(out_dir)
+    dirs = sorted(str(d) for d in out_dir.glob("part=*") if d.is_dir())
+    return ray.data.read_parquet(dirs)
