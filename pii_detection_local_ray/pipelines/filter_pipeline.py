@@ -42,7 +42,7 @@ def build_pipeline(
     model_path: str | None = None,
     with_ner: bool = True,
     with_perplexity: bool = True,
-    concurrency: tuple[int, int] | int = (2, 8),
+    concurrency: tuple[int, int] | int = (1, 8),
     columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Lazy Dataset; nothing executes until the caller consumes it."""

@@ -66,7 +66,11 @@ class QualityBatch:
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
         n = len(arr)
-        n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chars = (
+            pc.fill_null(pc.utf8_length(arr), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         alnum_frac = _alnum_fraction(arr).astype(np.float32)
 
         # license markers: vectorized substring search, OR-combined

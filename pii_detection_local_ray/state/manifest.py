@@ -115,5 +115,8 @@ def run_resumable(
 def read_output(out_dir: str | Path) -> "ray.data.Dataset":
     """Read every completed partition back as one Dataset."""
     out_dir = Path(out_dir)
-    dirs = sorted(str(d) for d in out_dir.glob("part=*") if d.is_dir())
-    return ray.data.read_parquet(dirs)
+    files = sorted(
+        str(f) for d in out_dir.glob("part=*") if d.is_dir()
+        for f in d.glob("*.parquet")
+    )
+    return ray.data.read_parquet(files)

@@ -1,0 +1,41 @@
+import warnings
+
+import pytest
+
+warnings.filterwarnings("ignore")
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def stub_model(tmp_path_factory):
+    from pii_detection_local_ray.sources.model_artifact import write_stub_model
+
+    return str(write_stub_model(tmp_path_factory.mktemp("model")))
+
+
+@pytest.fixture(scope="session")
+def small_corpus(tmp_path_factory):
+    """300-file deterministic corpus + oracle expected output."""
+    from pii_detection_local_ray import corpus
+
+    d = tmp_path_factory.mktemp("corpus")
+    corpus.generate_corpus(d, n_files=300, n_shards=4)
+    corpus.write_expected(d)
+    return d

@@ -1,0 +1,60 @@
+"""Checkpointed resume via per-partition lineage manifests."""
+
+import json
+import shutil
+
+
+def _build_fn(stub_model):
+    from pii_detection_local_ray.pipelines.filter_pipeline import (
+        build_pipeline,
+        select_output,
+    )
+
+    def build(files):
+        return select_output(build_pipeline(files, model_path=stub_model))
+
+    return build
+
+
+def test_resume_skips_completed_partitions(ray_session, small_corpus, stub_model, tmp_path):
+    from pii_detection_local_ray.state import manifest
+
+    files = sorted(str(f) for f in (small_corpus / "corpus").glob("part-*.parquet"))
+    out = tmp_path / "out"
+    build = _build_fn(stub_model)
+
+    # first run: only the first partition's files
+    m1 = manifest.run_resumable(files[:2], out, build, files_per_partition=2)
+    assert len(m1) == 1 and m1[0]["partition_id"] == 0
+
+    # full run resumes: partition 0 must be skipped (same manifest object)
+    m2 = manifest.run_resumable(files, out, build, files_per_partition=2)
+    assert len(m2) == 2
+    assert m2[0] == m1[0]  # untouched - not recomputed
+
+    # output readable and complete
+    ds = manifest.read_output(out)
+    assert ds.count() == sum(r["row_count"] for r in m2)
+
+    # manifests carry lineage
+    for r in m2:
+        assert r["input_files"] and r["output_sha256"] and r["row_count"] > 0
+
+
+def test_dead_tmp_dir_is_cleaned_and_rerun(ray_session, small_corpus, stub_model, tmp_path):
+    from pii_detection_local_ray.state import manifest
+
+    files = sorted(str(f) for f in (small_corpus / "corpus").glob("part-*.parquet"))[:2]
+    out = tmp_path / "out2"
+    build = _build_fn(stub_model)
+
+    # simulate a crash mid-write: stale tmp dir, no manifest
+    (out / "_manifests").mkdir(parents=True)
+    (out / "_tmp-part=0").mkdir()
+    (out / "_tmp-part=0" / "junk").write_text("partial garbage")
+
+    m = manifest.run_resumable(files, out, build, files_per_partition=2)
+    assert len(m) == 1 and m[0]["row_count"] > 0
+    assert not (out / "_tmp-part=0").exists()
+    row = json.loads((out / "_manifests" / "part-0.json").read_text())
+    assert row == m[0]

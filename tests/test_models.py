@@ -1,0 +1,47 @@
+"""Deterministic model stages: langid heuristic + trigram perplexity."""
+
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.config import LANGID_MIN_CONF, MAX_PERPLEXITY
+from pii_detection_local_ray.corpus import _PROSE, _TEMPLATES, _defect_content
+from pii_detection_local_ray.stages.langid import LangIdBatch
+from pii_detection_local_ray.stages.perplexity import PerplexityBatch
+import random
+
+
+@pytest.mark.parametrize("lang", list(_TEMPLATES))
+def test_langid_detects_own_template(lang):
+    text = _TEMPLATES[lang].format(name="alpha", Name="Alpha", k=3)
+    detected, conf = LangIdBatch().score(text)
+    assert detected == lang
+
+
+def test_langid_prose_in_code_is_confident():
+    detected, conf = LangIdBatch().score(_PROSE)
+    assert detected == "text" and conf >= LANGID_MIN_CONF
+
+
+def test_langid_batch_matches_score():
+    lid = LangIdBatch()
+    texts = [_TEMPLATES[l].format(name="beta", Name="Beta", k=4) for l in _TEMPLATES]
+    out = lid(pa.table({"content": pa.array(texts)}))
+    assert out["langid"].to_pylist() == [lid.score(t)[0] for t in texts]
+
+
+def test_perplexity_separates_garbage():
+    ppl = PerplexityBatch()
+    clean = _TEMPLATES["python"].format(name="alpha", Name="Alpha", k=3)
+    garbage = _defect_content(random.Random(7), "garbage", "", "python")
+    assert ppl.score_text(clean) < MAX_PERPLEXITY
+    assert ppl.score_text(garbage) > MAX_PERPLEXITY
+
+
+def test_perplexity_batch_matches_scalar():
+    """Vectorized buffer path == per-text scoring (boundary handling)."""
+    ppl = PerplexityBatch()
+    texts = ["hello world, this is a test", "def f(x):\n    return x\n", "ab", ""]
+    out = ppl(pa.table({"content": pa.array(texts)}))
+    got = out["perplexity"].to_pylist()
+    want = [ppl.score_text(t) for t in texts]
+    assert got == pytest.approx(want, abs=1e-4)

@@ -1,0 +1,94 @@
+"""NER actor: reference FastPIIDetector semantics
+(src/inference.py:252-307 BIO decode, :355-421 batch error contract)."""
+
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.config import MAX_CHARS
+from pii_detection_local_ray.exceptions import ModelLoadError, ModelNotFoundError
+from pii_detection_local_ray.sources.model_artifact import (
+    load_label_mapping,
+    write_stub_model,
+)
+from pii_detection_local_ray.stages.ner import NERDetector
+
+
+@pytest.fixture(scope="module")
+def det(tmp_path_factory):
+    model_dir = write_stub_model(tmp_path_factory.mktemp("m"))
+    return NERDetector(str(model_dir))
+
+
+def test_model_path_validation(tmp_path):
+    with pytest.raises(ModelNotFoundError):
+        load_label_mapping(tmp_path / "missing")
+    (tmp_path / "partial").mkdir()
+    (tmp_path / "partial" / "config.json").write_text("{}")
+    with pytest.raises(ModelLoadError):
+        load_label_mapping(tmp_path / "partial")
+
+
+def test_person_detection_and_redaction(det):
+    r = det.detect_batch(["Author: John Doe wrote this"])[0]
+    assert r["has_pii"] and r["pii_types"] == ["PERSON"]
+    (e,) = r["entities"]
+    assert e["text"] == "John Doe"
+    assert r["redacted_text"] == "Author: [REDACTED] wrote this"
+    assert e["confidence"] == pytest.approx((0.92 + 0.90) / 2)  # mean rule
+
+
+def test_org_loc_date(det):
+    r = det.detect_batch(["Acme Corp. ships from Berlin on 2024-03-01"])[0]
+    assert r["pii_types"] == ["DATE", "LOC", "ORG"]
+
+
+def test_confidence_threshold_drops_low_conf(det):
+    # "Pat" is emitted at 0.40 < 0.5 -> decoder must produce no entity
+    r = det.detect_batch(["ask Pat about it"])[0]
+    assert not r["has_pii"] and r["entities"] == []
+
+
+def test_batch_error_contract(det):
+    texts = ["", "  ", "x" * (MAX_CHARS + 1), "fine text", None]
+    results = det.detect_batch(texts)
+    assert len(results) == len(texts)  # length always preserved
+    assert "Empty input" in results[0]["error"]
+    assert "Empty input" in results[1]["error"]
+    assert "Input too large" in results[2]["error"]
+    assert results[3]["error"] is None
+    assert "Invalid input type" in results[4]["error"]
+    # errored rows pass content through unredacted
+    assert results[2]["redacted_text"] == texts[2]
+
+
+def test_bio_decode_orphan_I_is_dropped(det):
+    """I-X without a matching open B-X must not open a span
+    (reference: src/inference.py:286)."""
+    o = det.label2id["O"]
+    i_person = det.label2id["I-PERSON"]
+    ents = det.extract_entities(
+        "ab cd", [o, i_person, o], [0.99, 0.99, 0.99], [(0, 0), (3, 5), (0, 0)]
+    )
+    assert ents == []
+
+
+def test_bio_decode_b_then_b_splits(det):
+    b = det.label2id["B-PERSON"]
+    ents = det.extract_entities(
+        "Jane Wei x", [b, b], [0.9, 0.9], [(0, 4), (5, 8)]
+    )
+    assert [(e["start"], e["end"]) for e in ents] == [(0, 4), (5, 8)]
+
+
+def test_call_merges_with_scrub_columns(det, ray_session):
+    """NER entities merge with regex entities; regex has priority."""
+    from pii_detection_local_ray.stages.scrub import ScrubBatch
+
+    text = "John Doe email j@d.co in Berlin"
+    batch = ScrubBatch()(pa.table({"content": pa.array([text])}))
+    out = det(batch)
+    types = out["pii_types"][0].as_py()
+    assert types == ["EMAIL", "LOC", "PERSON"]
+    assert out["scrubbed_content"][0].as_py() == \
+        "[REDACTED] email [REDACTED] in [REDACTED]"
+    assert out["error"][0].as_py() is None

@@ -1,0 +1,91 @@
+"""End-to-end flagship pipeline vs the independent oracle (F1 target +
+sha256 invariant + repo aggregates + G1 statistics)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def result(ray_session, small_corpus, stub_model):
+    from pii_detection_local_ray.pipelines.filter_pipeline import build_pipeline
+
+    ds = build_pipeline(str(small_corpus / "corpus"), model_path=stub_model)
+    out = ds.to_pandas()
+    exp = pq.read_table(small_corpus / "expected.parquet").to_pandas()
+    merged = out.merge(exp, on=["repo", "path"], suffixes=("", "_exp"))
+    assert len(merged) == len(out) == len(exp)
+    return merged
+
+
+@pytest.mark.parametrize(
+    "col",
+    ["keep", "drop_reason", "has_pii", "scrubbed_content",
+     "content_sha256", "scrubbed_sha256"],
+)
+def test_exact_parity_with_oracle(result, col):
+    a, b = result[col], result[col + "_exp"]
+    neq = (a != b) & ~(a.isna() & b.isna())
+    assert int(neq.sum()) == 0
+
+
+def test_keep_drop_f1(result):
+    """North rule: F1 >= 0.99 vs reference keep/drop labels."""
+    tp = int(((result["keep"]) & (result["keep_exp"])).sum())
+    fp = int(((result["keep"]) & (~result["keep_exp"])).sum())
+    fn = int(((~result["keep"]) & (result["keep_exp"])).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99
+
+
+def test_untouched_rows_sha_equal(result):
+    """north-rule invariant: rows with no PII keep byte-identical content."""
+    clean = result[~result["has_pii"]]
+    assert len(clean) > 0
+    assert (clean["scrubbed_sha256"] == clean["content_sha256"]).all()
+
+
+def test_all_defect_classes_present(result):
+    reasons = set(result["drop_reason"].dropna())
+    assert {"empty", "too_large", "long_lines", "low_alnum",
+            "dup_lines", "lang_mismatch", "high_perplexity"} <= reasons
+
+
+def test_repo_stats_matches_pandas(ray_session, small_corpus, stub_model):
+    from pii_detection_local_ray.pipelines.filter_pipeline import build_pipeline
+    from pii_detection_local_ray.pipelines.repo_agg import repo_stats
+
+    ds = build_pipeline(str(small_corpus / "corpus"), model_path=stub_model)
+    got = repo_stats(ds).to_pandas().set_index("repo").sort_index()
+
+    flat = build_pipeline(
+        str(small_corpus / "corpus"), model_path=stub_model
+    ).to_pandas()
+    want = flat.groupby("repo").agg(
+        files=("path", "size"), kept=("keep", "sum"),
+        with_pii=("has_pii", "sum"), chars=("n_chars", "sum"),
+    )
+    assert (got["files"] == want["files"]).all()
+    assert (got["kept"] == want["kept"]).all()
+    assert (got["with_pii"] == want["with_pii"]).all()
+    assert (got["chars"] == want["chars"]).all()
+    # mega-repo skew exists in the fixture
+    assert want["files"].loc["org0/mega"] / want["files"].sum() > 0.2
+
+
+def test_pii_statistics_semantics(ray_session, small_corpus, stub_model):
+    """G1 contract (reference: src/inference.py:190-205,
+    test_detector.py:288-289)."""
+    from pii_detection_local_ray.functions.stats import pii_statistics
+    from pii_detection_local_ray.pipelines.filter_pipeline import build_pipeline
+
+    ds = build_pipeline(str(small_corpus / "corpus"), model_path=stub_model)
+    stats = pii_statistics(ds)
+    assert stats["texts_with_pii"] + stats["texts_without_pii"] == stats["total_texts"]
+    assert 0.0 <= stats["pii_rate"] <= 1.0
+    assert stats["pii_rate"] == round(
+        stats["texts_with_pii"] / stats["total_texts"], 4
+    )
+    counts = list(stats["pii_type_distribution"].values())
+    assert counts == sorted(counts, reverse=True)
+    # type-presence counts, not mention counts: each <= texts_with_pii
+    assert all(c <= stats["texts_with_pii"] for c in counts)

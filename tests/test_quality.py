@@ -1,0 +1,66 @@
+"""Quality-signal stage vs FIXTURES.md F3 expectations."""
+
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.config import (
+    MAX_DUP_LINE_RATIO,
+    MAX_LINE_LEN,
+    MIN_ALNUM_FRAC,
+)
+from pii_detection_local_ray.stages.decide import decide_batch
+from pii_detection_local_ray.stages.quality import QualityBatch
+
+
+def run(texts):
+    return QualityBatch()(pa.table({"content": pa.array(texts, pa.string())}))
+
+
+def test_line_stats():
+    out = run(["ab\ncdef\n", "x" * 2000])
+    assert out["n_lines"].to_pylist() == [3, 1]
+    assert out["max_line_len"].to_pylist() == [4, 2000]
+    assert out["max_line_len"][1].as_py() > MAX_LINE_LEN
+
+
+def test_alnum_frac():
+    out = run(["abcd", "!!!!", "ab!!"])
+    assert out["alnum_frac"].to_pylist() == pytest.approx([1.0, 0.0, 0.5])
+    assert out["alnum_frac"][1].as_py() < MIN_ALNUM_FRAC
+
+
+def test_dup_line_ratio():
+    dup = "\n".join(["same line"] * 50)
+    uniq = "\n".join(f"line {i}" for i in range(50))
+    out = run([dup, uniq])
+    assert out["dup_line_ratio"][0].as_py() == pytest.approx(1 - 1 / 50)
+    assert out["dup_line_ratio"][0].as_py() > MAX_DUP_LINE_RATIO
+    assert out["dup_line_ratio"][1].as_py() == 0.0
+
+
+def test_license_and_blank():
+    out = run(["MIT License\ncode here", "   \n\n", "plain"])
+    assert out["license_hit"].to_pylist() == [True, False, False]
+    assert out["is_blank"].to_pylist() == [False, True, False]
+
+
+def test_unicode_content_alnum_bytes():
+    # multi-byte chars count as non-alnum bytes (byte-level definition)
+    out = run(["abcdéé"])  # 4 alnum bytes + 4 accent bytes
+    assert out["alnum_frac"][0].as_py() == pytest.approx(0.5)
+
+
+def test_decide_precedence():
+    texts = [
+        "",  # empty
+        "x" * 60_000,  # too_large
+        "y" * 1500,  # long_lines
+        "!!!???!!!",  # low_alnum
+        "\n".join(["dup"] * 30),  # dup_lines
+        "normal fine text line",  # keep
+    ]
+    out = decide_batch(run(texts))
+    assert out["drop_reason"].to_pylist() == [
+        "empty", "too_large", "long_lines", "low_alnum", "dup_lines", None,
+    ]
+    assert out["keep"].to_pylist() == [False] * 5 + [True]

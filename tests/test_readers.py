@@ -1,0 +1,35 @@
+"""Byte-source parsers (reference S9/S10 + M14 unpivot)."""
+
+import pyarrow as pa
+
+
+def test_txt_line_explode(ray_session, tmp_path):
+    from pii_detection_local_ray.sources.readers import read_text_as_units
+
+    p = tmp_path / "a.txt"
+    p.write_text("first line\n\n   \n  second line  \nthird\n")
+    ds = read_text_as_units(str(p))
+    rows = ds.to_pandas()
+    # blank lines dropped, content stripped (reference src/api.py:102-119)
+    assert list(rows["text"]) == ["first line", "second line", "third"]
+    assert list(rows["line_idx"]) == [0, 3, 4]
+
+
+def test_csv_unpivot(ray_session, tmp_path):
+    from pii_detection_local_ray.sources.readers import read_csv_units
+
+    p = tmp_path / "t.csv"
+    p.write_text("name,note\nalice,hello\nbob,world\n")
+    ds = read_csv_units(str(p))
+    rows = ds.to_pandas().sort_values(["column", "row_idx"]).reset_index(drop=True)
+    assert len(rows) == 4
+    assert list(rows["value"]) == ["alice", "bob", "hello", "world"]
+
+
+def test_unpivot_cells_vectorized():
+    from pii_detection_local_ray.sources.readers import unpivot_cells
+
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    out = unpivot_cells(t, ["a", "b"])
+    assert out.num_rows == 4
+    assert out["value"].to_pylist() == ["1", "2", "x", "y"]
