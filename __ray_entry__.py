@@ -3,42 +3,55 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_ENTRY_TMP = "/tmp/pii_ray_entry"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: langid + quality-filter + PII-scrub over the
+    synthetic source-code Parquet corpus (BASELINE.json input_hint shape)
+    at smoke scale; returns the filtered+scrubbed Dataset."""
+    from pii_detection_local_ray import corpus
+    from pii_detection_local_ray.pipelines.filter_pipeline import (
+        build_pipeline,
+        select_output,
+    )
+    from pii_detection_local_ray.sources.model_artifact import write_stub_model
+
+    corpus_dir = Path(_ENTRY_TMP) / "corpus"
+    if not corpus_dir.exists():
+        corpus.generate_corpus(_ENTRY_TMP, n_files=1000, n_shards=4)
+    model_dir = Path(_ENTRY_TMP) / "model"
+    if not model_dir.exists():
+        write_stub_model(model_dir)
+
+    ds = build_pipeline(str(corpus_dir), model_path=str(model_dir))
+    return select_output(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md section 2
+    (registry in pii_detection_local_ray/pipelines/queries.py)."""
+    from pii_detection_local_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; keys missing
+    here get the driver's weaker rows-only check."""
+    from pii_detection_local_ray.pipelines import queries as q
+
+    return q.oracle_sql()

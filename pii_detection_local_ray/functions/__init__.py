@@ -1,1 +1,1 @@
-from . import stats  # noqa: F401
+from . import bio, dedup, multimodal, simsearch, stats, text  # noqa: F401

@@ -1,0 +1,174 @@
+"""Span <-> BIO conversion, label normalization, span-F1 evaluation.
+
+Reference semantics reproduced:
+  * span_to_bio: whitespace tokenization, incremental ``text.find``
+    char-offset map, B-/I- painting over covered tokens, +/-5-char fuzzy
+    fallback (reference: src/consolidate_pii_datasets.py:192-283)
+  * text reconstruction contract: ``" ".join(tokens)`` round-trips
+    offsets exactly (reference: run_benchmarking.py:268, 152-208)
+  * normalise_label: 3-stage lookup - full key, B-/I--stripped base,
+    lowercased base; camelCase fallback; uppercase passthrough
+    (reference: src/consolidate_pii_datasets.py:149-185; the mapping
+    table itself is re-derived for this engine's taxonomy, not copied)
+  * span-level F1: exact-match (type, start, end) spans, the seqeval
+    convention used by the reference's evaluation
+    (reference: src/train.py:289-310, run_benchmarking.py:215-240)
+"""
+
+from __future__ import annotations
+
+import re
+
+# Canonical taxonomy map (engine edition of the reference's LABEL_NORM
+# concept): raw dataset label -> canonical type, or None to drop.
+LABEL_NORM: dict[str, str | None] = {
+    "email": "EMAIL", "email_address": "EMAIL", "e-mail": "EMAIL",
+    "phone": "PHONE", "phone_number": "PHONE", "telephone": "PHONE",
+    "ssn": "SSN", "social_security_number": "SSN", "us_ssn": "SSN",
+    "credit_card": "CREDIT_CARD", "creditcardnumber": "CREDIT_CARD",
+    "ip": "IP_ADDRESS", "ip_address": "IP_ADDRESS", "ipv4": "IP_ADDRESS",
+    "ipv6": "IPV6_ADDRESS",
+    "iban": "IBAN", "iban_code": "IBAN",
+    "crypto": "CRYPTO_ADDRESS", "bitcoin_address": "CRYPTO_ADDRESS",
+    "url": "URL", "uri": "URL", "website": "URL",
+    "person": "PERSON", "name": "PERSON", "per": "PERSON",
+    "org": "ORG", "organization": "ORG", "company": "ORG",
+    "loc": "LOC", "location": "LOC", "gpe": "LOC", "city": "LOC",
+    "date": "DATE", "dob": "DATE", "date_time": "DATE", "time": "DATE",
+    "password": "API_SECRET", "api_key": "API_SECRET", "secret": "API_SECRET",
+    "cardinal": None, "ordinal": None, "percent": None, "quantity": None,
+}
+
+_CAMEL_RE = re.compile(r"^[a-z]+(?:[A-Z][a-z0-9]*)+$")
+
+
+def normalise_label(label: str) -> str | None:
+    """3-stage lookup + fallbacks (semantics of
+    src/consolidate_pii_datasets.py:149-185)."""
+    if not label or label in ("O", "0"):
+        return None
+    if label in LABEL_NORM:
+        return LABEL_NORM[label]
+    base = label[2:] if label[:2] in ("B-", "I-") else label
+    if base in LABEL_NORM:
+        return LABEL_NORM[base]
+    low = base.lower()
+    if low in LABEL_NORM:
+        return LABEL_NORM[low]
+    if _CAMEL_RE.match(base):
+        return "FINANCIAL_ENTITY"
+    return base.upper()
+
+
+def span_to_bio(text: str, spans: list[dict]) -> tuple[list[str], list[str]]:
+    """Whitespace tokens + BIO labels from char-offset spans.
+
+    Algorithm per reference src/consolidate_pii_datasets.py:192-283:
+    build char->token map with incremental find; for each span, find the
+    covered token range (exact offsets, else +/-5-char fuzzy window);
+    first covered token gets B-, the rest I-.
+    """
+    tokens = text.split()
+    labels = ["O"] * len(tokens)
+    # incremental offset map (handles repeated tokens correctly)
+    starts, ends = [], []
+    cursor = 0
+    for tok in tokens:
+        pos = text.find(tok, cursor)
+        if pos < 0:
+            pos = cursor
+        starts.append(pos)
+        ends.append(pos + len(tok))
+        cursor = pos + len(tok)
+
+    for span in spans:
+        s, e, typ = span["start"], span["end"], span["type"]
+        covered = [
+            i for i in range(len(tokens)) if starts[i] < e and s < ends[i]
+        ]
+        if not covered:
+            # fuzzy +/-5 fallback (reference :259-270)
+            covered = [
+                i for i in range(len(tokens))
+                if starts[i] < e + 5 and s - 5 < ends[i]
+                and not (ends[i] <= s - 5 or starts[i] >= e + 5)
+            ]
+            covered = covered[:1]
+        for j, i in enumerate(covered):
+            labels[i] = ("B-" if j == 0 else "I-") + typ
+    return tokens, labels
+
+
+def bio_to_spans(tokens: list[str], labels: list[str]) -> list[dict]:
+    """Inverse under the ``" ".join(tokens)`` reconstruction contract."""
+    spans = []
+    pos = 0
+    cur = None
+    for tok, lab in zip(tokens, labels):
+        start, end = pos, pos + len(tok)
+        if lab.startswith("B-"):
+            if cur:
+                spans.append(cur)
+            cur = {"type": lab[2:], "start": start, "end": end}
+        elif lab.startswith("I-") and cur and cur["type"] == lab[2:]:
+            cur["end"] = end
+        else:
+            if cur:
+                spans.append(cur)
+            cur = None
+        pos = end + 1  # the single joining space
+    if cur:
+        spans.append(cur)
+    return spans
+
+
+def span_f1(
+    true_seqs: list[list[str]], pred_seqs: list[list[str]]
+) -> dict:
+    """Span-exact-match micro P/R/F1 over BIO label sequences
+    (seqeval 'default' scheme semantics)."""
+
+    def seq_spans(labels: list[str]) -> set[tuple[str, int, int]]:
+        out, cur = set(), None
+        for i, lab in enumerate(labels):
+            if lab.startswith("B-"):
+                if cur:
+                    out.add(cur)
+                cur = (lab[2:], i, i + 1)
+            elif lab.startswith("I-") and cur and cur[0] == lab[2:]:
+                cur = (cur[0], cur[1], i + 1)
+            else:
+                if cur:
+                    out.add(cur)
+                cur = None
+        if cur:
+            out.add(cur)
+        return out
+
+    tp = fp = fn = 0
+    per_type: dict[str, dict] = {}
+    for t_seq, p_seq in zip(true_seqs, pred_seqs):
+        t_spans, p_spans = seq_spans(t_seq), seq_spans(p_seq)
+        for sp in p_spans:
+            d = per_type.setdefault(sp[0], {"tp": 0, "fp": 0, "fn": 0})
+            if sp in t_spans:
+                tp += 1
+                d["tp"] += 1
+            else:
+                fp += 1
+                d["fp"] += 1
+        for sp in t_spans - p_spans:
+            fn += 1
+            per_type.setdefault(sp[0], {"tp": 0, "fp": 0, "fn": 0})["fn"] += 1
+
+    def prf(tp, fp, fn):
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f = 2 * p * r / (p + r) if p + r else 0.0
+        return {"precision": round(p, 4), "recall": round(r, 4), "f1": round(f, 4)}
+
+    out = prf(tp, fp, fn)
+    out["per_type"] = {
+        t: prf(d["tp"], d["fp"], d["fn"]) for t, d in sorted(per_type.items())
+    }
+    return out

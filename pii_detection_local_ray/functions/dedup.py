@@ -1,0 +1,370 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+  * exact dedup shuffles only (hash, id) pairs - never content - then
+    broadcasts the tiny winner set (or uses groupby on the 32-byte hash).
+  * MinHash: signatures are computed batch-local (vectorized numpy); the
+    all-to-all exchange moves only (band_id, band_hash, doc_id) triples,
+    ~num_bands small rows per doc.  Candidate verification joins
+    signatures (num_perm x 8 bytes), not documents.
+  * SimHash: 64-bit fingerprints, banded into 4x16-bit keys so any pair
+    within Hamming distance 3 shares >= 1 band (pigeonhole).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def add_content_hash(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "content_hash") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    hashes = [hashlib.sha256((t or "").encode()).hexdigest() for t in texts]
+    return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+
+def exact_dedup_groups(ds: ray.data.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text") -> ray.data.Dataset:
+    """One row per distinct content: (content_hash, doc_id=min id, dup_count).
+
+    groupby on the 64-hex hash column - content never crosses the wire.
+    """
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col).select(
+            ["content_hash", id_col]
+        ),
+        batch_format="pyarrow",
+    )
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col),
+        Count(alias_name="dup_count"),
+    )
+
+
+def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> ray.data.Dataset:
+    """Keep-first exact dedup: drops all but the min-id row per content.
+
+    Broadcast anti-join: the loser id set is collected (ids only, small
+    relative to content) and filtered inside map_batches.  For corpora
+    where even the id set is too large, swap for groupby(hash).map_groups.
+    """
+    groups = exact_dedup_groups(ds, id_col, text_col)
+    winners_ds = groups.select_columns([id_col])
+    winners = set(
+        winners_ds.to_pandas()[id_col].tolist()
+    )  # ids only - small side
+
+    import ray as _ray
+
+    ref = _ray.put(winners)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        w = _ray.get(ref)
+        mask = pa.array([v in w for v in batch[id_col].to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """crc32 of each k-char shingle (stable across processes)."""
+    if len(text) < k:
+        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
+    data = text.encode("utf-8", errors="replace")
+    return np.unique(
+        np.array(
+            [zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)],
+            dtype=np.uint64,
+        )
+    )
+
+
+class MinHashBatch:
+    """Adds a ``minhash`` (list<uint64> signature) column.
+
+    Stateful stage: the permutation coefficients are drawn once per actor
+    from a fixed seed (deterministic across the cluster).
+    """
+
+    def __init__(self, text_col: str = "text", num_perm: int = 64, shingle_k: int = 5):
+        rng = np.random.RandomState(42)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.text_col = text_col
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text or "", self.shingle_k)
+        # (a*h + b) mod p, min over shingles, per permutation
+        with np.errstate(over="ignore"):
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = [self.signature(t).tolist() for t in texts]
+        return batch.append_column(
+            "minhash", pa.array(sigs, pa.list_(pa.uint64()))
+        )
+
+
+def _bands_table(batch: pa.Table, id_col: str, num_bands: int) -> pa.Table:
+    """Explode each signature into (band_id, band_hash) rows, carrying the
+    signature along so bucket verification never needs a broadcast join.
+    band_hash uses crc32 (stable across processes - builtin hash() is not).
+    """
+    ids = batch[id_col].to_pylist()
+    sigs = batch["minhash"].to_pylist()
+    out_id, out_band, out_hash, out_sig = [], [], [], []
+    for i, sig in enumerate(sigs):
+        rows = np.array(sig, dtype=np.uint64).reshape(num_bands, -1)
+        for bidx in range(num_bands):
+            out_id.append(ids[i])
+            out_band.append(bidx)
+            out_hash.append(zlib.crc32(rows[bidx].tobytes()))
+            out_sig.append(sig)
+    return pa.table(
+        {
+            id_col: pa.array(out_id),
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            "minhash": pa.array(out_sig, pa.list_(pa.uint64())),
+        }
+    )
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    num_bands: int = 16,
+    jaccard_threshold: float = 0.6,
+) -> ray.data.Dataset:
+    """Near-duplicate candidate pairs verified by signature similarity.
+
+    shingle -> minhash -> band -> bucket groupby -> pairwise verify.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
+    """
+    sigs = ds.map_batches(
+        MinHashBatch,
+        fn_constructor_kwargs={"text_col": text_col, "num_perm": num_perm},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).select_columns([id_col, "minhash"])
+
+    # bands explode num_bands x rows of (id, band, hash, signature) - the
+    # signature rides along (num_perm*8 B) so verification is bucket-local
+    bands = sigs.map_batches(
+        lambda b: _bands_table(b, id_col, num_bands), batch_format="pyarrow"
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        by_id = {}
+        for i, sig in zip(group[id_col].to_pylist(), group["minhash"].to_pylist()):
+            by_id[i] = np.array(sig, dtype=np.uint64)
+        ids = sorted(by_id)
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                est = float((by_id[ids[x]] == by_id[ids[y]]).mean())
+                if est >= jaccard_threshold:
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+                    j_out.append(est)
+        return pa.table(
+            {"id_a": pa.array(a_out, pa.int64()),
+             "id_b": pa.array(b_out, pa.int64()),
+             "est_jaccard": pa.array(j_out, pa.float64())}
+        )
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # a pair can surface from several bands - dedup on (id_a, id_b)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHashBatch:
+    """64-bit simhash over word tokens; adds ``simhash`` (uint64-as-int64)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for w in (text or "").split():
+            h = np.uint64(
+                zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+            )
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out & 0x7FFFFFFFFFFFFFFF
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        vals = [self.simhash(t) for t in texts]
+        return batch.append_column("simhash", pa.array(vals, pa.int64()))
+
+
+def simhash_near_dup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """Banded simhash near-dup: 4 x 16-bit bands guarantee recall for
+    Hamming distance <= 3 (pigeonhole over 4 bands)."""
+    hashed = ds.map_batches(
+        SimHashBatch(text_col), batch_format="pyarrow"
+    ).select_columns([id_col, "simhash"])
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        vals = batch["simhash"].to_pylist()
+        oid, ob, oh, ov = [], [], [], []
+        for i, v in zip(ids, vals):
+            for b in range(4):
+                oid.append(i)
+                ob.append(b)
+                oh.append((v >> (16 * b)) & 0xFFFF)
+                ov.append(v)
+        return pa.table(
+            {id_col: pa.array(oid), "band_id": pa.array(ob, pa.int32()),
+             "band_hash": pa.array(oh, pa.int32()),
+             "simhash": pa.array(ov, pa.int64())}
+        )
+
+    bands = hashed.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            {(i, v) for i, v in zip(group[id_col].to_pylist(),
+                                    group["simhash"].to_pylist())}
+        )
+        a_out, b_out, d_out = [], [], []
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                d = bin(rows[x][1] ^ rows[y][1]).count("1")
+                if d <= max_hamming:
+                    a_out.append(rows[x][0])
+                    b_out.append(rows[y][0])
+                    d_out.append(d)
+        return pa.table(
+            {"id_a": pa.array(a_out, pa.int64()),
+             "id_b": pa.array(b_out, pa.int64()),
+             "hamming": pa.array(d_out, pa.int32())}
+        )
+
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise verification)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa = set(map(int, _shingle_hashes(a, k)))
+    sb = set(map(int, _shingle_hashes(b, k)))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+) -> ray.data.Dataset:
+    """Cosine near-dup via random-hyperplane LSH bucketing.
+
+    Vectors land in a bucket keyed by the sign pattern of ``num_planes``
+    fixed random projections; only within-bucket pairs are scored
+    (numpy matmul per bucket).  Recall is per-bucket exact; raise
+    num_planes for smaller buckets at scale.
+    """
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
+        dim = vecs.shape[1]
+        if dim not in planes_by_dim:
+            planes_by_dim[dim] = np.random.RandomState(42).randn(dim, num_planes).astype(np.float32)
+        signs = (vecs @ planes_by_dim[dim]) > 0
+        keys = (signs * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: pa.array(ids), "bucket": pa.array(keys, pa.int64()),
+             vec_col: batch[vec_col]}
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        vecs = np.array(group[vec_col].to_pylist(), dtype=np.float32)
+        a_out, b_out, c_out = [], [], []
+        if len(ids) >= 2:
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            normed = vecs / np.maximum(norms, 1e-12)
+            sims = normed @ normed.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sims[iu, ju] >= threshold
+            for x, y in zip(iu[mask], ju[mask]):
+                ia, ib = ids[int(x)], ids[int(y)]
+                if ia > ib:
+                    ia, ib = ib, ia
+                a_out.append(ia)
+                b_out.append(ib)
+                c_out.append(float(sims[int(x), int(y)]))
+        return pa.table(
+            {"id_a": pa.array(a_out, pa.int64()),
+             "id_b": pa.array(b_out, pa.int64()),
+             "cosine": pa.array(c_out, pa.float64())}
+        )
+
+    return bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )

@@ -1,0 +1,149 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are ``binary`` columns with a metadata struct.  The
+decode / feature-extract / resize / frame-sample operators are actor-pool
+``map_batches`` stages whose Ray-side plumbing (schema, batch size, actor
+signature, output layout) is real and tested; the codec itself is STUBBED
+(this container ships no image/audio libraries): payloads use a tiny
+deterministic fake format, and feeding real JPEG/PNG/WAV bytes raises
+``NotImplementedError`` at the decode step - swap ``_decode_fake`` for
+PIL/libsndfile on a real cluster.
+
+Fake payload format (deterministic, self-describing):
+  b"FAKEIMG1" + uint16 width + uint16 height + width*height uint8 pixels
+  b"FAKEAUD1" + uint32 sample_rate + uint32 n  + n int16 samples
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+IMG_MAGIC = b"FAKEIMG1"
+AUD_MAGIC = b"FAKEAUD1"
+
+
+def encode_fake_image(width: int, height: int, seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=width * height, dtype=np.uint8)
+    return IMG_MAGIC + struct.pack("<HH", width, height) + pixels.tobytes()
+
+
+def encode_fake_audio(sample_rate: int, n: int, seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    samples = rng.randint(-(2**15), 2**15, size=n, dtype=np.int16)
+    return AUD_MAGIC + struct.pack("<II", sample_rate, n) + samples.tobytes()
+
+
+def _decode_fake(payload: bytes) -> tuple[str, np.ndarray, dict]:
+    if payload[:8] == IMG_MAGIC:
+        w, h = struct.unpack("<HH", payload[8:12])
+        px = np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8)
+        return "image", px.astype(np.float32), {"width": w, "height": h}
+    if payload[:8] == AUD_MAGIC:
+        sr, n = struct.unpack("<II", payload[8:16])
+        samples = np.frombuffer(payload[16 : 16 + 2 * n], dtype=np.int16)
+        return "audio", samples.astype(np.float32), {"sample_rate": sr, "n_samples": n}
+    raise NotImplementedError(
+        "Real media codecs are not available in this container; payload is "
+        "not in the deterministic fake format. Swap _decode_fake for "
+        "PIL/libsndfile decode on a cluster with media libraries installed."
+    )
+
+
+class MediaFeatureBatch:
+    """Actor-pool stage: binary payload -> feature columns.
+
+    __init__ is where a real implementation loads its codec / model once
+    per actor; __call__ processes whole Arrow batches.  Keep batch_size
+    small (e.g. 64) - payloads are large and batch x concurrency must fit
+    the worker heap.
+    """
+
+    def __init__(self, payload_col: str = "payload", on_error: str = "null"):
+        self.payload_col = payload_col
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        kinds, means, stds, sizes, errors = [], [], [], [], []
+        for p in payloads:
+            try:
+                kind, arr, _meta = _decode_fake(p)
+                kinds.append(kind)
+                means.append(float(arr.mean()) if len(arr) else 0.0)
+                stds.append(float(arr.std()) if len(arr) else 0.0)
+                sizes.append(len(arr))
+                errors.append(None)
+            except NotImplementedError as exc:
+                if self.on_error != "null":
+                    raise
+                kinds.append(None)
+                means.append(None)
+                stds.append(None)
+                sizes.append(None)
+                errors.append(str(exc)[:120])
+        batch = batch.append_column("media_kind", pa.array(kinds, pa.string()))
+        batch = batch.append_column("feat_mean", pa.array(means, pa.float64()))
+        batch = batch.append_column("feat_std", pa.array(stds, pa.float64()))
+        batch = batch.append_column("n_elements", pa.array(sizes, pa.int64()))
+        batch = batch.append_column("decode_error", pa.array(errors, pa.string()))
+        return batch
+
+
+class ImageResizeBatch:
+    """Actor-pool stage: nearest-neighbour resize of fake-image payloads.
+
+    Output column ``resized`` is a binary column in the same fake format
+    - demonstrating binary-in/binary-out media transforms with stable
+    schema.  Real implementation: PIL ``Image.resize``.
+    """
+
+    def __init__(self, width: int, height: int, payload_col: str = "payload"):
+        self.width = width
+        self.height = height
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch[self.payload_col].to_pylist():
+            kind, arr, meta = _decode_fake(p)
+            if kind != "image":
+                raise NotImplementedError("resize only defined for images")
+            img = arr.reshape(meta["height"], meta["width"])
+            yi = (np.arange(self.height) * meta["height"] // self.height)
+            xi = (np.arange(self.width) * meta["width"] // self.width)
+            resized = img[yi][:, xi].astype(np.uint8)
+            out.append(
+                IMG_MAGIC
+                + struct.pack("<HH", self.width, self.height)
+                + resized.tobytes()
+            )
+        return batch.append_column("resized", pa.array(out, pa.binary()))
+
+
+def frame_sample_indices(n_frames: int, every_k: int) -> list[int]:
+    """Deterministic frame-sampling rule shared by video-ish stages."""
+    return list(range(0, n_frames, every_k))
+
+
+def make_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic mixed media table for tests/benchmarks."""
+    rows_id, payloads, kinds = [], [], []
+    for i in range(n):
+        rows_id.append(i)
+        if i % 2 == 0:
+            payloads.append(encode_fake_image(16 + (i % 8), 12 + (i % 5), seed + i))
+            kinds.append("image")
+        else:
+            payloads.append(encode_fake_audio(16000, 256 + (i % 100), seed + i))
+            kinds.append("audio")
+    return pa.table(
+        {
+            "media_id": pa.array(rows_id, pa.int64()),
+            "declared_kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )

@@ -1,0 +1,146 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+  * brute-force cosine top-k (the correctness baseline): the query matrix
+    is broadcast once via ``ray.put``; every batch computes a numpy
+    matmul against it and emits its local top-k; the driver merges the
+    tiny per-block top-k lists.  At 100 TB the only data movement is the
+    per-block (query_id, vec_id, score) top-k rows.
+  * LSH-bucketed (the scale path): random-hyperplane buckets shared by
+    queries and corpus; only matching buckets are scored.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def knn_brute_force(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k: returns (query_id, vec_id, score) sorted by
+    (query_id, -score, vec_id); deterministic tie-break on vec_id."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.array(batch[id_col].to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+        sims = q @ vecs.T  # (n_queries, n_block)
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            # argpartition then exact sort of the top slice
+            part = np.argpartition(-sims[qi], kk - 1)[:kk]
+            for j in part:
+                out_q.append(qi)
+                out_id.append(int(ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    # merge: tiny table (k rows per query per block)
+    merged = partials.to_pandas()
+    rows = {"query_id": [], id_col: [], "score": []}
+    for qi, g in merged.groupby("query_id"):
+        top = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col))
+        )
+        for r in top:
+            rows["query_id"].append(qi)
+            rows[id_col].append(getattr(r, id_col))
+            rows["score"].append(r.score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            id_col: pa.array(rows[id_col], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
+def knn_lsh(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+) -> pa.Table:
+    """LSH-bucketed ANN: corpus vectors are scored only when their
+    hyperplane-sign bucket matches a query's bucket.  Approximate -
+    recall depends on num_planes (fewer planes = bigger buckets = higher
+    recall, more compute)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    dim = qn.shape[1]
+    planes = np.random.RandomState(42).randn(dim, num_planes).astype(np.float32)
+    q_buckets = ((qn @ planes) > 0).astype(np.int64) @ (1 << np.arange(num_planes))
+    by_bucket: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_buckets):
+        by_bucket.setdefault(int(b), []).append(qi)
+    q_ref = ray.put((qn, planes, by_bucket))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, pl, qb = ray.get(q_ref)
+        ids = np.array(batch[id_col].to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+        buckets = ((vecs @ pl) > 0).astype(np.int64) @ (1 << np.arange(pl.shape[1]))
+        out_q, out_id, out_s = [], [], []
+        for b, qis in qb.items():
+            mask = buckets == b
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = q[qis] @ vecs[mask].T
+            kk = min(k, sims.shape[1])
+            for row, qi in enumerate(qis):
+                part = np.argpartition(-sims[row], kk - 1)[:kk]
+                for j in part:
+                    out_q.append(qi)
+                    out_id.append(int(sub_ids[j]))
+                    out_s.append(float(sims[row, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    rows = {"query_id": [], id_col: [], "score": []}
+    for qi, g in partials.groupby("query_id"):
+        top = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col))
+        )
+        for r in top:
+            rows["query_id"].append(qi)
+            rows[id_col].append(getattr(r, id_col))
+            rows["score"].append(r.score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            id_col: pa.array(rows[id_col], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )

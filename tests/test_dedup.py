@@ -1,0 +1,94 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash, Jaccard, embedding."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup(ray_session):
+    from pii_detection_local_ray.functions.dedup import exact_dedup, exact_dedup_groups
+
+    texts = ["aaa", "bbb", "aaa", "ccc", "aaa", "bbb"]
+    groups = exact_dedup_groups(_docs_ds(texts)).to_pandas()
+    assert len(groups) == 3
+    by_id = groups.set_index("doc_id")["dup_count"].to_dict()
+    assert by_id == {0: 3, 1: 2, 3: 1}
+
+    kept = exact_dedup(_docs_ds(texts)).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    from pii_detection_local_ray.functions.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about database indexing " * 8
+    pairs = minhash_lsh_pairs(
+        _docs_ds([base, near, far]), jaccard_threshold=0.5
+    ).to_pandas()
+    assert {(0, 1)} == set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (pairs["est_jaccard"] >= 0.5).all()
+
+
+def test_minhash_signature_deterministic():
+    from pii_detection_local_ray.functions.dedup import MinHashBatch
+
+    a = MinHashBatch().signature("hello world, some content here")
+    b = MinHashBatch().signature("hello world, some content here")
+    assert (a == b).all()
+
+
+def test_simhash_near_dup(ray_session):
+    from pii_detection_local_ray.functions.dedup import simhash_near_dup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    near = base.replace("zeta", "zetaa", 1)
+    far = "unrelated words entirely disjoint vocabulary set " * 6
+    pairs = simhash_near_dup_pairs(
+        _docs_ds([base, near, far]), max_hamming=8
+    ).to_pandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (2 not in set(pairs["id_a"])) and (2 not in set(pairs["id_b"]))
+
+
+def test_ngram_jaccard():
+    from pii_detection_local_ray.functions.dedup import ngram_jaccard
+
+    assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    mid = ngram_jaccard("the quick brown fox", "the quick brown cat")
+    assert 0.0 < mid < 1.0
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data
+    from pii_detection_local_ray.functions.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(0)
+    v = rng.randn(8).astype(np.float32)
+    vecs = [v, v + 0.001 * rng.randn(8).astype(np.float32), rng.randn(8).astype(np.float32)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([10, 11, 12], pa.int64()),
+                "embedding": pa.array([x.tolist() for x in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(10, 11)}
+    assert (pairs["cosine"] >= 0.99).all()

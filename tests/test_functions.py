@@ -1,0 +1,167 @@
+"""Text analysis, BIO round-trip, span-F1, similarity search, multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_token_counts():
+    from pii_detection_local_ray.functions.text import token_count_batch
+
+    out = token_count_batch(pa.table({"text": ["a b  c", "", "x\ny z"]}))
+    assert out["n_tokens"].to_pylist() == [3, 0, 3]
+    assert out["n_words"].to_pylist() == [3, 0, 3]
+    assert out["n_lines"].to_pylist() == [1, 1, 2]
+
+
+def test_quality_score_range():
+    from pii_detection_local_ray.functions.text import quality_score_batch
+
+    out = quality_score_batch(
+        pa.table({"text": ["the cat sat on the mat " * 20, "!!!", ""]})
+    )
+    scores = out["quality_score"].to_pylist()
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert scores[0] > scores[1]
+
+
+def test_fingerprint_deterministic():
+    from pii_detection_local_ray.functions.text import fingerprint_batch, fnv1a_64
+
+    out = fingerprint_batch(pa.table({"text": ["hello", "hello", "world"]}))
+    fps = out["fingerprint"].to_pylist()
+    assert fps[0] == fps[1] != fps[2]
+    assert fps[0] == format(fnv1a_64("hello"), "016x")
+
+
+def test_span_bio_roundtrip():
+    from pii_detection_local_ray.functions.bio import bio_to_spans, span_to_bio
+
+    text = "email me at a@b.co today"
+    spans = [{"type": "EMAIL", "start": 12, "end": 18}]
+    tokens, labels = span_to_bio(text, spans)
+    assert tokens == text.split()
+    assert labels == ["O", "O", "O", "B-EMAIL", "O"]
+    # round-trip under " ".join(tokens) reconstruction
+    back = bio_to_spans(tokens, labels)
+    assert back == [{"type": "EMAIL", "start": 12, "end": 18}]
+
+
+def test_span_to_bio_multi_token_and_fuzzy():
+    from pii_detection_local_ray.functions.bio import span_to_bio
+
+    text = "call John Doe now"
+    _, labels = span_to_bio(text, [{"type": "PERSON", "start": 5, "end": 13}])
+    assert labels == ["O", "B-PERSON", "I-PERSON", "O"]
+    # fuzzy fallback: span offset slightly off
+    _, labels2 = span_to_bio(text, [{"type": "PERSON", "start": 18, "end": 21}])
+    assert "B-PERSON" in labels2
+
+
+def test_normalise_label():
+    from pii_detection_local_ray.functions.bio import normalise_label
+
+    assert normalise_label("B-email") == "EMAIL"
+    assert normalise_label("I-PERSON") == "PERSON"
+    assert normalise_label("phone_number") == "PHONE"
+    assert normalise_label("CARDINAL") is None
+    assert normalise_label("creditCardIssuer") == "FINANCIAL_ENTITY"
+    assert normalise_label("CUSTOM_THING") == "CUSTOM_THING"
+    assert normalise_label("O") is None
+
+
+def test_span_f1():
+    from pii_detection_local_ray.functions.bio import span_f1
+
+    true = [["B-PERSON", "I-PERSON", "O", "B-LOC"]]
+    pred = [["B-PERSON", "I-PERSON", "O", "O"]]
+    m = span_f1(true, pred)
+    assert m["precision"] == 1.0 and m["recall"] == 0.5
+    assert m["per_type"]["PERSON"]["f1"] == 1.0
+    perfect = span_f1(true, true)
+    assert perfect["f1"] == 1.0
+
+
+def _emb_ds(vecs, ids=None):
+    import ray.data
+
+    ids = ids or list(range(len(vecs)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+
+
+def test_knn_brute_force(ray_session):
+    from pii_detection_local_ray.functions.simsearch import knn_brute_force
+
+    rng = np.random.RandomState(3)
+    corpus = rng.randn(50, 16).astype(np.float32)
+    q = corpus[7:8] + 0.01  # nearest neighbour of query 0 must be vec 7
+    out = knn_brute_force(_emb_ds(corpus), q, k=5).to_pandas()
+    assert len(out) == 5
+    assert out.iloc[0]["vec_id"] == 7
+    # exact match vs numpy reference
+    qn = q / np.linalg.norm(q)
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    want = set(np.argsort(-(qn @ cn.T)[0])[:5].tolist())
+    assert set(out["vec_id"]) == want
+
+
+def test_knn_lsh_recalls_nearest(ray_session):
+    from pii_detection_local_ray.functions.simsearch import knn_lsh
+
+    rng = np.random.RandomState(4)
+    corpus = rng.randn(100, 16).astype(np.float32)
+    q = corpus[13:14] * 1.001
+    out = knn_lsh(_emb_ds(corpus), q, k=3, num_planes=4).to_pandas()
+    # the true nearest neighbour shares every hyperplane sign -> guaranteed
+    assert out.iloc[0]["vec_id"] == 13
+
+
+def test_multimodal_features(ray_session):
+    import ray.data
+    from pii_detection_local_ray.functions.multimodal import (
+        MediaFeatureBatch,
+        make_media_table,
+    )
+
+    t = make_media_table(20)
+    ds = ray.data.from_arrow(t).map_batches(
+        MediaFeatureBatch, batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 2),
+    )
+    df = ds.to_pandas()
+    assert (df["media_kind"] == df["declared_kind"]).all()
+    assert df["decode_error"].isna().all()
+    assert (df["n_elements"] > 0).all()
+
+
+def test_multimodal_unknown_codec_is_stubbed():
+    from pii_detection_local_ray.functions.multimodal import MediaFeatureBatch, _decode_fake
+
+    with pytest.raises(NotImplementedError):
+        _decode_fake(b"\x89PNG\r\n\x1a\nrealpngbytes")
+    batch = pa.table({"payload": pa.array([b"JFIFnotfake"], pa.binary())})
+    out = MediaFeatureBatch()(batch)
+    assert out["decode_error"][0].as_py() is not None
+
+
+def test_image_resize_roundtrip():
+    from pii_detection_local_ray.functions.multimodal import (
+        ImageResizeBatch,
+        _decode_fake,
+        encode_fake_image,
+    )
+
+    batch = pa.table({"payload": pa.array([encode_fake_image(32, 24, 1)], pa.binary())})
+    out = ImageResizeBatch(8, 6)(batch)
+    kind, arr, meta = _decode_fake(out["resized"][0].as_py())
+    assert kind == "image" and meta == {"width": 8, "height": 6}
+    assert len(arr) == 48
