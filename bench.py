@@ -1,0 +1,156 @@
+"""Benchmark harness: headline flagship pipeline + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "files_per_sec": ...}
+
+  python bench.py                 # GRAFT_SF_DIR (default sf0.1), RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling       # same job at 8 and 32 CPUs in fresh
+                                  # processes -> throughputs + efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries timed in the per-query section (full registry)
+SKIP_QUERIES: set[str] = set()
+
+
+def _bench_corpus(sf_dir: str) -> tuple[str, int]:
+    """Deterministic synthetic code corpus sized to the sf tier; cached in
+    /tmp across runs (generation is driver-side and excluded from timing)."""
+    import pyarrow.parquet as pq
+
+    from pii_detection_local_ray import corpus
+
+    lineitem_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    n_files = max(2000, lineitem_rows // 15)
+    root = Path(f"/tmp/pii_bench_corpus_{n_files}")
+    if not (root / "corpus").exists():
+        corpus.generate_corpus(root, n_files=n_files, n_shards=32)
+    return str(root / "corpus"), n_files
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pii_detection_local_ray.pipelines.filter_pipeline import (
+        build_pipeline,
+        select_output,
+    )
+    from pii_detection_local_ray.pipelines import queries as Q
+    from pii_detection_local_ray.pipelines.repo_agg import repo_stats
+    from pii_detection_local_ray.sources.model_artifact import write_stub_model
+
+    corpus_path, n_files = _bench_corpus(SF_DIR)
+    model = write_stub_model("/tmp/pii_bench_model")
+
+    # warm the OS page cache (untimed) so we measure compute, not cold IO
+    for f in Path(corpus_path).glob("*.parquet"):
+        f.read_bytes()
+
+    # headline: flagship filter + scrub, written to parquet (streaming sink)
+    out_dir = f"/tmp/pii_bench_out_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = select_output(
+        build_pipeline(
+            corpus_path, model_path=str(model), concurrency=(1, max(2, NUM_CPUS - 4))
+        )
+    )
+    ds.write_parquet(out_dir)
+    headline = time.perf_counter() - t0
+
+    # repo aggregate over the written output (salted two-phase groupby)
+    t0 = time.perf_counter()
+    import ray.data as rd
+
+    n_repo = repo_stats(
+        rd.read_parquet(out_dir)
+    ).count()
+    repo_agg_sec = time.perf_counter() - t0
+
+    q_times: dict[str, float] = {"repo_stats": round(repo_agg_sec, 3)}
+    for name, fn in Q.queries().items():
+        if name in SKIP_QUERIES:
+            continue
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume lazily-built Datasets
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship langid+quality+PII-scrub wall time (files/sec in files_per_sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+        "n_files": n_files,
+        "files_per_sec": round(n_files / headline, 1),
+        "n_repo_groups": int(n_repo),
+    }
+
+
+def run_scaling() -> dict:
+    """North-rule scaling evidence: identical job, fresh processes, two
+    parallelism levels (N=8 vs 4N=32 CPUs stand in for N vs 4N nodes)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["files_per_sec"]
+    tput_hi = hi["files_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, flagship pipeline, 8 vs 32 CPUs",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "files_per_sec_8": tput_lo,
+        "files_per_sec_32": tput_hi,
+        "n_files": lo["n_files"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -29,12 +29,11 @@ from ..stages.perplexity import PerplexityBatch
 from ..stages.quality import QualityBatch
 from ..stages.scrub import ScrubBatch
 
-# batch sizes: content rows are wide (0.05-50 kB of text) - a 1-4k-row
-# batch keeps per-batch Python overhead amortized while a batch x
-# concurrency stays well under a worker heap even at 50 kB/row.
-STATELESS_BATCH = 2048
-ACTOR_BATCH = 1024
-NER_BATCH = 256
+# batch sizes: content rows are wide (0.05-50 kB of text); 512 rows keeps
+# enough batches in flight for the actor pool to scale while a batch x
+# concurrency stays far under a worker heap even at 50 kB/row.
+STATELESS_BATCH = 512
+ACTOR_BATCH = 512
 
 
 def build_pipeline(
@@ -44,8 +43,18 @@ def build_pipeline(
     with_perplexity: bool = True,
     concurrency: tuple[int, int] | int = (1, 8),
     columns: list[str] | None = None,
+    fused: bool = True,
 ) -> ray.data.Dataset:
-    """Lazy Dataset; nothing executes until the caller consumes it."""
+    """Lazy Dataset; nothing executes until the caller consumes it.
+
+    fused=True (default): one actor pool hosts all three models
+    (stages/fused.py) and Ray fuses the stateless quality+scrub stages
+    into it - the fast topology on a CPU cluster.  fused=False keeps one
+    pool per model (the GPU-cluster topology where the NER pool gets
+    num_gpus) - same results, used by tests to pin stage-level parity.
+    """
+    if with_ner and model_path is None:
+        raise ValueError("with_ner=True requires model_path")
     ds = ray.data.read_parquet(
         corpus_path,
         columns=columns or ["repo", "path", "commit", "lang", "content"],
@@ -62,32 +71,46 @@ def build_pipeline(
         zero_copy_batch=True,
         batch_size=STATELESS_BATCH,
     )
-    ds = ds.map_batches(
-        LangIdBatch,
-        batch_format="pyarrow",
-        batch_size=ACTOR_BATCH,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
-    if with_perplexity:
+    if fused:
+        from ..stages.fused import FusedModelBatch
+
         ds = ds.map_batches(
-            PerplexityBatch,
+            FusedModelBatch,
+            fn_constructor_kwargs={
+                "model_path": model_path,
+                "with_perplexity": with_perplexity,
+                "with_ner": with_ner,
+            },
             batch_format="pyarrow",
             batch_size=ACTOR_BATCH,
             concurrency=concurrency,
             num_cpus=1,
         )
-    if with_ner:
-        if model_path is None:
-            raise ValueError("with_ner=True requires model_path")
+    else:
         ds = ds.map_batches(
-            NERDetector,
-            fn_constructor_kwargs={"model_path": model_path},
+            LangIdBatch,
             batch_format="pyarrow",
-            batch_size=NER_BATCH,
+            batch_size=ACTOR_BATCH,
             concurrency=concurrency,
             num_cpus=1,
         )
+        if with_perplexity:
+            ds = ds.map_batches(
+                PerplexityBatch,
+                batch_format="pyarrow",
+                batch_size=ACTOR_BATCH,
+                concurrency=concurrency,
+                num_cpus=1,
+            )
+        if with_ner:
+            ds = ds.map_batches(
+                NERDetector,
+                fn_constructor_kwargs={"model_path": model_path},
+                batch_format="pyarrow",
+                batch_size=ACTOR_BATCH,
+                concurrency=concurrency,
+                num_cpus=1,
+            )
     ds = ds.map_batches(
         decide_batch,
         batch_format="pyarrow",

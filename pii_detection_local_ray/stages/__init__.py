@@ -1,1 +1,1 @@
-from . import scrub, quality, langid, perplexity, ner, decide  # noqa: F401
+from . import scrub, quality, langid, perplexity, ner, decide, fused  # noqa: F401

@@ -1,0 +1,49 @@
+"""Fused stateful model stage: langid + perplexity + NER in one actor.
+
+Three separate actor pools (langid, perplexity, NER) on one node starve
+each other: each pool pins CPUs while idle, blocks hop through the
+object store between pools, and each pool autoscales independently.
+Fusing the three models into ONE actor class gives one pool sized to
+the node; Ray additionally fuses the upstream stateless stages
+(quality, scrub) into the same actors, so the whole flagship runs as
+
+    ReadParquet -> [quality->scrub->models] actor pool -> decide/write
+
+with exactly one inter-operator exchange.  The individual stage classes
+stay available for standalone use (pipelines/queries.py).
+
+On a GPU cluster the NER forward pass would move back to its own
+``num_gpus=...`` pool; the fusion here is the CPU-topology choice.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .langid import LangIdBatch
+from .ner import NERDetector
+from .perplexity import PerplexityBatch
+
+
+class FusedModelBatch:
+    def __init__(
+        self,
+        model_path: str | None = None,
+        content_col: str = "content",
+        with_perplexity: bool = True,
+        with_ner: bool = True,
+    ):
+        # all model state built once per actor
+        self.langid = LangIdBatch(content_col)
+        self.ppl = PerplexityBatch(content_col) if with_perplexity else None
+        self.ner = (
+            NERDetector(model_path, content_col=content_col) if with_ner else None
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self.langid(batch)
+        if self.ppl is not None:
+            batch = self.ppl(batch)
+        if self.ner is not None:
+            batch = self.ner(batch)
+        return batch

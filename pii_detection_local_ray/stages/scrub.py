@@ -26,6 +26,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import REGEX_BANK, REDACTION_TOKEN
 
@@ -33,6 +34,8 @@ from ..config import REGEX_BANK, REDACTION_TOKEN
 COMBINED_RE: re.Pattern = re.compile(
     "|".join(f"(?P<{name}>{pat})" for name, pat in REGEX_BANK)
 )
+# group-free variant for the RE2 prefilter (pyarrow.compute)
+_PREFILTER_PATTERN = "|".join(f"(?:{pat})" for _, pat in REGEX_BANK)
 
 ENTITY_TYPE = pa.struct(
     [
@@ -102,8 +105,17 @@ class ScrubBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.content_col]
-        texts = col.to_pylist()
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        texts = arr.to_pylist()
         n = len(texts)
+
+        # Tier-1 prefilter: RE2 via pyarrow.compute is linear-time and runs
+        # at memory bandwidth; only rows with a candidate match pay the
+        # Python finditer in tier 2.  The pattern is the same alternation
+        # (named groups stripped - RE2 caps the group count).
+        candidates = pc.fill_null(
+            pc.match_substring_regex(arr, _PREFILTER_PATTERN), False
+        ).to_numpy(zero_copy_only=False)
 
         pre_sha = np.empty(n, dtype=object)
         post_sha = np.empty(n, dtype=object)
@@ -112,14 +124,12 @@ class ScrubBatch:
         pii_types: list[list[str]] = [None] * n
         has_pii = np.zeros(n, dtype=bool)
 
-        search = COMBINED_RE.search
         for i, text in enumerate(texts):
             if text is None:
                 text = ""
             h = sha256_hex(text)
             pre_sha[i] = h
-            # fast path: no candidate match at all
-            if search(text) is None:
+            if not candidates[i]:
                 all_entities[i] = []
                 pii_types[i] = []
                 scrubbed[i] = text
