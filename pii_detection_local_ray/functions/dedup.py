@@ -84,17 +84,28 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_FNV_PRIME = np.uint64(1099511628211)
+_SHINGLE_POWERS: dict[int, np.ndarray] = {}
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """crc32 of each k-char shingle (stable across processes)."""
-    if len(text) < k:
-        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
-    data = text.encode("utf-8", errors="replace")
-    return np.unique(
-        np.array(
-            [zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)],
-            dtype=np.uint64,
-        )
-    )
+    """Vectorized polynomial rolling hash of every k-byte shingle
+    (deterministic across processes; uint64 wraparound arithmetic)."""
+    data = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8)
+    if len(data) < k:
+        return np.array([zlib.crc32(bytes(data))], dtype=np.uint64)
+    if k not in _SHINGLE_POWERS:
+        p = np.empty(k, dtype=np.uint64)
+        p[0] = 1
+        with np.errstate(over="ignore"):
+            for i in range(1, k):
+                p[i] = p[i - 1] * _FNV_PRIME
+        _SHINGLE_POWERS[k] = p
+    powers = _SHINGLE_POWERS[k]
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (win * powers).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
 
 
 class MinHashBatch:
@@ -125,6 +136,19 @@ class MinHashBatch:
         return batch.append_column(
             "minhash", pa.array(sigs, pa.list_(pa.uint64()))
         )
+
+
+# per-worker cached MinHashBatch instances (stateless-task + cached-global
+# pattern: reuses warm task workers instead of paying actor spawn per run)
+_MINHASH_CACHE: dict[tuple, "MinHashBatch"] = {}
+
+
+def _minhash_task(batch: pa.Table, text_col: str, num_perm: int) -> pa.Table:
+    key = (text_col, num_perm)
+    m = _MINHASH_CACHE.get(key)
+    if m is None:
+        m = _MINHASH_CACHE[key] = MinHashBatch(text_col, num_perm)
+    return m(batch)
 
 
 def _bands_table(batch: pa.Table, id_col: str, num_bands: int) -> pa.Table:
@@ -166,10 +190,9 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
     sigs = ds.map_batches(
-        MinHashBatch,
-        fn_constructor_kwargs={"text_col": text_col, "num_perm": num_perm},
+        _minhash_task,
+        fn_kwargs={"text_col": text_col, "num_perm": num_perm},
         batch_format="pyarrow",
-        concurrency=(1, 8),
     ).select_columns([id_col, "minhash"])
 
     # bands explode num_bands x rows of (id, band, hash, signature) - the
@@ -178,27 +201,46 @@ def minhash_lsh_pairs(
         lambda b: _bands_table(b, id_col, num_bands), batch_format="pyarrow"
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        by_id = {}
-        for i, sig in zip(group[id_col].to_pylist(), group["minhash"].to_pylist()):
-            by_id[i] = np.array(sig, dtype=np.uint64)
-        ids = sorted(by_id)
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        """One map_groups call per coarse partition; the fine-grained
+        (band_id, band_hash) bucketing happens locally in pandas C code.
+        Millions of tiny LSH buckets as individual map_groups calls would
+        drown in per-group Python overhead - this keeps the distributed
+        group count at ``coarse_buckets`` while preserving exact bucket
+        semantics (band_hash determines the coarse key, so a fine bucket
+        never straddles two coarse groups)."""
+        df = group.select([id_col, "band_id", "band_hash"]).to_pandas()
+        sigs = {
+            i: np.array(s, dtype=np.uint64)
+            for i, s in zip(group[id_col].to_pylist(), group["minhash"].to_pylist())
+        }
         a_out, b_out, j_out = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                est = float((by_id[ids[x]] == by_id[ids[y]]).mean())
-                if est >= jaccard_threshold:
-                    a_out.append(ids[x])
-                    b_out.append(ids[y])
-                    j_out.append(est)
+        for (_, _), sub in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = sorted(set(sub[id_col]))
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    est = float((sigs[ids[x]] == sigs[ids[y]]).mean())
+                    if est >= jaccard_threshold:
+                        a_out.append(ids[x])
+                        b_out.append(ids[y])
+                        j_out.append(est)
         return pa.table(
             {"id_a": pa.array(a_out, pa.int64()),
              "id_b": pa.array(b_out, pa.int64()),
              "est_jaccard": pa.array(j_out, pa.float64())}
         )
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    coarse = bands.map_batches(
+        lambda b: b.append_column(
+            "coarse", pa.array(
+                (np.array(b["band_hash"].to_pylist(), dtype=np.int64) % 256)
+                .astype(np.int32)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = coarse.groupby("coarse").map_groups(
+        coarse_pairs, batch_format="pyarrow"
     )
     # a pair can surface from several bands - dedup on (id_a, id_b)
     return pairs.groupby(["id_a", "id_b"]).aggregate(
@@ -268,27 +310,37 @@ def simhash_near_dup_pairs(
 
     bands = hashed.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            {(i, v) for i, v in zip(group[id_col].to_pylist(),
-                                    group["simhash"].to_pylist())}
-        )
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        # same coarse-partition trick as minhash_lsh_pairs: distributed
+        # group count stays small, fine buckets resolved locally
+        df = group.to_pandas()
         a_out, b_out, d_out = [], [], []
-        for x in range(len(rows)):
-            for y in range(x + 1, len(rows)):
-                d = bin(rows[x][1] ^ rows[y][1]).count("1")
-                if d <= max_hamming:
-                    a_out.append(rows[x][0])
-                    b_out.append(rows[y][0])
-                    d_out.append(d)
+        for (_, _), sub in df.groupby(["band_id", "band_hash"], sort=False):
+            rows = sorted(set(zip(sub[id_col], sub["simhash"])))
+            for x in range(len(rows)):
+                for y in range(x + 1, len(rows)):
+                    d = bin(rows[x][1] ^ rows[y][1]).count("1")
+                    if d <= max_hamming:
+                        a_out.append(rows[x][0])
+                        b_out.append(rows[y][0])
+                        d_out.append(d)
         return pa.table(
             {"id_a": pa.array(a_out, pa.int64()),
              "id_b": pa.array(b_out, pa.int64()),
              "hamming": pa.array(d_out, pa.int32())}
         )
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    coarse = bands.map_batches(
+        lambda b: b.append_column(
+            "coarse", pa.array(
+                (np.array(b["band_hash"].to_pylist(), dtype=np.int64) % 256)
+                .astype(np.int32)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = coarse.groupby("coarse").map_groups(
+        coarse_pairs, batch_format="pyarrow"
     )
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming")

@@ -550,12 +550,34 @@ def knn_top5(sf_dir: str):
 # Non-SQL-expressible operators (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
+# Cached per-worker-process singletons: for these short interactive
+# queries an actor pool would pay fresh-process spawn + import per query;
+# a stateless task with a module-level cached model reuses warm task
+# workers (the "cheap actor or cached global" tradeoff, SURVEY M12).
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _cached(name: str, factory):
+    m = _MODEL_CACHE.get(name)
+    if m is None:
+        m = _MODEL_CACHE[name] = factory()
+    return m
+
+
+def _langid_task(batch: pa.Table) -> pa.Table:
+    return _cached("langid", LangIdBatch)(batch)
+
+
+def _ppl_task(batch: pa.Table) -> pa.Table:
+    return _cached("ppl", PerplexityBatch)(batch)
+
+
 @register("langid_docs")
 def langid_docs(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .rename_columns({"text": "content"})
-        .map_batches(LangIdBatch, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(_langid_task, batch_format="pyarrow")
         .select_columns(["doc_id", "langid", "langid_conf"])
     )
 
@@ -565,7 +587,7 @@ def perplexity_docs(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .rename_columns({"text": "content"})
-        .map_batches(PerplexityBatch, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(_ppl_task, batch_format="pyarrow")
         .select_columns(["doc_id", "perplexity"])
     )
 
