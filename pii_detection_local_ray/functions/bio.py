@@ -41,6 +41,47 @@ LABEL_NORM: dict[str, str | None] = {
 
 _CAMEL_RE = re.compile(r"^[a-z]+(?:[A-Z][a-z0-9]*)+$")
 
+# span dicts in the wild use many key spellings (reference key-sniffing:
+# src/consolidate_pii_datasets.py:224-240)
+_START_KEYS = ("start", "begin", "char_start", "start_index", "startIndex", "offset")
+_END_KEYS = ("end", "char_end", "end_index", "endIndex")
+_TYPE_KEYS = ("type", "label", "entity_type", "tag", "pii_type", "category",
+              "ner_tag", "entity_label", "class")
+
+
+def parse_span_field(raw) -> list[dict]:
+    """Tolerant span normalization (reference M3,
+    src/consolidate_pii_datasets.py:286-320): accepts a JSON string, a
+    list of dicts with sniffed keys, or nested ``[[start, end, label]]``
+    lists; returns ``[{start, end, type}]``, silently dropping garbage."""
+    import json
+
+    if raw is None:
+        return []
+    if isinstance(raw, str):
+        try:
+            raw = json.loads(raw)
+        except (ValueError, TypeError):
+            return []
+    if not isinstance(raw, (list, tuple)):
+        return []
+    out = []
+    for item in raw:
+        if isinstance(item, dict):
+            start = next((item[k] for k in _START_KEYS if k in item), None)
+            end = next((item[k] for k in _END_KEYS if k in item), None)
+            typ = next((item[k] for k in _TYPE_KEYS if k in item), None)
+            if start is not None and end is not None and typ is not None:
+                out.append({"start": int(start), "end": int(end), "type": str(typ)})
+        elif isinstance(item, (list, tuple)):
+            if len(item) >= 3 and isinstance(item[0], (int, float)):
+                out.append(
+                    {"start": int(item[0]), "end": int(item[1]), "type": str(item[2])}
+                )
+            else:  # nested list-of-lists - recurse
+                out.extend(parse_span_field(item))
+    return out
+
 
 def normalise_label(label: str) -> str | None:
     """3-stage lookup + fallbacks (semantics of

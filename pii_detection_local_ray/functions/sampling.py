@@ -1,0 +1,88 @@
+"""Deterministic sampling / split-assignment operators.
+
+The reference's stratified split and caps use a stateful seeded RNG over
+in-memory lists (src/data_preparation.py:56-65 cap, :116-148 80/10/10
+split, :155-172 1% subset).  A stateful RNG is not
+partition-count-invariant, so the engine replaces it with per-row hash
+assignment (SURVEY section 4 determinism note): md5 of the row id gives a
+uniform [0,16) nibble / [0,256) byte that every engine (including the
+DuckDB oracle) derives identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data
+
+# first md5 hex char -> split: 0-9,a,b,c (13/16 = 81.25%) train,
+# d (6.25%) val, e-f (12.5%) test
+_TRAIN_CHARS = set("0123456789abc")
+_VAL_CHARS = set("d")
+
+
+def split_of(key: str) -> str:
+    c = hashlib.md5(key.encode()).hexdigest()[0]
+    if c in _TRAIN_CHARS:
+        return "train"
+    if c in _VAL_CHARS:
+        return "val"
+    return "test"
+
+
+def assign_split_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    splits = [split_of(str(i)) for i in batch[id_col].to_pylist()]
+    return batch.append_column("split", pa.array(splits, pa.string()))
+
+
+def hash_sample_batch(
+    batch: pa.Table, id_col: str = "doc_id", frac_16: int = 4
+) -> pa.Table:
+    """Keep rows whose md5 first nibble < frac_16 (frac_16/16 sample)."""
+    keep_chars = set("0123456789abcdef"[:frac_16])
+    keep = [
+        hashlib.md5(str(i).encode()).hexdigest()[0] in keep_chars
+        for i in batch[id_col].to_pylist()
+    ]
+    return batch.filter(pa.array(keep))
+
+
+def per_group_cap(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    cap: int,
+) -> ray.data.Dataset:
+    """Deterministic per-group cap: keep the first ``cap`` rows of each
+    group ordered by ``order_col`` (O1 semantics made deterministic -
+    reference caps one source at 150k with a seeded sample,
+    src/data_preparation.py:56-65)."""
+
+    def head(g):
+        return g.sort_values(order_col).head(cap)
+
+    return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+
+
+def stratified_subset(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    frac_16: int = 1,
+) -> ray.data.Dataset:
+    """~frac_16/16 per-group subset with >= 1 row per group (O3 semantics:
+    min-1-per-group 1% subset, src/data_preparation.py:155-172).
+    Deterministic: hash sample, plus each group's min-id row."""
+
+    def subset(g):
+        keep_chars = "0123456789abcdef"[:frac_16]
+        mask = g[id_col].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()[0] in keep_chars
+        )
+        out = g[mask]
+        if out.empty:
+            out = g.nsmallest(1, id_col)
+        return out
+
+    return ds.groupby(group_col).map_groups(subset, batch_format="pandas")

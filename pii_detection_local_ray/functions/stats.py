@@ -68,3 +68,79 @@ def pii_statistics(ds: ray.data.Dataset) -> dict:
         "pii_type_distribution": dist,
         "errors": errors,
     }
+
+
+def entity_report(ds: ray.data.Dataset, source_col: str = "repo") -> dict:
+    """Unique entity types, global and per source (reference G2,
+    src/consolidate_pii_datasets.py:534-547, 687-694): explode pii_types
+    -> distinct per group; the exploded table is tiny (one short row per
+    (row, type) pair), so the shuffle is negligible."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        srcs, types = [], []
+        for s, row in zip(
+            batch[source_col].to_pylist(), batch["pii_types"].to_pylist()
+        ):
+            for t in row or []:
+                srcs.append(s)
+                types.append(t)
+        return pa.table(
+            {"source": pa.array(srcs, pa.string()),
+             "pii_type": pa.array(types, pa.string())}
+        )
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["source", "pii_type"])
+        .count()
+        .to_pandas()
+    )
+    per_source = {
+        s: sorted(g["pii_type"]) for s, g in pairs.groupby("source")
+    }
+    return {
+        "global": sorted(set(pairs["pii_type"])),
+        "per_source": per_source,
+    }
+
+
+def rare_type_drop(
+    ds: ray.data.Dataset, threshold: int
+) -> tuple[ray.data.Dataset, dict[str, int], list[str]]:
+    """G3 two-pass broadcast (reference src/data_preparation.py:72-109):
+    pass 1 counts B-mentions per type distributed; the small count dict is
+    broadcast; pass 2 rewrites labels of dropped types to O inside
+    map_batches.  Returns (rewritten_ds, mention_counts, dropped_types).
+
+    ds schema: tokens list<string>, labels list<string>, source string.
+    """
+    import ray as _ray
+
+    def explode_mentions(batch: pa.Table) -> pa.Table:
+        types = []
+        for labels in batch["labels"].to_pylist():
+            for lab in labels or []:
+                if lab.startswith("B-"):
+                    types.append(lab[2:])
+        return pa.table({"mention_type": pa.array(types, pa.string())})
+
+    counts_df = (
+        ds.map_batches(explode_mentions, batch_format="pyarrow")
+        .groupby("mention_type")
+        .count()
+        .to_pandas()
+    )
+    counts = dict(zip(counts_df["mention_type"], counts_df["count()"].astype(int)))
+    dropped = sorted(t for t, c in counts.items() if c < threshold)
+    ref = _ray.put(set(dropped))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        drop = _ray.get(ref)
+        rows = [
+            ["O" if len(l) > 2 and l[2:] in drop else l for l in (labels or [])]
+            for labels in batch["labels"].to_pylist()
+        ]
+        i = batch.schema.get_field_index("labels")
+        return batch.set_column(i, "labels", pa.array(rows, pa.list_(pa.string())))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow"), counts, dropped

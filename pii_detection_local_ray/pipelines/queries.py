@@ -547,6 +547,174 @@ def knn_top5(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Entity report / splits / caps / tokenize-align / unpivot (reference G2,
+# O1-O3, M12, M14) - all with exact SQL oracles
+# ---------------------------------------------------------------------------
+
+@register(
+    "entity_report_planted",
+    "SELECT source, CASE doc_id % 3 WHEN 0 THEN 'EMAIL' WHEN 1 THEN 'PHONE' "
+    "ELSE 'SSN' END AS pii_type, count(*) AS n_docs "
+    "FROM documents GROUP BY 1, 2",
+)
+def entity_report_planted(sf_dir: str):
+    """G2 unique-entity-type report: PII of a doc_id-determined type is
+    planted in each doc, the real scrub stage extracts it, and the
+    per-source type counts must reproduce the plant rule exactly - i.e.
+    the detector found every planted entity and nothing else."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        content = []
+        for i, t in zip(ids, texts):
+            if i % 3 == 0:
+                content.append(f"{t} mail u{i}@example.com")
+            elif i % 3 == 1:
+                content.append(f"{t} call 555-123-4567")
+            else:
+                content.append(f"{t} ssn 123-45-6789")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "content": pa.array(content, pa.string()),
+            }
+        )
+
+    scrubbed = (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(ScrubBatch(), batch_format="pyarrow")
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        srcs, types = [], []
+        for s, row in zip(b["source"].to_pylist(), b["pii_types"].to_pylist()):
+            for t in row or []:
+                srcs.append(s)
+                types.append(t)
+        return pa.table(
+            {"source": pa.array(srcs, pa.string()),
+             "pii_type": pa.array(types, pa.string())}
+        )
+
+    return (
+        scrubbed.map_batches(explode, batch_format="pyarrow")
+        .groupby(["source", "pii_type"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+@register(
+    "split_counts",
+    "SELECT source, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+    "IN ('0','1','2','3','4','5','6','7','8','9','a','b','c') THEN 'train' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val' "
+    "ELSE 'test' END AS split, count(*) AS n "
+    "FROM documents GROUP BY 1, 2",
+)
+def split_counts(sf_dir: str):
+    """Deterministic 81/6/13 split assignment (O2 made
+    partition-count-invariant via per-row md5, SURVEY section 4)."""
+    from ..functions.sampling import assign_split_batch
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(assign_split_batch, batch_format="pyarrow")
+        .groupby(["source", "split"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+@register(
+    "per_source_cap10",
+    "SELECT source, count(*) AS n_kept, sum(doc_id) AS sum_ids FROM ("
+    "  SELECT source, doc_id, row_number() OVER ("
+    "    PARTITION BY source ORDER BY doc_id) AS rn FROM documents"
+    ") WHERE rn <= 10 GROUP BY source",
+)
+def per_source_cap10(sf_dir: str):
+    """O1 per-group cap, deterministic (first 10 by doc_id per source)."""
+    from ..functions.sampling import per_group_cap
+
+    capped = per_group_cap(_docs(sf_dir, ["doc_id", "source"]), "source", "doc_id", 10)
+    return capped.groupby("source").aggregate(
+        Count(alias_name="n_kept"), Sum("doc_id", alias_name="sum_ids")
+    )
+
+
+@register(
+    "tokenize_align_stats",
+    "SELECT doc_id, input_len, input_len - n_tokens AS n_masked FROM ("
+    "  SELECT doc_id, "
+    "  2 + list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 6.0) AS BIGINT)))"
+    "    AS input_len, "
+    "  length(toks) AS n_tokens FROM ("
+    "    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    "      AS toks FROM documents))",
+)
+def tokenize_align_stats(sf_dir: str):
+    """M12 tokenize + label-align (stub subword = ceil(len/6) pieces;
+    alignment semantics of src/train.py:141-165: first subword labeled,
+    continuations and specials -100)."""
+    from ..stages.tokenize import TokenizeAlignBatch
+
+    enc = TokenizeAlignBatch()
+
+    def stats(b: pa.Table) -> pa.Table:
+        toks = [t.split() for t in b["text"].to_pylist()]
+        labs = [["O"] * len(t) for t in toks]
+        tab = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "tokens": pa.array(toks, pa.list_(pa.string())),
+                "labels": pa.array(labs, pa.list_(pa.string())),
+            }
+        )
+        out = enc(tab)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "input_len": pc.cast(out["input_len"], pa.int64()),
+                "n_masked": pc.cast(out["n_masked"], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+@register(
+    "unpivot_cell_stats",
+    "SELECT 'lang' AS col_name, count(*) AS n_cells, "
+    "count(DISTINCT lang) AS n_distinct FROM documents "
+    "UNION ALL SELECT 'source', count(*), count(DISTINCT source) FROM documents",
+)
+def unpivot_cell_stats(sf_dir: str):
+    """M14 unpivot: grid -> (row_idx, column, value) triples, then
+    distinct-value stats per column (final combine on the driver - the
+    per-(column, value) aggregate is a handful of rows)."""
+    from ..sources.readers import unpivot_cells
+
+    cells = _docs(sf_dir, ["lang", "source"]).map_batches(
+        lambda b: unpivot_cells(b, ["lang", "source"]), batch_format="pyarrow"
+    )
+    per_value = cells.groupby(["column", "value"]).count().to_pandas()
+    g = per_value.groupby("column", as_index=False).agg(
+        n_cells=("count()", "sum"), n_distinct=("count()", "size")
+    )
+    return pa.table(
+        {
+            "col_name": pa.array(list(g["column"]), pa.string()),
+            "n_cells": pa.array([int(x) for x in g["n_cells"]], pa.int64()),
+            "n_distinct": pa.array([int(x) for x in g["n_distinct"]], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,173 @@
+"""Source-adapter registry (reference extension surface, SURVEY 2.10).
+
+The reference adds a dataset by writing a ``read_*`` function returning
+records of the common contract ``{tokens, labels, source}``
+(src/consolidate_pii_datasets.py:327-527).  The engine's equivalent is a
+registry of adapters, each a function ``(path, **cfg) -> ray.data.Dataset``
+emitting the same schema (tokens: list<string>, labels: list<string>,
+source: string), normalized through functions.bio.normalise_label.
+
+Adapters:
+  bio_jsonl   column-mapped BIO records, optional int-id label decode
+              (reference M4, :327-355)
+  int_tags    run-length B-/I- re-derivation from coarse int tags
+              (reference M5 few-nerd, :358-404)
+  parity_tags 0 -> O, odd -> B-<T>, even -> I-<T>
+              (reference M8 finer-139, :501-527)
+  span_jsonl  text + tolerant span field -> BIO
+              (reference M6, :407-429; M3+M2 chain)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.bio import normalise_label, parse_span_field, span_to_bio
+
+
+def _emit(tokens_rows, labels_rows, source: str) -> pa.Table:
+    return pa.table(
+        {
+            "tokens": pa.array(tokens_rows, pa.list_(pa.string())),
+            "labels": pa.array(labels_rows, pa.list_(pa.string())),
+            "source": pa.array([source] * len(tokens_rows), pa.string()),
+        }
+    )
+
+
+def _normalise_bio(labels: list[str]) -> list[str]:
+    out = []
+    for lab in labels:
+        if not lab or lab == "O":
+            out.append("O")
+            continue
+        prefix = lab[:2] if lab[:2] in ("B-", "I-") else ""
+        canon = normalise_label(lab)
+        out.append("O" if canon is None else f"{prefix or 'B-'}{canon}")
+    return out
+
+
+def read_bio_jsonl(
+    path, source: str, token_col: str = "tokens", label_col: str = "labels",
+    label_names: list[str] | None = None,
+) -> ray.data.Dataset:
+    ds = ray.data.read_json(path)
+
+    def conv(batch: pa.Table) -> pa.Table:
+        toks_rows, labs_rows = [], []
+        for toks, labs in zip(
+            batch[token_col].to_pylist(), batch[label_col].to_pylist()
+        ):
+            if label_names is not None:
+                labs = [label_names[int(i)] for i in labs]
+            n = min(len(toks), len(labs))  # truncate to min length (M4)
+            toks_rows.append([str(t) for t in toks[:n]])
+            labs_rows.append(_normalise_bio([str(l) for l in labs[:n]]))
+        return _emit(toks_rows, labs_rows, source)
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def read_int_tags_jsonl(
+    path, source: str, tag_names: list[str],
+    token_col: str = "tokens", tag_col: str = "tags",
+) -> ray.data.Dataset:
+    """Coarse int tags -> BIO by run-length: a new span starts whenever
+    the canonical label changes (reference M5 semantics)."""
+    ds = ray.data.read_json(path)
+
+    def conv(batch: pa.Table) -> pa.Table:
+        toks_rows, labs_rows = [], []
+        for toks, tags in zip(
+            batch[token_col].to_pylist(), batch[tag_col].to_pylist()
+        ):
+            labels, prev = [], None
+            for t in tags:
+                name = tag_names[int(t)]
+                canon = None if name in ("O", "0") else normalise_label(name)
+                if canon is None:
+                    labels.append("O")
+                    prev = None
+                elif canon != prev:
+                    labels.append(f"B-{canon}")
+                    prev = canon
+                else:
+                    labels.append(f"I-{canon}")
+            n = min(len(toks), len(labels))
+            toks_rows.append([str(x) for x in toks[:n]])
+            labs_rows.append(labels[:n])
+        return _emit(toks_rows, labs_rows, source)
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def read_parity_tags_jsonl(
+    path, source: str, entity_type: str = "FINANCIAL_ENTITY",
+    token_col: str = "tokens", tag_col: str = "tags",
+) -> ray.data.Dataset:
+    """0 -> O, odd -> B-<T>, even -> I-<T> (reference M8 semantics)."""
+    ds = ray.data.read_json(path)
+
+    def conv(batch: pa.Table) -> pa.Table:
+        toks_rows, labs_rows = [], []
+        for toks, tags in zip(
+            batch[token_col].to_pylist(), batch[tag_col].to_pylist()
+        ):
+            labels = [
+                "O" if int(t) == 0
+                else (f"B-{entity_type}" if int(t) % 2 == 1 else f"I-{entity_type}")
+                for t in tags
+            ]
+            n = min(len(toks), len(labels))
+            toks_rows.append([str(x) for x in toks[:n]])
+            labs_rows.append(labels[:n])
+        return _emit(toks_rows, labs_rows, source)
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def read_span_jsonl(
+    path, source: str, text_col: str = "text", span_col: str = "spans",
+) -> ray.data.Dataset:
+    """text + tolerant span field -> whitespace BIO (M3 -> M2 -> M1)."""
+    ds = ray.data.read_json(path)
+
+    def conv(batch: pa.Table) -> pa.Table:
+        toks_rows, labs_rows = [], []
+        for text, raw in zip(
+            batch[text_col].to_pylist(), batch[span_col].to_pylist()
+        ):
+            spans = []
+            for s in parse_span_field(raw):
+                canon = normalise_label(s["type"])
+                if canon is not None:
+                    spans.append({**s, "type": canon})
+            toks, labs = span_to_bio(text or "", spans)
+            toks_rows.append(toks)
+            labs_rows.append(labs)
+        return _emit(toks_rows, labs_rows, source)
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+ADAPTERS = {
+    "bio_jsonl": read_bio_jsonl,
+    "int_tags": read_int_tags_jsonl,
+    "parity_tags": read_parity_tags_jsonl,
+    "span_jsonl": read_span_jsonl,
+}
+
+
+def read_source(kind: str, path, source: str, **cfg) -> ray.data.Dataset:
+    if kind not in ADAPTERS:
+        raise KeyError(f"Unknown source adapter '{kind}'; have {sorted(ADAPTERS)}")
+    return ADAPTERS[kind](path, source, **cfg)
+
+
+def union_sources(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:
+    """Reference consolidation = list extend; engine = Dataset.union."""
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out

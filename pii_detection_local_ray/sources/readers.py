@@ -82,6 +82,28 @@ def unpivot_cells(batch: pa.Table, text_cols: list[str]) -> pa.Table:
     return pa.concat_tables(pieces)
 
 
+def repivot_cells(cells: pa.Table, value_col: str = "value") -> pa.Table:
+    """Inverse of unpivot_cells: (row_idx, column, value) -> grid
+    (reference M14 repivot via .at[row, col], src/api.py:514-529)."""
+    import pandas as pd
+
+    df = cells.to_pandas()
+    grid = df.pivot(index="row_idx", columns="column", values=value_col)
+    grid = grid.reset_index(drop=True)
+    grid.columns.name = None
+    return pa.Table.from_pandas(grid, preserve_index=False)
+
+
+def detect_encoding(raw: bytes) -> str:
+    """Encoding sniff without chardet (reference M16, src/api.py:97-99):
+    utf-8 if it decodes, else latin-1 (which always decodes)."""
+    try:
+        raw.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
 def read_csv_units(paths, text_cols: list[str] | None = None) -> ray.data.Dataset:
     """CSV -> unpivoted text units (reference S10 + M14).
 

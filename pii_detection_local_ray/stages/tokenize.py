@@ -1,0 +1,71 @@
+"""Tokenize + label-align stage (reference M12 operator).
+
+Reference semantics (src/train.py:141-165 _encode, 208-248 tokenize_fn):
+HF tokenizer with ``is_split_into_words=True``; the first subword of each
+word receives the word's label id, subword continuations and special
+tokens get ``-100``; sequences truncate at max_length.
+
+No HF tokenizer ships in this container, so the subword model is a
+deterministic stub: a word splits into ceil(len/MAX_PIECE) pieces of at
+most MAX_PIECE chars.  The alignment algorithm - the part that carries
+the reference semantics - is exact; swap ``_subword_count`` for a real
+tokenizer's word_ids() on a cluster with transformers installed.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+MAX_PIECE = 6
+IGNORE_ID = -100
+MAX_LENGTH = 512
+
+
+def _subword_count(word: str) -> int:
+    return max(1, math.ceil(len(word) / MAX_PIECE))
+
+
+class TokenizeAlignBatch:
+    """Input: ``tokens: list<string>, labels: list<string>`` (BIO records).
+    Output adds:
+      input_len   int32 - subwords + 2 specials (capped at MAX_LENGTH)
+      n_masked    int32 - positions labeled IGNORE_ID
+      label_ids   list<int32> - aligned ids, IGNORE_ID on specials and
+                  subword continuations
+    """
+
+    def __init__(self, label2id: dict[str, int] | None = None):
+        self.label2id = label2id or {}
+
+    def _label_id(self, label: str) -> int:
+        return self.label2id.get(label, 0)
+
+    def encode(self, tokens: list[str], labels: list[str]) -> list[int]:
+        ids = [IGNORE_ID]  # [CLS]
+        for tok, lab in zip(tokens, labels):
+            n = _subword_count(tok)
+            ids.append(self._label_id(lab))
+            ids.extend([IGNORE_ID] * (n - 1))
+            if len(ids) >= MAX_LENGTH - 1:
+                ids = ids[: MAX_LENGTH - 1]
+                break
+        ids.append(IGNORE_ID)  # [SEP]
+        return ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].to_pylist()
+        labs = batch["labels"].to_pylist()
+        all_ids = [self.encode(t or [], l or []) for t, l in zip(toks, labs)]
+        batch = batch.append_column(
+            "label_ids", pa.array(all_ids, pa.list_(pa.int32()))
+        )
+        batch = batch.append_column(
+            "input_len", pa.array([len(i) for i in all_ids], pa.int32())
+        )
+        batch = batch.append_column(
+            "n_masked",
+            pa.array([sum(1 for x in i if x == IGNORE_ID) for i in all_ids], pa.int32()),
+        )
+        return batch

@@ -1,0 +1,210 @@
+"""Source adapters (M4-M8), span parser (M3), tokenize-align (M12),
+sampling (O1-O3), repivot (M14), G2/G3 aggregates."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+
+def test_parse_span_field_variants():
+    from pii_detection_local_ray.functions.bio import parse_span_field
+
+    # dict with canonical keys
+    assert parse_span_field([{"start": 1, "end": 3, "type": "EMAIL"}]) == [
+        {"start": 1, "end": 3, "type": "EMAIL"}
+    ]
+    # sniffed keys
+    assert parse_span_field([{"char_start": 0, "endIndex": 2, "label": "x"}]) == [
+        {"start": 0, "end": 2, "type": "x"}
+    ]
+    # JSON-string-encoded
+    assert parse_span_field('[{"begin": 5, "end": 9, "tag": "LOC"}]') == [
+        {"start": 5, "end": 9, "type": "LOC"}
+    ]
+    # list-of-lists and nested
+    assert parse_span_field([[1, 4, "PER"]]) == [{"start": 1, "end": 4, "type": "PER"}]
+    assert parse_span_field([[[1, 4, "PER"]]]) == [{"start": 1, "end": 4, "type": "PER"}]
+    # garbage tolerated
+    assert parse_span_field("not json") == []
+    assert parse_span_field(None) == []
+    assert parse_span_field([{"weird": 1}]) == []
+
+
+def test_bio_jsonl_adapter(ray_session, tmp_path):
+    from pii_detection_local_ray.sources.adapters import read_bio_jsonl
+
+    p = tmp_path / "a.jsonl"
+    rows = [
+        {"toks": ["mail", "john@x.co"], "labs": ["O", "B-email"]},
+        {"toks": ["a", "b", "c"], "labs": ["O", "O"]},  # length mismatch
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    out = read_bio_jsonl(str(p), "src1", token_col="toks", label_col="labs").to_pandas()
+    assert list(out["labels"][0]) == ["O", "B-EMAIL"]  # normalised
+    assert len(out["tokens"][1]) == 2  # truncated to min length
+    assert set(out["source"]) == {"src1"}
+
+
+def test_int_tags_adapter_runlength(ray_session, tmp_path):
+    from pii_detection_local_ray.sources.adapters import read_int_tags_jsonl
+
+    p = tmp_path / "b.jsonl"
+    p.write_text(json.dumps({"tokens": ["a", "b", "c", "d"], "tags": [0, 1, 1, 2]}))
+    out = read_int_tags_jsonl(
+        str(p), "fewnerd", tag_names=["O", "person", "location"]
+    ).to_pandas()
+    # new span iff canonical label changes (M5)
+    assert list(out["labels"][0]) == ["O", "B-PERSON", "I-PERSON", "B-LOC"]
+
+
+def test_parity_tags_adapter(ray_session, tmp_path):
+    from pii_detection_local_ray.sources.adapters import read_parity_tags_jsonl
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(json.dumps({"tokens": ["x", "y", "z"], "tags": [0, 3, 4]}))
+    out = read_parity_tags_jsonl(str(p), "finer").to_pandas()
+    assert list(out["labels"][0]) == ["O", "B-FINANCIAL_ENTITY", "I-FINANCIAL_ENTITY"]
+
+
+def test_span_jsonl_adapter(ray_session, tmp_path):
+    from pii_detection_local_ray.sources.adapters import read_span_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text(
+        json.dumps({"text": "mail john@x.co now",
+                    "spans": [{"start": 5, "end": 14, "label": "email"}]})
+    )
+    out = read_span_jsonl(str(p), "spans").to_pandas()
+    assert list(out["labels"][0]) == ["O", "B-EMAIL", "O"]
+
+
+def test_union_sources(ray_session, tmp_path):
+    from pii_detection_local_ray.sources.adapters import (
+        read_bio_jsonl,
+        union_sources,
+    )
+
+    for name in ("s1", "s2"):
+        (tmp_path / f"{name}.jsonl").write_text(
+            json.dumps({"tokens": ["a"], "labels": ["O"]})
+        )
+    ds = union_sources(
+        [read_bio_jsonl(str(tmp_path / f"{n}.jsonl"), n) for n in ("s1", "s2")]
+    )
+    assert sorted(ds.to_pandas()["source"]) == ["s1", "s2"]
+
+
+def test_tokenize_align():
+    from pii_detection_local_ray.stages.tokenize import IGNORE_ID, TokenizeAlignBatch
+
+    enc = TokenizeAlignBatch({"O": 0, "B-EMAIL": 1})
+    # "verylongword" (12 chars) -> 2 subwords: first labeled, second -100
+    ids = enc.encode(["verylongword", "x"], ["B-EMAIL", "O"])
+    assert ids == [IGNORE_ID, 1, IGNORE_ID, 0, IGNORE_ID]
+    batch = enc(
+        pa.table(
+            {
+                "tokens": pa.array([["abcdefgh"]], pa.list_(pa.string())),
+                "labels": pa.array([["O"]], pa.list_(pa.string())),
+            }
+        )
+    )
+    assert batch["input_len"][0].as_py() == 4  # CLS + 2 subwords + SEP
+    assert batch["n_masked"][0].as_py() == 3
+
+
+def test_tokenize_align_truncation():
+    from pii_detection_local_ray.stages.tokenize import MAX_LENGTH, TokenizeAlignBatch
+
+    enc = TokenizeAlignBatch()
+    toks = ["abcdefghijkl"] * 600  # 1200 subwords >> 512
+    ids = enc.encode(toks, ["O"] * 600)
+    assert len(ids) == MAX_LENGTH
+
+
+def test_sampling_split_deterministic():
+    from pii_detection_local_ray.functions.sampling import assign_split_batch, split_of
+
+    b = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    out = assign_split_batch(b)
+    splits = out["split"].to_pylist()
+    assert splits == [split_of(str(i)) for i in range(1000)]
+    frac_train = splits.count("train") / 1000
+    assert 0.75 < frac_train < 0.88  # ~81.25%
+
+
+def test_per_group_cap(ray_session):
+    import ray.data
+    from pii_detection_local_ray.functions.sampling import per_group_cap
+
+    t = pa.table(
+        {"g": pa.array(["a"] * 20 + ["b"] * 3), "id": pa.array(range(23), pa.int64())}
+    )
+    out = per_group_cap(ray.data.from_arrow(t), "g", "id", 5).to_pandas()
+    assert len(out[out["g"] == "a"]) == 5
+    assert sorted(out[out["g"] == "a"]["id"]) == [0, 1, 2, 3, 4]
+    assert len(out[out["g"] == "b"]) == 3
+
+
+def test_stratified_subset_min_one(ray_session):
+    import ray.data
+    from pii_detection_local_ray.functions.sampling import stratified_subset
+
+    t = pa.table(
+        {"g": pa.array(["a"] * 50 + ["tiny"]), "id": pa.array(range(51), pa.int64())}
+    )
+    out = stratified_subset(ray.data.from_arrow(t), "g", "id", frac_16=1).to_pandas()
+    assert (out["g"] == "tiny").sum() == 1  # min 1 per group
+
+
+def test_repivot_roundtrip():
+    from pii_detection_local_ray.sources.readers import repivot_cells, unpivot_cells
+
+    grid = pa.table({"a": ["1", "2"], "b": ["x", "y"]})
+    back = repivot_cells(unpivot_cells(grid, ["a", "b"]))
+    assert back.to_pydict() == grid.to_pydict()
+
+
+def test_detect_encoding():
+    from pii_detection_local_ray.sources.readers import detect_encoding
+
+    assert detect_encoding("héllo".encode("utf-8")) == "utf-8"
+    assert detect_encoding("héllo".encode("latin-1")) == "latin-1"
+
+
+def test_entity_report(ray_session):
+    import ray.data
+    from pii_detection_local_ray.functions.stats import entity_report
+
+    t = pa.table(
+        {
+            "repo": ["r1", "r1", "r2"],
+            "pii_types": pa.array(
+                [["EMAIL", "SSN"], ["EMAIL"], ["PHONE"]], pa.list_(pa.string())
+            ),
+        }
+    )
+    rep = entity_report(ray.data.from_arrow(t))
+    assert rep["global"] == ["EMAIL", "PHONE", "SSN"]
+    assert rep["per_source"] == {"r1": ["EMAIL", "SSN"], "r2": ["PHONE"]}
+
+
+def test_rare_type_drop(ray_session):
+    import ray.data
+    from pii_detection_local_ray.functions.stats import rare_type_drop
+
+    rows_labels = [["B-EMAIL", "O"], ["B-EMAIL", "B-RARE"], ["I-RARE", "O"]]
+    t = pa.table(
+        {
+            "tokens": pa.array([["a", "b"]] * 3, pa.list_(pa.string())),
+            "labels": pa.array(rows_labels, pa.list_(pa.string())),
+            "source": pa.array(["s"] * 3),
+        }
+    )
+    out, counts, dropped = rare_type_drop(ray.data.from_arrow(t), threshold=2)
+    assert counts == {"EMAIL": 2, "RARE": 1}
+    assert dropped == ["RARE"]
+    labels = out.to_pandas()["labels"]
+    assert list(labels[1]) == ["B-EMAIL", "O"]  # RARE rewritten to O
+    assert list(labels[2]) == ["O", "O"]
