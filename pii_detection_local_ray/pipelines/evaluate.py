@@ -1,0 +1,97 @@
+"""Scorer evaluation harness (reference: run_benchmarking.py:539-691).
+
+The reference compares its model against spaCy and Presidio on held-out
+BIO records: reconstruct text as ``" ".join(tokens)`` (:268), run each
+scorer, convert predicted spans back to BIO (spans_to_bio, :152-208) and
+compute seqeval span-F1 (:215-240).  The engine reproduces that harness
+with its pluggable scorer protocol (SURVEY 2.10): any class whose
+``spans(texts) -> list[list[{start, end, type}]]`` method exists plugs
+in; scorers run as ``map_batches`` stages over the fixture Dataset and
+the (true, pred) label sequences - never logits - are collected for the
+global non-decomposable F1 (SURVEY G5 note).
+
+Built-in scorers:
+  ner     the stub transformer token-classification path (stages/ner.py)
+  regex   the scrub bank as a rule-based scorer - the Presidio analogue
+          (run_benchmarking.py:335-383; label map :93-121)
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.bio import span_f1, span_to_bio
+from ..stages.scrub import scan_entities
+
+
+class RegexScorer:
+    """Rule-based scorer over the regex bank (Presidio-analogue)."""
+
+    def spans(self, texts: list[str]) -> list[list[dict]]:
+        return [scan_entities(t or "") for t in texts]
+
+
+class NERScorer:
+    """Stub-transformer scorer behind the same protocol."""
+
+    def __init__(self, model_path: str):
+        from ..stages.ner import NERDetector
+
+        self.det = NERDetector(model_path)
+
+    def spans(self, texts: list[str]) -> list[list[dict]]:
+        return [r["entities"] for r in self.det.detect_batch(texts)]
+
+
+def _scorer_stage(scorer_factory):
+    class Stage:
+        def __init__(self):
+            self.scorer = scorer_factory()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tokens = batch["tokens"].to_pylist()
+            true_labels = batch["labels"].to_pylist()
+            texts = [" ".join(t) for t in tokens]  # reconstruction contract
+            pred_spans = self.scorer.spans(texts)
+            pred_labels = [
+                span_to_bio(text, spans)[1]
+                for text, spans in zip(texts, pred_spans)
+            ]
+            return pa.table(
+                {
+                    "true_labels": pa.array(true_labels, pa.list_(pa.string())),
+                    "pred_labels": pa.array(pred_labels, pa.list_(pa.string())),
+                }
+            )
+
+    return Stage
+
+
+def evaluate_scorers(
+    fixtures: ray.data.Dataset,
+    scorers: dict[str, callable],
+    concurrency: tuple[int, int] = (1, 4),
+) -> dict:
+    """fixtures: Dataset of {tokens, labels, source}.  scorers: name ->
+    zero-arg factory.  Returns per-scorer span metrics + wall time
+    (the reference's elapsed_seconds hook, run_benchmarking.py:271-273)."""
+    report = {}
+    for name, factory in scorers.items():
+        t0 = time.perf_counter()
+        pairs = fixtures.map_batches(
+            _scorer_stage(factory),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=concurrency,
+        ).to_pandas()  # label sequences only - small
+        metrics = span_f1(
+            [list(x) for x in pairs["true_labels"]],
+            [list(x) for x in pairs["pred_labels"]],
+        )
+        metrics["elapsed_seconds"] = round(time.perf_counter() - t0, 3)
+        metrics["n_records"] = len(pairs)
+        report[name] = metrics
+    return report

@@ -714,9 +714,85 @@ def unpivot_cell_stats(sf_dir: str):
     )
 
 
+@register(
+    "doc_length_percentiles",
+    "SELECT 0.25 AS p, quantile_cont(n_chars, 0.25) AS v FROM documents "
+    "UNION ALL SELECT 0.5, quantile_cont(n_chars, 0.5) FROM documents "
+    "UNION ALL SELECT 0.75, quantile_cont(n_chars, 0.75) FROM documents "
+    "UNION ALL SELECT 0.9, quantile_cont(n_chars, 0.9) FROM documents "
+    "UNION ALL SELECT 0.99, quantile_cont(n_chars, 0.99) FROM documents",
+)
+def doc_length_percentiles(sf_dir: str):
+    """G6 EDA percentiles (reference notebooks/EDA.ipynb cell 13).  Exact
+    linear-interpolation quantiles over one collected int column - the
+    metric is non-decomposable; at 100 TB this becomes a KLL/t-digest
+    sketch merged across blocks (same query shape, approximate answer)."""
+    import numpy as np
+
+    col = (
+        _docs(sf_dir, ["n_chars"]).to_pandas()["n_chars"].to_numpy(dtype=np.float64)
+    )
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    return pa.table(
+        {
+            "p": pa.array(ps, pa.float64()),
+            "v": pa.array([float(np.percentile(col, p * 100)) for p in ps]),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver records rows-only checks)
 # ---------------------------------------------------------------------------
+
+@register("scorer_eval")
+def scorer_eval(sf_dir: str):
+    """run_benchmarking-analog harness: regex + NER scorers over BIO
+    fixtures derived from planted documents, span-F1 per scorer."""
+    from ..functions.bio import span_to_bio
+    from ..pipelines.evaluate import NERScorer, RegexScorer, evaluate_scorers
+    from ..sources.model_artifact import write_stub_model
+
+    model = str(write_stub_model("/tmp/pii_query_model"))
+
+    def to_bio(b: pa.Table) -> pa.Table:
+        toks_rows, labs_rows = [], []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if i % 2 == 0:
+                text = f"{t} mail u{i}@example.com"
+                start = len(text) - len(f"u{i}@example.com")
+                spans = [{"start": start, "end": len(text), "type": "EMAIL"}]
+            else:
+                text = f"{t} by John Doe"
+                spans = [{"start": len(t) + 4, "end": len(text), "type": "PERSON"}]
+            toks, labs = span_to_bio(text, spans)
+            toks_rows.append(toks)
+            labs_rows.append(labs)
+        return pa.table(
+            {
+                "tokens": pa.array(toks_rows, pa.list_(pa.string())),
+                "labels": pa.array(labs_rows, pa.list_(pa.string())),
+                "source": pa.array(["planted"] * len(toks_rows), pa.string()),
+            }
+        )
+
+    fixtures = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_bio, batch_format="pyarrow"
+    )
+    report = evaluate_scorers(
+        fixtures, {"regex": RegexScorer, "ner": lambda: NERScorer(model)}
+    )
+    return pa.table(
+        {
+            "scorer": pa.array(list(report), pa.string()),
+            "precision": pa.array([report[s]["precision"] for s in report]),
+            "recall": pa.array([report[s]["recall"] for s in report]),
+            "f1": pa.array([report[s]["f1"] for s in report]),
+            "n_records": pa.array(
+                [report[s]["n_records"] for s in report], pa.int64()
+            ),
+        }
+    )
 
 # Cached per-worker-process singletons: for these short interactive
 # queries an actor pool would pay fresh-process spawn + import per query;

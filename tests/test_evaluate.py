@@ -1,0 +1,60 @@
+"""Scorer evaluation harness (run_benchmarking analog)."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fixtures(ray_session):
+    import ray.data
+    from pii_detection_local_ray.functions.bio import span_to_bio
+
+    texts_spans = [
+        ("mail me at a@b.co now", [(11, 17, "EMAIL")]),
+        ("ssn is 123-45-6789 ok", [(7, 18, "SSN")]),
+        ("ask John Doe about it", [(4, 12, "PERSON")]),
+        ("meet in Berlin on monday", [(8, 14, "LOC")]),
+        ("nothing sensitive here", []),
+    ]
+    rows_t, rows_l = [], []
+    for text, spans in texts_spans:
+        toks, labs = span_to_bio(
+            text, [{"start": s, "end": e, "type": t} for s, e, t in spans]
+        )
+        rows_t.append(toks)
+        rows_l.append(labs)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "tokens": pa.array(rows_t, pa.list_(pa.string())),
+                "labels": pa.array(rows_l, pa.list_(pa.string())),
+                "source": pa.array(["fix"] * len(rows_t)),
+            }
+        )
+    )
+
+
+def test_evaluate_scorers(fixtures, stub_model):
+    from pii_detection_local_ray.pipelines.evaluate import (
+        NERScorer,
+        RegexScorer,
+        evaluate_scorers,
+    )
+
+    report = evaluate_scorers(
+        fixtures,
+        {
+            "regex": RegexScorer,
+            "ner": lambda: NERScorer(stub_model),
+        },
+    )
+    # regex scorer finds EMAIL + SSN exactly, misses PERSON/LOC
+    assert report["regex"]["precision"] == 1.0
+    assert report["regex"]["recall"] == 0.5
+    assert report["regex"]["per_type"]["EMAIL"]["f1"] == 1.0
+    # ner scorer finds PERSON + LOC exactly, misses EMAIL/SSN
+    assert report["ner"]["precision"] == 1.0
+    assert report["ner"]["recall"] == 0.5
+    assert report["ner"]["per_type"]["PERSON"]["f1"] == 1.0
+    for r in report.values():
+        assert r["elapsed_seconds"] >= 0 and r["n_records"] == 5
