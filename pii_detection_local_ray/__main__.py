@@ -1,0 +1,124 @@
+"""CLI entry points (reference analogue: run_data_pipeline.py /
+run_benchmarking.py CLIs, SURVEY 2.10 extension surface).
+
+  python -m pii_detection_local_ray run --input DIR --output DIR \
+      --model DIR [--no-ner] [--no-perplexity] [--files-per-partition N]
+  python -m pii_detection_local_ray gen --output DIR --n-files N [--expected]
+  python -m pii_detection_local_ray stats --output DIR
+
+``run`` is resumable: rerunning with the same --output skips completed
+partitions via the lineage manifests (the reference's --skip-* flags
+generalised to partition granularity).  Owns its Ray session (the
+library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_run(args) -> int:
+    ray = _ray_session()
+    from .pipelines.filter_pipeline import build_pipeline, select_output
+    from .sources.model_artifact import write_stub_model
+    from .state.manifest import run_resumable
+
+    model = args.model
+    if model is None and not args.no_ner:
+        model = str(write_stub_model(Path(args.output) / "_stub_model"))
+
+    files = sorted(str(f) for f in Path(args.input).glob("*.parquet"))
+    if not files:
+        print(f"no parquet files under {args.input}", file=sys.stderr)
+        return 2
+
+    def build(fs):
+        return select_output(
+            build_pipeline(
+                fs,
+                model_path=model,
+                with_ner=not args.no_ner,
+                with_perplexity=not args.no_perplexity,
+            ),
+            with_perplexity=not args.no_perplexity,
+        )
+
+    manifests = run_resumable(
+        files, args.output, build, files_per_partition=args.files_per_partition
+    )
+    total = sum(m["row_count"] for m in manifests)
+    print(json.dumps({"partitions": len(manifests), "rows": total}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from . import corpus
+
+    out = corpus.generate_corpus(args.output, n_files=args.n_files, seed=args.seed)
+    if args.expected:
+        corpus.write_expected(args.output)
+    print(json.dumps({"corpus": str(out), "n_files": args.n_files}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    ray = _ray_session()
+    from .functions.stats import pii_statistics
+    from .state.manifest import read_output
+
+    ds = read_output(args.output)
+    print(json.dumps(pii_statistics(ds)))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pii_detection_local_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run the flagship filter+scrub pipeline, resumably")
+    pr.add_argument("--input", required=True, help="directory of corpus parquet shards")
+    pr.add_argument("--output", required=True, help="output directory (partitioned)")
+    pr.add_argument("--model", default=None, help="NER model dir (stub written if omitted)")
+    pr.add_argument("--no-ner", action="store_true")
+    pr.add_argument("--no-perplexity", action="store_true")
+    pr.add_argument("--files-per-partition", type=int, default=4)
+    pr.set_defaults(fn=cmd_run)
+
+    pg = sub.add_parser("gen", help="generate the deterministic synthetic corpus")
+    pg.add_argument("--output", required=True)
+    pg.add_argument("--n-files", type=int, default=2000)
+    pg.add_argument("--seed", type=int, default=42)
+    pg.add_argument("--expected", action="store_true", help="also write oracle expected.parquet")
+    pg.set_defaults(fn=cmd_gen)
+
+    ps = sub.add_parser("stats", help="G1 statistics over a run's output")
+    ps.add_argument("--output", required=True)
+    ps.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

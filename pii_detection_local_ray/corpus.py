@@ -220,9 +220,18 @@ def generate_corpus(
     sees a uniform schema).
 
     Deterministic for a given (n_files, seed, n_shards).  Repo key is
-    skewed: org0/mega absorbs ~30% of files.
+    skewed: org0/mega absorbs ~30% of files.  Written atomically (tmp dir
+    + rename) so an interrupted generation never leaves a partial corpus
+    that a later run would silently reuse.
     """
-    out_dir = Path(out_dir) / "corpus"
+    final_dir = Path(out_dir) / "corpus"
+    if final_dir.exists():
+        return final_dir
+    out_dir = final_dir.with_name("_tmp-corpus")
+    if out_dir.exists():
+        import shutil
+
+        shutil.rmtree(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = random.Random(seed)
     exts = list(EXT_TO_LANG)
@@ -269,7 +278,8 @@ def generate_corpus(
         shard = table.slice(s * shard_size, shard_size)
         if shard.num_rows:
             pq.write_table(shard, out_dir / f"part-{s:04d}.parquet")
-    return out_dir
+    out_dir.rename(final_dir)
+    return final_dir
 
 
 # ---------------------------------------------------------------------------
