@@ -41,8 +41,11 @@ def test_bio_jsonl_adapter(ray_session, tmp_path):
     ]
     p.write_text("\n".join(json.dumps(r) for r in rows))
     out = read_bio_jsonl(str(p), "src1", token_col="toks", label_col="labs").to_pandas()
-    assert list(out["labels"][0]) == ["O", "B-EMAIL"]  # normalised
-    assert len(out["tokens"][1]) == 2  # truncated to min length
+    # Ray's streaming executor does not preserve block order by default -
+    # compare order-insensitively
+    got = sorted(tuple(l) for l in out["labels"])
+    assert got == sorted([("O", "B-EMAIL"), ("O", "O")])
+    assert sorted(len(t) for t in out["tokens"]) == [2, 2]
     assert set(out["source"]) == {"src1"}
 
 

@@ -9,7 +9,7 @@ def test_txt_line_explode(ray_session, tmp_path):
     p = tmp_path / "a.txt"
     p.write_text("first line\n\n   \n  second line  \nthird\n")
     ds = read_text_as_units(str(p))
-    rows = ds.to_pandas()
+    rows = ds.to_pandas().sort_values("line_idx")
     # blank lines dropped, content stripped (reference src/api.py:102-119)
     assert list(rows["text"]) == ["first line", "second line", "third"]
     assert list(rows["line_idx"]) == [0, 3, 4]
