@@ -348,6 +348,77 @@ def simhash_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Connected components over candidate pairs -> duplicate clusters
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: ray.data.Dataset, max_iters: int = 20
+) -> ray.data.Dataset:
+    """Cluster near-dup candidate pairs (id_a, id_b) into components via
+    distributed min-label propagation: each round every node adopts the
+    minimum label in its neighbourhood (groupby-min), iterating until a
+    fixpoint.  Converges in O(component diameter) rounds - near-dup
+    clusters are shallow, so a handful of groupby shuffles of tiny
+    (node, label) rows.  Returns (id, component) with component = min id
+    of the cluster.
+
+    The per-round label map (one row per *candidate* node - a small
+    fraction of the corpus) is broadcast via ray.put; the edge set stays
+    distributed.  If even the candidate-node map outgrows a worker heap,
+    swap the broadcast for a hash_join of labels onto edges.
+    """
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+
+    def seed(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        m = np.minimum(a, b)
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([a, b])),
+                "component": pa.array(np.concatenate([m, m])),
+            }
+        )
+
+    labels = edges.map_batches(seed, batch_format="pyarrow").groupby("id").min(
+        "component"
+    ).rename_columns({"min(component)": "component"}).materialize()
+
+    from ray.data.aggregate import Min as _Min
+
+    for _ in range(max_iters):
+        # propagate: a node's label flows across each edge in both directions
+        lab = {r["id"]: r["component"] for r in labels.take_all()}
+        lab_ref = ray.put(lab)
+
+        def prop(batch: pa.Table) -> pa.Table:
+            lk = ray.get(lab_ref)
+            a = batch["id_a"].to_pylist()
+            b = batch["id_b"].to_pylist()
+            ids, comps = [], []
+            for x, y in zip(a, b):
+                m = min(lk[x], lk[y])
+                ids.extend((x, y))
+                comps.extend((m, m))
+            return pa.table({"id": pa.array(ids), "component": pa.array(comps)})
+
+        new_labels = (
+            edges.map_batches(prop, batch_format="pyarrow")
+            .groupby("id")
+            .aggregate(_Min("component", alias_name="component"))
+            .materialize()
+        )
+        new = {r["id"]: r["component"] for r in new_labels.take_all()}
+        if new == lab:
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise verification)
 # ---------------------------------------------------------------------------
 

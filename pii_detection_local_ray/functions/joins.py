@@ -1,0 +1,66 @@
+"""Join strategies (the reference has no relational joins - SURVEY 2.4 -
+but a 100 TB engine needs them; these are the two canonical shapes).
+
+  broadcast_join   small side shipped once via ray.put, looked up per
+                   batch inside map_batches - zero shuffle of the fact
+                   side.  Used when the dimension fits comfortably in a
+                   worker heap (the J1 pattern).
+  hash_join        both sides large: Ray's hash-partitioned Dataset.join
+                   (each side shuffled once on the key).  num_partitions
+                   bounds reducer memory; size it to total_bytes /
+                   target_partition_size on a real cluster.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def broadcast_join(
+    large: ray.data.Dataset,
+    small_table: pa.Table,
+    on: str,
+    right_on: str | None = None,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Left join: every row of ``large`` gains the matching columns of
+    ``small_table`` (nulls when unmatched)."""
+    right_on = right_on or on
+    cols = columns or [c for c in small_table.schema.names if c != right_on]
+    lookup: dict = {}
+    keys = small_table[right_on].to_pylist()
+    col_data = {c: small_table[c].to_pylist() for c in cols}
+    for i, k in enumerate(keys):
+        lookup[k] = tuple(col_data[c][i] for c in cols)
+    ref = ray.put(lookup)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        vals = [lk.get(k) for k in batch[on].to_pylist()]
+        for j, c in enumerate(cols):
+            batch = batch.append_column(
+                c, pa.array([v[j] if v is not None else None for v in vals])
+            )
+        return batch
+
+    return large.map_batches(attach, batch_format="pyarrow")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Hash-partitioned join of two large Datasets (one shuffle per side)."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+    )

@@ -745,6 +745,67 @@ def doc_length_percentiles(sf_dir: str):
 # Non-SQL-expressible operators (driver records rows-only checks)
 # ---------------------------------------------------------------------------
 
+@register(
+    "orders_lineitem_join",
+    "SELECT o.o_orderpriority AS priority, count(*) AS n_items, "
+    "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS price_cents "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE o.o_orderstatus = 'F' GROUP BY o.o_orderpriority",
+)
+def orders_lineitem_join(sf_dir: str):
+    """Large-x-large hash-partitioned join (Dataset.join - each side
+    shuffled once on the key), filter pushed to the read, aggregate
+    pre-combined per batch after the join."""
+    from ..functions.joins import hash_join
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        lineitem, orders, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=8,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        df = pa.table(
+            {"priority": b["o_orderpriority"], "cents": cents}
+        ).to_pandas()
+        g = df.groupby("priority", as_index=False).agg(
+            n_items=("cents", "size"), price_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("priority")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("price_cents", alias_name="price_cents"),
+        )
+    )
+
+
+@register("minhash_dup_clusters")
+def minhash_dup_clusters(sf_dir: str):
+    """Full near-dup chain: shingle -> minhash -> LSH pairs -> connected
+    components -> duplicate clusters."""
+    pairs = fdedup.minhash_lsh_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
+    )
+    return fdedup.connected_components(pairs)
+
+
 @register("scorer_eval")
 def scorer_eval(sf_dir: str):
     """run_benchmarking-analog harness: regex + NER scorers over BIO

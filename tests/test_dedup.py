@@ -92,3 +92,38 @@ def test_embedding_near_dup(ray_session):
     pairs = embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
     assert set(zip(pairs["id_a"], pairs["id_b"])) == {(10, 11)}
     assert (pairs["cosine"] >= 0.99).all()
+
+
+def test_connected_components(ray_session):
+    import ray.data
+    from pii_detection_local_ray.functions.dedup import connected_components
+
+    # two clusters: {1,2,3} (chain) and {10, 11}
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 2, 10], pa.int64()),
+                "id_b": pa.array([2, 3, 11], pa.int64()),
+            }
+        )
+    )
+    out = connected_components(pairs).to_pandas()
+    comp = dict(zip(out["id"], out["component"]))
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_pipeline_minhash_to_clusters(ray_session):
+    """End-to-end near-dup pipeline: minhash -> pairs -> components."""
+    from pii_detection_local_ray.functions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    base = "one two three four five six seven eight nine ten " * 10
+    texts = [base, base.replace("ten", "tenn"), base.replace("one", "wun"),
+             "something else entirely different " * 10]
+    pairs = minhash_lsh_pairs(_docs_ds(texts), jaccard_threshold=0.5)
+    comp = connected_components(pairs).to_pandas()
+    ids_in_cluster = set(comp[comp["component"] == 0]["id"])
+    assert ids_in_cluster == {0, 1, 2}
+    assert 3 not in set(comp["id"])

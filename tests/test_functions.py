@@ -165,3 +165,32 @@ def test_image_resize_roundtrip():
     kind, arr, meta = _decode_fake(out["resized"][0].as_py())
     assert kind == "image" and meta == {"width": 8, "height": 6}
     assert len(arr) == 48
+
+
+def test_broadcast_join(ray_session):
+    import ray.data
+    from pii_detection_local_ray.functions.joins import broadcast_join
+
+    large = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 2], pa.int64())})
+    )
+    small = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "name": ["a", "b"]}
+    )
+    out = broadcast_join(large, small, on="k").to_pandas().sort_values("k")
+    assert list(out["name"]) == ["a", "b", "b", None]
+
+
+def test_hash_join(ray_session):
+    import ray.data
+    from pii_detection_local_ray.functions.joins import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "l": ["x", "y", "z"]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 4], pa.int64()), "r": ["p", "q", "s"]})
+    )
+    out = hash_join(left, right, on="k", num_partitions=2).to_pandas().sort_values("k")
+    assert list(out["k"]) == [2, 3]
+    assert list(out["l"]) == ["y", "z"] and list(out["r"]) == ["p", "q"]
