@@ -1,0 +1,265 @@
+"""Detector facade with the reference's serving API surface.
+
+A user of the reference drives PIIDetector / FastPIIDetector and the
+Flask routes (src/inference.py, src/api.py).  This module offers the
+same call surface over this engine - single text, batch, Dataset, and
+file ingestion - so switching requires no caller changes:
+
+  * ``detect(text)`` -> PIIResult dict; raises the typed Input errors on
+    invalid input (reference: src/inference.py:129-162, 221-227)
+  * ``batch_detect(texts)`` -> list, length always == input length,
+    per-item errors captured not raised; empty list raises
+    (reference: src/inference.py:355-421)
+  * ``get_pii_statistics(results)`` (reference: src/inference.py:190-205)
+  * ``detect_dataset(ds)`` - the scalable path (actor-pool map_batches)
+  * ``detect_text_file`` / ``detect_csv_file`` - the S9/S10+M14 upload
+    paths (reference: src/api.py:348-529), returning the same response
+    shapes (per-line results; per-cell results + redacted_records)
+
+Entities here are the union of the regex scrub bank and the NER model
+(regex has priority on overlap) - the engine's full scrub contract.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from ..exceptions import (
+    EmptyInputError,
+    InputTooLargeError,
+    InvalidInputTypeError,
+    UnsupportedFileTypeError,
+)
+from ..config import MAX_CHARS
+from ..stages.ner import NERDetector
+from ..stages.scrub import scan_entities
+
+MAX_BATCH_SIZE = 1000  # reference: src/api.py:53
+MAX_FILE_BYTES = 50 * 1024 * 1024  # reference: src/api.py:56
+
+
+class PIIDetector:
+    def __init__(self, model_path: str, confidence_threshold: float = 0.5):
+        self.model_path = str(model_path)
+        self.ner = NERDetector(model_path, confidence_threshold)
+        self.confidence_threshold = confidence_threshold
+        self.pii_types = sorted(set(self.ner.pii_types))
+
+    # -- validation (reference: src/inference.py:221-227) --------------
+
+    def _validate_text(self, text, position: int | None = None):
+        if not isinstance(text, str):
+            raise InvalidInputTypeError(type(text).__name__, position)
+        if not text.strip():
+            raise EmptyInputError("text")
+        if len(text) > MAX_CHARS:
+            raise InputTooLargeError(len(text), MAX_CHARS)
+
+    # -- core single-text path ------------------------------------------
+
+    def _merged_entities(self, text: str) -> list[dict]:
+        base = scan_entities(text)
+        ner = [
+            e
+            for e in self.ner.detect_batch([text])[0]["entities"]
+            if not any(e["start"] < b["end"] and b["start"] < e["end"] for b in base)
+        ]
+        return sorted(base + ner, key=lambda e: (e["start"], e["end"]))
+
+    def detect(self, text: str) -> dict:
+        """PIIResult dict; raises typed Input errors on invalid input."""
+        self._validate_text(text)
+        entities = self._merged_entities(text)
+        redacted = self.ner.apply_redaction(text, entities)
+        return {
+            "has_pii": bool(entities),
+            "redacted_text": redacted,
+            "pii_types": sorted({e["type"] for e in entities}),
+            "entities": entities,
+            "error": None,
+        }
+
+    def batch_detect(self, texts: list) -> list[dict]:
+        """Per-item errors captured; length/order always preserved."""
+        if not texts:
+            raise EmptyInputError("texts list")
+        results = []
+        for idx, text in enumerate(texts):
+            try:
+                self._validate_text(text, position=idx)
+                results.append(self.detect(text))
+            except (EmptyInputError, InputTooLargeError, InvalidInputTypeError) as exc:
+                results.append(
+                    {
+                        "has_pii": False,
+                        "redacted_text": str(text) if not isinstance(text, str) else text,
+                        "pii_types": [],
+                        "entities": [],
+                        "error": str(exc),
+                    }
+                )
+        return results
+
+    # -- statistics (reference: src/inference.py:190-205) ---------------
+
+    @staticmethod
+    def get_pii_statistics(results: list[dict]) -> dict:
+        total = len(results)
+        with_pii = sum(1 for r in results if r["has_pii"])
+        type_counts: dict[str, int] = {}
+        for r in results:
+            for t in r["pii_types"]:
+                type_counts[t] = type_counts.get(t, 0) + 1
+        return {
+            "total_texts": total,
+            "texts_with_pii": with_pii,
+            "texts_without_pii": total - with_pii,
+            "pii_rate": round(with_pii / total, 4) if total > 0 else 0.0,
+            "pii_type_distribution": dict(
+                sorted(type_counts.items(), key=lambda x: -x[1])
+            ),
+            "errors": sum(1 for r in results if r["error"]),
+        }
+
+    # -- scalable Dataset path ------------------------------------------
+
+    def detect_dataset(self, ds, content_col: str = "content",
+                       concurrency=(1, 8)):
+        """The actor-pool path: scrub + NER over a whole Dataset."""
+        from ..stages.scrub import ScrubBatch
+
+        ds = ds.map_batches(
+            ScrubBatch(content_col), batch_format="pyarrow", zero_copy_batch=True
+        )
+        return ds.map_batches(
+            NERDetector,
+            fn_constructor_kwargs={
+                "model_path": self.model_path,
+                "confidence_threshold": self.confidence_threshold,
+                "content_col": content_col,
+            },
+            batch_format="pyarrow",
+            batch_size=512,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    # -- file ingestion (reference: src/api.py:348-529) -----------------
+
+    def detect_text_file(self, path: str | Path) -> dict:
+        path = Path(path)
+        self._check_file(path, ".txt")
+        from ..sources.readers import detect_encoding
+
+        raw = path.read_bytes()
+        text = raw.decode(detect_encoding(raw), errors="replace")
+        lines = [l.strip() for l in text.splitlines() if l.strip()]
+        if not lines:
+            raise EmptyInputError(path.name)
+        results = self.batch_detect(lines)
+        return {
+            "filename": path.name,
+            "file_type": "txt",
+            "num_units": len(lines),
+            "results": results,
+            "statistics": self.get_pii_statistics(results),
+        }
+
+    def detect_csv_file(self, path: str | Path, columns: list[str] | None = None) -> dict:
+        path = Path(path)
+        self._check_file(path, ".csv")
+        import pandas as pd
+
+        df = pd.read_csv(path, dtype=str).fillna("")
+        if df.empty:
+            raise EmptyInputError(path.name)
+        cols = columns or list(df.columns)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"Columns not found: {missing}")
+        # unpivot -> detect -> per-cell results + repivoted redacted grid
+        cell_results = []
+        redacted = df.copy()
+        for col in cols:
+            values = df[col].astype(str).tolist()
+            results = self.batch_detect(
+                [v if v.strip() else " " for v in values]
+            )
+            for row_idx, (v, r) in enumerate(zip(values, results)):
+                if r["has_pii"]:
+                    cell_results.append(
+                        {"row": row_idx, "column": col, **r}
+                    )
+                    redacted.at[row_idx, col] = r["redacted_text"]
+        flat = [
+            {"has_pii": bool(c["has_pii"]), "pii_types": c["pii_types"],
+             "error": c["error"]}
+            for c in cell_results
+        ]
+        return {
+            "filename": path.name,
+            "file_type": "csv",
+            "num_rows": len(df),
+            "columns_scanned": cols,
+            "cells_with_pii": cell_results,
+            "redacted_records": redacted.to_dict(orient="records"),
+            "statistics": {
+                "total_cells": len(df) * len(cols),
+                "cells_with_pii": len(flat),
+            },
+        }
+
+    def _check_file(self, path: Path, ext: str):
+        if path.suffix.lower() != ext:
+            raise UnsupportedFileTypeError(path.suffix)
+        if path.stat().st_size > MAX_FILE_BYTES:
+            raise InputTooLargeError(path.stat().st_size, MAX_FILE_BYTES)
+
+
+class FastPIIDetector(PIIDetector):
+    """Chunked batch path (reference: src/inference.py:339-449)."""
+
+    def __init__(self, model_path: str, confidence_threshold: float = 0.5,
+                 batch_size: int = 32):
+        super().__init__(model_path, confidence_threshold)
+        self.batch_size = batch_size
+
+    def batch_detect(self, texts: list) -> list[dict]:
+        if not texts:
+            raise EmptyInputError("texts list")
+        if len(texts) > MAX_BATCH_SIZE:
+            raise InputTooLargeError(len(texts), MAX_BATCH_SIZE)
+        results: list[dict | None] = [None] * len(texts)
+        # validate all first, then chunked inference on the valid slots
+        valid: list[tuple[int, str]] = []
+        for idx, text in enumerate(texts):
+            try:
+                self._validate_text(text, position=idx)
+                valid.append((idx, text))
+            except (EmptyInputError, InputTooLargeError, InvalidInputTypeError) as exc:
+                results[idx] = {
+                    "has_pii": False,
+                    "redacted_text": str(text) if not isinstance(text, str) else text,
+                    "pii_types": [],
+                    "entities": [],
+                    "error": str(exc),
+                }
+        for start in range(0, len(valid), self.batch_size):
+            chunk = valid[start : start + self.batch_size]
+            ner_results = self.ner.detect_batch([t for _, t in chunk])
+            for (idx, text), nr in zip(chunk, ner_results):
+                base = scan_entities(text)
+                ner_ents = [
+                    e for e in nr["entities"]
+                    if not any(e["start"] < b["end"] and b["start"] < e["end"]
+                               for b in base)
+                ]
+                ents = sorted(base + ner_ents, key=lambda e: (e["start"], e["end"]))
+                results[idx] = {
+                    "has_pii": bool(ents),
+                    "redacted_text": self.ner.apply_redaction(text, ents),
+                    "pii_types": sorted({e["type"] for e in ents}),
+                    "entities": ents,
+                    "error": None,
+                }
+        return results

@@ -1,0 +1,169 @@
+"""Detector facade conformance - mirrors the reference's own assertion
+harness test_detector.py group by group (SURVEY section 5):
+result shapes, detection semantics on canonical texts, redaction
+invariants, edge-case exceptions, batch contracts, statistics."""
+
+import pytest
+
+from pii_detection_local_ray.config import MAX_CHARS
+from pii_detection_local_ray.exceptions import (
+    EmptyInputError,
+    InputTooLargeError,
+    InvalidInputTypeError,
+    ModelNotFoundError,
+    UnsupportedFileTypeError,
+)
+
+
+@pytest.fixture(scope="module")
+def det(stub_model):
+    from pii_detection_local_ray.pipelines.api import FastPIIDetector
+
+    return FastPIIDetector(stub_model, batch_size=4)
+
+
+# -- group 1: result shape & field types (test_detector.py:53-74) -------
+
+def test_result_shape(det):
+    r = det.detect("Contact me at john.doe@example.com")
+    assert set(r) == {"has_pii", "redacted_text", "pii_types", "entities", "error"}
+    assert isinstance(r["has_pii"], bool)
+    assert isinstance(r["redacted_text"], str)
+    assert isinstance(r["pii_types"], list)
+    for e in r["entities"]:
+        assert set(e) == {"text", "type", "start", "end", "confidence"}
+        assert e["start"] < e["end"]
+        assert 0.0 <= e["confidence"] <= 1.0
+
+
+# -- group 2: detection semantics on canonical texts (:77-141) ----------
+
+CANONICAL = [
+    ("Contact me at john.doe@example.com", True, {"EMAIL"}),
+    ("My name is John Doe", True, {"PERSON"}),
+    ("Call me at 555-123-4567", True, {"PHONE"}),
+    ("My SSN is 123-45-6789", True, {"SSN"}),
+    ("Email a@b.co or call 555-123-4567", True, {"EMAIL", "PHONE"}),
+    ("Acme Corp. announced a new product", True, {"ORG"}),
+    ("The weather is nice today", False, set()),
+]
+
+
+@pytest.mark.parametrize("text,has,types", CANONICAL)
+def test_detection_semantics(det, text, has, types):
+    r = det.detect(text)
+    assert r["has_pii"] == has
+    assert types <= set(r["pii_types"])
+
+
+# -- group 3: redaction invariants (:143-165) ---------------------------
+
+def test_redaction_invariants(det):
+    text = "Contact me at john.doe@example.com"
+    r = det.detect(text)
+    assert r["redacted_text"] != text
+    assert "[REDACTED]" in r["redacted_text"]
+    for e in r["entities"]:
+        assert e["text"] not in r["redacted_text"]
+
+
+def test_clean_text_passes_through_byte_identical(det):
+    text = "The weather is nice today"
+    r = det.detect(text)
+    assert r["redacted_text"] == text  # byte-identical (sha precursor)
+
+
+# -- group 4: edge cases raise the right exception types (:168-214) -----
+
+def test_edge_case_exceptions(det, tmp_path):
+    with pytest.raises(EmptyInputError):
+        det.detect("")
+    with pytest.raises(EmptyInputError):
+        det.detect("   \n  ")
+    with pytest.raises(InvalidInputTypeError):
+        det.detect(12345)
+    with pytest.raises(InputTooLargeError):
+        det.detect("x" * (MAX_CHARS + 1))
+    from pii_detection_local_ray.pipelines.api import FastPIIDetector
+
+    with pytest.raises(ModelNotFoundError):
+        FastPIIDetector(str(tmp_path / "nope"))
+
+
+# -- group 5/6: batch contracts (:217-265) ------------------------------
+
+def test_batch_empty_list_raises(det):
+    with pytest.raises(EmptyInputError):
+        det.batch_detect([])
+
+
+def test_batch_per_item_errors_at_right_index(det):
+    texts = ["fine a@b.co", "", 42, "also fine"]
+    results = det.batch_detect(texts)
+    assert len(results) == len(texts)
+    assert results[0]["error"] is None and results[0]["has_pii"]
+    assert "Empty input" in results[1]["error"]
+    assert "Invalid input type" in results[2]["error"]
+    assert results[3]["error"] is None
+
+
+def test_batch_cap(det):
+    with pytest.raises(InputTooLargeError):
+        det.batch_detect(["x"] * 1001)
+
+
+# -- group 7: statistics (:268-290) -------------------------------------
+
+def test_statistics(det):
+    results = det.batch_detect(
+        ["a@b.co", "clean text here", "555-123-4567 and c@d.io", ""]
+    )
+    stats = det.get_pii_statistics(results)
+    assert stats["texts_with_pii"] + stats["texts_without_pii"] == stats["total_texts"]
+    assert 0.0 <= stats["pii_rate"] <= 1.0
+    assert stats["errors"] == 1
+    counts = list(stats["pii_type_distribution"].values())
+    assert counts == sorted(counts, reverse=True)
+
+
+# -- file ingestion (src/api.py:348-529) --------------------------------
+
+def test_detect_text_file(det, tmp_path):
+    p = tmp_path / "up.txt"
+    p.write_text("contact a@b.co\n\n  clean line  \n")
+    out = det.detect_text_file(p)
+    assert out["num_units"] == 2
+    assert out["results"][0]["has_pii"] and not out["results"][1]["has_pii"]
+    assert out["statistics"]["total_texts"] == 2
+
+
+def test_detect_csv_file(det, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("name,note\nJohn Doe,hello\nnobody,mail a@b.co\n")
+    out = det.detect_csv_file(p)
+    assert out["num_rows"] == 2
+    cells = {(c["row"], c["column"]) for c in out["cells_with_pii"]}
+    assert cells == {(0, "name"), (1, "note")}
+    red = out["redacted_records"]
+    assert red[0]["name"] == "[REDACTED]"
+    assert "[REDACTED]" in red[1]["note"]
+    assert red[1]["name"] == "nobody"  # untouched cell unchanged
+
+
+def test_file_type_gate(det, tmp_path):
+    p = tmp_path / "x.pdf"
+    p.write_text("x")
+    with pytest.raises(UnsupportedFileTypeError):
+        det.detect_text_file(p)
+
+
+def test_detect_dataset_path(det, ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"content": pa.array(["mail a@b.co", "clean"], pa.string())})
+    )
+    out = det.detect_dataset(ds).to_pandas().sort_values("content")
+    assert list(out["has_pii"]) == [False, True]
+    assert "[REDACTED]" in out[out["has_pii"]]["scrubbed_content"].iloc[0]
