@@ -806,6 +806,55 @@ def minhash_dup_clusters(sf_dir: str):
     return fdedup.connected_components(pairs)
 
 
+@register(
+    "entity_cooccurrence",
+    "SELECT CASE WHEN doc_id % 2 = 0 THEN 'EMAIL' ELSE 'SSN' END AS type_a, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'PHONE' ELSE 'URL' END AS type_b, "
+    "count(*) AS n_docs FROM documents GROUP BY 1, 2",
+)
+def entity_cooccurrence(sf_dir: str):
+    """G6 type co-occurrence matrix (reference notebooks/EDA.ipynb cell
+    17): two entity types planted per doc by rule; the engine must
+    detect both and count unordered type pairs per doc."""
+    from itertools import combinations
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        content = [
+            f"{t} mail u{i}@example.com call 555-123-4567"
+            if i % 2 == 0
+            else f"{t} ssn 123-45-6789 see https://docs.example.com/a"
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "content": pa.array(content, pa.string())}
+        )
+
+    scrubbed = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(ScrubBatch(), batch_format="pyarrow")
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for types in b["pii_types"].to_pylist():
+            for x, y in combinations(sorted(types or []), 2):
+                a_out.append(x)
+                b_out.append(y)
+        return pa.table(
+            {"type_a": pa.array(a_out, pa.string()),
+             "type_b": pa.array(b_out, pa.string())}
+        )
+
+    return (
+        scrubbed.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
 @register("scorer_eval")
 def scorer_eval(sf_dir: str):
     """run_benchmarking-analog harness: regex + NER scorers over BIO
