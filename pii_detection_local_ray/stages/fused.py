@@ -46,4 +46,9 @@ class FusedModelBatch:
             batch = self.ppl(batch)
         if self.ner is not None:
             batch = self.ner(batch)
+            # the NER merge was the last consumer of the original content;
+            # dropping it here halves the bytes crossing the actor->decide
+            # object-store hop (scrubbed_content carries the payload on)
+            if "scrubbed_content" in batch.schema.names:
+                batch = batch.drop_columns(["content"])
         return batch

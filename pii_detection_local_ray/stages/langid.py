@@ -62,9 +62,15 @@ class LangIdBatch:
         self.languages = sorted({lang for lang, _, _ in _FEATURES})
         self._lang_idx = {l: i for i, l in enumerate(self.languages)}
 
+    # language ID reads the file head only - standard practice, bounds
+    # per-row cost on multi-MB files; thresholds calibrated to this window
+    SCORE_PREFIX = 4096
+
     def _score_array(self, arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         n = len(arr)
-        filled = pc.fill_null(arr, "")
+        filled = pc.utf8_slice_codeunits(
+            pc.fill_null(arr, ""), 0, self.SCORE_PREFIX
+        )
         lens = pc.utf8_length(filled).to_numpy(zero_copy_only=False).astype(np.float64)
         blank = (
             pc.equal(pc.utf8_trim_whitespace(filled), "")

@@ -50,8 +50,16 @@ class StubTokenModel:
     def _id(self, label: str) -> int:
         return self.label2id.get(label, self.label2id.get("O", 0))
 
+    # mirror the reference's max_length=512 truncation
+    # (src/inference.py:234-236): tokens past the window are not classified
+    MAX_TOKENS = 512
+
     def predict_one(self, text: str):
-        tokens = [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+        tokens = []
+        for m in _TOKEN_RE.finditer(text):
+            tokens.append((m.group(), m.start(), m.end()))
+            if len(tokens) >= self.MAX_TOKENS:
+                break
         n = len(tokens)
         labels = ["O"] * n
         confs = [0.99] * n
