@@ -807,6 +807,44 @@ def minhash_dup_clusters(sf_dir: str):
 
 
 @register(
+    "entity_count_histogram",
+    "SELECT doc_id % 4 AS n_entities, count(*) AS n_docs "
+    "FROM documents GROUP BY 1",
+)
+def entity_count_histogram(sf_dir: str):
+    """G6 entity-count histogram (reference notebooks/EDA.ipynb): plant
+    doc_id % 4 distinct emails per doc; the engine's detected entity
+    count per doc must reproduce the plant rule."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        content = [
+            t + "".join(f" u{i}x{j}@example.com" for j in range(i % 4))
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "content": pa.array(content, pa.string())}
+        )
+
+    scrubbed = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(ScrubBatch(), batch_format="pyarrow")
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        n_ents = [len(e or []) for e in b["entities"].to_pylist()]
+        return pa.table({"n_entities": pa.array(n_ents, pa.int64())})
+
+    return (
+        scrubbed.map_batches(counts, batch_format="pyarrow")
+        .groupby("n_entities")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+@register(
     "entity_cooccurrence",
     "SELECT CASE WHEN doc_id % 2 = 0 THEN 'EMAIL' ELSE 'SSN' END AS type_a, "
     "CASE WHEN doc_id % 2 = 0 THEN 'PHONE' ELSE 'URL' END AS type_b, "

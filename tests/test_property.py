@@ -67,3 +67,44 @@ def test_quality_signals_bounded(text):
     assert 0.0 <= out["dup_line_ratio"][0].as_py() <= 1.0
     assert out["n_chars"][0].as_py() == len(text)
     assert out["max_line_len"][0].as_py() <= max(1, len(text))
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=20,
+    ),
+    st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_span_bio_roundtrip_property(tokens, data):
+    """Token-aligned spans survive span_to_bio -> bio_to_spans exactly
+    under the " ".join(tokens) reconstruction contract."""
+    from pii_detection_local_ray.functions.bio import bio_to_spans, span_to_bio
+
+    text = " ".join(tokens)
+    # pick a random token range as a span
+    i = data.draw(st.integers(0, len(tokens) - 1))
+    j = data.draw(st.integers(i, min(len(tokens) - 1, i + 3)))
+    start = len(" ".join(tokens[:i])) + (1 if i else 0)
+    end = len(" ".join(tokens[: j + 1]))
+    spans = [{"start": start, "end": end, "type": "X"}]
+    toks, labels = span_to_bio(text, spans)
+    assert toks == tokens
+    back = bio_to_spans(toks, labels)
+    assert back == [{"type": "X", "start": start, "end": end}]
+
+
+def test_generate_corpus_idempotent_and_atomic(tmp_path):
+    from pii_detection_local_ray import corpus
+
+    d1 = corpus.generate_corpus(tmp_path, n_files=50, n_shards=2)
+    stamp = sorted((f.name, f.stat().st_mtime_ns) for f in d1.glob("*.parquet"))
+    d2 = corpus.generate_corpus(tmp_path, n_files=50, n_shards=2)
+    assert d1 == d2
+    # second call is a no-op (no regeneration, no partial tmp dir)
+    assert stamp == sorted((f.name, f.stat().st_mtime_ns) for f in d2.glob("*.parquet"))
+    assert not (tmp_path / "_tmp-corpus").exists()

@@ -1,0 +1,55 @@
+"""Mimic the driver: run each queries()[k](sf_dir) and compare with oracle_sql via duckdb."""
+import sys, warnings; warnings.filterwarnings("ignore")
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+import ray
+ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+import duckdb, pandas as pd, numpy as np
+import __ray_entry__ as E
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+qs, sqls = E.queries(), E.oracle_sql()
+def norm(df):
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object: df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+fails = []
+for name, fn in qs.items():
+    try:
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"): res = res.to_pandas()
+        elif not isinstance(res, pd.DataFrame): res = res.to_pandas() if hasattr(res,'to_pandas') else pd.DataFrame(res)
+        if name not in sqls:
+            print(f"{name:28s} rows-only: {len(res)} rows OK")
+            continue
+        want = con.sql(sqls[name]).df()
+        a, b = norm(res.copy()), norm(want.copy())
+        if list(a.columns) != list(b.columns):
+            fails.append(name); print(f"{name:28s} SCHEMA MISMATCH ray={list(a.columns)} sql={list(b.columns)}"); continue
+        if len(a) != len(b):
+            fails.append(name); print(f"{name:28s} ROWS {len(a)} vs {len(b)}"); continue
+        eq = True
+        for c in a.columns:
+            if a[c].dtype.kind == 'f' or b[c].dtype.kind == 'f':
+                if not np.allclose(a[c].astype(float), b[c].astype(float), rtol=0, atol=0, equal_nan=True):
+                    # exact check; report max diff
+                    d = np.abs(a[c].astype(float).to_numpy() - b[c].astype(float).to_numpy())
+                    print(f"{name:28s} FLOAT col {c} maxdiff={np.nanmax(d):.3e}"); eq=False
+            else:
+                if not (a[c].astype(str).values == b[c].astype(str).values).all():
+                    bad = (a[c].astype(str).values != b[c].astype(str).values).sum()
+                    print(f"{name:28s} col {c}: {bad} mismatches"); eq=False
+        if eq: print(f"{name:28s} OK ({len(a)} rows)")
+        else: fails.append(name)
+    except Exception as e:
+        fails.append(name)
+        print(f"{name:28s} ERROR {type(e).__name__}: {str(e)[:160]}")
+print("\nFAILED:", fails if fails else "none")
+ray.shutdown()
