@@ -253,25 +253,22 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 class SimHashBatch:
-    """64-bit simhash over word tokens; adds ``simhash`` (uint64-as-int64)."""
+    """64-bit simhash over character shingles; adds ``simhash``
+    (uint64-as-int64).  Fully vectorized: shingle hashes come from the
+    rolling-hash kernel, bit contributions from one (n_shingles, 64)
+    numpy reduction - no per-token Python."""
 
-    def __init__(self, text_col: str = "text"):
+    _SHIFTS = np.arange(64, dtype=np.uint64)
+
+    def __init__(self, text_col: str = "text", shingle_k: int = 4):
         self.text_col = text_col
+        self.shingle_k = shingle_k
 
-    @staticmethod
-    def simhash(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w in (text or "").split():
-            h = np.uint64(
-                zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
-            )
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
+    def simhash(self, text: str) -> int:
+        h = _shingle_hashes(text or "", self.shingle_k)
+        bits = ((h[:, None] >> self._SHIFTS) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        out = int(((acc > 0).astype(np.uint64) << self._SHIFTS).sum(dtype=np.uint64))
         return out & 0x7FFFFFFFFFFFFFFF
 
     def __call__(self, batch: pa.Table) -> pa.Table:

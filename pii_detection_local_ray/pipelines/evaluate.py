@@ -48,10 +48,16 @@ class NERScorer:
 
 def _scorer_stage(scorer_factory):
     class Stage:
+        """Stateless-task form: the scorer is built lazily once per task
+        worker and cached on the instance (which Ray pickles by value) -
+        short evaluation runs avoid per-run actor-pool spawn cost."""
+
         def __init__(self):
-            self.scorer = scorer_factory()
+            self.scorer = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.scorer is None:
+                self.scorer = scorer_factory()
             tokens = batch["tokens"].to_pylist()
             true_labels = batch["labels"].to_pylist()
             texts = [" ".join(t) for t in tokens]  # reconstruction contract
@@ -73,7 +79,6 @@ def _scorer_stage(scorer_factory):
 def evaluate_scorers(
     fixtures: ray.data.Dataset,
     scorers: dict[str, callable],
-    concurrency: tuple[int, int] = (1, 4),
 ) -> dict:
     """fixtures: Dataset of {tokens, labels, source}.  scorers: name ->
     zero-arg factory.  Returns per-scorer span metrics + wall time
@@ -82,10 +87,9 @@ def evaluate_scorers(
     for name, factory in scorers.items():
         t0 = time.perf_counter()
         pairs = fixtures.map_batches(
-            _scorer_stage(factory),
+            _scorer_stage(factory)(),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=concurrency,
         ).to_pandas()  # label sequences only - small
         metrics = span_f1(
             [list(x) for x in pairs["true_labels"]],
