@@ -1,0 +1,98 @@
+"""Windowed aggregates over event-shaped tables (stream-shaped ops).
+
+Ray Data has no event-time window primitives (SURVEY 2.9: the reference
+is pure batch too); these express the standard window shapes with the
+documented partitioning assumption: events for one key fit one group
+(groupby(key).map_groups over ts-sorted pandas), and tumbling windows
+pre-aggregate inside map_batches so the shuffle moves window partials,
+not events.
+
+  tumbling_window   fixed buckets; partial per (key, window) per batch
+                    -> tiny final groupby  (exact, fully streaming)
+  sliding_window    overlapping buckets: each event replicates into the
+                    ceil(size/step) windows covering it, then tumbling
+                    machinery applies
+  session_window    per-key gap-based sessions via map_groups
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _window_partial(
+    batch: pa.Table, key_col: str, ts_col: str, value_col: str,
+    size_us: int, step_us: int,
+) -> pa.Table:
+    ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    keys = batch[key_col].to_pylist()
+    vals = batch[value_col].to_numpy(zero_copy_only=False)
+    n_covers = int(np.ceil(size_us / step_us))
+    acc: dict[tuple, list] = {}
+    for i in range(len(ts)):
+        # the latest window starting at or before the event
+        w0 = (ts[i] // step_us) * step_us
+        for j in range(n_covers):
+            start = w0 - j * step_us
+            if start <= ts[i] < start + size_us:
+                a = acc.setdefault((keys[i], start), [0, 0.0])
+                a[0] += 1
+                a[1] += float(vals[i])
+    rows = list(acc)
+    return pa.table(
+        {
+            key_col: pa.array([r[0] for r in rows]),
+            "window_start": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]")
+            ),
+            "n_events": pa.array([acc[r][0] for r in rows], pa.int64()),
+            "sum_value": pa.array([acc[r][1] for r in rows], pa.float64()),
+        }
+    )
+
+
+def tumbling_window(
+    ds: ray.data.Dataset, key_col: str, ts_col: str, value_col: str,
+    size_us: int,
+) -> ray.data.Dataset:
+    return sliding_window(ds, key_col, ts_col, value_col, size_us, size_us)
+
+
+def sliding_window(
+    ds: ray.data.Dataset, key_col: str, ts_col: str, value_col: str,
+    size_us: int, step_us: int,
+) -> ray.data.Dataset:
+    partial = ds.map_batches(
+        lambda b: _window_partial(b, key_col, ts_col, value_col, size_us, step_us),
+        batch_format="pyarrow",
+    )
+    return partial.groupby([key_col, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+
+def session_window(
+    ds: ray.data.Dataset, key_col: str, ts_col: str, gap_us: int,
+) -> ray.data.Dataset:
+    """One row per (key, session): session_start, session_end, n_events.
+    Ordering assumption: one key's events fit one map_groups group."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = g[ts_col].astype("int64")
+        new_session = ts.diff().fillna(gap_us + 1) > gap_us
+        sid = new_session.cumsum()
+        out = g.groupby(sid).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        )
+        out[key_col] = g[key_col].iloc[0]
+        return out.reset_index(drop=True)
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

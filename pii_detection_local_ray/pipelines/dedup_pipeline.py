@@ -1,0 +1,84 @@
+"""Corpus deduplication pipeline: exact + near-dup -> deduped corpus.
+
+The training-data shape: given a corpus table with an id and a text
+column, produce (a) a cluster assignment per duplicated row and (b) the
+deduplicated corpus keeping one representative (min id) per cluster.
+
+  1. exact phase: sha256 groupby - byte-identical rows collapse first
+     (cheap, removes the bulk; content never shuffles, only (hash, id))
+  2. near phase: MinHash+LSH candidate pairs over the exact-phase
+     representatives -> connected components -> clusters
+  3. keep-first: representative = min id per cluster; all other cluster
+     members drop.  The drop set (ids only) broadcasts into a filter.
+
+Returns (deduped_ds, clusters_ds) where clusters_ds lists every row that
+belongs to a multi-row cluster: (id, component, is_representative).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.dedup import (
+    connected_components,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+)
+
+
+def dedup_corpus(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    num_perm: int = 64,
+    num_bands: int = 16,
+):
+    # phase 1: exact - winners only (min id per byte-identical content)
+    exact_groups = exact_dedup_groups(ds, id_col, text_col)
+    exact_winners = set(exact_groups.to_pandas()[id_col])  # ids only
+    win_ref = ray.put(exact_winners)
+
+    def only_winners(batch: pa.Table) -> pa.Table:
+        w = ray.get(win_ref)
+        return batch.filter(
+            pa.array([v in w for v in batch[id_col].to_pylist()])
+        )
+
+    uniq = ds.map_batches(only_winners, batch_format="pyarrow")
+
+    # phase 2: near-dup clusters over the representatives
+    pairs = minhash_lsh_pairs(
+        uniq, id_col, text_col,
+        num_perm=num_perm, num_bands=num_bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    comps = connected_components(pairs)
+    comp_map = {
+        r["id"]: r["component"] for r in comps.take_all()
+    }  # candidate nodes only - small side
+    drop = {i for i, c in comp_map.items() if i != c}
+    drop_ref = ray.put(drop)
+
+    def drop_members(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        return batch.filter(
+            pa.array([v not in d for v in batch[id_col].to_pylist()])
+        )
+
+    deduped = uniq.map_batches(drop_members, batch_format="pyarrow")
+
+    clusters = pa.table(
+        {
+            "id": pa.array(sorted(comp_map), pa.int64()),
+            "component": pa.array(
+                [comp_map[i] for i in sorted(comp_map)], pa.int64()
+            ),
+            "is_representative": pa.array(
+                [i == comp_map[i] for i in sorted(comp_map)], pa.bool_()
+            ),
+        }
+    )
+    return deduped, ray.data.from_arrow(clusters)

@@ -355,6 +355,50 @@ def events_hourly(sf_dir: str):
 
 
 @register(
+    "events_sliding_1h30m",
+    "SELECT event_type, ws AS window_start, count(*) AS n_events, "
+    "sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents FROM ("
+    "  SELECT event_type, value, make_timestamp("
+    "    (epoch_us(ts) // 1800000000) * 1800000000 - j.j * 1800000000) AS ws"
+    "  FROM events, (VALUES (0), (1)) AS j(j)"
+    ") GROUP BY 1, 2",
+)
+def events_sliding_1h30m(sf_dir: str):
+    """Sliding window (1h size, 30m step): every event replicates into
+    the two windows covering it; partials pre-aggregate per batch."""
+    from ..functions.windows import sliding_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"event_type": b["event_type"], "ts": b["ts"],
+             "value": pc.cast(cents, pa.float64())}
+        )
+
+    win = sliding_window(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "event_type", "ts", "value",
+        size_us=3_600_000_000, step_us=1_800_000_000,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_start": b["window_start"],
+                "n_events": b["n_events"],
+                "total_value_cents": pc.cast(b["sum_value"], pa.int64()),
+            }
+        )
+
+    return win.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
     "user_sessions",
     "SELECT user_id, 1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) "
     "AS n_sessions FROM ("

@@ -1,0 +1,93 @@
+"""Window functions + corpus dedup pipeline."""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _events(ray_session):
+    import ray.data
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + timedelta(minutes=m), 1.0)
+        for m in [0, 10, 20, 70, 200, 201]
+    ] + [("b", t0 + timedelta(minutes=5), 2.0)]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([r[0] for r in rows]),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+
+
+HOUR = 3_600_000_000
+
+
+def test_tumbling_window(ray_session):
+    from pii_detection_local_ray.functions.windows import tumbling_window
+
+    out = tumbling_window(_events(ray_session), "key", "ts", "value", HOUR).to_pandas()
+    a = out[out["key"] == "a"].sort_values("window_start")
+    assert list(a["n_events"]) == [3, 1, 2]  # hours 0, 1, 3
+    b = out[out["key"] == "b"]
+    assert list(b["n_events"]) == [1] and list(b["sum_value"]) == [2.0]
+
+
+def test_sliding_window_overlap(ray_session):
+    from pii_detection_local_ray.functions.windows import sliding_window
+
+    # 60-min windows every 30 min: event at minute 10 lands in windows
+    # starting at -30 and 0
+    out = sliding_window(
+        _events(ray_session), "key", "ts", "value", HOUR, HOUR // 2
+    ).to_pandas()
+    a = out[out["key"] == "a"].set_index("window_start")["n_events"]
+    t0 = pd.Timestamp(2024, 1, 1)
+    assert a[t0] == 3  # minutes 0, 10, 20
+    assert a[t0 - pd.Timedelta(minutes=30)] == 3
+    assert a[t0 + pd.Timedelta(minutes=30)] == 1  # minute 70 only
+
+
+def test_session_window(ray_session):
+    from pii_detection_local_ray.functions.windows import session_window
+
+    out = session_window(
+        _events(ray_session), "key", "ts", gap_us=30 * 60_000_000
+    ).to_pandas()
+    a = out[out["key"] == "a"].sort_values("session_start")
+    # sessions: {0,10,20}+{70} within 30min gap? gap 0->10->20 (ok), 20->70
+    # (50min > 30min gap -> new), 70->200 (new), 200->201 same
+    assert list(a["n_events"]) == [3, 1, 2]
+
+
+def test_dedup_corpus_pipeline(ray_session):
+    import ray.data
+    from pii_detection_local_ray.pipelines.dedup_pipeline import dedup_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    texts = [
+        base,                      # 0 representative
+        base,                      # 1 exact dup of 0 -> dropped in phase 1
+        base.replace("zeta", "zetaa"),  # 2 near dup of 0 -> dropped in phase 2
+        "completely different content about storage engines " * 8,  # 3 kept
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    deduped, clusters = dedup_corpus(ds, jaccard_threshold=0.5)
+    kept = sorted(deduped.to_pandas()["doc_id"])
+    assert kept == [0, 3]
+    cl = clusters.to_pandas().set_index("id")
+    assert cl.loc[0, "is_representative"] and not cl.loc[2, "is_representative"]
+    assert cl.loc[2, "component"] == 0
