@@ -104,8 +104,10 @@ def pattern_priority(name: str) -> int:
 
 
 def compiled_bank() -> list[tuple[str, re.Pattern]]:
-    """Individually compiled patterns (used by the oracle and tests)."""
-    return [(name, re.compile(pat)) for name, pat in REGEX_BANK]
+    """Individually compiled patterns (used by the oracle and tests).
+    re.ASCII keeps \\d/\\w/\\b ASCII, aligned with the engine's RE2
+    prefilter and combined scanner (see stages/scrub.py)."""
+    return [(name, re.compile(pat, re.ASCII)) for name, pat in REGEX_BANK]
 
 
 # A cheap pre-filter: rows whose content contains none of these bytes can

@@ -224,15 +224,26 @@ def generate_corpus(
     + rename) so an interrupted generation never leaves a partial corpus
     that a later run would silently reuse.
     """
+    import json
+    import shutil
+
     final_dir = Path(out_dir) / "corpus"
+    meta = {"n_files": n_files, "seed": seed, "n_shards": n_shards,
+            "pii_frac": pii_frac, "defect_frac": defect_frac}
+    meta_path = final_dir / "_meta.json"
     if final_dir.exists():
-        return final_dir
+        # reuse only when the cached corpus was built with these params
+        try:
+            if json.loads(meta_path.read_text()) == meta:
+                return final_dir
+        except (OSError, ValueError):
+            pass
+        shutil.rmtree(final_dir)
     out_dir = final_dir.with_name("_tmp-corpus")
     if out_dir.exists():
-        import shutil
-
         shutil.rmtree(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "_meta.json").write_text(json.dumps(meta))
     rng = random.Random(seed)
     exts = list(EXT_TO_LANG)
 
@@ -401,7 +412,10 @@ class Oracle:
             drop_reason = "high_perplexity"
 
         ents = self.scan(content)
-        if self.with_ner:
+        # NER runs only on rows that pass input validation (the engine's
+        # NERDetector errors on blank / oversize rows and leaves them to
+        # the regex scrub only - src/inference.py:221-227 semantics)
+        if self.with_ner and content.strip() and len(content) <= MAX_CHARS:
             ner = [
                 e for e in self.ner_entities(content)
                 if not any(e["start"] < b["end"] and b["start"] < e["end"]

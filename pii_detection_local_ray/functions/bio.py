@@ -178,6 +178,12 @@ def span_f1(
                 cur = (lab[2:], i, i + 1)
             elif lab.startswith("I-") and cur and cur[0] == lab[2:]:
                 cur = (cur[0], cur[1], i + 1)
+            elif lab.startswith("I-"):
+                # seqeval default scheme: an orphan I-X (after O or a
+                # different type) STARTS a span rather than being dropped
+                if cur:
+                    out.add(cur)
+                cur = (lab[2:], i, i + 1)
             else:
                 if cur:
                     out.add(cur)

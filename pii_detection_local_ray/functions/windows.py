@@ -84,7 +84,12 @@ def session_window(
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("int64")
+        # normalize to us before int conversion: datetime64[ns] input would
+        # otherwise make the gap threshold 1000x too small
+        ts = pd.Series(
+            g[ts_col].values.astype("datetime64[us]").astype("int64"),
+            index=g.index,
+        )
         new_session = ts.diff().fillna(gap_us + 1) > gap_us
         sid = new_session.cumsum()
         out = g.groupby(sid).agg(

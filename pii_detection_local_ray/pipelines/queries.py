@@ -296,17 +296,14 @@ def stratified_hash_sample(sf_dir: str):
     """Deterministic ~25% hash sample per source (O2/O3 split semantics
     made partition-count-invariant: per-row hash, not stateful RNG -
     reference data_preparation.py:116-172 modernised per SURVEY 4)."""
-
-    def sample(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
-        keep = [
-            hashlib.md5(str(i).encode()).hexdigest()[0] in "0123" for i in ids
-        ]
-        return b.filter(pa.array(keep))
+    from ..functions.sampling import hash_sample_batch
 
     return (
         _docs(sf_dir, ["doc_id", "source"])
-        .map_batches(sample, batch_format="pyarrow")
+        .map_batches(
+            lambda b: hash_sample_batch(b, "doc_id", frac_16=4),
+            batch_format="pyarrow",
+        )
         .groupby("source")
         .aggregate(Count(alias_name="n_sampled"))
     )
@@ -690,12 +687,15 @@ def per_source_cap10(sf_dir: str):
 
 @register(
     "tokenize_align_stats",
+    # the 2000-char prefix keeps every row far below the 512-subword
+    # truncation point, which plain SQL cannot express; truncation itself
+    # is pinned by tests/test_adapters.py::test_tokenize_align_truncation
     "SELECT doc_id, input_len, input_len - n_tokens AS n_masked FROM ("
     "  SELECT doc_id, "
     "  2 + list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 6.0) AS BIGINT)))"
     "    AS input_len, "
     "  length(toks) AS n_tokens FROM ("
-    "    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    "    SELECT doc_id, list_filter(string_split_regex(substr(text, 1, 2000), '\\s+'), x -> x <> '')"
     "      AS toks FROM documents))",
 )
 def tokenize_align_stats(sf_dir: str):
@@ -707,7 +707,7 @@ def tokenize_align_stats(sf_dir: str):
     enc = TokenizeAlignBatch()
 
     def stats(b: pa.Table) -> pa.Table:
-        toks = [t.split() for t in b["text"].to_pylist()]
+        toks = [t[:2000].split() for t in b["text"].to_pylist()]
         labs = [["O"] * len(t) for t in toks]
         tab = pa.table(
             {

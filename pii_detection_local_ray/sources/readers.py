@@ -109,8 +109,14 @@ def read_csv_units(paths, text_cols: list[str] | None = None) -> ray.data.Datase
 
     When text_cols is None all columns are used (reference
     _resolve_columns default, src/api.py:158-181).
+
+    The whole input is read as ONE block so ``row_idx`` is a globally
+    unique row key that ``repivot_cells`` can invert - upload-path CSVs
+    are bounded at 50 MB (reference src/api.py:56), so a single block is
+    the correct trade.  For unbounded tables, unpivot with a real key
+    column instead of a positional index.
     """
-    ds = ray.data.read_csv(paths)
+    ds = ray.data.read_csv(paths, override_num_blocks=1)
     cols = text_cols or ds.schema().names
 
     def _un(batch: pa.Table) -> pa.Table:

@@ -114,12 +114,10 @@ class NERDetector:
 
     @staticmethod
     def apply_redaction(text: str, entities: list[dict]) -> str:
-        if not entities:
-            return text
-        out = text
-        for e in sorted(entities, key=lambda e: e["start"], reverse=True):
-            out = out[: e["start"]] + REDACTION_TOKEN + out[e["end"] :]
-        return out
+        # single redaction implementation for every pipeline path
+        from .scrub import apply_redaction
+
+        return apply_redaction(text, entities)
 
     def detect_batch(self, texts: list) -> list[dict]:
         """PIIResult-shaped dicts, one per input, length always preserved."""

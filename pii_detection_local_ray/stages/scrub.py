@@ -30,9 +30,14 @@ import pyarrow.compute as pc
 
 from ..config import REGEX_BANK, REDACTION_TOKEN
 
-# Compiled once per worker process at import time.
+# Compiled once per worker process at import time.  re.ASCII pins \d, \w
+# and \b to ASCII semantics, matching the RE2 prefilter exactly - without
+# it a row whose PII matches only under Unicode rules (e.g. Arabic-Indic
+# digits) would pass the prefilter check differently than the scanner and
+# ship unredacted.  ASCII semantics are also what the reference's
+# rule-based comparators use (Presidio recognisers are ASCII patterns).
 COMBINED_RE: re.Pattern = re.compile(
-    "|".join(f"(?P<{name}>{pat})" for name, pat in REGEX_BANK)
+    "|".join(f"(?P<{name}>{pat})" for name, pat in REGEX_BANK), re.ASCII
 )
 # group-free variant for the RE2 prefilter (pyarrow.compute)
 _PREFILTER_PATTERN = "|".join(f"(?:{pat})" for _, pat in REGEX_BANK)

@@ -76,6 +76,17 @@ def run_resumable(
     manifests = []
     for pid, files in enumerate(parts):
         if pid in done:
+            # a manifest only resumes the partition it actually describes:
+            # if the input file list (and hence the partitioning) changed,
+            # skipping by id would silently drop/duplicate data
+            if done[pid]["input_files"] != files:
+                raise RuntimeError(
+                    f"Partition {pid} manifest was written for inputs "
+                    f"{done[pid]['input_files']} but the current partitioning "
+                    f"assigns {files}. The input file list changed since the "
+                    "interrupted run - use a fresh output directory (or "
+                    "delete the stale _manifests/) instead of resuming."
+                )
             manifests.append(done[pid])
             continue
         final_dir = out_dir / f"part={pid}"

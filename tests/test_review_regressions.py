@@ -1,0 +1,97 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import pyarrow as pa
+import pytest
+
+
+def test_unicode_digit_row_consistent_with_oracle():
+    """Prefilter (RE2/ASCII) and scanner (now re.ASCII) must agree -
+    previously a Unicode-digit SSN passed the scanner but not the
+    prefilter, shipping divergent results."""
+    from pii_detection_local_ray.corpus import Oracle
+    from pii_detection_local_ray.stages.scrub import ScrubBatch, scan_entities
+
+    text = "ssn ١٢٣-٤٥-٦٧٨٩ end"
+    oracle = Oracle(with_ner=False)
+    batch_out = ScrubBatch()(pa.table({"content": pa.array([text])}))
+    assert (
+        [(e["start"], e["end"]) for e in scan_entities(text)]
+        == [(e["start"], e["end"]) for e in oracle.scan(text)]
+        == [(e["start"], e["end"]) for e in batch_out["entities"][0].as_py()]
+    )
+    # ASCII digits still detected everywhere
+    ascii_text = "ssn 123-45-6789 end"
+    out2 = ScrubBatch()(pa.table({"content": pa.array([ascii_text])}))
+    assert out2["pii_types"][0].as_py() == ["SSN"]
+
+
+def test_resume_rejects_changed_inputs(ray_session, small_corpus, stub_model, tmp_path):
+    from pii_detection_local_ray.pipelines.filter_pipeline import (
+        build_pipeline,
+        select_output,
+    )
+    from pii_detection_local_ray.state import manifest
+
+    files = sorted(str(f) for f in (small_corpus / "corpus").glob("part-*.parquet"))
+
+    def build(fs):
+        return select_output(build_pipeline(fs, model_path=stub_model))
+
+    out = tmp_path / "o"
+    manifest.run_resumable(files[:2], out, build, files_per_partition=2)
+    # resuming with a different file list for partition 0 must refuse
+    # (partition_inputs sorts, so use a genuinely different assignment)
+    with pytest.raises(RuntimeError, match="partitioning"):
+        manifest.run_resumable(files[1:3], out, build, files_per_partition=2)
+
+
+def test_multibatch_csv_repivot(ray_session, tmp_path):
+    from pii_detection_local_ray.sources.readers import read_csv_units, repivot_cells
+
+    p = tmp_path / "big.csv"
+    rows = "\n".join(f"name{i},note{i}" for i in range(3000))
+    p.write_text("name,note\n" + rows + "\n")
+    cells = read_csv_units(str(p))
+    grid = repivot_cells(pa.Table.from_pandas(cells.to_pandas()))
+    assert grid.num_rows == 3000
+    assert grid["name"][2999].as_py() == "name2999"
+
+
+def test_oversize_doc_with_name_matches_oracle(ray_session, stub_model):
+    """Oracle must skip NER on rows the engine's validator rejects."""
+    from pii_detection_local_ray.corpus import Oracle
+    from pii_detection_local_ray.stages.ner import NERDetector
+    from pii_detection_local_ray.stages.scrub import ScrubBatch
+
+    text = "Author: Jane Smith\n" + ("filler line of text\n" * 3000)
+    assert len(text) > 50_000
+    batch = ScrubBatch()(pa.table({"content": pa.array([text])}))
+    out = NERDetector(stub_model)(batch)
+    exp = Oracle(with_ner=True).expected_row("python", text)
+    assert out["scrubbed_content"][0].as_py() == exp["scrubbed_content"]
+    assert out["has_pii"][0].as_py() == exp["has_pii"]
+    assert out["error"][0].as_py() is not None  # engine records the error
+
+
+def test_span_f1_orphan_I_starts_span():
+    from pii_detection_local_ray.functions.bio import span_f1
+
+    true = [["I-EMAIL", "I-EMAIL", "O"]]
+    pred_missing = [["O", "O", "O"]]
+    m = span_f1(true, pred_missing)
+    assert m["recall"] == 0.0  # the orphan-I gold span counts as a span
+    m2 = span_f1(true, [["I-EMAIL", "I-EMAIL", "O"]])
+    assert m2["f1"] == 1.0
+
+
+def test_generate_corpus_param_mismatch_regenerates(tmp_path):
+    from pii_detection_local_ray import corpus
+
+    d = corpus.generate_corpus(tmp_path, n_files=30, n_shards=2)
+    import pyarrow.parquet as pq
+
+    n1 = sum(pq.ParquetFile(f).metadata.num_rows for f in d.glob("*.parquet"))
+    assert n1 == 30
+    d2 = corpus.generate_corpus(tmp_path, n_files=60, n_shards=2)
+    n2 = sum(pq.ParquetFile(f).metadata.num_rows for f in d2.glob("*.parquet"))
+    assert n2 == 60  # stale 30-file corpus was not silently reused
