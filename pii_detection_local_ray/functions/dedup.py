@@ -176,6 +176,51 @@ def _bands_table(batch: pa.Table, id_col: str, num_bands: int) -> pa.Table:
     )
 
 
+def verify_pairs_exact(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+) -> ray.data.Dataset:
+    """Exact n-gram-Jaccard verification of candidate pairs.
+
+    Candidate pairs are a tiny fraction of the corpus, so the candidate
+    documents' texts are gathered once (broadcast filter on the id set)
+    and each pair re-scored with the exact shingle Jaccard - the
+    signature estimate decides candidacy, the exact score decides
+    membership.  Adds ``jaccard`` and drops pairs below the threshold.
+    """
+    pair_rows = pairs.take_all()  # candidate pairs only - small
+    ids = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
+    ids_ref = ray.put(ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        mask = pa.array([v in want for v in batch[id_col].to_pylist()])
+        return batch.filter(mask).select([id_col, text_col])
+
+    texts = {
+        r[id_col]: r[text_col]
+        for r in ds.map_batches(grab, batch_format="pyarrow").take_all()
+    }
+    out_a, out_b, out_j = [], [], []
+    for r in pair_rows:
+        j = ngram_jaccard(texts[r["id_a"]], texts[r["id_b"]], shingle_k)
+        if j >= jaccard_threshold:
+            out_a.append(r["id_a"])
+            out_b.append(r["id_b"])
+            out_j.append(j)
+    return ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array(out_a, pa.int64()),
+             "id_b": pa.array(out_b, pa.int64()),
+             "jaccard": pa.array(out_j, pa.float64())}
+        )
+    )
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -188,6 +233,7 @@ def minhash_lsh_pairs(
 
     shingle -> minhash -> band -> bucket groupby -> pairwise verify.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
+    For exact membership decisions chase with ``verify_pairs_exact``.
     """
     sigs = ds.map_batches(
         _minhash_task,

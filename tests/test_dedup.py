@@ -127,3 +127,19 @@ def test_dedup_pipeline_minhash_to_clusters(ray_session):
     ids_in_cluster = set(comp[comp["component"] == 0]["id"])
     assert ids_in_cluster == {0, 1, 2}
     assert 3 not in set(comp["id"])
+
+
+def test_verify_pairs_exact(ray_session):
+    from pii_detection_local_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_exact,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)
+    far = "unrelated corpus of entirely different words " * 8
+    ds = _docs_ds([base, near, far])
+    cands = minhash_lsh_pairs(ds, jaccard_threshold=0.3)
+    verified = verify_pairs_exact(ds, cands, jaccard_threshold=0.5).to_pandas()
+    assert set(zip(verified["id_a"], verified["id_b"])) == {(0, 1)}
+    assert (verified["jaccard"] > 0.5).all()
