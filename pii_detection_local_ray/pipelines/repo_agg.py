@@ -109,3 +109,45 @@ def repo_stats(filtered: ray.data.Dataset, salt_k: int = 16) -> ray.data.Dataset
         return batch
 
     return final.map_batches(finalize, batch_format="pyarrow")
+
+
+def apply_repo_verdict(
+    filtered: ray.data.Dataset,
+    stats: ray.data.Dataset,
+    min_keep_rate: float = 0.2,
+    min_files: int = 5,
+) -> ray.data.Dataset:
+    """Repo-level verdict joined back to files (SURVEY 2.4 engine
+    addition): a repo whose per-file keep rate is pathologically low is
+    dropped wholesale (vendored/generated trees).  The verdict table is
+    tiny (one row per repo), so it broadcasts via ray.put into a
+    map_batches filter - never a shuffle join of the file table.
+
+    Adds ``repo_dropped: bool`` and rewrites keep/drop_reason for files
+    in dropped repos.
+    """
+    import ray as _ray
+
+    df = stats.select_columns(["repo", "files", "keep_rate"]).to_pandas()
+    bad = set(
+        df[(df["files"] >= min_files) & (df["keep_rate"] < min_keep_rate)]["repo"]
+    )
+    ref = _ray.put(bad)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        drop = _ray.get(ref)
+        mask = np.array([r in drop for r in batch["repo"].to_pylist()])
+        keep = batch["keep"].to_numpy(zero_copy_only=False) & ~mask
+        reasons = np.array(batch["drop_reason"].to_pylist(), dtype=object)
+        reasons[mask & (reasons == None)] = "repo_dropped"  # noqa: E711
+        batch = batch.set_column(
+            batch.schema.get_field_index("keep"), "keep", pa.array(keep)
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("drop_reason"),
+            "drop_reason",
+            pa.array(reasons, pa.string()),
+        )
+        return batch.append_column("repo_dropped", pa.array(mask))
+
+    return filtered.map_batches(verdict, batch_format="pyarrow")

@@ -85,7 +85,6 @@ def unpivot_cells(batch: pa.Table, text_cols: list[str]) -> pa.Table:
 def repivot_cells(cells: pa.Table, value_col: str = "value") -> pa.Table:
     """Inverse of unpivot_cells: (row_idx, column, value) -> grid
     (reference M14 repivot via .at[row, col], src/api.py:514-529)."""
-    import pandas as pd
 
     df = cells.to_pandas()
     grid = df.pivot(index="row_idx", columns="column", values=value_col)

@@ -38,7 +38,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import CONFIDENCE_THRESHOLD, MAX_CHARS, REDACTION_TOKEN
+from ..config import CONFIDENCE_THRESHOLD, MAX_CHARS
 from ..sources.model_artifact import load_label_mapping
 from .scrub import ENTITY_TYPE, sha256_hex
 from .stub_ner_model import StubTokenModel

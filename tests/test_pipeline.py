@@ -89,3 +89,36 @@ def test_pii_statistics_semantics(ray_session, small_corpus, stub_model):
     assert counts == sorted(counts, reverse=True)
     # type-presence counts, not mention counts: each <= texts_with_pii
     assert all(c <= stats["texts_with_pii"] for c in counts)
+
+
+def test_apply_repo_verdict(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pii_detection_local_ray.pipelines.repo_agg import apply_repo_verdict
+
+    # repo "bad" keeps 0/6 files; repo "good" keeps all
+    files = pa.table(
+        {
+            "repo": pa.array(["bad"] * 6 + ["good"] * 4),
+            "keep": pa.array([False] * 6 + [True] * 4),
+            "drop_reason": pa.array(["low_alnum"] * 6 + [None] * 4, pa.string()),
+        }
+    )
+    stats = pa.table(
+        {
+            "repo": pa.array(["bad", "good"]),
+            "files": pa.array([6, 4], pa.int64()),
+            "keep_rate": pa.array([0.0, 1.0]),
+        }
+    )
+    out = apply_repo_verdict(
+        ray.data.from_arrow(files), ray.data.from_arrow(stats)
+    ).to_pandas()
+    assert out[out["repo"] == "bad"]["repo_dropped"].all()
+    assert not out[out["repo"] == "good"]["repo_dropped"].any()
+    # keep flags in the good repo untouched, bad repo all dropped
+    assert out[out["repo"] == "good"]["keep"].all()
+    assert not out[out["repo"] == "bad"]["keep"].any()
+    # existing per-file reasons preserved; only None rows get repo_dropped
+    assert set(out[out["repo"] == "bad"]["drop_reason"]) == {"low_alnum"}
