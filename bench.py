@@ -41,9 +41,10 @@ def _bench_corpus(sf_dir: str) -> tuple[str, int]:
     n_files = int(
         os.environ.get("GRAFT_BENCH_FILES", max(2000, lineitem_rows // 15))
     )
-    root = Path(f"/tmp/pii_bench_corpus_{n_files}")
-    if not (root / "corpus").exists():
-        corpus.generate_corpus(root, n_files=n_files, n_shards=64)
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "1"))
+    suffix = f"_{n_files}" + (f"_r{repeat}" if repeat > 1 else "")
+    root = Path(f"/tmp/pii_bench_corpus{suffix}")
+    corpus.generate_corpus(root, n_files=n_files, n_shards=64, body_repeat=repeat)
     return str(root / "corpus"), n_files
 
 
@@ -126,6 +127,12 @@ def run_bench() -> dict:
         q_times[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
+    try:
+        total_bytes = json.loads(
+            (Path(corpus_path) / "_meta.json").read_text()
+        ).get("total_content_bytes", 0)
+    except (OSError, ValueError):
+        total_bytes = 0
     return {
         "metric": "flagship langid+quality+PII-scrub wall time (files/sec in files_per_sec)",
         "value": round(headline, 3),
@@ -135,6 +142,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_files": n_files,
         "files_per_sec": round(n_files / headline, 1),
+        "mb_per_sec": round(total_bytes / 1e6 / headline, 2),
         "n_repo_groups": int(n_repo),
     }
 

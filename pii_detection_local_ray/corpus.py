@@ -213,6 +213,7 @@ def generate_corpus(
     n_shards: int = 8,
     pii_frac: float = 0.30,
     defect_frac: float = 0.20,
+    body_repeat: int = 1,
 ) -> Path:
     """Writes ``{out_dir}/corpus/part-####.parquet`` shards; returns the
     corpus dir (``{out_dir}/corpus`` - kept separate from the
@@ -229,12 +230,15 @@ def generate_corpus(
 
     final_dir = Path(out_dir) / "corpus"
     meta = {"n_files": n_files, "seed": seed, "n_shards": n_shards,
-            "pii_frac": pii_frac, "defect_frac": defect_frac}
+            "pii_frac": pii_frac, "defect_frac": defect_frac,
+            "body_repeat": body_repeat}
     meta_path = final_dir / "_meta.json"
     if final_dir.exists():
         # reuse only when the cached corpus was built with these params
+        # (stored meta also carries derived fields like total_content_bytes)
         try:
-            if json.loads(meta_path.read_text()) == meta:
+            stored = json.loads(meta_path.read_text())
+            if {k: stored.get(k) for k in meta} == meta:
                 return final_dir
         except (OSError, ValueError):
             pass
@@ -243,7 +247,6 @@ def generate_corpus(
     if out_dir.exists():
         shutil.rmtree(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / "_meta.json").write_text(json.dumps(meta))
     rng = random.Random(seed)
     exts = list(EXT_TO_LANG)
 
@@ -259,6 +262,16 @@ def generate_corpus(
         base = _TEMPLATES[lang].format(
             name=name, Name=name.capitalize(), k=rng.randrange(2, 9)
         )
+        if body_repeat > 1:
+            # heavier-file profile: distinct bodies (numbered suffix keeps
+            # dup_line_ratio realistic) concatenated to scale bytes/file
+            base = "\n".join(
+                _TEMPLATES[lang].format(
+                    name=f"{name}{r}", Name=f"{name.capitalize()}{r}",
+                    k=rng.randrange(2, 9),
+                )
+                for r in range(body_repeat)
+            )
 
         r = rng.random()
         if r < defect_frac:
@@ -284,6 +297,10 @@ def generate_corpus(
     table = pa.table(
         {k: pa.array(v, pa.string()) for k, v in rows.items()}
     )
+    meta["total_content_bytes"] = sum(
+        len(c.encode()) for c in rows["content"]
+    )
+    (out_dir / "_meta.json").write_text(json.dumps(meta))
     shard_size = (n_files + n_shards - 1) // n_shards
     for s in range(n_shards):
         shard = table.slice(s * shard_size, shard_size)
