@@ -119,11 +119,20 @@ class NERDetector:
 
         return apply_redaction(text, entities)
 
-    def detect_batch(self, texts: list) -> list[dict]:
-        """PIIResult-shaped dicts, one per input, length always preserved."""
+    def detect_batch(self, texts: list, candidates: list | None = None) -> list[dict]:
+        """PIIResult-shaped dicts, one per input, length always preserved.
+
+        ``candidates[i] is False`` certifies text i decodes to all-O (see
+        stub_ner_model.TRIGGER_PATTERN) and skips its forward pass - the
+        result is identical by construction.
+        """
         results = []
         errors = [self.validate_text(t) for t in texts]
-        valid = [(i, t) for i, (t, err) in enumerate(zip(texts, errors)) if err is None]
+        valid = [
+            (i, t)
+            for i, (t, err) in enumerate(zip(texts, errors))
+            if err is None and (candidates is None or candidates[i])
+        ]
         preds = self.model.predict([t for _, t in valid])
         by_idx = {i: p for (i, _), p in zip(valid, preds)}
         for i, text in enumerate(texts):
@@ -138,8 +147,11 @@ class NERDetector:
                     }
                 )
                 continue
-            pred_ids, confs, offsets = by_idx[i]
-            ents = self.extract_entities(text, pred_ids, confs, offsets)
+            if i in by_idx:
+                pred_ids, confs, offsets = by_idx[i]
+                ents = self.extract_entities(text, pred_ids, confs, offsets)
+            else:
+                ents = []  # certified all-O
             results.append(
                 {
                     "has_pii": bool(ents),
@@ -154,8 +166,19 @@ class NERDetector:
     # -- Ray Data stage entry ------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.content_col].to_pylist()
-        results = self.detect_batch(texts)
+        import pyarrow.compute as pc
+
+        from .stub_ner_model import TRIGGER_PATTERN
+
+        col = batch[self.content_col]
+        texts = col.to_pylist()
+        # vectorized RE2 candidate check: non-matching rows provably
+        # decode to all-O and skip the per-token Python loop
+        candidates = pc.fill_null(
+            pc.match_substring_regex(pc.fill_null(col, ""), TRIGGER_PATTERN),
+            False,
+        ).to_pylist()
+        results = self.detect_batch(texts, candidates)
 
         if "entities" in batch.schema.names:
             return self._merge_with_scrub(batch, texts, results)

@@ -40,6 +40,17 @@ _LAST = set(LAST_NAMES)
 _LOCS = set(LOC_NAMES)
 _LOW = set(LOW_CONF_NAMES)
 
+# RE2-compatible candidate trigger: a text with NO match provably decodes
+# to all-O under the rules below (every non-O label requires a FIRST name,
+# LOC name, low-conf name, ORG suffix, or date literal), so the caller
+# may skip the per-token classification loop entirely for such rows.
+TRIGGER_PATTERN = (
+    r"\b(?:"
+    + "|".join(sorted(_FIRST | _LOCS | _LOW | {"Inc", "Corp", "LLC", "Ltd"}))
+    + r")\b"
+    + r"|\d{2}/\d{2}/\d{4}|\d{4}-\d{2}-\d{2}"
+)
+
 
 class StubTokenModel:
     """predict(texts) -> list of (pred_ids, confidences, offset_mapping)."""
