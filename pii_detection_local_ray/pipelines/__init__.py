@@ -1,1 +1,8 @@
-from . import filter_pipeline, repo_agg  # noqa: F401
+from . import (  # noqa: F401
+    api,
+    dedup_pipeline,
+    evaluate,
+    filter_pipeline,
+    queries,
+    repo_agg,
+)
