@@ -1,0 +1,94 @@
+"""Guards for the external driver's exact integration points:
+__ray_entry__.entry()/queries()/oracle_sql() and bench.py."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def ray_entry(ray_session):
+    sys.path.insert(0, str(REPO))
+    import __ray_entry__ as E
+
+    return E
+
+
+def test_entry_smoke(ray_entry):
+    ds = ray_entry.entry()
+    assert ds.count() > 0
+    cols = set(ds.schema().names)
+    assert {"repo", "path", "keep", "drop_reason", "scrubbed_content",
+            "content_sha256", "scrubbed_sha256"} <= cols
+
+
+def test_queries_have_matching_oracles(ray_entry):
+    qs, sqls = ray_entry.queries(), ray_entry.oracle_sql()
+    assert len(qs) >= 30
+    assert set(sqls) <= set(qs)  # every oracle key is a real query
+    assert len(sqls) >= 20  # strong majority SQL-checked
+
+
+def test_sampled_queries_run_and_match_duckdb(ray_entry):
+    """Exact driver comparison for a representative sample (the full
+    sweep lives in tools/check_queries.py; this is the in-CI guard)."""
+    import duckdb
+    import pandas as pd
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["documents", "events", "lineitem", "orders", "customer",
+              "nation", "embeddings"]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs, sqls = ray_entry.queries(), ray_entry.oracle_sql()
+    for name in ["doc_count_by_lang", "redact_planted_email",
+                 "exact_dedup_docs", "events_hourly", "split_counts"]:
+        res = qs[name](sf_dir)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        want = con.sql(sqls[name]).df()
+        got = got[sorted(got.columns)].sort_values(
+            list(sorted(got.columns))).reset_index(drop=True)
+        want = want[sorted(want.columns)].sort_values(
+            list(sorted(want.columns))).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), name
+        for c in got.columns:
+            a, b = got[c], want[c]
+            try:  # duckdb sums come back as hugeint/float dtypes
+                import numpy as np
+
+                ok = np.array_equal(
+                    a.astype("float64").values, b.astype("float64").values
+                )
+            except (ValueError, TypeError):
+                ok = (a.astype(str).values == b.astype(str).values).all()
+            assert ok, f"{name}:{c}"
+
+
+def test_bench_script_smoke():
+    """bench.py is the driver's per-round measurement - it must print one
+    valid JSON line in a fresh process."""
+    env = dict(
+        os.environ,
+        GRAFT_SF_DIR="/root/testdata/sf0.001",
+        RAY_GRAFT_CPUS="4",
+        GRAFT_SKIP_QUERIES="1",
+        GRAFT_BENCH_FILES="300",
+        GRAFT_BENCH_REPEATS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, timeout=300, cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert d["n_files"] == 300 and d["files_per_sec"] > 0
