@@ -79,6 +79,95 @@ def knn_brute_force(
     )
 
 
+def build_ivf_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means (Lloyd) on a bounded
+    id-ordered sample, seeded centroids spread by index.  The sample and
+    the iteration run driver-side (bounded by sample_size); assignment at
+    query time is fully distributed."""
+    sample = (
+        ds.sort(id_col).limit(sample_size).to_pandas()[vec_col].tolist()
+    )
+    x = _normalize(np.array(sample, dtype=np.float32))
+    idx = np.linspace(0, len(x) - 1, num=min(n_centroids, len(x)), dtype=int)
+    cents = x[idx].copy()
+    for _ in range(n_iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF ANN: corpus vectors are scored only when their nearest
+    centroid is among a query's n_probe closest centroids.  Centroids and
+    queries broadcast once; per-block work is two numpy matmuls."""
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    q_probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    ref = ray.put((qn, centroids, q_probes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, cents, probes = ray.get(ref)
+        ids = np.array(batch[id_col].to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+        assign = (vecs @ cents.T).argmax(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(assign, probes[qi])
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = q[qi] @ vecs[mask].T
+            kk = min(k, len(sub_ids))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            for j in part:
+                out_q.append(qi)
+                out_id.append(int(sub_ids[j]))
+                out_s.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    rows = {"query_id": [], id_col: [], "score": []}
+    for qi, g in partials.groupby("query_id"):
+        top = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col))
+        )
+        for r in top:
+            rows["query_id"].append(qi)
+            rows[id_col].append(getattr(r, id_col))
+            rows["score"].append(r.score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            id_col: pa.array(rows[id_col], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
 def knn_lsh(
     ds: ray.data.Dataset,
     queries: np.ndarray,

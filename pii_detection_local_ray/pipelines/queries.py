@@ -1051,6 +1051,18 @@ def embedding_near_dups(sf_dir: str):
     )
 
 
+@register("knn_ivf_top5")
+def knn_ivf_top5(sf_dir: str):
+    """IVF ANN scale path: coarse k-means quantizer + probed cells."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = np.array(emb["embedding"].to_pylist()[:3], dtype=np.float32)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cents = fsim.build_ivf_centroids(ds, n_centroids=8)
+    return fsim.knn_ivf(ds, queries, cents, k=5, n_probe=3)
+
+
 @register("knn_lsh_top5")
 def knn_lsh_top5(sf_dir: str):
     import pyarrow.parquet as pq

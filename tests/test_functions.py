@@ -194,3 +194,33 @@ def test_hash_join(ray_session):
     out = hash_join(left, right, on="k", num_partitions=2).to_pandas().sort_values("k")
     assert list(out["k"]) == [2, 3]
     assert list(out["l"]) == ["y", "z"] and list(out["r"]) == ["p", "q"]
+
+
+def test_knn_ivf(ray_session):
+    from pii_detection_local_ray.functions.simsearch import (
+        build_ivf_centroids,
+        knn_brute_force,
+        knn_ivf,
+    )
+
+    rng = np.random.RandomState(11)
+    # clustered corpus so IVF cells are meaningful
+    centers = rng.randn(4, 16).astype(np.float32) * 3
+    corpus = np.vstack([c + rng.randn(40, 16).astype(np.float32) * 0.3 for c in centers])
+    ds = _emb_ds(corpus)
+    cents = build_ivf_centroids(ds, n_centroids=4, sample_size=160)
+    q = corpus[5:7] * 1.001
+    approx = knn_ivf(ds, q, cents, k=5, n_probe=2).to_pandas()
+    exact = knn_brute_force(ds, q, k=5).to_pandas()
+    # the true nearest neighbour is always recalled
+    for qi in (0, 1):
+        a = approx[approx["query_id"] == qi].iloc[0]["vec_id"]
+        e = exact[exact["query_id"] == qi].iloc[0]["vec_id"]
+        assert a == e
+    # recall@5 vs exact is high on clustered data
+    inter = 0
+    for qi in (0, 1):
+        sa = set(approx[approx["query_id"] == qi]["vec_id"])
+        se = set(exact[exact["query_id"] == qi]["vec_id"])
+        inter += len(sa & se)
+    assert inter >= 8  # >= 80% recall
