@@ -133,7 +133,6 @@ _TEMPLATES = {
 }
 
 _NAMES = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "zeta"]
-_LANG_TO_EXT = {v: k for k, v in EXT_TO_LANG.items()}
 
 _PROSE = (
     "This file was supposed to contain source code but it holds prose instead. "

@@ -24,6 +24,27 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _merge_topk(partials, k: int, id_col: str) -> pa.Table:
+    """Driver-side merge of per-block top-k partials (tiny: k rows per
+    query per block), deterministic tie-break on id."""
+    rows = {"query_id": [], id_col: [], "score": []}
+    for qi, g in partials.groupby("query_id"):
+        top = heapq.nsmallest(
+            k, g.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col))
+        )
+        for r in top:
+            rows["query_id"].append(qi)
+            rows[id_col].append(getattr(r, id_col))
+            rows["score"].append(r.score)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            id_col: pa.array(rows[id_col], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
 def knn_brute_force(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -59,24 +80,7 @@ def knn_brute_force(
         )
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    # merge: tiny table (k rows per query per block)
-    merged = partials.to_pandas()
-    rows = {"query_id": [], id_col: [], "score": []}
-    for qi, g in merged.groupby("query_id"):
-        top = heapq.nsmallest(
-            k, g.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col))
-        )
-        for r in top:
-            rows["query_id"].append(qi)
-            rows[id_col].append(getattr(r, id_col))
-            rows["score"].append(r.score)
-    return pa.table(
-        {
-            "query_id": pa.array(rows["query_id"], pa.int64()),
-            id_col: pa.array(rows[id_col], pa.int64()),
-            "score": pa.array(rows["score"], pa.float64()),
-        }
-    )
+    return _merge_topk(partials.to_pandas(), k, id_col)
 
 
 def build_ivf_centroids(
@@ -150,22 +154,7 @@ def knn_ivf(
         )
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    rows = {"query_id": [], id_col: [], "score": []}
-    for qi, g in partials.groupby("query_id"):
-        top = heapq.nsmallest(
-            k, g.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col))
-        )
-        for r in top:
-            rows["query_id"].append(qi)
-            rows[id_col].append(getattr(r, id_col))
-            rows["score"].append(r.score)
-    return pa.table(
-        {
-            "query_id": pa.array(rows["query_id"], pa.int64()),
-            id_col: pa.array(rows[id_col], pa.int64()),
-            "score": pa.array(rows["score"], pa.float64()),
-        }
-    )
+    return _merge_topk(partials, k, id_col)
 
 
 def knn_lsh(
@@ -217,19 +206,4 @@ def knn_lsh(
         )
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    rows = {"query_id": [], id_col: [], "score": []}
-    for qi, g in partials.groupby("query_id"):
-        top = heapq.nsmallest(
-            k, g.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col))
-        )
-        for r in top:
-            rows["query_id"].append(qi)
-            rows[id_col].append(getattr(r, id_col))
-            rows["score"].append(r.score)
-    return pa.table(
-        {
-            "query_id": pa.array(rows["query_id"], pa.int64()),
-            id_col: pa.array(rows[id_col], pa.int64()),
-            "score": pa.array(rows["score"], pa.float64()),
-        }
-    )
+    return _merge_topk(partials, k, id_col)

@@ -58,13 +58,11 @@ class PIIDetector:
     # -- core single-text path ------------------------------------------
 
     def _merged_entities(self, text: str) -> list[dict]:
-        base = scan_entities(text)
-        ner = [
-            e
-            for e in self.ner.detect_batch([text])[0]["entities"]
-            if not any(e["start"] < b["end"] and b["start"] < e["end"] for b in base)
-        ]
-        return sorted(base + ner, key=lambda e: (e["start"], e["end"]))
+        from ..stages.scrub import merge_entities
+
+        return merge_entities(
+            scan_entities(text), self.ner.detect_batch([text])[0]["entities"]
+        )
 
     def detect(self, text: str) -> dict:
         """PIIResult dict; raises typed Input errors on invalid input."""
@@ -244,17 +242,13 @@ class FastPIIDetector(PIIDetector):
                     "entities": [],
                     "error": str(exc),
                 }
+        from ..stages.scrub import merge_entities
+
         for start in range(0, len(valid), self.batch_size):
             chunk = valid[start : start + self.batch_size]
             ner_results = self.ner.detect_batch([t for _, t in chunk])
             for (idx, text), nr in zip(chunk, ner_results):
-                base = scan_entities(text)
-                ner_ents = [
-                    e for e in nr["entities"]
-                    if not any(e["start"] < b["end"] and b["start"] < e["end"]
-                               for b in base)
-                ]
-                ents = sorted(base + ner_ents, key=lambda e: (e["start"], e["end"]))
+                ents = merge_entities(scan_entities(text), nr["entities"])
                 results[idx] = {
                     "has_pii": bool(ents),
                     "redacted_text": self.ner.apply_redaction(text, ents),

@@ -206,20 +206,18 @@ class NERDetector:
         scrub_sha = batch["scrubbed_sha256"].to_pylist()
         pre_sha = batch["content_sha256"].to_pylist()
 
+        from .scrub import merge_entities
+
         merged_ents, merged_types, merged_has, errors = [], [], [], []
         for i, (text, r) in enumerate(zip(texts, results)):
             base = regex_ents[i] or []
-            ner = [
-                e
-                for e in r["entities"]
-                if not any(e["start"] < b["end"] and b["start"] < e["end"] for b in base)
-            ]
-            ents = sorted(base + ner, key=lambda e: (e["start"], e["end"]))
+            ents = merge_entities(base, r["entities"])
+            ner_added = len(ents) > len(base)
             merged_ents.append(ents)
             merged_types.append(sorted({e["type"] for e in ents}))
             merged_has.append(bool(ents))
             errors.append(r["error"])
-            if ner and r["error"] is None:
+            if ner_added and r["error"] is None:
                 red = self.apply_redaction(text, ents)
                 scrubbed[i] = red
                 scrub_sha[i] = sha256_hex(red) if ents else pre_sha[i]

@@ -74,6 +74,18 @@ def scan_entities(text: str) -> list[dict]:
     return out
 
 
+def merge_entities(base: list[dict], extra: list[dict]) -> list[dict]:
+    """Union of two entity lists with ``base`` priority: ``extra``
+    entities overlapping any base span are dropped; result sorted by
+    (start, end).  The single merge rule for every regex+NER path."""
+    kept = [
+        e
+        for e in extra
+        if not any(e["start"] < b["end"] and b["start"] < e["end"] for b in base)
+    ]
+    return sorted(base + kept, key=lambda e: (e["start"], e["end"]))
+
+
 def apply_redaction(text: str, entities: list[dict]) -> str:
     """Reverse-start-order splice (reference: src/inference.py:325-332)."""
     if not entities:
