@@ -101,6 +101,39 @@ def normalise_label(label: str) -> str | None:
     return base.upper()
 
 
+_TAG_RE = re.compile(r"<(\w+)>(.*?)</\1>", re.DOTALL)
+
+
+def extract_tagged_spans(text_tagged: str) -> tuple[str, list[dict]]:
+    """XML-ish inline tags -> (clean_text, char spans).
+
+    Reference M7 semantics (src/consolidate_pii_datasets.py:432-498, tag
+    regex :446): consume ``<TYPE>value</TYPE>`` markers left to right
+    while tracking offsets into the *clean* text (markers removed), so
+    the returned spans index into the returned text.  Types run through
+    normalise_label; unknown-normalised (None) spans are dropped but
+    their text is kept."""
+    clean_parts: list[str] = []
+    spans: list[dict] = []
+    pos = 0
+    clean_len = 0
+    for m in _TAG_RE.finditer(text_tagged):
+        before = text_tagged[pos : m.start()]
+        clean_parts.append(before)
+        clean_len += len(before)
+        value = m.group(2)
+        canon = normalise_label(m.group(1))
+        if canon is not None:
+            spans.append(
+                {"start": clean_len, "end": clean_len + len(value), "type": canon}
+            )
+        clean_parts.append(value)
+        clean_len += len(value)
+        pos = m.end()
+    clean_parts.append(text_tagged[pos:])
+    return "".join(clean_parts), spans
+
+
 def span_to_bio(text: str, spans: list[dict]) -> tuple[list[str], list[str]]:
     """Whitespace tokens + BIO labels from char-offset spans.
 

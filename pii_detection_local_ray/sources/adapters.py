@@ -151,11 +151,47 @@ def read_span_jsonl(
     return ds.map_batches(conv, batch_format="pyarrow")
 
 
+def read_tagged_jsonl(
+    path, source: str, text_col: str = "text", tagged_col: str = "text_tagged",
+) -> ray.data.Dataset:
+    """Span path first; when a row's spans are empty, fall back to
+    re-extracting spans from the inline-tagged text (reference M7,
+    src/consolidate_pii_datasets.py:432-498)."""
+    from ..functions.bio import extract_tagged_spans
+
+    ds = ray.data.read_json(path)
+
+    def conv(batch: pa.Table) -> pa.Table:
+        toks_rows, labs_rows = [], []
+        names = batch.schema.names
+        spans_col = batch["spans"].to_pylist() if "spans" in names else [None] * batch.num_rows
+        for text, tagged, raw in zip(
+            batch[text_col].to_pylist(),
+            batch[tagged_col].to_pylist() if tagged_col in names else [None] * batch.num_rows,
+            spans_col,
+        ):
+            spans = []
+            for s in parse_span_field(raw):
+                canon = normalise_label(s["type"])
+                if canon is not None:
+                    spans.append({**s, "type": canon})
+            use_text = text or ""
+            if not spans and tagged:
+                use_text, spans = extract_tagged_spans(tagged)
+            toks, labs = span_to_bio(use_text, spans)
+            toks_rows.append(toks)
+            labs_rows.append(labs)
+        return _emit(toks_rows, labs_rows, source)
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
 ADAPTERS = {
     "bio_jsonl": read_bio_jsonl,
     "int_tags": read_int_tags_jsonl,
     "parity_tags": read_parity_tags_jsonl,
     "span_jsonl": read_span_jsonl,
+    "tagged_jsonl": read_tagged_jsonl,
 }
 
 

@@ -211,3 +211,40 @@ def test_rare_type_drop(ray_session):
     labels = out.to_pandas()["labels"]
     assert list(labels[1]) == ["B-EMAIL", "O"]  # RARE rewritten to O
     assert list(labels[2]) == ["O", "O"]
+
+
+def test_extract_tagged_spans():
+    from pii_detection_local_ray.functions.bio import extract_tagged_spans
+
+    clean, spans = extract_tagged_spans(
+        "mail <email>a@b.co</email> or meet <person>Jane Doe</person> now"
+    )
+    assert clean == "mail a@b.co or meet Jane Doe now"
+    assert spans == [
+        {"start": 5, "end": 11, "type": "EMAIL"},
+        {"start": 20, "end": 28, "type": "PERSON"},
+    ]
+    # offsets index the CLEAN text exactly
+    assert clean[spans[0]["start"]:spans[0]["end"]] == "a@b.co"
+    # unknown-normalised tags drop the span, keep the text
+    clean2, spans2 = extract_tagged_spans("a <cardinal>42</cardinal> b")
+    assert clean2 == "a 42 b" and spans2 == []
+
+
+def test_tagged_jsonl_adapter_fallback(ray_session, tmp_path):
+    import json as _json
+
+    from pii_detection_local_ray.sources.adapters import read_tagged_jsonl
+
+    p = tmp_path / "t.jsonl"
+    rows = [
+        # spans present -> used directly
+        {"text": "mail a@b.co now", "text_tagged": "ignored",
+         "spans": [{"start": 5, "end": 11, "label": "email"}]},
+        # spans empty -> tagged-text fallback
+        {"text": "mail a@b.co now", "text_tagged": "mail <email>a@b.co</email> now",
+         "spans": []},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    out = read_tagged_jsonl(str(p), "nemotron").to_pandas()
+    assert all(list(l) == ["O", "B-EMAIL", "O"] for l in out["labels"])
