@@ -81,6 +81,48 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    ray = _ray_session()
+    from .pipelines.dedup_pipeline import dedup_corpus
+
+    import ray.data as rd
+
+    files = sorted(str(f) for f in Path(args.input).glob("*.parquet"))
+    ds = rd.read_parquet(files)
+    id_col = args.id_col
+    if id_col is None:
+        # synthesize a stable global id from (repo, path) - batch-local
+        # counters would collide across blocks
+        import hashlib as _hl
+
+        import pyarrow as _pa
+
+        def add_id(b):
+            ids = [
+                int.from_bytes(
+                    _hl.blake2b(f"{r}|{p}".encode(), digest_size=8).digest(),
+                    "big",
+                ) >> 1
+                for r, p in zip(b["repo"].to_pylist(), b["path"].to_pylist())
+            ]
+            return b.append_column("doc_id", _pa.array(ids, _pa.int64()))
+
+        ds = ds.map_batches(add_id, batch_format="pyarrow")
+        id_col = "doc_id"
+    deduped, clusters = dedup_corpus(
+        ds, id_col=id_col, text_col=args.text_col,
+        jaccard_threshold=args.jaccard,
+    )
+    deduped.write_parquet(str(Path(args.output) / "deduped"))
+    clusters.write_parquet(str(Path(args.output) / "clusters"))
+    print(json.dumps({
+        "rows_out": deduped.count(),
+        "clustered_rows": clusters.count(),
+    }))
+    ray.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     ray = _ray_session()
     from .functions.stats import pii_statistics
@@ -115,6 +157,14 @@ def main(argv=None) -> int:
     ps = sub.add_parser("stats", help="G1 statistics over a run's output")
     ps.add_argument("--output", required=True)
     ps.set_defaults(fn=cmd_stats)
+
+    pd_ = sub.add_parser("dedup", help="exact + near-dup corpus deduplication")
+    pd_.add_argument("--input", required=True, help="directory of parquet shards")
+    pd_.add_argument("--output", required=True)
+    pd_.add_argument("--id-col", default=None, help="unique int id column (synthesized if omitted)")
+    pd_.add_argument("--text-col", default="content")
+    pd_.add_argument("--jaccard", type=float, default=0.8)
+    pd_.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

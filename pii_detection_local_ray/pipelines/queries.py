@@ -759,6 +759,24 @@ def unpivot_cell_stats(sf_dir: str):
 
 
 @register(
+    "heavy_hitter_sources",
+    "SELECT source, n_docs, total_chars FROM ("
+    "  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "  FROM documents GROUP BY source"
+    ") ORDER BY n_docs DESC, source LIMIT 5",
+)
+def heavy_hitter_sources(sf_dir: str):
+    """Heavy-hitter detection: top-k groups by size (the skew-monitoring
+    aggregate a salted groupby needs to pick its hot keys)."""
+    agg = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+    return agg.sort(["n_docs", "source"], descending=[True, False]).limit(5)
+
+
+@register(
     "doc_length_percentiles",
     "SELECT 0.25 AS p, quantile_cont(n_chars, 0.25) AS v FROM documents "
     "UNION ALL SELECT 0.5, quantile_cont(n_chars, 0.5) FROM documents "
