@@ -409,8 +409,43 @@ def connected_components(
     fraction of the corpus) is broadcast via ray.put; the edge set stays
     distributed.  If even the candidate-node map outgrows a worker heap,
     swap the broadcast for a hash_join of labels onto edges.
+
+    Hybrid fast path: when the pair set is provably small (counted
+    first - the count is cheap on the already-computed pairs), a
+    driver-side union-find replaces the iterative groupby rounds; the
+    distributed path only engages beyond ``driver_threshold`` edges.
     """
     edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+
+    driver_threshold = 100_000
+    if edges.count() <= driver_threshold:
+        rows = edges.take_all()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r["id_a"]), find(r["id_b"])
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        comp = {x: find(x) for x in parent}
+        # min-id representative per component (find() unions toward min)
+        ids = sorted(comp)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "component": pa.array([comp[i] for i in ids], pa.int64()),
+                }
+            )
+        )
 
     def seed(batch: pa.Table) -> pa.Table:
         import numpy as np
