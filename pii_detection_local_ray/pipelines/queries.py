@@ -65,7 +65,7 @@ def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
 
 @register(
     "doc_count_by_lang",
-    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
     "FROM documents GROUP BY lang",
 )
 def doc_count_by_lang(sf_dir: str):
@@ -78,7 +78,7 @@ def doc_count_by_lang(sf_dir: str):
 
 @register(
     "doc_stats_by_source",
-    "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars, "
+    "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
     "max(n_chars) AS max_chars, min(n_chars) AS min_chars, "
     "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
     "FROM documents GROUP BY source",
@@ -208,8 +208,8 @@ def redact_planted_email(sf_dir: str):
 @register(
     "pii_stats_planted",
     "SELECT count(*) AS total_texts, "
-    "sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS texts_with_pii, "
-    "sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS texts_without_pii, "
+    "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS texts_with_pii, "
+    "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS texts_without_pii, "
     "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) "
     " / count(*) AS pii_rate "
     "FROM documents",
@@ -317,7 +317,7 @@ def stratified_hash_sample(sf_dir: str):
     "events_hourly",
     "SELECT event_type, date_trunc('hour', ts) AS hour, "
     "count(*) AS n_events, "
-    "sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents "
     "FROM events GROUP BY event_type, date_trunc('hour', ts)",
 )
 def events_hourly(sf_dir: str):
@@ -329,19 +329,21 @@ def events_hourly(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        hours = pc.floor_temporal(b["ts"], unit="hour")
+        # timestamp[us] to match DuckDB's date_trunc export (driver hash is
+        # type-sensitive; floor_temporal preserves the source unit otherwise)
+        hours = pc.cast(pc.floor_temporal(b["ts"], unit="hour"), pa.timestamp("us"))
         cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
         t = pa.table(
             {"event_type": b["event_type"], "hour": hours, "cents": cents}
         )
-        df = t.to_pandas()
-        g = (
-            df.groupby(["event_type", "hour"], as_index=False)
-            .agg(n_events=("cents", "size"), total_value_cents=("cents", "sum"))
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["event_type", "hour", "n_events", "total_value_cents"]
+        )
 
-    return (
+    agg = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
         .aggregate(
@@ -350,11 +352,21 @@ def events_hourly(sf_dir: str):
         )
     )
 
+    def fix_unit(b: pa.Table) -> pa.Table:
+        # Ray's groupby shuffle downgrades timestamp[us] keys to timestamp[s];
+        # restore us so the type-sensitive driver hash matches DuckDB.
+        return b.set_column(
+            b.schema.get_field_index("hour"), "hour",
+            pc.cast(b["hour"], pa.timestamp("us")),
+        )
+
+    return agg.map_batches(fix_unit, batch_format="pyarrow")
+
 
 @register(
     "events_sliding_1h30m",
     "SELECT event_type, ws AS window_start, count(*) AS n_events, "
-    "sum(CAST(round(value * 100) AS BIGINT)) AS total_value_cents FROM ("
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents FROM ("
     "  SELECT event_type, value, make_timestamp("
     "    (epoch_us(ts) // 1800000000) * 1800000000 - j.j * 1800000000) AS ws"
     "  FROM events, (VALUES (0), (1)) AS j(j)"
@@ -386,7 +398,7 @@ def events_sliding_1h30m(sf_dir: str):
         return pa.table(
             {
                 "event_type": b["event_type"],
-                "window_start": b["window_start"],
+                "window_start": pc.cast(b["window_start"], pa.timestamp("us")),
                 "n_events": b["n_events"],
                 "total_value_cents": pc.cast(b["sum_value"], pa.int64()),
             }
@@ -397,8 +409,8 @@ def events_sliding_1h30m(sf_dir: str):
 
 @register(
     "user_sessions",
-    "SELECT user_id, 1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) "
-    "AS n_sessions FROM ("
+    "SELECT user_id, CAST(1 + sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_sessions FROM ("
     "  SELECT user_id, CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER "
     "  (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us "
     "  FROM events) GROUP BY user_id",
@@ -430,8 +442,8 @@ def user_sessions(sf_dir: str):
 @register(
     "lineitem_pricing",
     "SELECT l_returnflag, l_linestatus, "
-    "sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents, "
-    "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents, "
+    "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
     "count(*) AS count_order "
     "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
     "GROUP BY l_returnflag, l_linestatus",
@@ -484,7 +496,7 @@ def lineitem_pricing(sf_dir: str):
 @register(
     "orders_by_nation",
     "SELECT n.n_name AS nation, count(*) AS n_orders, "
-    "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents "
+    "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "JOIN nation n ON c.c_nationkey = n.n_nationkey "
     "GROUP BY n.n_name",
@@ -670,7 +682,7 @@ def split_counts(sf_dir: str):
 
 @register(
     "per_source_cap10",
-    "SELECT source, count(*) AS n_kept, sum(doc_id) AS sum_ids FROM ("
+    "SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM ("
     "  SELECT source, doc_id, row_number() OVER ("
     "    PARTITION BY source ORDER BY doc_id) AS rn FROM documents"
     ") WHERE rn <= 10 GROUP BY source",
@@ -692,7 +704,7 @@ def per_source_cap10(sf_dir: str):
     # is pinned by tests/test_adapters.py::test_tokenize_align_truncation
     "SELECT doc_id, input_len, input_len - n_tokens AS n_masked FROM ("
     "  SELECT doc_id, "
-    "  2 + list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 6.0) AS BIGINT)))"
+    "  CAST(2 + list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 6.0) AS BIGINT))) AS BIGINT)"
     "    AS input_len, "
     "  length(toks) AS n_tokens FROM ("
     "    SELECT doc_id, list_filter(string_split_regex(substr(text, 1, 2000), '\\s+'), x -> x <> '')"
@@ -761,7 +773,7 @@ def unpivot_cell_stats(sf_dir: str):
 @register(
     "heavy_hitter_sources",
     "SELECT source, n_docs, total_chars FROM ("
-    "  SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
     "  FROM documents GROUP BY source"
     ") ORDER BY n_docs DESC, source LIMIT 5",
 )
@@ -810,7 +822,7 @@ def doc_length_percentiles(sf_dir: str):
 @register(
     "orders_lineitem_join",
     "SELECT o.o_orderpriority AS priority, count(*) AS n_items, "
-    "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS price_cents "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents "
     "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
     "WHERE o.o_orderstatus = 'F' GROUP BY o.o_orderpriority",
 )

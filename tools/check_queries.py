@@ -1,6 +1,14 @@
-"""Mimic the driver: run each queries()[k](sf_dir) and compare with oracle_sql via duckdb."""
+"""Mimic the driver: run each queries()[k](sf_dir) and compare with oracle_sql via duckdb.
+
+IMPORTANT (round-2 lesson, VERDICT.md round 1): the driver's value hash is
+TYPE-SENSITIVE. It hashes the exported values with their dtypes intact, so an
+int64 Ray column vs a float64/decimal DuckDB column fails `hash_match` even
+when the values are numerically identical. This mimic therefore compares
+dtypes exactly and values exactly, with NO coercion before comparison.
+"""
 import sys, warnings; warnings.filterwarnings("ignore")
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 import ray
 ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
@@ -14,38 +22,49 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
 qs, sqls = E.queries(), E.oracle_sql()
+
 def norm(df):
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        if df[c].dtype == object: df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    """Sort columns by name and rows by stringified values; keep dtypes intact."""
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
+        df = df.iloc[np.argsort(key.values, kind="stable")]
+    return df.reset_index(drop=True)
 
 fails = []
 for name, fn in qs.items():
+    if only and name not in only:
+        continue
     try:
         res = fn(sf_dir)
         if hasattr(res, "to_pandas"): res = res.to_pandas()
-        elif not isinstance(res, pd.DataFrame): res = res.to_pandas() if hasattr(res,'to_pandas') else pd.DataFrame(res)
+        elif not isinstance(res, pd.DataFrame): res = pd.DataFrame(res)
         if name not in sqls:
-            print(f"{name:28s} rows-only: {len(res)} rows OK")
+            status = f"rows-only: {len(res)} rows"
+            if len(res) == 0:
+                fails.append(name); status += "  ** VACUOUS (0 rows) **"
+            print(f"{name:28s} {status}")
             continue
         want = con.sql(sqls[name]).df()
-        a, b = norm(res.copy()), norm(want.copy())
+        a, b = norm(res), norm(want)
         if list(a.columns) != list(b.columns):
             fails.append(name); print(f"{name:28s} SCHEMA MISMATCH ray={list(a.columns)} sql={list(b.columns)}"); continue
         if len(a) != len(b):
             fails.append(name); print(f"{name:28s} ROWS {len(a)} vs {len(b)}"); continue
         eq = True
         for c in a.columns:
-            if a[c].dtype.kind == 'f' or b[c].dtype.kind == 'f':
-                if not np.allclose(a[c].astype(float), b[c].astype(float), rtol=0, atol=0, equal_nan=True):
-                    # exact check; report max diff
-                    d = np.abs(a[c].astype(float).to_numpy() - b[c].astype(float).to_numpy())
-                    print(f"{name:28s} FLOAT col {c} maxdiff={np.nanmax(d):.3e}"); eq=False
+            # Driver hash is type-sensitive: dtype mismatch == failure, no coercion.
+            if str(a[c].dtype) != str(b[c].dtype):
+                print(f"{name:28s} TYPE MISMATCH col {c}: ray={a[c].dtype} sql={b[c].dtype}"); eq = False
+                continue
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if a[c].dtype.kind == 'f':
+                same = (av == bv) | (np.isnan(av) & np.isnan(bv))
             else:
-                if not (a[c].astype(str).values == b[c].astype(str).values).all():
-                    bad = (a[c].astype(str).values != b[c].astype(str).values).sum()
-                    print(f"{name:28s} col {c}: {bad} mismatches"); eq=False
+                same = np.array([x == y or (x is None and y is None) for x, y in zip(av, bv)])
+            if not same.all():
+                i = int(np.argmin(same))
+                print(f"{name:28s} col {c}: {int((~same).sum())} mismatches e.g. row{i}: {av[i]!r} vs {bv[i]!r}"); eq = False
         if eq: print(f"{name:28s} OK ({len(a)} rows)")
         else: fails.append(name)
     except Exception as e:
