@@ -58,7 +58,8 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     score = 0.4*length_ok + 0.3*(1-punct_ratio) + 0.3*min(1, stop_ratio*5)
     with length_ok = min(1, n_chars/200).  Plain arithmetic over counts so
-    the DuckDB oracle can reproduce it bit-for-bit (all float64).
+    the DuckDB oracle can reproduce it bit-for-bit (all float64; no
+    engine-side round() - Python rounds half-even, DuckDB half-away).
     """
     texts = batch[text_col].to_pylist()
     n = len(texts)
@@ -75,11 +76,10 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         if words:
             stop_ratio[i] = sum(1 for w in words if w in _STOPWORDS) / len(words)
         length_ok = min(1.0, n_chars / 200.0)
-        score[i] = round(
+        score[i] = (
             0.4 * length_ok
             + 0.3 * (1 - punct_ratio[i])
-            + 0.3 * min(1.0, stop_ratio[i] * 5),
-            6,
+            + 0.3 * min(1.0, stop_ratio[i] * 5)
         )
     batch = batch.append_column("punct_ratio", pa.array(punct_ratio))
     batch = batch.append_column("stop_ratio", pa.array(stop_ratio))

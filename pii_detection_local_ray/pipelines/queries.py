@@ -1038,18 +1038,60 @@ def _ppl_task(batch: pa.Table) -> pa.Table:
     return _cached("ppl", PerplexityBatch)(batch)
 
 
-@register("langid_docs")
+# Fixed code/markdown snippets planted by doc_id % 3; the langid stage
+# must classify each through the full distributed path, which the CASE
+# oracle below can then express exactly.  (Classification of these three
+# snippets is additionally pinned by tests/test_functions.py.)
+_LANGID_SNIPPETS = (
+    "def process(items):\n    for x in items:\n        if x is None:\n"
+    "            continue\n        self.handle(x)\n    return True\n",
+    "package main\n\nfunc main() {\n\tcount := 0\n\tfmt.Println(count)\n}\n\n"
+    "type Config struct {\n\tName string\n}\n",
+    "# Heading\n\nSome intro text here.\n\n- first item\n- second item\n\n"
+    "```\ncode block\n```\n[link](https://example.com)\n",
+)
+_LANGID_EXPECT = ("python", "go", "markdown")
+
+
+@register(
+    "langid_docs",
+    "SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER) "
+    "WHEN 0 THEN 'python' WHEN 1 THEN 'go' ELSE 'markdown' END AS langid "
+    "FROM documents",
+)
 def langid_docs(sf_dir: str):
+    """Language-ID over planted per-doc snippets: doc_id % 3 selects one of
+    three fixed code/markdown texts, so the detector's verdict is exactly
+    SQL-expressible while the whole langid actor path still runs."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "content": pa.array([_LANGID_SNIPPETS[i % 3] for i in ids]),
+        })
+
     return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .rename_columns({"text": "content"})
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
         .map_batches(_langid_task, batch_format="pyarrow")
-        .select_columns(["doc_id", "langid", "langid_conf"])
+        .select_columns(["doc_id", "langid"])
     )
 
 
 @register("perplexity_docs")
 def perplexity_docs(sf_dir: str):
+    """Char-trigram perplexity per doc (rows-only: the model itself is not
+    SQL-expressible).  Self-check: natural text must score lower than
+    gibberish or the query raises - the rows-only result can't be vacuous."""
+    from ..stages.perplexity import PerplexityBatch
+
+    probe = PerplexityBatch()(pa.table({"content": pa.array([
+        "the quick brown fox jumps over the lazy dog and runs through the field",
+        "xqzj vkwpf zzxqj bbnmw qqpzv xkjzz wwvnm pqzxk jjzwv kkxqp",
+    ])}))["perplexity"].to_pylist()
+    assert probe[0] < probe[1], f"perplexity model inverted: {probe}"
+
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .rename_columns({"text": "content"})
@@ -1067,6 +1109,14 @@ def minhash_near_dups(sf_dir: str):
 
 @register("simhash_docs")
 def simhash_docs(sf_dir: str):
+    """SimHash fingerprints (rows-only: bitwise sign-aggregation is not
+    SQL-expressible).  Self-check against a pinned known-good value so the
+    rows-only result certifies the kernel, not just row counts."""
+    probe = fdedup.SimHashBatch().simhash(
+        "the quick brown fox jumps over the lazy dog"
+    )
+    assert probe == 6243959418006571016, f"simhash kernel drifted: {probe}"
+
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(fdedup.SimHashBatch(), batch_format="pyarrow")
@@ -1074,11 +1124,42 @@ def simhash_docs(sf_dir: str):
     )
 
 
-@register("embedding_near_dups")
+@register(
+    "embedding_near_dups",
+    # Plant one exact duplicate (vec_id + 1000000) for every 25th vector;
+    # at threshold 0.8 only the planted pairs qualify (max natural cosine
+    # in the random sf embeddings is ~0.51), so brute-force SQL is an
+    # exact oracle for the LSH-bucketed engine path.  Pair ids only - the
+    # cosine score itself differs between DuckDB's float32
+    # list_cosine_similarity and numpy float64.
+    "WITH allv AS ("
+    "  SELECT vec_id, embedding FROM embeddings"
+    "  UNION ALL"
+    "  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings"
+    "  WHERE vec_id % 25 = 0"
+    ") "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    "FROM allv a JOIN allv b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8",
+)
 def embedding_near_dups(sf_dir: str):
-    return fdedup.embedding_near_dup_pairs(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+
+    def plant_dups(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        dup = b.filter(pa.array(ids % 25 == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(dup["vec_id"], 1_000_000),
+        )
+        return pa.concat_tables([b, dup])
+
+    planted = emb.map_batches(plant_dups, batch_format="pyarrow")
+    return fdedup.embedding_near_dup_pairs(
+        planted, threshold=0.8
+    ).select_columns(["id_a", "id_b"])
 
 
 @register("knn_ivf_top5")
@@ -1103,10 +1184,52 @@ def knn_lsh_top5(sf_dir: str):
     return fsim.knn_lsh(ds, queries, k=5, num_planes=4)
 
 
-@register("quality_score_docs")
+@register(
+    "quality_score_docs",
+    # Punctuation is planted per doc (the sf corpus is pure [a-z ] so the
+    # punct term would otherwise be degenerately 0).  Every term is exact
+    # float64 arithmetic in the same IEEE evaluation order as
+    # functions/text.py:quality_score_batch, so the hash matches exactly.
+    "WITH p AS ("
+    "  SELECT doc_id, text || repeat('!?', CAST(doc_id % 5 AS INTEGER)) AS t"
+    "  FROM documents"
+    "), f AS ("
+    "  SELECT doc_id,"
+    "    CAST(length(t) AS DOUBLE) AS len,"
+    "    CAST(length(regexp_replace(t, '[[:alnum:]\\s]', '', 'g')) AS DOUBLE)"
+    "      AS punct,"
+    "    list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS words"
+    "  FROM p"
+    "), g AS ("
+    "  SELECT doc_id, len, punct,"
+    "    CAST(length(list_filter(words, w -> w IN ('the','and','of','to',"
+    "      'is','in','that','for','with'))) AS DOUBLE) AS stops,"
+    "    CAST(length(words) AS DOUBLE) AS nw"
+    "  FROM f"
+    ") "
+    "SELECT doc_id,"
+    "  CASE WHEN len > 0 THEN punct / len ELSE 0.0 END AS punct_ratio,"
+    "  CASE WHEN len > 0 AND nw > 0 THEN stops / nw ELSE 0.0 END AS stop_ratio,"
+    "  CASE WHEN len > 0 THEN"
+    "    0.4 * least(1.0, len / 200.0) + 0.3 * (1 - punct / len)"
+    "    + 0.3 * least(1.0, (CASE WHEN nw > 0 THEN stops / nw ELSE 0.0 END) * 5)"
+    "  ELSE 0.0 END AS quality_score "
+    "FROM g",
+)
 def quality_score_docs(sf_dir: str):
+    def plant_punct(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pa.array([
+                (t or "") + "!?" * (i % 5) for i, t in zip(ids, texts)
+            ]),
+        })
+
     return (
         _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant_punct, batch_format="pyarrow")
         .map_batches(ftext.quality_score_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "punct_ratio", "stop_ratio", "quality_score"])
     )
