@@ -19,6 +19,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -55,29 +56,49 @@ def exact_dedup_groups(ds: ray.data.Dataset, id_col: str = "doc_id",
 
 
 def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
-                text_col: str = "text") -> ray.data.Dataset:
+                text_col: str = "text",
+                broadcast_winners: bool = False) -> ray.data.Dataset:
     """Keep-first exact dedup: drops all but the min-id row per content.
 
-    Broadcast anti-join: the loser id set is collected (ids only, small
-    relative to content) and filtered inside map_batches.  For corpora
-    where even the id set is too large, swap for groupby(hash).map_groups.
+    Default (scale-safe) path: one hash shuffle of the corpus keyed on the
+    64-hex content hash, then ``map_groups`` keeps the min-id row per
+    group.  Nothing is ever materialized on the driver - the winner set at
+    100 TB is approximately the whole corpus and cannot be collected.
+
+    ``broadcast_winners=True`` is a small-corpus fast path (winner-id set
+    collected once and broadcast via ray.put, original ``ds`` re-filtered
+    without shuffling content).  Only safe when the unique-content count
+    fits comfortably in one worker heap - opt-in, never the default.
     """
-    groups = exact_dedup_groups(ds, id_col, text_col)
-    winners_ds = groups.select_columns([id_col])
-    winners = set(
-        winners_ds.to_pandas()[id_col].tolist()
-    )  # ids only - small side
+    if broadcast_winners:
+        groups = exact_dedup_groups(ds, id_col, text_col)
+        winners = set(
+            groups.select_columns([id_col]).to_pandas()[id_col].tolist()
+        )
 
-    import ray as _ray
+        import ray as _ray
 
-    ref = _ray.put(winners)
+        ref = _ray.put(winners)
 
-    def keep_winners(batch: pa.Table) -> pa.Table:
-        w = _ray.get(ref)
-        mask = pa.array([v in w for v in batch[id_col].to_pylist()])
-        return batch.filter(mask)
+        def keep_winners(batch: pa.Table) -> pa.Table:
+            w = _ray.get(ref)
+            mask = pa.array([v in w for v in batch[id_col].to_pylist()])
+            return batch.filter(mask)
 
-    return ds.map_batches(keep_winners, batch_format="pyarrow")
+        return ds.map_batches(keep_winners, batch_format="pyarrow")
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    )
+
+    def keep_min_id(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        row = group.slice(int(np.argmin(ids)), 1)
+        return row.drop(["content_hash"])
+
+    return hashed.groupby("content_hash").map_groups(
+        keep_min_id, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -152,28 +173,128 @@ def _minhash_task(batch: pa.Table, text_col: str, num_perm: int) -> pa.Table:
 
 
 def _bands_table(batch: pa.Table, id_col: str, num_bands: int) -> pa.Table:
-    """Explode each signature into (band_id, band_hash) rows, carrying the
-    signature along so bucket verification never needs a broadcast join.
-    band_hash uses crc32 (stable across processes - builtin hash() is not).
+    """Explode each signature into (id, band_id, band_hash) rows - the rows
+    that cross the LSH shuffle are ~num_bands x 20 B per doc.  The signature
+    itself stays behind; candidate pairs get their estimate attached later
+    (broadcast for small candidate sets, hash join at scale).  band_hash
+    uses crc32 (stable across processes - builtin hash() is not).
     """
     ids = batch[id_col].to_pylist()
     sigs = batch["minhash"].to_pylist()
-    out_id, out_band, out_hash, out_sig = [], [], [], []
+    out_id, out_band, out_hash = [], [], []
     for i, sig in enumerate(sigs):
         rows = np.array(sig, dtype=np.uint64).reshape(num_bands, -1)
         for bidx in range(num_bands):
             out_id.append(ids[i])
             out_band.append(bidx)
             out_hash.append(zlib.crc32(rows[bidx].tobytes()))
-            out_sig.append(sig)
     return pa.table(
         {
             id_col: pa.array(out_id),
             "band_id": pa.array(out_band, pa.int32()),
             "band_hash": pa.array(out_hash, pa.int64()),
-            "minhash": pa.array(out_sig, pa.list_(pa.uint64())),
         }
     )
+
+
+def _pairs_from_bucket(ids: list, max_bucket: int):
+    """Pair generation for one fine LSH bucket, bounded.
+
+    Buckets up to ``max_bucket`` ids emit all pairs.  A degenerate bucket
+    (mass-duplicated boilerplate - exactly what dedup corpora contain)
+    would otherwise emit O(n^2) pairs; beyond the cap we emit star pairs
+    against the min-id anchor instead: O(n) pairs that keep every member
+    connected to the anchor, so downstream connected-components still
+    recovers the full cluster while pair enumeration stays linear.
+    """
+    if len(ids) <= max_bucket:
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                yield ids[x], ids[y]
+    else:
+        anchor = ids[0]
+        for other in ids[1:]:
+            yield anchor, other
+
+
+def _empty_pairs(extra: dict | None = None) -> pa.Table:
+    cols = {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    cols.update(extra or {})
+    return pa.table(cols)
+
+
+def _attach_sig_est(
+    cand: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    id_col: str,
+    jaccard_threshold: float,
+    broadcast_limit: int = 200_000,
+) -> ray.data.Dataset:
+    """Attach the signature-agreement estimate to candidate pairs and drop
+    pairs below the threshold.
+
+    Hybrid: when the candidate-pair count is small (the normal case - LSH
+    candidates are a tiny fraction of the corpus) the candidate ids'
+    signatures are gathered once and broadcast; beyond ``broadcast_limit``
+    pairs the signatures are hash-joined onto the pairs instead (two
+    (id, sig) shuffles, nothing on the driver).
+    """
+    cand = cand.materialize()
+    n = cand.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            _empty_pairs({"est_jaccard": pa.array([], pa.float64())})
+        )
+
+    def est_from_cols(b: pa.Table) -> pa.Table:
+        sa = b["sig_a"].to_pylist()
+        sb = b["sig_b"].to_pylist()
+        est = [
+            float((np.array(x, dtype=np.uint64) == np.array(y, dtype=np.uint64)).mean())
+            for x, y in zip(sa, sb)
+        ]
+        out = b.drop(["sig_a", "sig_b"]).append_column(
+            "est_jaccard", pa.array(est, pa.float64())
+        )
+        return out.filter(pc.greater_equal(out["est_jaccard"], jaccard_threshold))
+
+    if n <= broadcast_limit:
+        pair_rows = cand.take_all()
+        want = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
+        want_ref = ray.put(want)
+
+        def grab(batch: pa.Table) -> pa.Table:
+            w = ray.get(want_ref)
+            mask = pa.array([v in w for v in batch[id_col].to_pylist()])
+            return batch.filter(mask)
+
+        sig_map = {
+            r[id_col]: np.array(r["minhash"], dtype=np.uint64)
+            for r in sigs.map_batches(grab, batch_format="pyarrow").take_all()
+        }
+        sig_ref = ray.put(sig_map)
+
+        def est_broadcast(b: pa.Table) -> pa.Table:
+            lk = ray.get(sig_ref)
+            a = b["id_a"].to_pylist()
+            c = b["id_b"].to_pylist()
+            est = [float((lk[x] == lk[y]).mean()) for x, y in zip(a, c)]
+            out = b.append_column("est_jaccard", pa.array(est, pa.float64()))
+            return out.filter(
+                pc.greater_equal(out["est_jaccard"], jaccard_threshold)
+            )
+
+        return cand.map_batches(est_broadcast, batch_format="pyarrow")
+
+    sa = sigs.rename_columns({id_col: "id_a", "minhash": "sig_a"})
+    sb = sigs.rename_columns({id_col: "id_b", "minhash": "sig_b"})
+    # partitions sized to the pair count: an empty shuffle partition has an
+    # empty schema and breaks Arrow-side join key resolution
+    n_parts = max(1, min(32, n // 10_000))
+    joined = cand.join(
+        sa, join_type="inner", num_partitions=n_parts, on=("id_a",)
+    ).join(sb, join_type="inner", num_partitions=n_parts, on=("id_b",))
+    return joined.map_batches(est_from_cols, batch_format="pyarrow")
 
 
 def verify_pairs_exact(
@@ -228,21 +349,28 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     num_bands: int = 16,
     jaccard_threshold: float = 0.6,
+    max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """Near-duplicate candidate pairs verified by signature similarity.
 
-    shingle -> minhash -> band -> bucket groupby -> pairwise verify.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
-    For exact membership decisions chase with ``verify_pairs_exact``.
+    shingle -> minhash -> band -> bucket groupby -> candidate pairs ->
+    signature-estimate verify.  Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b, deduplicated.  For exact membership decisions chase with
+    ``verify_pairs_exact``.
+
+    Scale notes: the LSH shuffle moves only (id, band_id, band_hash)
+    triples (~num_bands x 20 B per doc - the num_perm x 8 B signature never
+    rides through the exchange); per-bucket pair output is bounded by
+    ``max_bucket`` (oversized buckets emit min-id-anchor star pairs, see
+    ``_pairs_from_bucket``); the signature table is materialized once and
+    reused for both banding and verification.
     """
     sigs = ds.map_batches(
         _minhash_task,
         fn_kwargs={"text_col": text_col, "num_perm": num_perm},
         batch_format="pyarrow",
-    ).select_columns([id_col, "minhash"])
+    ).select_columns([id_col, "minhash"]).materialize()
 
-    # bands explode num_bands x rows of (id, band, hash, signature) - the
-    # signature rides along (num_perm*8 B) so verification is bucket-local
     bands = sigs.map_batches(
         lambda b: _bands_table(b, id_col, num_bands), batch_format="pyarrow"
     )
@@ -256,24 +384,15 @@ def minhash_lsh_pairs(
         semantics (band_hash determines the coarse key, so a fine bucket
         never straddles two coarse groups)."""
         df = group.select([id_col, "band_id", "band_hash"]).to_pandas()
-        sigs = {
-            i: np.array(s, dtype=np.uint64)
-            for i, s in zip(group[id_col].to_pylist(), group["minhash"].to_pylist())
-        }
-        a_out, b_out, j_out = [], [], []
+        a_out, b_out = [], []
         for (_, _), sub in df.groupby(["band_id", "band_hash"], sort=False):
             ids = sorted(set(sub[id_col]))
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    est = float((sigs[ids[x]] == sigs[ids[y]]).mean())
-                    if est >= jaccard_threshold:
-                        a_out.append(ids[x])
-                        b_out.append(ids[y])
-                        j_out.append(est)
+            for x, y in _pairs_from_bucket(ids, max_bucket):
+                a_out.append(x)
+                b_out.append(y)
         return pa.table(
             {"id_a": pa.array(a_out, pa.int64()),
-             "id_b": pa.array(b_out, pa.int64()),
-             "est_jaccard": pa.array(j_out, pa.float64())}
+             "id_b": pa.array(b_out, pa.int64())}
         )
 
     coarse = bands.map_batches(
@@ -289,9 +408,9 @@ def minhash_lsh_pairs(
         coarse_pairs, batch_format="pyarrow"
     )
     # a pair can surface from several bands - dedup on (id_a, id_b)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard")
-    )
+    cand = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nb"))
+    cand = cand.select_columns(["id_a", "id_b"])
+    return _attach_sig_est(cand, sigs, id_col, jaccard_threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -328,6 +447,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 256,
 ) -> ray.data.Dataset:
     """Banded simhash near-dup: 4 x 16-bit bands guarantee recall for
     Hamming distance <= 3 (pigeonhole over 4 bands)."""
@@ -355,18 +475,21 @@ def simhash_near_dup_pairs(
 
     def coarse_pairs(group: pa.Table) -> pa.Table:
         # same coarse-partition trick as minhash_lsh_pairs: distributed
-        # group count stays small, fine buckets resolved locally
+        # group count stays small, fine buckets resolved locally.  Bucket
+        # size is capped: oversized buckets (mass-duplicated boilerplate)
+        # emit min-id-anchor star pairs instead of all pairs, keeping the
+        # cluster connected at O(n) pairs (_pairs_from_bucket).
         df = group.to_pandas()
         a_out, b_out, d_out = [], [], []
         for (_, _), sub in df.groupby(["band_id", "band_hash"], sort=False):
             rows = sorted(set(zip(sub[id_col], sub["simhash"])))
-            for x in range(len(rows)):
-                for y in range(x + 1, len(rows)):
-                    d = bin(rows[x][1] ^ rows[y][1]).count("1")
-                    if d <= max_hamming:
-                        a_out.append(rows[x][0])
-                        b_out.append(rows[y][0])
-                        d_out.append(d)
+            sh = dict(rows)
+            for ia, ib in _pairs_from_bucket([r[0] for r in rows], max_bucket):
+                d = bin(sh[ia] ^ sh[ib]).count("1")
+                if d <= max_hamming:
+                    a_out.append(ia)
+                    b_out.append(ib)
+                    d_out.append(d)
         return pa.table(
             {"id_a": pa.array(a_out, pa.int64()),
              "id_b": pa.array(b_out, pa.int64()),
@@ -395,7 +518,8 @@ def simhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    pairs: ray.data.Dataset, max_iters: int = 20
+    pairs: ray.data.Dataset, max_iters: int = 20,
+    driver_threshold: int = 100_000,
 ) -> ray.data.Dataset:
     """Cluster near-dup candidate pairs (id_a, id_b) into components via
     distributed min-label propagation: each round every node adopts the
@@ -405,20 +529,22 @@ def connected_components(
     (node, label) rows.  Returns (id, component) with component = min id
     of the cluster.
 
-    The per-round label map (one row per *candidate* node - a small
-    fraction of the corpus) is broadcast via ray.put; the edge set stays
-    distributed.  If even the candidate-node map outgrows a worker heap,
-    swap the broadcast for a hash_join of labels onto edges.
+    Distributed path: each round hash-joins the (id, component) label
+    table onto both edge endpoints, propagates the min across the edge,
+    and re-aggregates - labels and edges both stay distributed end to
+    end; nothing is ever collected to the driver.  Convergence is
+    detected by the monotone sum-of-labels potential (one scalar
+    aggregate per round).
 
     Hybrid fast path: when the pair set is provably small (counted
     first - the count is cheap on the already-computed pairs), a
-    driver-side union-find replaces the iterative groupby rounds; the
+    driver-side union-find replaces the iterative join rounds; the
     distributed path only engages beyond ``driver_threshold`` edges.
     """
     edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    n_edges = edges.count()
 
-    driver_threshold = 100_000
-    if edges.count() <= driver_threshold:
+    if n_edges <= driver_threshold:
         rows = edges.take_all()
         parent: dict[int, int] = {}
 
@@ -460,39 +586,59 @@ def connected_components(
             }
         )
 
-    labels = edges.map_batches(seed, batch_format="pyarrow").groupby("id").min(
-        "component"
-    ).rename_columns({"min(component)": "component"}).materialize()
-
     from ray.data.aggregate import Min as _Min
 
+    labels = (
+        edges.map_batches(seed, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(_Min("component", alias_name="component"))
+        .materialize()
+    )
+
+    def prop(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        m = np.minimum(
+            batch["comp_a"].to_numpy(zero_copy_only=False),
+            batch["comp_b"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([a, b])),
+                "component": pa.array(np.concatenate([m, m])),
+            }
+        )
+
+    # labels only ever decrease (min semiring), so sum(component) is a
+    # monotone potential: unchanged sum <=> fixpoint.  One scalar aggregate
+    # per round instead of a driver-side label-map comparison.  (Caveat:
+    # assumes sum(int64 ids over candidate nodes) stays within int64 -
+    # salt/remap ids first if the corpus id space makes that tight.)
+    # an empty shuffle partition carries an empty schema, which breaks the
+    # Arrow-side key resolution - keep every partition non-trivially filled
+    n_parts = max(1, min(16, n_edges // 8))
+    prev_sum = None
     for _ in range(max_iters):
-        # propagate: a node's label flows across each edge in both directions
-        lab = {r["id"]: r["component"] for r in labels.take_all()}
-        lab_ref = ray.put(lab)
-
-        def prop(batch: pa.Table) -> pa.Table:
-            lk = ray.get(lab_ref)
-            a = batch["id_a"].to_pylist()
-            b = batch["id_b"].to_pylist()
-            ids, comps = [], []
-            for x, y in zip(a, b):
-                m = min(lk[x], lk[y])
-                ids.extend((x, y))
-                comps.extend((m, m))
-            return pa.table({"id": pa.array(ids), "component": pa.array(comps)})
-
-        new_labels = (
-            edges.map_batches(prop, batch_format="pyarrow")
+        la = labels.rename_columns({"id": "id_a", "component": "comp_a"})
+        lb = labels.rename_columns({"id": "id_b", "component": "comp_b"})
+        # labels hash-join onto both edge endpoints - the label map never
+        # touches the driver, unlike a take_all+ray.put broadcast
+        lab_edges = edges.join(
+            la, join_type="inner", num_partitions=n_parts, on=("id_a",)
+        ).join(lb, join_type="inner", num_partitions=n_parts, on=("id_b",))
+        labels = (
+            lab_edges.map_batches(prop, batch_format="pyarrow")
+            .union(labels)
             .groupby("id")
             .aggregate(_Min("component", alias_name="component"))
             .materialize()
         )
-        new = {r["id"]: r["component"] for r in new_labels.take_all()}
-        if new == lab:
-            labels = new_labels
+        cur_sum = labels.sum("component")
+        if cur_sum == prev_sum:
             break
-        labels = new_labels
+        prev_sum = cur_sum
     return labels
 
 
@@ -518,13 +664,16 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_planes: int = 8,
+    max_bucket: int = 4096,
 ) -> ray.data.Dataset:
     """Cosine near-dup via random-hyperplane LSH bucketing.
 
     Vectors land in a bucket keyed by the sign pattern of ``num_planes``
     fixed random projections; only within-bucket pairs are scored
     (numpy matmul per bucket).  Recall is per-bucket exact; raise
-    num_planes for smaller buckets at scale.
+    num_planes for smaller buckets at scale.  Buckets beyond
+    ``max_bucket`` fall back to anchor-star scoring (O(n) pairs) so a
+    degenerate bucket can't trigger an O(n^2) matmul.
     """
     planes_by_dim: dict[int, np.ndarray] = {}
 
@@ -550,16 +699,33 @@ def embedding_near_dup_pairs(
         if len(ids) >= 2:
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             normed = vecs / np.maximum(norms, 1e-12)
-            sims = normed @ normed.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            mask = sims[iu, ju] >= threshold
-            for x, y in zip(iu[mask], ju[mask]):
-                ia, ib = ids[int(x)], ids[int(y)]
-                if ia > ib:
-                    ia, ib = ib, ia
-                a_out.append(ia)
-                b_out.append(ib)
-                c_out.append(float(sims[int(x), int(y)]))
+            if len(ids) > max_bucket:
+                # degenerate bucket: score against the min-id anchor only
+                # (one matvec, O(n) pairs) - members stay connected to the
+                # anchor for downstream clustering without the O(n^2) blowup
+                order = np.argsort(np.array(ids))
+                anchor = int(order[0])
+                sims_v = normed @ normed[anchor]
+                for j in range(len(ids)):
+                    if j == anchor or sims_v[j] < threshold:
+                        continue
+                    ia, ib = ids[anchor], ids[j]
+                    if ia > ib:
+                        ia, ib = ib, ia
+                    a_out.append(ia)
+                    b_out.append(ib)
+                    c_out.append(float(sims_v[j]))
+            else:
+                sims = normed @ normed.T
+                iu, ju = np.triu_indices(len(ids), k=1)
+                mask = sims[iu, ju] >= threshold
+                for x, y in zip(iu[mask], ju[mask]):
+                    ia, ib = ids[int(x)], ids[int(y)]
+                    if ia > ib:
+                        ia, ib = ib, ia
+                    a_out.append(ia)
+                    b_out.append(ib)
+                    c_out.append(float(sims[int(x), int(y)]))
         return pa.table(
             {"id_a": pa.array(a_out, pa.int64()),
              "id_b": pa.array(b_out, pa.int64()),

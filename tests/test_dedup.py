@@ -143,3 +143,90 @@ def test_verify_pairs_exact(ray_session):
     verified = verify_pairs_exact(ds, cands, jaccard_threshold=0.5).to_pandas()
     assert set(zip(verified["id_a"], verified["id_b"])) == {(0, 1)}
     assert (verified["jaccard"] > 0.5).all()
+
+
+def test_exact_dedup_default_path_no_driver_collection(ray_session, monkeypatch):
+    """The default keep-first path must be the distributed
+    groupby(hash).map_groups one - it must never compute the winner set on
+    the driver (that set is ~the whole corpus at scale).  The broadcast
+    fast path is opt-in only."""
+    from pii_detection_local_ray.functions import dedup as fd
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side winner collection on default path")
+
+    monkeypatch.setattr(fd, "exact_dedup_groups", boom)
+    texts = ["aaa", "bbb", "aaa", "ccc", "aaa", "bbb"]
+    kept = fd.exact_dedup(_docs_ds(texts)).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 3]
+
+
+def test_exact_dedup_broadcast_path_matches_default(ray_session):
+    from pii_detection_local_ray.functions.dedup import exact_dedup
+
+    texts = [f"doc {i % 7}" for i in range(50)]
+    a = exact_dedup(_docs_ds(texts)).to_pandas()
+    b = exact_dedup(_docs_ds(texts), broadcast_winners=True).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"]) == list(range(7))
+
+
+def test_lsh_bucket_cap_no_quadratic_blowup(ray_session):
+    """A 10k-row all-identical corpus lands in ONE fine LSH bucket per
+    band; without the bucket cap that is ~50M pairs x 16 bands.  With the
+    min-id-anchor star fallback the pair count stays linear and the
+    cluster stays fully connected."""
+    from pii_detection_local_ray.functions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    n = 10_000
+    texts = ["the same boilerplate paragraph repeated verbatim everywhere"] * n
+
+    pairs = minhash_lsh_pairs(_docs_ds(texts), jaccard_threshold=0.5)
+    n_pairs = pairs.count()
+    assert n - 1 <= n_pairs <= 4 * n, n_pairs  # linear, not ~n^2/2
+
+    comp = connected_components(pairs).to_pandas()
+    assert len(comp) == n and set(comp["component"]) == {0}
+
+    spairs = simhash_near_dup_pairs(_docs_ds(texts))
+    sn = spairs.count()
+    assert n - 1 <= sn <= 4 * n, sn
+
+
+def test_embedding_bucket_cap(ray_session):
+    """An all-identical embedding bucket larger than max_bucket emits
+    anchor-star pairs, not all pairs."""
+    import ray.data
+    from pii_detection_local_ray.functions.dedup import embedding_near_dup_pairs
+
+    n = 600
+    vec = np.random.RandomState(0).randn(16).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([vec.tolist()] * n, pa.list_(pa.float32())),
+    }))
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99, max_bucket=100).to_pandas()
+    assert len(pairs) == n - 1
+    assert set(pairs["id_a"]) == {0}  # all anchored at min id
+
+
+def test_connected_components_distributed_path(ray_session):
+    """Force the join-based distributed path (driver_threshold=0) and
+    check it matches the union-find fast path."""
+    import ray.data
+    from pii_detection_local_ray.functions.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21), (3, 4), (40, 41)]
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    fast = connected_components(pairs).to_pandas()
+    dist = connected_components(pairs, driver_threshold=0).to_pandas()
+    f = fast.set_index("id")["component"].to_dict()
+    d = dist.set_index("id")["component"].to_dict()
+    assert f == d
+    assert d[4] == 1 and d[12] == 10 and d[21] == 20 and d[41] == 40
