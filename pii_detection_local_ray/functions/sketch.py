@@ -1,0 +1,169 @@
+"""Mergeable quantile summaries for distributed percentile queries.
+
+Two scale paths, both expressed as map_batches partials + a small merge:
+
+  value_histogram_quantiles
+      Exact quantiles for integer/low-cardinality columns.  Each block
+      emits a (value, count) partial histogram via Arrow group_by; the
+      partials groupby-sum into one histogram whose size is bounded by
+      the value DOMAIN, not the row count (n_chars at 100 TB is still
+      <~1e6 distinct values).  Quantiles are then exact
+      linear-interpolation over the expanded distribution - bit-equal to
+      numpy.percentile / DuckDB quantile_cont.
+
+  KLLSketch / kll_quantiles
+      Approximate quantiles for unbounded/continuous columns: the
+      standard KLL compactor ladder (Karnin-Lang-Liberty, FOCS'16 -
+      public algorithm).  One sketch per block (a few KB each),
+      merged associatively on the driver; rank error ~O(1/k).
+
+Neither path ever collects the raw column to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _interp_quantiles_from_hist(
+    values: np.ndarray, counts: np.ndarray, ps: list[float]
+) -> list[float]:
+    """numpy.percentile(expanded, p*100) without expanding: linear
+    interpolation at rank h = (n-1)*p over the sorted (value, count)
+    distribution."""
+    order = np.argsort(values)
+    values = values[order].astype(np.float64)
+    counts = counts[order].astype(np.int64)
+    cum = np.cumsum(counts)  # cum[i] = # elements <= values[i]
+    n = int(cum[-1])
+    out = []
+    for p in ps:
+        h = (n - 1) * p
+        lo_rank, hi_rank = int(np.floor(h)), int(np.ceil(h))
+        # value at 0-based rank r is values[searchsorted(cum, r+1)]
+        lo = values[np.searchsorted(cum, lo_rank + 1)]
+        hi = values[np.searchsorted(cum, hi_rank + 1)]
+        out.append(float(lo + (h - lo_rank) * (hi - lo)))
+    return out
+
+
+def value_histogram_quantiles(
+    ds: ray.data.Dataset, col: str, ps: list[float]
+) -> pa.Table:
+    """Exact distributed quantiles via a mergeable (value, count) histogram."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([col]).group_by(col).aggregate([([], "count_all")])
+        return g.rename_columns([col, "cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # one row per DISTINCT value - domain-bounded, not row-bounded
+    )
+    values = np.array([r[col] for r in hist])
+    counts = np.array([r["cnt"] for r in hist])
+    vs = _interp_quantiles_from_hist(values, counts, ps)
+    return pa.table({"p": pa.array(ps, pa.float64()),
+                     "v": pa.array(vs, pa.float64())})
+
+
+class KLLSketch:
+    """KLL quantile sketch (mergeable; rank error ~O(1/k) with k ~ 200).
+
+    Level h holds items each representing 2^h originals.  Compaction
+    keeps every other item of a sorted full level (random offset) and
+    promotes them one level up - the public KLL algorithm, implemented
+    directly from the paper's description.
+    """
+
+    def __init__(self, k: int = 200, seed: int = 0):
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self.n = 0
+        self._rng = np.random.RandomState(seed)
+
+    def _capacity(self, level: int) -> int:
+        # geometrically decaying capacities, floor 8
+        c = int(np.ceil(self.k * (2.0 / 3.0) ** (len(self.levels) - 1 - level)))
+        return max(8, c)
+
+    def update_many(self, xs: np.ndarray) -> None:
+        self.levels[0].extend(float(x) for x in xs)
+        self.n += len(xs)
+        self._compress()
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self._capacity(h):
+                if h + 1 == len(self.levels):
+                    self.levels.append([])
+                lvl = sorted(self.levels[h])
+                off = int(self._rng.randint(2))
+                promoted = lvl[off::2]
+                self.levels[h] = []
+                self.levels[h + 1].extend(promoted)
+            h += 1
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for h, items in enumerate(other.levels):
+            self.levels[h].extend(items)
+        self.n += other.n
+        self._compress()
+        return self
+
+    def quantiles(self, ps: list[float]) -> list[float]:
+        items, weights = [], []
+        for h, lvl in enumerate(self.levels):
+            items.extend(lvl)
+            weights.extend([1 << h] * len(lvl))
+        if not items:
+            return [float("nan")] * len(ps)
+        items = np.array(items)
+        weights = np.array(weights, dtype=np.float64)
+        order = np.argsort(items)
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights) - weights / 2.0
+        total = weights.sum()
+        return [float(np.interp(p * total, cum, items)) for p in ps]
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.n, self.levels))
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KLLSketch":
+        import pickle
+
+        k, n, levels = pickle.loads(data)
+        s = cls(k)
+        s.n = n
+        s.levels = levels
+        return s
+
+
+def kll_quantiles(
+    ds: ray.data.Dataset, col: str, ps: list[float], k: int = 200
+) -> pa.Table:
+    """Approximate distributed quantiles: one KLL sketch per block
+    (map_batches partial), merged on the driver (a few KB per sketch)."""
+
+    def partial(b: pa.Table, ctx=None) -> pa.Table:
+        s = KLLSketch(k, seed=hash(b[col][0].as_py() if len(b) else 0) & 0x7FFF)
+        s.update_many(b[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
+
+    merged = KLLSketch(k)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged.merge(KLLSketch.from_bytes(row["sketch"]))
+    vs = merged.quantiles(ps)
+    return pa.table({"p": pa.array(ps, pa.float64()),
+                     "v": pa.array(vs, pa.float64())})

@@ -474,13 +474,14 @@ def lineitem_pricing(sf_dir: str):
                 "qty": qty,
                 "price": price,
             }
-        ).to_pandas()
-        g = t.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty_cents=("qty", "sum"),
-            sum_price_cents=("price", "sum"),
-            count_order=("qty", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus",
+             "sum_qty_cents", "sum_price_cents", "count_order"]
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -797,22 +798,17 @@ def heavy_hitter_sources(sf_dir: str):
     "UNION ALL SELECT 0.99, quantile_cont(n_chars, 0.99) FROM documents",
 )
 def doc_length_percentiles(sf_dir: str):
-    """G6 EDA percentiles (reference notebooks/EDA.ipynb cell 13).  Exact
-    linear-interpolation quantiles over one collected int column - the
-    metric is non-decomposable; at 100 TB this becomes a KLL/t-digest
-    sketch merged across blocks (same query shape, approximate answer)."""
-    import numpy as np
+    """G6 EDA percentiles (reference notebooks/EDA.ipynb cell 13) via the
+    mergeable (value, count) histogram partial (functions/sketch.py): each
+    block pre-aggregates counts per distinct n_chars, the merged histogram
+    is domain-bounded (never row-bounded), and the interpolation is
+    bit-equal to numpy.percentile / DuckDB quantile_cont - exact AND
+    distributed, no driver column collection.  (For continuous columns
+    the KLL sketch in the same module is the approximate path.)"""
+    from ..functions.sketch import value_histogram_quantiles
 
-    col = (
-        _docs(sf_dir, ["n_chars"]).to_pandas()["n_chars"].to_numpy(dtype=np.float64)
-    )
     ps = [0.25, 0.5, 0.75, 0.9, 0.99]
-    return pa.table(
-        {
-            "p": pa.array(ps, pa.float64()),
-            "v": pa.array([float(np.percentile(col, p * 100)) for p in ps]),
-        }
-    )
+    return value_histogram_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars", ps)
 
 
 # ---------------------------------------------------------------------------
@@ -852,13 +848,12 @@ def orders_lineitem_join(sf_dir: str):
         cents = pc.cast(
             pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
         )
-        df = pa.table(
+        g = pa.table(
             {"priority": b["o_orderpriority"], "cents": cents}
-        ).to_pandas()
-        g = df.groupby("priority", as_index=False).agg(
-            n_items=("cents", "size"), price_cents=("cents", "sum")
+        ).group_by("priority").aggregate(
+            [("cents", "count"), ("cents", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(["priority", "n_items", "price_cents"])
 
     return (
         joined.map_batches(partial, batch_format="pyarrow")

@@ -224,3 +224,32 @@ def test_knn_ivf(ray_session):
         se = set(exact[exact["query_id"] == qi]["vec_id"])
         inter += len(sa & se)
     assert inter >= 8  # >= 80% recall
+
+
+def test_histogram_quantiles_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pii_detection_local_ray.functions.sketch import value_histogram_quantiles
+
+    data = np.random.RandomState(7).randint(0, 800, size=20_000)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(data, pa.int64())}))
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = value_histogram_quantiles(ds, "x", ps)["v"].to_pylist()
+    want = [float(np.percentile(data.astype(np.float64), p * 100)) for p in ps]
+    assert got == want  # bit-exact vs numpy linear interpolation
+
+
+def test_kll_sketch_accuracy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pii_detection_local_ray.functions.sketch import kll_quantiles
+
+    data = np.random.RandomState(3).lognormal(3.0, 1.0, size=50_000)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(data, pa.float64())}))
+    ps = [0.25, 0.5, 0.75, 0.9]
+    got = kll_quantiles(ds, "x", ps)["v"].to_pylist()
+    want = [float(np.percentile(data, p * 100)) for p in ps]
+    for g, w in zip(got, want):
+        assert abs(g - w) / w < 0.05, (g, w)
