@@ -44,6 +44,7 @@ def build_pipeline(
     concurrency: tuple[int, int] | int = (1, 8),
     columns: list[str] | None = None,
     fused: bool = True,
+    ner_num_gpus: float = 0,
 ) -> ray.data.Dataset:
     """Lazy Dataset; nothing executes until the caller consumes it.
 
@@ -103,6 +104,8 @@ def build_pipeline(
                 num_cpus=1,
             )
         if with_ner:
+            # ner_num_gpus > 0 reserves GPU slots per NER actor (the real
+            # transformer path); 0 keeps the pool CPU-only for the stub
             ds = ds.map_batches(
                 NERDetector,
                 fn_constructor_kwargs={"model_path": model_path},
@@ -110,6 +113,7 @@ def build_pipeline(
                 batch_size=ACTOR_BATCH,
                 concurrency=concurrency,
                 num_cpus=1,
+                **({"num_gpus": ner_num_gpus} if ner_num_gpus else {}),
             )
     ds = ds.map_batches(
         decide_batch,

@@ -51,11 +51,16 @@ class NERDetector:
         confidence_threshold: float = CONFIDENCE_THRESHOLD,
         content_col: str = "content",
     ):
-        # load-once-per-actor (reference: src/inference.py:80-123)
+        # load-once-per-actor (reference: src/inference.py:80-123).
+        # Model selection: real transformer when the dir holds weights and
+        # torch is importable, deterministic stub otherwise
+        # (stages/transformer_ner.select_token_model).
+        from .transformer_ner import select_token_model
+
         self.label2id, self.id2label = load_label_mapping(model_path)
         self.confidence_threshold = confidence_threshold
         self.content_col = content_col
-        self.model = StubTokenModel(self.label2id)
+        self.model = select_token_model(model_path, self.label2id)
         self.pii_types = sorted(
             {l[2:] for l in self.id2label.values() if l.startswith("B-")}
         )

@@ -1,0 +1,192 @@
+"""Real-transformer token-classification model for the NER actor pool.
+
+Mirrors the reference's batched forward-pass contract
+(src/inference.py:424-449 _run_batch_inference):
+
+  * one PADDED batch per call - every row encoded to the same length,
+    padding/special positions carrying offset (0, 0)
+  * truncation at ``max_length`` 512
+  * probs = softmax(logits, -1); per token pred = argmax, conf = max prob
+  * per-row output (pred_ids, confidences, offset_mapping) - the same
+    interface as stages/stub_ner_model.StubTokenModel, so the BIO decoder
+    (stages/ner.py extract_entities, reference src/inference.py:252-307)
+    is shared verbatim between stub and transformer paths.
+
+Model selection (``select_token_model``): a model dir holding real
+weights (pytorch_model.bin / model.safetensors) with torch+transformers
+importable loads the real thing; otherwise the deterministic stub.  The
+container for CI has neither torch nor weights, so the real branch is
+exercised through ``forward_fn`` injection (fixed logits) - the padded
+batch/softmax/argmax/offset plumbing is real and conformance-tested, only
+the weight loading needs a GPU cluster.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..exceptions import ModelLoadError
+
+_WEIGHT_FILES = ("pytorch_model.bin", "model.safetensors", "tf_model.h5")
+
+
+def _softmax(logits: np.ndarray) -> np.ndarray:
+    """Numerically-stable softmax over the last axis (float64, matching
+    torch.softmax semantics within fp tolerance)."""
+    shifted = logits - logits.max(axis=-1, keepdims=True)
+    e = np.exp(shifted)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+class TransformerTokenModel:
+    """predict(texts) -> list of (pred_ids, confidences, offset_mapping).
+
+    ``forward_fn(encoding) -> logits [batch, seq, num_labels]`` is the
+    model hook: the default loads a HuggingFace token-classification
+    checkpoint (requires torch + transformers + weight files); tests
+    inject fixed-logit callables.  Everything around the hook - padded
+    encoding with (0,0) offsets on specials/padding, 512 truncation,
+    softmax/argmax/max-prob per token - is the reference contract and
+    runs identically for both.
+    """
+
+    MAX_LENGTH = 512
+
+    def __init__(
+        self,
+        model_path: str | Path,
+        forward_fn=None,
+        num_labels: int | None = None,
+    ):
+        self.model_path = Path(model_path)
+        self._hf = None
+        if forward_fn is not None:
+            self.forward_fn = forward_fn
+            self.num_labels = num_labels
+        else:
+            self._load_hf()
+
+    def _load_hf(self) -> None:
+        try:
+            import torch  # noqa: F401
+            from transformers import (
+                AutoModelForTokenClassification,
+                AutoTokenizer,
+            )
+        except ImportError as exc:
+            raise ModelLoadError(
+                str(self.model_path),
+                "transformer path requires torch + transformers "
+                f"(not installed): {exc}",
+            ) from exc
+        tokenizer = AutoTokenizer.from_pretrained(str(self.model_path))
+        model = AutoModelForTokenClassification.from_pretrained(
+            str(self.model_path)
+        )
+        model.eval()
+        self._hf = (tokenizer, model)
+
+    # -- encoding -------------------------------------------------------
+
+    def _encode(self, texts: list[str]):
+        """Whitespace encoding with char offsets, padded to the batch max:
+        [CLS] tok... [SEP] PAD...  - specials and padding carry offset
+        (0, 0) so the shared BIO decoder skips them (reference
+        src/inference.py:268-269).  The HF path uses the checkpoint's own
+        tokenizer instead (same contract: padding=True, truncation=True,
+        max_length=512, return_offsets_mapping=True)."""
+        import re
+
+        tok_re = re.compile(r"\S+")
+        rows = []
+        for t in texts:
+            toks = []
+            for m in tok_re.finditer(t):
+                toks.append((m.group(), m.start(), m.end()))
+                if len(toks) >= self.MAX_LENGTH - 2:
+                    break
+            rows.append(toks)
+        width = max((len(r) for r in rows), default=0) + 2  # CLS + SEP
+        offsets, tokens, mask = [], [], []
+        for r in rows:
+            row_off = [(0, 0)] + [(s, e) for _, s, e in r] + [(0, 0)]
+            row_tok = ["[CLS]"] + [w for w, _, _ in r] + ["[SEP]"]
+            row_mask = [1] * len(row_tok)
+            pad = width - len(row_tok)
+            offsets.append(row_off + [(0, 0)] * pad)
+            tokens.append(row_tok + ["[PAD]"] * pad)
+            mask.append(row_mask + [0] * pad)
+        return {
+            "tokens": tokens,
+            "offset_mapping": offsets,
+            "attention_mask": np.array(mask, dtype=np.int64),
+        }
+
+    # -- the reference batch contract -----------------------------------
+
+    def predict(self, texts: list[str]):
+        if self._hf is not None:
+            return self._predict_hf(texts)
+        encoding = self._encode(texts)
+        logits = np.asarray(self.forward_fn(encoding), dtype=np.float64)
+        probs = _softmax(logits)
+        pred_ids = probs.argmax(axis=-1)
+        confs = probs.max(axis=-1)
+        return [
+            (
+                pred_ids[j].astype(np.int64),
+                confs[j].astype(np.float64),
+                encoding["offset_mapping"][j],
+            )
+            for j in range(len(texts))
+        ]
+
+    def _predict_hf(self, texts: list[str]):
+        import torch
+
+        tokenizer, model = self._hf
+        encoding = tokenizer(
+            texts,
+            return_tensors="pt",
+            truncation=True,
+            max_length=self.MAX_LENGTH,
+            padding=True,
+            return_offsets_mapping=True,
+        )
+        offset_mappings = encoding.pop("offset_mapping").tolist()
+        with torch.inference_mode():
+            logits = model(**encoding).logits
+            probs = torch.softmax(logits, dim=-1)
+        out = []
+        for j in range(len(texts)):
+            out.append(
+                (
+                    probs[j].argmax(dim=-1).cpu().numpy().astype(np.int64),
+                    probs[j].max(dim=-1).values.cpu().numpy().astype(np.float64),
+                    [tuple(o) for o in offset_mappings[j]],
+                )
+            )
+        return out
+
+
+def has_real_weights(model_path: str | Path) -> bool:
+    p = Path(model_path)
+    return p.is_dir() and any((p / f).exists() for f in _WEIGHT_FILES)
+
+
+def select_token_model(model_path: str | Path, label2id: dict):
+    """Stub unless the model dir holds real transformer weights AND torch
+    is importable - then the real forward pass (reference
+    src/inference.py:108-117 model loading)."""
+    if has_real_weights(model_path):
+        try:
+            return TransformerTokenModel(model_path)
+        except ModelLoadError:
+            # weights present but no torch in this environment - the stub
+            # keeps the pipeline runnable (documented CI degradation)
+            pass
+    from .stub_ner_model import StubTokenModel
+
+    return StubTokenModel(label2id)

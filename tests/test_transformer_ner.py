@@ -1,0 +1,150 @@
+"""Transformer NER path: padded-batch contract + stub/transformer decode
+conformance on fixed logits (reference src/inference.py:424-449)."""
+
+import numpy as np
+import pytest
+
+
+def _label_setup():
+    from pii_detection_local_ray.sources.model_artifact import build_label_mapping
+
+    mapping = build_label_mapping(["DATE", "LOC", "ORG", "PERSON"])
+    label2id = mapping["label2id"]
+    id2label = {int(k): v for k, v in mapping["id2label"].items()}
+    return label2id, id2label
+
+
+def _logits_for(pred_ids, confs, num_labels):
+    """Logit rows whose softmax has max prob == conf at index pred_id:
+    logits = log(p) with p[pred]=conf, rest=(1-conf)/(L-1)."""
+    out = np.zeros((len(pred_ids), num_labels), dtype=np.float64)
+    for i, (pid, c) in enumerate(zip(pred_ids, confs)):
+        c = min(max(c, 1.0 / num_labels + 1e-9), 1 - 1e-12)
+        rest = (1.0 - c) / (num_labels - 1)
+        out[i, :] = np.log(rest)
+        out[i, pid] = np.log(c)
+    return out
+
+
+def test_padded_batch_contract():
+    from pii_detection_local_ray.stages.transformer_ner import TransformerTokenModel
+
+    label2id, _ = _label_setup()
+    L = len(label2id)
+    seen = {}
+
+    def forward(enc):
+        seen["enc"] = enc
+        b, t = enc["attention_mask"].shape
+        logits = np.zeros((b, t, L))
+        logits[..., 0] = 5.0  # everything O
+        return logits
+
+    m = TransformerTokenModel("/nonexistent", forward_fn=forward, num_labels=L)
+    out = m.predict(["one two three", "one"])
+    # padded to max row length + CLS/SEP
+    mask = seen["enc"]["attention_mask"]
+    assert mask.shape == (2, 5)
+    assert mask.tolist() == [[1, 1, 1, 1, 1], [1, 1, 1, 0, 0]]
+    # specials AND padding carry offset (0,0)
+    offs0, offs1 = seen["enc"]["offset_mapping"]
+    assert offs0[0] == (0, 0) and offs0[-1] == (0, 0)
+    assert offs1[2:] == [(0, 0)] * 3
+    assert offs0[1:4] == [(0, 3), (4, 7), (8, 13)]
+    # per-row outputs span the padded width; argmax/conf from softmax
+    pred, conf, offs = out[1]
+    assert len(pred) == 5 and pred.dtype == np.int64
+    assert np.all(pred == 0) and conf.max() <= 1.0
+
+
+def test_truncation_at_512():
+    from pii_detection_local_ray.stages.transformer_ner import TransformerTokenModel
+
+    label2id, _ = _label_setup()
+    L = len(label2id)
+
+    def forward(enc):
+        b, t = enc["attention_mask"].shape
+        logits = np.zeros((b, t, L))
+        logits[..., 0] = 5.0
+        return logits
+
+    m = TransformerTokenModel("/nonexistent", forward_fn=forward, num_labels=L)
+    text = " ".join(["tok"] * 1000)
+    (pred, conf, offs), = m.predict([text])
+    assert len(pred) == 512  # 510 tokens + CLS + SEP
+
+
+def test_decode_conformance_stub_vs_transformer():
+    """The shared BIO decoder must produce identical entities whether the
+    (pred_ids, confs, offsets) come from the stub or from the transformer
+    path fed logits engineered to reproduce the stub's predictions."""
+    from pii_detection_local_ray.stages.ner import NERDetector
+    from pii_detection_local_ray.stages.stub_ner_model import StubTokenModel
+    from pii_detection_local_ray.stages.transformer_ner import TransformerTokenModel
+
+    label2id, id2label = _label_setup()
+    L = len(label2id)
+    stub = StubTokenModel(label2id)
+
+    texts = [
+        "met John Smith at Acme Corp in Berlin on 2021-03-04",
+        "Pat wrote plain words with no entities here",
+        "Maria visited Tokyo then London yesterday",
+    ]
+    stub_out = stub.predict(texts)
+
+    def forward(enc):
+        # same whitespace tokenization as the stub => same positions;
+        # reproduce the stub's per-token (pred, conf) as fixed logits
+        b = len(enc["tokens"])
+        t = enc["attention_mask"].shape[1]
+        logits = np.full((b, t, L), np.log(1e-6))
+        for j, (pred, conf, offs) in enumerate(stub_out):
+            row = _logits_for(pred, conf, L)
+            logits[j, : len(pred), :] = row
+            logits[j, len(pred):, 0] = 5.0  # padding -> confident O
+        return logits
+
+    tm = TransformerTokenModel("/nonexistent", forward_fn=forward, num_labels=L)
+    tm_out = tm.predict(texts)
+
+    class _Decoder(NERDetector):
+        def __init__(self):  # decode-only harness: skip model loading
+            self.label2id, self.id2label = label2id, id2label
+            self.confidence_threshold = 0.5
+            self.content_col = "content"
+
+    dec = _Decoder()
+    for text, (sp, sc, so), (tp, tc, to) in zip(texts, stub_out, tm_out):
+        a = dec.extract_entities(text, sp, sc, so)
+        b = dec.extract_entities(text, tp, tc, to)
+        assert [
+            (e["text"], e["type"], e["start"], e["end"]) for e in a
+        ] == [(e["text"], e["type"], e["start"], e["end"]) for e in b]
+        for ea, eb in zip(a, b):
+            assert abs(ea["confidence"] - eb["confidence"]) < 1e-9
+        # the conformance is only meaningful if entities exist somewhere
+    assert any(
+        dec.extract_entities(t, *o) for t, o in zip(texts, stub_out)
+    )
+
+
+def test_select_token_model_stub_without_weights(tmp_path):
+    from pii_detection_local_ray.sources.model_artifact import write_stub_model
+    from pii_detection_local_ray.stages.stub_ner_model import StubTokenModel
+    from pii_detection_local_ray.stages.transformer_ner import (
+        has_real_weights,
+        select_token_model,
+    )
+
+    d = write_stub_model(tmp_path / "model")
+    assert not has_real_weights(d)
+    label2id, _ = _label_setup()
+    assert isinstance(select_token_model(d, label2id), StubTokenModel)
+
+    # weight file present but no torch in this container -> documented
+    # graceful fallback to the stub
+    (d / "pytorch_model.bin").write_bytes(b"\x00")
+    assert has_real_weights(d)
+    assert isinstance(select_token_model(d, label2id), StubTokenModel)
