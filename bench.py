@@ -74,37 +74,29 @@ def run_bench() -> dict:
     corpus_path, n_files = _bench_corpus(SF_DIR)
     model = write_stub_model("/tmp/pii_bench_model")
 
-    # warm the OS page cache and the Ray worker pool (untimed) so we
-    # measure compute + shuffle, not cold IO / first-process imports
+    # warm the OS page cache and the Ray task-worker pool (untimed) so we
+    # measure compute + shuffle, not cold IO / first-process imports.
+    # pool="task" uses stateless tasks with per-worker cached models: task
+    # workers are REUSED across Dataset executions (actor pools respawn
+    # per execution, ~1.5-3 s each on this stack), so after this warm-up
+    # every timed run reflects pipeline cost, not spawn.  Measured at 40k
+    # files / 32 CPUs: task 1.5-1.7 s warm vs actor pool 4.1 s.
     for f in Path(corpus_path).glob("*.parquet"):
         f.read_bytes()
-    warm_files = sorted(str(f) for f in Path(corpus_path).glob("*.parquet"))[:2]
+    warm_files = sorted(str(f) for f in Path(corpus_path).glob("*.parquet"))[:8]
     select_output(
-        build_pipeline(warm_files, model_path=str(model), concurrency=(2, 4))
+        build_pipeline(warm_files, model_path=str(model), pool="task")
     ).count()
 
     # headline: flagship filter + scrub, written to parquet (streaming sink)
     out_dir = f"/tmp/pii_bench_out_{NUM_CPUS}"
     import shutil
 
-    # pool sizing, swept per level on the 1.2M corpus: the model pool is
-    # the bottleneck stage, so it gets every CPU except what the read
-    # actually needs (~1 slot per 8 CPUs) - (6,7) on 8 CPUs and (24,28)
-    # on 32 measured fastest; larger pools starve the read, smaller idle
-    # CPUs.  min close to max because Ray's autoscaler ramps too slowly
-    # for short jobs ((8,28) -> 17s vs (24,28) -> 8.2s on 200k files).
-    max_actors = max(2, NUM_CPUS - max(1, NUM_CPUS // 8))
-    min_actors = max(2, max_actors - max(1, NUM_CPUS // 16))
-
     def timed_run() -> float:
         shutil.rmtree(out_dir, ignore_errors=True)
         t = time.perf_counter()
         ds = select_output(
-            build_pipeline(
-                corpus_path,
-                model_path=str(model),
-                concurrency=(min_actors, max_actors),
-            )
+            build_pipeline(corpus_path, model_path=str(model), pool="task")
         )
         ds.write_parquet(out_dir)
         return time.perf_counter() - t

@@ -249,10 +249,12 @@ def _attach_sig_est(
     def est_from_cols(b: pa.Table) -> pa.Table:
         sa = b["sig_a"].to_pylist()
         sb = b["sig_b"].to_pylist()
-        est = [
-            float((np.array(x, dtype=np.uint64) == np.array(y, dtype=np.uint64)).mean())
-            for x, y in zip(sa, sb)
-        ]
+        if sa:
+            A = np.frombuffer(b"".join(sa), dtype=np.uint64).reshape(len(sa), -1)
+            B = np.frombuffer(b"".join(sb), dtype=np.uint64).reshape(len(sb), -1)
+            est = (A == B).mean(axis=1)
+        else:
+            est = np.array([], dtype=np.float64)
         out = b.drop(["sig_a", "sig_b"]).append_column(
             "est_jaccard", pa.array(est, pa.float64())
         )
@@ -286,8 +288,24 @@ def _attach_sig_est(
 
         return cand.map_batches(est_broadcast, batch_format="pyarrow")
 
-    sa = sigs.rename_columns({id_col: "id_a", "minhash": "sig_a"})
-    sb = sigs.rename_columns({id_col: "id_b", "minhash": "sig_b"})
+    # Acero joins don't carry list-typed non-key fields - ship the
+    # signature as one fixed-width binary blob (num_perm x 8 B) instead
+    def to_bin(b: pa.Table, out: str) -> pa.Table:
+        blobs = [
+            np.asarray(s, dtype=np.uint64).tobytes()
+            for s in b["minhash"].to_pylist()
+        ]
+        return pa.table(
+            {b.schema.names[0]: b[b.schema.names[0]],
+             out: pa.array(blobs, pa.binary())}
+        )
+
+    sa = sigs.select_columns([id_col, "minhash"]).map_batches(
+        lambda b: to_bin(b, "sig_a"), batch_format="pyarrow"
+    ).rename_columns({id_col: "id_a"})
+    sb = sigs.select_columns([id_col, "minhash"]).map_batches(
+        lambda b: to_bin(b, "sig_b"), batch_format="pyarrow"
+    ).rename_columns({id_col: "id_b"})
     # partitions sized to the pair count: an empty shuffle partition has an
     # empty schema and breaks Arrow-side join key resolution
     n_parts = max(1, min(32, n // 10_000))
@@ -350,8 +368,10 @@ def minhash_lsh_pairs(
     num_bands: int = 16,
     jaccard_threshold: float = 0.6,
     max_bucket: int = 256,
+    sig_broadcast_limit: int = 200_000,
+    broadcast_limit: int = 200_000,
 ) -> ray.data.Dataset:
-    """Near-duplicate candidate pairs verified by signature similarity.
+    """Near-duplicate pairs verified by signature similarity.
 
     shingle -> minhash -> band -> bucket groupby -> candidate pairs ->
     signature-estimate verify.  Returns (id_a, id_b, est_jaccard) with
@@ -359,11 +379,20 @@ def minhash_lsh_pairs(
     ``verify_pairs_exact``.
 
     Scale notes: the LSH shuffle moves only (id, band_id, band_hash)
-    triples (~num_bands x 20 B per doc - the num_perm x 8 B signature never
-    rides through the exchange); per-bucket pair output is bounded by
-    ``max_bucket`` (oversized buckets emit min-id-anchor star pairs, see
-    ``_pairs_from_bucket``); the signature table is materialized once and
-    reused for both banding and verification.
+    triples (~num_bands x 20 B per doc - the num_perm x 8 B signature
+    never rides through the exchange).  Verification is two-tier:
+
+      * corpus up to ``sig_broadcast_limit`` docs: the signature MATRIX is
+        ray.put once (~0.5 kB/doc) and every bucket filters its pairs
+        in-place with one vectorized (A==B).mean() - junk collisions die
+        before the pair-dedup shuffle ever sees them.
+      * beyond that: buckets emit bare candidate pairs and the estimate is
+        attached afterwards (_attach_sig_est: broadcast gather for small
+        candidate sets, signature hash-join at scale - nothing
+        driver-side grows with the corpus).
+
+    Per-bucket pair output is bounded by ``max_bucket`` (oversized buckets
+    emit min-id-anchor star pairs, see ``_pairs_from_bucket``).
     """
     sigs = ds.map_batches(
         _minhash_task,
@@ -375,6 +404,16 @@ def minhash_lsh_pairs(
         lambda b: _bands_table(b, id_col, num_bands), batch_format="pyarrow"
     )
 
+    sig_ref = None
+    if sigs.count() <= sig_broadcast_limit:
+        rows = sigs.take_all()
+        order = np.argsort([r[id_col] for r in rows])
+        ids_sorted = np.array([rows[i][id_col] for i in order], dtype=np.int64)
+        mat = np.array(
+            [rows[i]["minhash"] for i in order], dtype=np.uint64
+        ).reshape(len(rows), num_perm)
+        sig_ref = ray.put((ids_sorted, mat))
+
     def coarse_pairs(group: pa.Table) -> pa.Table:
         """One map_groups call per coarse partition; the fine-grained
         (band_id, band_hash) bucketing happens locally in pandas C code.
@@ -383,17 +422,38 @@ def minhash_lsh_pairs(
         group count at ``coarse_buckets`` while preserving exact bucket
         semantics (band_hash determines the coarse key, so a fine bucket
         never straddles two coarse groups)."""
+        lookup = ray.get(sig_ref) if sig_ref is not None else None
         df = group.select([id_col, "band_id", "band_hash"]).to_pandas()
-        a_out, b_out = [], []
+        a_out, b_out, e_out = [], [], []
         for (_, _), sub in df.groupby(["band_id", "band_hash"], sort=False):
-            ids = sorted(set(sub[id_col]))
-            for x, y in _pairs_from_bucket(ids, max_bucket):
-                a_out.append(x)
-                b_out.append(y)
-        return pa.table(
-            {"id_a": pa.array(a_out, pa.int64()),
-             "id_b": pa.array(b_out, pa.int64())}
-        )
+            ids = np.unique(sub[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                ia = np.full(len(ids) - 1, ids[0])
+                ib = ids[1:]
+            else:
+                iu, ju = np.triu_indices(len(ids), k=1)
+                ia, ib = ids[iu], ids[ju]
+            if lookup is not None:
+                ids_sorted, mat = lookup
+                A = mat[np.searchsorted(ids_sorted, ia)]
+                B = mat[np.searchsorted(ids_sorted, ib)]
+                est = (A == B).mean(axis=1)
+                keep = est >= jaccard_threshold
+                a_out.append(ia[keep])
+                b_out.append(ib[keep])
+                e_out.append(est[keep])
+            else:
+                a_out.append(ia)
+                b_out.append(ib)
+        a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
+        b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
+        cols = {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        if lookup is not None:
+            e = np.concatenate(e_out) if e_out else np.array([], dtype=np.float64)
+            cols["est_jaccard"] = pa.array(e, pa.float64())
+        return pa.table(cols)
 
     coarse = bands.map_batches(
         lambda b: b.append_column(
@@ -407,10 +467,17 @@ def minhash_lsh_pairs(
     pairs = coarse.groupby("coarse").map_groups(
         coarse_pairs, batch_format="pyarrow"
     )
+    if sig_ref is not None:
+        # est already exact per pair; dedup duplicates across bands
+        return pairs.groupby(["id_a", "id_b"]).aggregate(
+            Min("est_jaccard", alias_name="est_jaccard")
+        )
     # a pair can surface from several bands - dedup on (id_a, id_b)
     cand = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nb"))
     cand = cand.select_columns(["id_a", "id_b"])
-    return _attach_sig_est(cand, sigs, id_col, jaccard_threshold)
+    return _attach_sig_est(
+        cand, sigs, id_col, jaccard_threshold, broadcast_limit
+    )
 
 
 # ---------------------------------------------------------------------------

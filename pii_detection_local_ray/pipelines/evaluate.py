@@ -84,6 +84,9 @@ def evaluate_scorers(
     zero-arg factory.  Returns per-scorer span metrics + wall time
     (the reference's elapsed_seconds hook, run_benchmarking.py:271-273)."""
     report = {}
+    # build the fixture set once - every scorer re-consumes the same
+    # materialized blocks instead of re-executing the fixture pipeline
+    fixtures = fixtures.materialize()
     for name, factory in scorers.items():
         t0 = time.perf_counter()
         pairs = fixtures.map_batches(

@@ -45,6 +45,7 @@ def build_pipeline(
     columns: list[str] | None = None,
     fused: bool = True,
     ner_num_gpus: float = 0,
+    pool: str = "actor",
 ) -> ray.data.Dataset:
     """Lazy Dataset; nothing executes until the caller consumes it.
 
@@ -72,7 +73,25 @@ def build_pipeline(
         zero_copy_batch=True,
         batch_size=STATELESS_BATCH,
     )
-    if fused:
+    if fused and pool == "task":
+        # stateless tasks + per-worker cached models: task workers are
+        # reused across Dataset executions (no per-run actor spawn), and
+        # scheduling spreads over every free CPU - fastest for short /
+        # repeated runs.  The actor pool stays the default (explicit
+        # lifecycle, per-pool resources).
+        from ..stages.fused import fused_model_task
+
+        ds = ds.map_batches(
+            fused_model_task,
+            fn_kwargs={
+                "model_path": model_path,
+                "with_perplexity": with_perplexity,
+                "with_ner": with_ner,
+            },
+            batch_format="pyarrow",
+            batch_size=ACTOR_BATCH,
+        )
+    elif fused:
         from ..stages.fused import FusedModelBatch
 
         ds = ds.map_batches(

@@ -1240,7 +1240,11 @@ def media_features(sf_dir: str):
 
     n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     t = make_media_table(min(n, 2000))
+    # instance (stateless tasks on warm workers) rather than the actor
+    # pool: the fake codec has no per-actor state to amortize, and a pool
+    # would pay fresh actor spawn on every short interactive query.  A
+    # real codec/model build goes back to the class + concurrency actor
+    # form (the pool topology in MediaFeatureBatch's docstring).
     return ray.data.from_arrow(t).map_batches(
-        MediaFeatureBatch, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 4),
+        MediaFeatureBatch(), batch_format="pyarrow", batch_size=64,
     )

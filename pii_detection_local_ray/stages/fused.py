@@ -52,3 +52,29 @@ class FusedModelBatch:
             if "scrubbed_content" in batch.schema.names:
                 batch = batch.drop_columns(["content"])
         return batch
+
+
+# per-worker cached FusedModelBatch (stateless-task + cached-global
+# pattern): Ray task workers are REUSED across Dataset executions, unlike
+# actor pools which respawn per execution (~1.5-3 s each on this stack).
+# With model construction at ~125 ms, a warm task worker serves the first
+# batch immediately - the right topology for short interactive runs and
+# repeated benchmark sweeps.  Actor pools remain the default library
+# topology (explicit lifecycle + per-pool resources, e.g. num_gpus).
+_FUSED_CACHE: dict[tuple, FusedModelBatch] = {}
+
+
+def fused_model_task(
+    batch: pa.Table,
+    model_path: str | None = None,
+    content_col: str = "content",
+    with_perplexity: bool = True,
+    with_ner: bool = True,
+) -> pa.Table:
+    key = (model_path, content_col, with_perplexity, with_ner)
+    m = _FUSED_CACHE.get(key)
+    if m is None:
+        m = _FUSED_CACHE[key] = FusedModelBatch(
+            model_path, content_col, with_perplexity, with_ner
+        )
+    return m(batch)

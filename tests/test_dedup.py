@@ -230,3 +230,22 @@ def test_connected_components_distributed_path(ray_session):
     d = dist.set_index("id")["component"].to_dict()
     assert f == d
     assert d[4] == 1 and d[12] == 10 and d[21] == 20 and d[41] == 40
+
+
+def test_minhash_join_verification_path(ray_session):
+    """broadcast_limit=0 forces the signature hash-join verification (the
+    100x path); result must match the broadcast-gather path."""
+    from pii_detection_local_ray.functions.dedup import minhash_lsh_pairs
+
+    texts = (
+        ["the quick brown fox jumps over the lazy dog again and again"] * 3
+        + ["completely different content line number %d" % i for i in range(20)]
+    )
+    a = minhash_lsh_pairs(_docs_ds(texts), jaccard_threshold=0.5).to_pandas()
+    b = minhash_lsh_pairs(
+        _docs_ds(texts), jaccard_threshold=0.5,
+        sig_broadcast_limit=0, broadcast_limit=0,
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["est_jaccard"]))
+    assert key(a) == key(b)
+    assert {(0, 1), (0, 2), (1, 2)} <= {(x, y) for x, y, _ in key(a)}
