@@ -92,11 +92,28 @@ def run_bench() -> dict:
     out_dir = f"/tmp/pii_bench_out_{NUM_CPUS}"
     import shutil
 
+    # Topology per job length (GRAFT_BENCH_POOL): short interactive runs
+    # (the default headline) use warm task workers; the scaling protocol
+    # uses the actor-pool topology with per-level tuned pool sizes - on a
+    # 40 s+ job the one-time spawn amortizes and the pool pins the model
+    # stage to a fixed CPU share, the same configuration a real cluster
+    # would run per node.  Pool sizing swept on the 1.2M corpus: the model
+    # pool takes every CPU except ~1-in-8 for the read ((6,7) at 8 CPUs,
+    # (24,28) at 32); min near max because the autoscaler ramps too slowly
+    # for these jobs.
+    pool_mode = os.environ.get("GRAFT_BENCH_POOL", "task")
+    max_actors = max(2, NUM_CPUS - max(1, NUM_CPUS // 8))
+    min_actors = max(2, max_actors - max(1, NUM_CPUS // 16))
+    build_kwargs = (
+        {"pool": "task"} if pool_mode == "task"
+        else {"concurrency": (min_actors, max_actors)}
+    )
+
     def timed_run() -> float:
         shutil.rmtree(out_dir, ignore_errors=True)
         t = time.perf_counter()
         ds = select_output(
-            build_pipeline(corpus_path, model_path=str(model), pool="task")
+            build_pipeline(corpus_path, model_path=str(model), **build_kwargs)
         )
         ds.write_parquet(out_dir)
         return time.perf_counter() - t
@@ -156,6 +173,8 @@ def run_scaling() -> dict:
         # efficiency (600k -> 0.78, 1.2M -> 0.83 measured)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         env.setdefault("GRAFT_BENCH_FILES", str(1_200_000))
+        # long-job topology for the scaling protocol (see run_bench note)
+        env.setdefault("GRAFT_BENCH_POOL", "actor")
         out = subprocess.run(
             [sys.executable, __file__],
             env=env,

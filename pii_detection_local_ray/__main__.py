@@ -134,6 +134,15 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .pipelines.serve import serve
+    from .sources.model_artifact import write_stub_model
+
+    model = args.model or str(write_stub_model("/tmp/pii_serve_model"))
+    serve(model, host=args.host, port=args.port, batch_size=args.batch_size)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pii_detection_local_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -165,6 +174,13 @@ def main(argv=None) -> int:
     pd_.add_argument("--text-col", default="content")
     pd_.add_argument("--jaccard", type=float, default=0.8)
     pd_.set_defaults(fn=cmd_dedup)
+
+    pv = sub.add_parser("serve", help="HTTP serving layer (reference src/api.py route surface)")
+    pv.add_argument("--model", default=None, help="NER model dir (stub written if omitted)")
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8000)
+    pv.add_argument("--batch-size", type=int, default=32)
+    pv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -79,3 +79,23 @@ class FileParsingError(PIIDetectionError):
 class UnsupportedFileTypeError(FileParsingError):
     def __init__(self, ext: str):
         super().__init__(f"Unsupported file type: '{ext}'.", details={"extension": ext})
+
+
+class APIError(PIIDetectionError):
+    """Request-shape errors for the serving layer (reference
+    src/exceptions.py API branch; raised by pipelines/serve.py)."""
+
+
+class MissingFieldError(APIError):
+    def __init__(self, field: str):
+        super().__init__(
+            f"Missing required field: '{field}'.", details={"field": field}
+        )
+
+
+class InvalidFieldError(APIError):
+    def __init__(self, field: str, reason: str):
+        super().__init__(
+            f"Invalid field '{field}': {reason}.",
+            details={"field": field, "reason": reason},
+        )

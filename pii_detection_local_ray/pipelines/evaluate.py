@@ -46,6 +46,110 @@ class NERScorer:
         return [r["entities"] for r in self.det.detect_batch(texts)]
 
 
+# -- third-party comparators (reference run_benchmarking.py:291-383) --------
+# Label maps are the reference's verbatim (:71-121); engines are injected
+# or imported lazily so the scorers plug into the same harness whether or
+# not spacy / presidio-analyzer exist in the environment.
+
+SPACY_LABEL_MAP: dict[str, str | None] = {
+    "PERSON": "PERSON", "ORG": "ORG", "GPE": "LOC", "LOC": "LOC",
+    "FAC": "LOC", "DATE": "DATE", "TIME": "DATE", "MONEY": "AMOUNT",
+    "CARDINAL": None, "ORDINAL": None, "PERCENT": None, "QUANTITY": None,
+    "PRODUCT": None, "EVENT": None, "WORK_OF_ART": None, "LAW": None,
+    "LANGUAGE": None, "NORP": None,
+}
+
+PRESIDIO_LABEL_MAP: dict[str, str | None] = {
+    "PERSON": "PERSON", "EMAIL_ADDRESS": "EMAIL", "PHONE_NUMBER": "PHONE",
+    "US_SSN": "SSN", "US_BANK_NUMBER": "ACCOUNT_NUMBER",
+    "CREDIT_CARD": "CREDIT_CARD", "IBAN_CODE": "IBAN",
+    "IP_ADDRESS": "IP_ADDRESS", "URL": "URL", "DATE_TIME": "DATE",
+    "LOCATION": "LOC", "ORGANIZATION": "ORG", "US_DRIVER_LICENSE": "SSN",
+    "US_PASSPORT": "SSN", "US_ITIN": "SSN", "MEDICAL_LICENSE": None,
+    "NRP": None, "CRYPTO": "CRYPTO_ADDRESS", "UK_NHS": None,
+    "SG_NRIC_FIN": None, "AU_ABN": None, "AU_ACN": None, "AU_TFN": None,
+    "AU_MEDICARE": None, "IN_PAN": "SSN", "IN_AADHAAR": "SSN",
+    "IN_VEHICLE_REGISTRATION": None,
+}
+
+
+class SpacyScorer:
+    """spaCy comparator (reference run_spacy, :291-330): nlp.pipe over
+    reconstructed texts, doc.ents filtered/renamed through
+    SPACY_LABEL_MAP.  ``nlp`` is injected for tests; default loads
+    en_core_web_trf (raises RuntimeError when spaCy is absent, same
+    message contract as the reference)."""
+
+    def __init__(self, nlp=None, batch_size: int = 32):
+        if nlp is None:
+            try:
+                import spacy
+            except ImportError as exc:
+                raise RuntimeError(
+                    "spaCy is not installed. Run: pip install spacy"
+                ) from exc
+            try:
+                nlp = spacy.load("en_core_web_trf")
+            except OSError as exc:
+                raise RuntimeError(
+                    "spaCy model 'en_core_web_trf' not found. "
+                    "Run: python -m spacy download en_core_web_trf"
+                ) from exc
+        self.nlp = nlp
+        self.batch_size = batch_size
+
+    def spans(self, texts: list[str]) -> list[list[dict]]:
+        out = []
+        for doc in self.nlp.pipe(texts, batch_size=self.batch_size):
+            spans = []
+            for ent in doc.ents:
+                mapped = SPACY_LABEL_MAP.get(ent.label_)
+                if mapped is not None:
+                    spans.append(
+                        {"start": ent.start_char, "end": ent.end_char,
+                         "type": mapped}
+                    )
+            out.append(spans)
+        return out
+
+
+class PresidioScorer:
+    """Presidio comparator (reference run_presidio, :335-383): analyzer
+    results filtered/renamed through PRESIDIO_LABEL_MAP; per-text analyze
+    errors degrade to no-spans (reference :362-365).  ``analyzer`` is
+    injected for tests; default builds AnalyzerEngine."""
+
+    def __init__(self, analyzer=None):
+        if analyzer is None:
+            try:
+                from presidio_analyzer import AnalyzerEngine
+            except ImportError as exc:
+                raise RuntimeError(
+                    "presidio-analyzer is not installed. "
+                    "Run: pip install presidio-analyzer"
+                ) from exc
+            analyzer = AnalyzerEngine()
+        self.analyzer = analyzer
+
+    def spans(self, texts: list[str]) -> list[list[dict]]:
+        out = []
+        for text in texts:
+            try:
+                results = self.analyzer.analyze(text=text, language="en")
+            except Exception:
+                out.append([])
+                continue
+            spans = []
+            for res in results:
+                mapped = PRESIDIO_LABEL_MAP.get(res.entity_type)
+                if mapped is not None:
+                    spans.append(
+                        {"start": res.start, "end": res.end, "type": mapped}
+                    )
+            out.append(spans)
+        return out
+
+
 def _scorer_stage(scorer_factory):
     class Stage:
         """Stateless-task form: the scorer is built lazily once per task

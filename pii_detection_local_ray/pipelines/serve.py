@@ -1,0 +1,229 @@
+"""HTTP serving layer over the PIIDetector facade (stdlib, no Flask).
+
+Route surface and response/error envelopes mirror the reference Flask app
+(src/api.py:214-491):
+
+  GET  /health        {"status": "healthy", "model_loaded": bool}
+  GET  /info          model path / threshold / pii types / num labels
+  POST /detect        {"text": str} -> PIIResult dict
+  POST /detect/batch  {"texts": [str, ...], "return_stats": bool}
+                      -> {"results": [...], "statistics": {...}?}
+  POST /detect/file   {"filename": str, "content": str, "columns": [..]?}
+                      -> txt line results / csv cell results + statistics
+
+Deviation from the reference (documented): /detect/file takes the file
+content inline as JSON (stdlib has no maintained multipart parser) - the
+parsing, per-unit results and statistics are the same code paths as the
+reference's upload route (pipelines/api.py detect_text_file /
+detect_csv_file).
+
+Error mapping matches src/api.py: request-shape and input errors -> 400,
+model errors -> 503, anything else -> 500, all as
+``PIIDetectionError.to_dict()`` envelopes.
+
+The detector is initialized ONCE at server construction (the reference's
+serving-singleton contract, src/api.py:66-82); request handling is
+thread-per-request over that shared read-only detector.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+from ..exceptions import (
+    EmptyInputError,
+    InputError,
+    InvalidFieldError,
+    MissingFieldError,
+    ModelError,
+    ModelNotFoundError,
+    PIIDetectionError,
+)
+from .api import FastPIIDetector
+
+MAX_BODY_BYTES = 50 * 1024 * 1024
+
+
+def _status_for(exc: PIIDetectionError) -> int:
+    if isinstance(exc, ModelError):
+        return 503
+    if isinstance(exc, (InputError, MissingFieldError, InvalidFieldError)):
+        return 400
+    return 400
+
+
+class PIIRequestHandler(BaseHTTPRequestHandler):
+    server_version = "PIIDetectionRay/1.0"
+
+    # set by create_server on the server object
+    @property
+    def detector(self):
+        return self.server.detector
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    # -- plumbing -------------------------------------------------------
+
+    def _send_json(self, payload: dict, status: int = 200) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self) -> dict:
+        length = int(self.headers.get("Content-Length") or 0)
+        if length > MAX_BODY_BYTES:
+            raise InvalidFieldError("request body", f"exceeds {MAX_BODY_BYTES} bytes")
+        raw = self.rfile.read(length) if length else b""
+        try:
+            body = json.loads(raw.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            raise InvalidFieldError("request body", "must be valid JSON")
+        if not isinstance(body, dict):
+            raise InvalidFieldError("request body", "must be a JSON object")
+        return body
+
+    def _guarded(self, fn) -> None:
+        try:
+            payload, status = fn()
+            self._send_json(payload, status)
+        except PIIDetectionError as exc:
+            self._send_json(exc.to_dict(), _status_for(exc))
+        except Exception as exc:  # reference: _generic_error, 500
+            self._send_json(
+                {"error": "InternalServerError", "message": str(exc)}, 500
+            )
+
+    # -- routes ---------------------------------------------------------
+
+    def do_GET(self):
+        if self.path == "/health":
+            self._guarded(lambda: (
+                {"status": "healthy", "model_loaded": self.detector is not None},
+                200,
+            ))
+        elif self.path == "/info":
+            self._guarded(self._info)
+        else:
+            self._send_json({"error": "NotFound", "message": self.path}, 404)
+
+    def do_POST(self):
+        routes = {
+            "/detect": self._detect,
+            "/detect/batch": self._detect_batch,
+            "/detect/file": self._detect_file,
+        }
+        handler = routes.get(self.path)
+        if handler is None:
+            self._send_json({"error": "NotFound", "message": self.path}, 404)
+            return
+        self._guarded(handler)
+
+    def _info(self):
+        d = self.detector
+        if d is None:
+            raise ModelNotFoundError("(not initialised)")
+        return {
+            "model_path": str(d.model_path),
+            "device": "cpu",
+            "confidence_threshold": d.confidence_threshold,
+            "supported_pii_types": d.pii_types,
+            "num_labels": len(d.ner.id2label),
+            "batch_size": d.batch_size,
+        }, 200
+
+    def _detect(self):
+        body = self._read_json()
+        if "text" not in body:
+            raise MissingFieldError("text")
+        text = body["text"]
+        if not isinstance(text, str):
+            raise InvalidFieldError(
+                "text", f"expected string, got {type(text).__name__}"
+            )
+        if not text.strip():
+            raise EmptyInputError("text")
+        return self.detector.detect(text), 200
+
+    def _detect_batch(self):
+        from .api import MAX_BATCH_SIZE
+
+        body = self._read_json()
+        if "texts" not in body:
+            raise MissingFieldError("texts")
+        texts = body["texts"]
+        if not isinstance(texts, list):
+            raise InvalidFieldError(
+                "texts", f"expected list, got {type(texts).__name__}"
+            )
+        if not texts:
+            raise EmptyInputError("texts list")
+        if len(texts) > MAX_BATCH_SIZE:
+            raise InvalidFieldError(
+                "texts",
+                f"list length {len(texts)} exceeds maximum allowed {MAX_BATCH_SIZE}",
+            )
+        results = self.detector.batch_detect(texts)
+        response = {"results": results}
+        if bool(body.get("return_stats", False)):
+            response["statistics"] = self.detector.get_pii_statistics(results)
+        return response, 200
+
+    def _detect_file(self):
+        body = self._read_json()
+        for field in ("filename", "content"):
+            if field not in body:
+                raise MissingFieldError(field)
+        filename = body["filename"]
+        ext = Path(filename).suffix.lower()
+        with tempfile.TemporaryDirectory() as td:
+            tmp = Path(td) / Path(filename).name
+            tmp.write_text(str(body["content"]))
+            if ext == ".txt":
+                return self.detector.detect_text_file(tmp), 200
+            if ext == ".csv":
+                return (
+                    self.detector.detect_csv_file(tmp, body.get("columns")),
+                    200,
+                )
+        from ..exceptions import UnsupportedFileTypeError
+
+        raise UnsupportedFileTypeError(ext)
+
+
+def create_server(
+    model_path: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    batch_size: int = 32,
+    confidence_threshold: float = 0.5,
+    verbose: bool = False,
+) -> ThreadingHTTPServer:
+    """Build the server with the detector loaded once (serving singleton).
+    port=0 binds an ephemeral port (server.server_address[1])."""
+    server = ThreadingHTTPServer((host, port), PIIRequestHandler)
+    server.detector = FastPIIDetector(
+        model_path,
+        confidence_threshold=confidence_threshold,
+        batch_size=batch_size,
+    )
+    server.verbose = verbose
+    return server
+
+
+def serve(model_path: str, host: str = "127.0.0.1", port: int = 8000,
+          **kwargs) -> None:
+    """Blocking entry point (CLI: python -m pii_detection_local_ray serve)."""
+    server = create_server(model_path, host, port, verbose=True, **kwargs)
+    print(f"serving on http://{server.server_address[0]}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()

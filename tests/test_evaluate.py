@@ -58,3 +58,103 @@ def test_evaluate_scorers(fixtures, stub_model):
     assert report["ner"]["per_type"]["PERSON"]["f1"] == 1.0
     for r in report.values():
         assert r["elapsed_seconds"] >= 0 and r["n_records"] == 5
+
+
+def test_spacy_scorer_with_injected_engine(ray_session):
+    """SpacyScorer maps doc.ents through the reference label map
+    (run_benchmarking.py:71-90) inside the shared harness."""
+    from types import SimpleNamespace
+
+    from pii_detection_local_ray.pipelines.evaluate import (
+        SPACY_LABEL_MAP,
+        SpacyScorer,
+    )
+
+    class FakeNLP:
+        def pipe(self, texts, batch_size=32):
+            for t in texts:
+                ents = []
+                if "Paris" in t:
+                    s = t.index("Paris")
+                    ents.append(SimpleNamespace(
+                        label_="GPE", start_char=s, end_char=s + 5))
+                if "42" in t:
+                    s = t.index("42")
+                    ents.append(SimpleNamespace(
+                        label_="CARDINAL", start_char=s, end_char=s + 2))
+                yield SimpleNamespace(ents=ents)
+
+    scorer = SpacyScorer(nlp=FakeNLP())
+    spans = scorer.spans(["went to Paris with 42 friends", "nothing"])
+    # GPE -> LOC (mapped), CARDINAL -> dropped
+    assert spans == [[{"start": 8, "end": 13, "type": "LOC"}], []]
+    assert SPACY_LABEL_MAP["GPE"] == "LOC" and SPACY_LABEL_MAP["CARDINAL"] is None
+
+
+def test_presidio_scorer_with_injected_engine(ray_session):
+    from types import SimpleNamespace
+
+    from pii_detection_local_ray.pipelines.evaluate import PresidioScorer
+
+    class FakeAnalyzer:
+        def analyze(self, text, language):
+            if "boom" in text:
+                raise ValueError("nlp failure")
+            out = []
+            if "@" in text:
+                s = text.index("user")
+                out.append(SimpleNamespace(
+                    entity_type="EMAIL_ADDRESS", start=s, end=s + 16))
+            if "nrp" in text:
+                out.append(SimpleNamespace(entity_type="NRP", start=0, end=3))
+            return out
+
+    scorer = PresidioScorer(analyzer=FakeAnalyzer())
+    spans = scorer.spans(
+        ["mail user@example.com", "boom", "nrp text here"]
+    )
+    assert spans[0] == [{"start": 5, "end": 21, "type": "EMAIL"}]
+    assert spans[1] == []  # analyze error degrades to no spans
+    assert spans[2] == []  # NRP discarded by the label map
+
+
+def test_third_party_scorers_in_harness(ray_session):
+    """Injected comparators run through the same evaluate_scorers
+    map_batches harness as the built-ins."""
+    import pyarrow as pa
+    import ray.data
+    from types import SimpleNamespace
+
+    from pii_detection_local_ray.functions.bio import span_to_bio
+    from pii_detection_local_ray.pipelines.evaluate import (
+        SpacyScorer,
+        evaluate_scorers,
+    )
+
+    class PerfectNLP:
+        def pipe(self, texts, batch_size=32):
+            for t in texts:
+                ents = []
+                if "Paris" in t:
+                    s = t.index("Paris")
+                    ents.append(SimpleNamespace(
+                        label_="LOC", start_char=s, end_char=s + 5))
+                yield SimpleNamespace(ents=ents)
+
+    rows = []
+    for text in ["we walked around Paris today", "plain words only here"]:
+        spans = (
+            [{"start": text.index("Paris"), "end": text.index("Paris") + 5,
+              "type": "LOC"}] if "Paris" in text else []
+        )
+        toks, labs = span_to_bio(text, spans)
+        rows.append((toks, labs))
+    fixtures = ray.data.from_arrow(pa.table({
+        "tokens": pa.array([r[0] for r in rows], pa.list_(pa.string())),
+        "labels": pa.array([r[1] for r in rows], pa.list_(pa.string())),
+    }))
+    report = evaluate_scorers(
+        fixtures, {"spacy": lambda: SpacyScorer(nlp=PerfectNLP())}
+    )
+    assert report["spacy"]["f1"] == 1.0
+    assert report["spacy"]["n_records"] == 2

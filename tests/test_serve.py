@@ -1,0 +1,102 @@
+"""HTTP serving layer: reference src/api.py:214-491 route surface over
+the stdlib server (pipelines/serve.py)."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from pii_detection_local_ray.pipelines.serve import create_server
+    from pii_detection_local_ray.sources.model_artifact import write_stub_model
+
+    model = write_stub_model(tmp_path_factory.mktemp("srv") / "model")
+    srv = create_server(str(model), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _req(url, payload=None, method=None):
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(
+        url, data=data, method=method or ("POST" if data else "GET"),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_info(server):
+    code, body = _req(f"{server}/health")
+    assert code == 200 and body == {"status": "healthy", "model_loaded": True}
+    code, body = _req(f"{server}/info")
+    assert code == 200
+    assert body["supported_pii_types"] == ["DATE", "LOC", "ORG", "PERSON"]
+    assert body["num_labels"] == 9 and body["device"] == "cpu"
+
+
+def test_detect_single(server):
+    code, body = _req(f"{server}/detect", {"text": "call Jane Smith at home"})
+    assert code == 200 and body["has_pii"]
+    assert "[REDACTED]" in body["redacted_text"]
+    assert body["pii_types"] == ["PERSON"] and body["error"] is None
+
+
+def test_detect_errors(server):
+    code, body = _req(f"{server}/detect", {})
+    assert code == 400 and body["error"] == "MissingFieldError"
+    code, body = _req(f"{server}/detect", {"text": 42})
+    assert code == 400 and body["error"] == "InvalidFieldError"
+    code, body = _req(f"{server}/detect", {"text": "   "})
+    assert code == 400 and body["error"] == "EmptyInputError"
+    code, body = _req(f"{server}/nope", {"text": "x"})
+    assert code == 404
+
+
+def test_detect_batch_with_stats(server):
+    code, body = _req(
+        f"{server}/detect/batch",
+        {"texts": ["Jane Smith was here", "plain words only", 7],
+         "return_stats": True},
+    )
+    assert code == 200 and len(body["results"]) == 3
+    assert body["results"][0]["has_pii"] is True
+    assert body["results"][1]["has_pii"] is False
+    assert body["results"][2]["error"]  # per-item error, order preserved
+    stats = body["statistics"]
+    assert stats["total_texts"] == 3 and stats["texts_with_pii"] == 1
+
+
+def test_detect_file_txt_and_csv(server):
+    code, body = _req(
+        f"{server}/detect/file",
+        {"filename": "notes.txt",
+         "content": "Jane Smith visited\n\nnothing here\n"},
+    )
+    assert code == 200 and body["file_type"] == "txt"
+    assert body["num_units"] == 2
+    assert body["results"][0]["has_pii"] and not body["results"][1]["has_pii"]
+
+    code, body = _req(
+        f"{server}/detect/file",
+        {"filename": "t.csv",
+         "content": "name,notes\nJane Smith,hello\nnobody,world\n"},
+    )
+    assert code == 200 and body["file_type"] == "csv"
+    assert body["columns_scanned"] == ["name", "notes"]
+    assert len(body["cells_with_pii"]) == 1
+    assert body["redacted_records"][0]["name"] == "[REDACTED]"
+
+    code, body = _req(
+        f"{server}/detect/file", {"filename": "x.parquet", "content": ""}
+    )
+    assert code == 400 and body["error"] == "UnsupportedFileTypeError"
