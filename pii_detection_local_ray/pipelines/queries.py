@@ -868,11 +868,36 @@ def orders_lineitem_join(sf_dir: str):
 @register("minhash_dup_clusters")
 def minhash_dup_clusters(sf_dir: str):
     """Full near-dup chain: shingle -> minhash -> LSH pairs -> connected
-    components -> duplicate clusters."""
-    pairs = fdedup.minhash_lsh_pairs(
-        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
+    components -> duplicate clusters.
+
+    Rows-only driver check (natural word-soup similarity makes the exact
+    pair set LSH-probabilistic, so no SQL oracle), hardened with a
+    planted-recovery assertion: every 50th doc gets an exact copy
+    (doc_id + 1_000_000); identical texts have identical signatures, so
+    LSH finds them with certainty and the components output MUST place
+    each copy in its source's cluster - the query raises otherwise."""
+
+    def plant_copies(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        dup = b.filter(pa.array(ids % 50 == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(dup["doc_id"], 1_000_000),
+        )
+        return pa.concat_tables([b, dup])
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant_copies, batch_format="pyarrow"
     )
-    return fdedup.connected_components(pairs)
+    pairs = fdedup.minhash_lsh_pairs(planted, jaccard_threshold=0.5)
+    comp = fdedup.connected_components(pairs).materialize()
+    label = {r["id"]: r["component"] for r in comp.take_all()}
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    for i in range(0, n_docs, 50):
+        assert label.get(i) is not None and label.get(i) == label.get(
+            i + 1_000_000
+        ), f"planted copy {i} not recovered into its source cluster"
+    return comp
 
 
 @register(
@@ -1157,6 +1182,19 @@ def embedding_near_dups(sf_dir: str):
     ).select_columns(["id_a", "id_b"])
 
 
+def _assert_self_top1(res) -> None:
+    """ANN self-check for the rows-only driver queries: the query vectors
+    ARE corpus vectors (the first 3 embeddings), so any sane ANN index
+    must return each query itself as its top-1 hit (cosine ~1.0).  Raises
+    on violation so the rows-only check can't pass a broken index."""
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    for q, grp in df.groupby("query_id"):
+        top = grp.sort_values(["score", "vec_id"], ascending=[False, True]).iloc[0]
+        assert int(top["vec_id"]) == int(q), (
+            f"query {q} top-1 is {top['vec_id']} (score {top['score']}), not itself"
+        )
+
+
 @register("knn_ivf_top5")
 def knn_ivf_top5(sf_dir: str):
     """IVF ANN scale path: coarse k-means quantizer + probed cells."""
@@ -1166,7 +1204,9 @@ def knn_ivf_top5(sf_dir: str):
     queries = np.array(emb["embedding"].to_pylist()[:3], dtype=np.float32)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     cents = fsim.build_ivf_centroids(ds, n_centroids=8)
-    return fsim.knn_ivf(ds, queries, cents, k=5, n_probe=3)
+    res = fsim.knn_ivf(ds, queries, cents, k=5, n_probe=3)
+    _assert_self_top1(res)
+    return res
 
 
 @register("knn_lsh_top5")
@@ -1176,7 +1216,9 @@ def knn_lsh_top5(sf_dir: str):
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     queries = np.array(emb["embedding"].to_pylist()[:3], dtype=np.float32)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return fsim.knn_lsh(ds, queries, k=5, num_planes=4)
+    res = fsim.knn_lsh(ds, queries, k=5, num_planes=4)
+    _assert_self_top1(res)
+    return res
 
 
 @register(
@@ -1248,3 +1290,290 @@ def media_features(sf_dir: str):
     return ray.data.from_arrow(t).map_batches(
         MediaFeatureBatch(), batch_format="pyarrow", batch_size=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 relational breadth: top-k revenue, multi-join rollup, anti-join,
+# window rank, as-of join.  Money exact as integer cents/micros (float
+# summation order differs between engines).
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_orders_by_revenue",
+    # Q3 shape.  revenue in exact integer micros:
+    # cents(price) * (100 - pct(discount))
+    "SELECT orderkey, revenue FROM ("
+    "  SELECT l.l_orderkey AS orderkey, "
+    "  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+    "    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)"
+    "    AS revenue "
+    "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "  JOIN customer c ON o.o_custkey = c.c_custkey "
+    "  WHERE c.c_mktsegment = 'BUILDING' "
+    "    AND o.o_orderdate < TIMESTAMP '1995-06-01' "
+    "    AND l.l_shipdate > TIMESTAMP '1995-06-01' "
+    "  GROUP BY l.l_orderkey"
+    ") ORDER BY revenue DESC, orderkey LIMIT 10",
+)
+def top_orders_by_revenue(sf_dir: str):
+    """TPC-H-Q3-shaped top-k: segment+date-filtered dimension reduced to a
+    broadcast orderkey set (the filtered orders are a small fraction; at
+    100 TB swap the broadcast for the hash_join shape demonstrated by
+    orders_lineitem_join), fact side pruned at the read, exact integer
+    micros, deterministic (revenue desc, orderkey) tie-break."""
+    from datetime import datetime
+
+    cutoff = pa.scalar(datetime(1995, 6, 1), type=pa.timestamp("us"))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+    )
+    seg_keys = set(cust.to_pandas()["c_custkey"])
+    seg_ref = ray.put(seg_keys)
+
+    def orders_filter(b: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        b = b.filter(pc.less(b["o_orderdate"], cutoff))
+        mask = pa.array([k in keys for k in b["o_custkey"].to_pylist()])
+        return b.filter(mask).select(["o_orderkey"])
+
+    ok = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_filter, batch_format="pyarrow")
+    ok_ref = ray.put(set(ok.to_pandas()["o_orderkey"]))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(ok_ref)
+        b = b.filter(pc.greater(b["l_shipdate"], cutoff))
+        mask = pa.array([k in keys for k in b["l_orderkey"].to_pylist()])
+        b = b.filter(mask)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), pct))
+        t = pa.table({"orderkey": b["l_orderkey"], "rev": rev})
+        g = t.group_by("orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["orderkey", "revenue"])
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return agg.sort(["revenue", "orderkey"], descending=[True, False]).limit(10)
+
+
+@register(
+    "region_nation_revenue",
+    # Q5 shape via the customer->nation->region path.
+    "SELECT n.n_name AS nation, count(*) AS n_items, "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "  AS revenue_cents "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
+)
+def region_nation_revenue(sf_dir: str):
+    """Q5-shaped multi-join rollup: the three dimension hops
+    (region->nation->customer->order) collapse into ONE broadcast
+    orderkey->nation map built from the tiny dimension side; the fact
+    table is touched once with a pruned read and partial aggregation.
+    (At 100 TB orders->lineitem becomes the hash-join shape.)"""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = {
+        r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == "ASIA"
+    }
+    nkey_to_name = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nat.to_pylist() if r["n_regionkey"] in asia
+    }
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_to_nation = {
+        ck: nkey_to_name[nk]
+        for ck, nk in zip(
+            cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
+        )
+        if nk in nkey_to_name
+    }
+    c_ref = ray.put(cust_to_nation)
+
+    def orders_map(b: pa.Table) -> pa.Table:
+        lk = ray.get(c_ref)
+        nations = [lk.get(k) for k in b["o_custkey"].to_pylist()]
+        t = b.append_column("nation", pa.array(nations, pa.string()))
+        return t.filter(pc.is_valid(t["nation"])).select(
+            ["o_orderkey", "nation"]
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_map, batch_format="pyarrow")
+    ok_to_nation = dict(
+        zip(*(orders.to_pandas()[c] for c in ["o_orderkey", "nation"]))
+    )
+    ok_ref = ray.put(ok_to_nation)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        lk = ray.get(ok_ref)
+        nations = [lk.get(k) for k in b["l_orderkey"].to_pylist()]
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        t = pa.table({"nation": pa.array(nations, pa.string()), "cents": cents})
+        t = t.filter(pc.is_valid(t["nation"]))
+        g = t.group_by("nation").aggregate([("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["nation", "n_items", "revenue_cents"])
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    # Customers are planted (c_custkey + 100000 for every 10th) so the
+    # anti-join result is non-vacuous - the dense sf orders table covers
+    # every natural customer.
+    "SELECT c_custkey FROM ("
+    "  SELECT c_custkey FROM customer"
+    "  UNION ALL"
+    "  SELECT c_custkey + 100000 AS c_custkey FROM customer"
+    "  WHERE c_custkey % 10 = 0"
+    ") WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def customers_without_orders(sf_dir: str):
+    """Anti-join: the distinct order-customer key set (bounded by the
+    customer dimension, not the fact row count) broadcasts once; the
+    customer side filters against it.  The J3 rare-set anti-join shape."""
+    have = set(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        )
+        .groupby("o_custkey")
+        .count()
+        .to_pandas()["o_custkey"]
+    )
+    ref = ray.put(have)
+
+    def plant_and_anti(b: pa.Table) -> pa.Table:
+        keys = b["c_custkey"].to_numpy(zero_copy_only=False)
+        planted = keys[keys % 10 == 0] + 100_000
+        allk = np.concatenate([keys, planted])
+        lk = ray.get(ref)
+        kept = np.array([k for k in allk if k not in lk], dtype=np.int64)
+        return pa.table({"c_custkey": pa.array(kept, pa.int64())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(plant_and_anti, batch_format="pyarrow")
+
+
+@register(
+    "order_rank_in_customer",
+    "SELECT o_custkey, o_orderkey, rnk FROM ("
+    "  SELECT o_custkey, o_orderkey, row_number() OVER ("
+    "    PARTITION BY o_custkey "
+    "    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey"
+    "  ) AS rnk FROM orders"
+    ") WHERE rnk <= 3",
+)
+def order_rank_in_customer(sf_dir: str):
+    """Partitioned window rank (row_number over customer): hash-partition
+    by the window key, rank inside map_groups - each group sorts locally,
+    nothing global.  Deterministic (cents desc, orderkey) tie-break."""
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(g["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keys = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -cents))[:3]
+        return pa.table({
+            "o_custkey": pc.take(g["o_custkey"], pa.array(order)),
+            "o_orderkey": pa.array(keys[order], pa.int64()),
+            "rnk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        )
+        .groupby("o_custkey")
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
+
+
+@register(
+    "purchase_last_click",
+    # As-of join: for each purchase, the most recent click by the same
+    # user at or before the purchase timestamp.  Emitting the click TS
+    # (not id) keeps ties deterministic (equal ts -> equal output).
+    "SELECT p.event_id AS purchase_id, c.ts AS click_ts "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+    "ON p.user_id = c.user_id AND c.ts <= p.ts",
+)
+def purchase_last_click(sf_dir: str):
+    """As-of join as a composition (SURVEY custom-operator recipe (a)):
+    filter both sides at the read, hash-partition by the equality key
+    (user), then one vectorized searchsorted per group.  Relies on the
+    per-user slice fitting one group - the same partitioning assumption
+    as sessionization (functions/windows.py)."""
+
+    def asof_group(g: pa.Table) -> pa.Table:
+        kinds = g["event_type"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        click_ts = np.sort(ts[kinds == "click"])
+        p_mask = kinds == "purchase"
+        p_ts, p_ids = ts[p_mask], ids[p_mask]
+        if len(click_ts) == 0 or len(p_ts) == 0:
+            return pa.table({
+                "purchase_id": pa.array([], pa.int64()),
+                "click_ts": pa.array([], pa.timestamp("us")),
+            })
+        idx = np.searchsorted(click_ts, p_ts, side="right") - 1
+        ok = idx >= 0
+        return pa.table({
+            "purchase_id": pa.array(p_ids[ok], pa.int64()),
+            "click_ts": pa.array(click_ts[idx[ok]]).cast(pa.timestamp("us")),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["event_type"], value_set=pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("user_id").map_groups(asof_group, batch_format="pyarrow")
+
+    def fix_unit(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("click_ts")
+        return b.set_column(i, "click_ts", pc.cast(b["click_ts"], pa.timestamp("us")))
+
+    return out.map_batches(fix_unit, batch_format="pyarrow")
