@@ -891,7 +891,14 @@ def minhash_dup_clusters(sf_dir: str):
     )
     pairs = fdedup.minhash_lsh_pairs(planted, jaccard_threshold=0.5)
     comp = fdedup.connected_components(pairs).materialize()
-    label = {r["id"]: r["component"] for r in comp.take_all()}
+    # gather labels for the planted ids ONLY (bounded by the planted
+    # count, never the corpus) before asserting recovery
+    def planted_only(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ids % 50 == 0) | (ids >= 1_000_000)))
+
+    probe = comp.map_batches(planted_only, batch_format="pyarrow")
+    label = {r["id"]: r["component"] for r in probe.take_all()}
     n_docs = _docs(sf_dir, ["doc_id"]).count()
     for i in range(0, n_docs, 50):
         assert label.get(i) is not None and label.get(i) == label.get(
