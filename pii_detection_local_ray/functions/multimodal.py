@@ -12,6 +12,7 @@ PIL/libsndfile on a real cluster.
 Fake payload format (deterministic, self-describing):
   b"FAKEIMG1" + uint16 width + uint16 height + width*height uint8 pixels
   b"FAKEAUD1" + uint32 sample_rate + uint32 n  + n int16 samples
+  b"FAKEVID1" + uint16 width + uint16 height + uint16 n_frames + frames
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ import pyarrow as pa
 
 IMG_MAGIC = b"FAKEIMG1"
 AUD_MAGIC = b"FAKEAUD1"
+VID_MAGIC = b"FAKEVID1"
 
 
 def encode_fake_image(width: int, height: int, seed: int) -> bytes:
@@ -37,6 +39,15 @@ def encode_fake_audio(sample_rate: int, n: int, seed: int) -> bytes:
     return AUD_MAGIC + struct.pack("<II", sample_rate, n) + samples.tobytes()
 
 
+def encode_fake_video(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=n_frames * width * height, dtype=np.uint8)
+    return (
+        VID_MAGIC + struct.pack("<HHH", width, height, n_frames)
+        + frames.tobytes()
+    )
+
+
 def _decode_fake(payload: bytes) -> tuple[str, np.ndarray, dict]:
     if payload[:8] == IMG_MAGIC:
         w, h = struct.unpack("<HH", payload[8:12])
@@ -46,6 +57,10 @@ def _decode_fake(payload: bytes) -> tuple[str, np.ndarray, dict]:
         sr, n = struct.unpack("<II", payload[8:16])
         samples = np.frombuffer(payload[16 : 16 + 2 * n], dtype=np.int16)
         return "audio", samples.astype(np.float32), {"sample_rate": sr, "n_samples": n}
+    if payload[:8] == VID_MAGIC:
+        w, h, nf = struct.unpack("<HHH", payload[8:14])
+        px = np.frombuffer(payload[14 : 14 + w * h * nf], dtype=np.uint8)
+        return "video", px.astype(np.float32), {"width": w, "height": h, "n_frames": nf}
     raise NotImplementedError(
         "Real media codecs are not available in this container; payload is "
         "not in the deterministic fake format. Swap _decode_fake for "
@@ -147,3 +162,90 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
             "payload": pa.array(payloads, pa.binary()),
         }
     )
+
+
+class FrameSampleBatch:
+    """Actor-pool flat-map stage: fake-video payload -> one output row per
+    SAMPLED frame (every_k rule, ``frame_sample_indices``), each frame
+    re-encoded as a fake image payload.  Row counts change (explode), so
+    all carried columns are repeated per emitted frame - the standard
+    Ray Data flat-map-over-media shape.  Real implementation: pyav /
+    decord keyframe decode.
+    """
+
+    def __init__(self, every_k: int = 4, payload_col: str = "payload"):
+        self.every_k = every_k
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        carry_cols = [c for c in batch.schema.names if c != self.payload_col]
+        take_idx, frame_no, frames = [], [], []
+        for row, p in enumerate(batch[self.payload_col].to_pylist()):
+            kind, arr, meta = _decode_fake(p)
+            if kind != "video":
+                raise NotImplementedError("frame sampling only defined for video")
+            w, h = meta["width"], meta["height"]
+            vid = arr.reshape(meta["n_frames"], h, w)
+            for f in frame_sample_indices(meta["n_frames"], self.every_k):
+                take_idx.append(row)
+                frame_no.append(f)
+                frames.append(
+                    IMG_MAGIC + struct.pack("<HH", w, h)
+                    + vid[f].astype(np.uint8).tobytes()
+                )
+        out = batch.select(carry_cols).take(pa.array(take_idx, pa.int64()))
+        out = out.append_column("frame_no", pa.array(frame_no, pa.int32()))
+        return out.append_column("frame", pa.array(frames, pa.binary()))
+
+
+class AudioResampleBatch:
+    """Actor-pool stage: naive decimation resample of fake-audio payloads
+    to ``target_rate`` (binary-in/binary-out, stable schema).  Real
+    implementation: soxr / librosa.resample."""
+
+    def __init__(self, target_rate: int, payload_col: str = "payload"):
+        self.target_rate = target_rate
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch[self.payload_col].to_pylist():
+            kind, arr, meta = _decode_fake(p)
+            if kind != "audio":
+                raise NotImplementedError("resample only defined for audio")
+            step = max(1, meta["sample_rate"] // self.target_rate)
+            resampled = arr[::step].astype(np.int16)
+            out.append(
+                AUD_MAGIC
+                + struct.pack("<II", self.target_rate, len(resampled))
+                + resampled.tobytes()
+            )
+        return batch.append_column("resampled", pa.array(out, pa.binary()))
+
+
+class MediaEmbedBatch:
+    """Actor-pool stage: media payload -> unit-norm embedding
+    (list<float32>), bridging the multimodal columns into the ANN
+    operators (functions/simsearch.py).  The projection matrix is drawn
+    once per actor from a fixed seed - the same load-once contract a real
+    CLIP/wav2vec encoder would use; the fake 'encoder' pools the decoded
+    array into ``dim`` deterministic buckets."""
+
+    def __init__(self, dim: int = 16, payload_col: str = "payload"):
+        self.dim = dim
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = []
+        for p in batch[self.payload_col].to_pylist():
+            _kind, arr, _meta = _decode_fake(p)
+            if len(arr) < self.dim:
+                arr = np.pad(arr, (0, self.dim - len(arr)))
+            chunks = np.array_split(arr.astype(np.float64), self.dim)
+            v = np.array([c.mean() for c in chunks])
+            norm = np.linalg.norm(v)
+            v = v / norm if norm > 0 else v
+            embs.append(v.astype(np.float32).tolist())
+        return batch.append_column(
+            "embedding", pa.array(embs, pa.list_(pa.float32()))
+        )

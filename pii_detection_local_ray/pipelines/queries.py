@@ -1584,3 +1584,38 @@ def purchase_last_click(sf_dir: str):
         return b.set_column(i, "click_ts", pc.cast(b["click_ts"], pa.timestamp("us")))
 
     return out.map_batches(fix_unit, batch_format="pyarrow")
+
+
+@register(
+    "media_frame_counts",
+    # videos are built deterministically per doc (n_frames = 6 + doc_id%10)
+    # and sampled every 4th frame, so the sampled-frame count per video is
+    # exact integer arithmetic: ceil(n_frames/4) = (n_frames + 3) // 4
+    "SELECT doc_id AS media_id, "
+    "CAST((9 + doc_id % 10) // 4 AS BIGINT) AS n_sampled FROM documents",
+)
+def media_frame_counts(sf_dir: str):
+    """Video frame-sampling through the full distributed path: build one
+    deterministic fake video per document row, explode every 4th frame
+    (FrameSampleBatch - a row-count-changing media flat-map), count
+    frames per video.  The oracle is exact because the sampling rule is
+    integer arithmetic over the planted frame counts."""
+    from ..functions.multimodal import FrameSampleBatch, encode_fake_video
+
+    def build_videos(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [encode_fake_video(8, 6, 6 + (i % 10), seed=i) for i in ids],
+                pa.binary(),
+            ),
+        })
+
+    frames = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(build_videos, batch_format="pyarrow")
+        .map_batches(FrameSampleBatch(every_k=4), batch_format="pyarrow",
+                     batch_size=128)
+    )
+    return frames.groupby("media_id").aggregate(Count(alias_name="n_sampled"))

@@ -253,3 +253,76 @@ def test_kll_sketch_accuracy(ray_session):
     want = [float(np.percentile(data, p * 100)) for p in ps]
     for g, w in zip(got, want):
         assert abs(g - w) / w < 0.05, (g, w)
+
+
+def test_frame_sample_explodes_rows(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pii_detection_local_ray.functions.multimodal import (
+        FrameSampleBatch,
+        encode_fake_video,
+        _decode_fake,
+    )
+
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array(
+            [encode_fake_video(8, 6, 10, seed=1),
+             encode_fake_video(8, 6, 5, seed=2)], pa.binary()),
+    })
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(FrameSampleBatch(every_k=4), batch_format="pyarrow",
+                     batch_size=8)
+        .to_pandas()
+    )
+    # 10 frames @k=4 -> frames 0,4,8; 5 frames -> 0,4
+    assert list(out["media_id"]) == [0, 0, 0, 1, 1]
+    assert list(out["frame_no"]) == [0, 4, 8, 0, 4]
+    kind, arr, meta = _decode_fake(out["frame"].iloc[0])
+    assert kind == "image" and meta == {"width": 8, "height": 6}
+
+
+def test_audio_resample_roundtrip(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pii_detection_local_ray.functions.multimodal import (
+        AudioResampleBatch,
+        encode_fake_audio,
+        _decode_fake,
+    )
+
+    t = pa.table({"payload": pa.array(
+        [encode_fake_audio(16000, 1000, seed=3)], pa.binary())})
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(AudioResampleBatch(8000), batch_format="pyarrow")
+        .to_pandas()
+    )
+    kind, arr, meta = _decode_fake(out["resampled"].iloc[0])
+    assert kind == "audio" and meta["sample_rate"] == 8000
+    assert meta["n_samples"] == 500  # decimation by 2
+
+
+def test_media_embed_feeds_ann(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pii_detection_local_ray.functions.multimodal import (
+        MediaEmbedBatch,
+        make_media_table,
+    )
+    from pii_detection_local_ray.functions.simsearch import knn_brute_force
+
+    t = make_media_table(30)
+    ds = ray.data.from_arrow(t).map_batches(
+        MediaEmbedBatch(dim=8), batch_format="pyarrow"
+    ).materialize()
+    first = ds.take(1)[0]
+    v = np.array(first["embedding"], dtype=np.float32)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    top = knn_brute_force(
+        ds.select_columns(["media_id", "embedding"]),
+        v.reshape(1, -1), k=3, id_col="media_id",
+    ).to_pandas()
+    assert int(top.iloc[0]["media_id"]) == int(first["media_id"])  # self top-1
