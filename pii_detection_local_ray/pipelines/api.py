@@ -207,6 +207,50 @@ class PIIDetector:
             },
         }
 
+    def detect_excel_file(self, path: str | Path,
+                          columns: list[str] | None = None) -> dict:
+        """Excel upload path (reference src/api.py:141-155 _parse_excel):
+        parsed by the dependency-free SpreadsheetML reader
+        (sources/xlsx.py), then the same per-cell detect + repivot flow
+        as CSV - all values read as strings, blanks preserved."""
+        path = Path(path)
+        self._check_file(path, ".xlsx")
+        from ..sources.xlsx import read_xlsx
+
+        header, rows = read_xlsx(path)
+        if not rows:
+            raise EmptyInputError(path.name)
+        import pandas as pd
+
+        df = pd.DataFrame(rows, columns=header).astype(str)
+        cols = columns or list(df.columns)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"Columns not found: {missing}")
+        cell_results = []
+        redacted = df.copy()
+        for col in cols:
+            values = df[col].astype(str).tolist()
+            results = self.batch_detect(
+                [v if v.strip() else " " for v in values]
+            )
+            for row_idx, (v, r) in enumerate(zip(values, results)):
+                if r["has_pii"]:
+                    cell_results.append({"row": row_idx, "column": col, **r})
+                    redacted.at[row_idx, col] = r["redacted_text"]
+        return {
+            "filename": path.name,
+            "file_type": "excel",
+            "num_rows": len(df),
+            "columns_scanned": cols,
+            "cells_with_pii": cell_results,
+            "redacted_records": redacted.to_dict(orient="records"),
+            "statistics": {
+                "total_cells": len(df) * len(cols),
+                "cells_with_pii": len(cell_results),
+            },
+        }
+
     def _check_file(self, path: Path, ext: str):
         if path.suffix.lower() != ext:
             raise UnsupportedFileTypeError(path.suffix)

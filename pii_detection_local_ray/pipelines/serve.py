@@ -178,19 +178,30 @@ class PIIRequestHandler(BaseHTTPRequestHandler):
 
     def _detect_file(self):
         body = self._read_json()
-        for field in ("filename", "content"):
-            if field not in body:
-                raise MissingFieldError(field)
+        if "filename" not in body:
+            raise MissingFieldError("filename")
+        if "content" not in body and "content_b64" not in body:
+            raise MissingFieldError("content")
         filename = body["filename"]
         ext = Path(filename).suffix.lower()
         with tempfile.TemporaryDirectory() as td:
             tmp = Path(td) / Path(filename).name
-            tmp.write_text(str(body["content"]))
+            if "content_b64" in body:  # binary formats (xlsx)
+                import base64
+
+                tmp.write_bytes(base64.b64decode(body["content_b64"]))
+            else:
+                tmp.write_text(str(body["content"]))
             if ext == ".txt":
                 return self.detector.detect_text_file(tmp), 200
             if ext == ".csv":
                 return (
                     self.detector.detect_csv_file(tmp, body.get("columns")),
+                    200,
+                )
+            if ext == ".xlsx":
+                return (
+                    self.detector.detect_excel_file(tmp, body.get("columns")),
                     200,
                 )
         from ..exceptions import UnsupportedFileTypeError

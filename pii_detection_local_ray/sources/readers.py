@@ -125,3 +125,32 @@ def read_csv_units(paths, text_cols: list[str] | None = None) -> ray.data.Datase
         return unpivot_cells(batch, cols)
 
     return ds.map_batches(_un, batch_format="pyarrow")
+
+
+def read_xlsx_units(paths, text_cols: list[str] | None = None) -> ray.data.Dataset:
+    """XLSX -> unpivoted text units (reference S11, src/api.py:141-155).
+
+    Parsed by the dependency-free SpreadsheetML reader (sources/xlsx.py)
+    into one Arrow table per file, then the same unpivot path as CSV.
+    Upload-path files are bounded at 50 MB, so driver-side parse + one
+    block per file is the correct trade (see read_csv_units note).
+    """
+    from .xlsx import read_xlsx
+
+    if isinstance(paths, (str, bytes)) or hasattr(paths, "__fspath__"):
+        paths = [paths]
+    tables = []
+    for p in paths:
+        header, rows = read_xlsx(p)
+        cols = {h: [str(r[i]) for r in rows] for i, h in enumerate(header)}
+        tables.append(pa.table({h: pa.array(v, pa.string()) for h, v in cols.items()}))
+    ds = ray.data.from_arrow(pa.concat_tables(tables))
+    cols_sel = text_cols or list(tables[0].schema.names)
+
+    def _un(batch: pa.Table) -> pa.Table:
+        missing = [c for c in cols_sel if c not in batch.schema.names]
+        if missing:
+            raise ValueError(f"Columns not found: {missing}")
+        return unpivot_cells(batch, cols_sel)
+
+    return ds.map_batches(_un, batch_format="pyarrow")

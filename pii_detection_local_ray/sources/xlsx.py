@@ -1,0 +1,145 @@
+"""Minimal dependency-free XLSX reader/writer (S11, reference
+src/api.py:141-155 _parse_excel).
+
+No xlsx engine ships in this container, but .xlsx is ECMA-376
+SpreadsheetML: a ZIP of XML parts - stdlib ``zipfile`` + ``ElementTree``
+cover the subset the reference's upload route needs (one worksheet,
+header row, shared/inline strings, numbers).  The writer emits the same
+subset so tests and fixtures round-trip without third-party packages;
+files produced by Excel/openpyxl read fine through the same paths.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_CELL_REF = re.compile(r"([A-Z]+)(\d+)")
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+</Types>"""
+
+_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WORKBOOK = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+</workbook>"""
+
+_WORKBOOK_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+
+
+def _col_letter(idx: int) -> str:
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _col_index(letters: str) -> int:
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def write_xlsx(path: str | Path, header: list[str],
+               rows: list[list]) -> Path:
+    """One-sheet xlsx with inline strings (the reader subset, so fixtures
+    round-trip); numbers written as numeric cells."""
+    path = Path(path)
+    body = ["<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>",
+            f"<worksheet xmlns=\"{_NS[1:-1]}\"><sheetData>"]
+    for r, row in enumerate([header] + [list(r) for r in rows], start=1):
+        cells = []
+        for c, val in enumerate(row):
+            ref = f"{_col_letter(c)}{r}"
+            if isinstance(val, (int, float)) and not isinstance(val, bool):
+                cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+            else:
+                cells.append(
+                    f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                    f"{_xml_escape(str(val))}</t></is></c>"
+                )
+        body.append(f'<row r="{r}">{"".join(cells)}</row>')
+    body.append("</sheetData></worksheet>")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("xl/workbook.xml", _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", "".join(body))
+    return path
+
+
+def _cell_text(cell, shared: list[str]) -> str:
+    kind = cell.get("t", "n")
+    if kind == "inlineStr":
+        t = cell.find(f"{_NS}is/{_NS}t")
+        return t.text or "" if t is not None else ""
+    v = cell.find(f"{_NS}v")
+    if v is None or v.text is None:
+        return ""
+    if kind == "s":
+        return shared[int(v.text)]
+    return v.text
+
+
+def read_xlsx(path: str | Path) -> tuple[list[str], list[list[str]]]:
+    """(header, rows) from sheet1; all values as strings (the reference
+    reads Excel with dtype=str and fillna('') - src/api.py:146-151)."""
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        sheet_names = sorted(
+            n for n in z.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheet_names:
+            raise ValueError(f"{path}: no worksheet found")
+        root = ET.fromstring(z.read(sheet_names[0]))
+
+    grid: dict[int, dict[int, str]] = {}
+    max_col = -1
+    for row in root.iter(f"{_NS}row"):
+        for cell in row.findall(f"{_NS}c"):
+            m = _CELL_REF.fullmatch(cell.get("r", ""))
+            if not m:
+                continue
+            c_idx, r_idx = _col_index(m.group(1)), int(m.group(2)) - 1
+            grid.setdefault(r_idx, {})[c_idx] = _cell_text(cell, shared)
+            max_col = max(max_col, c_idx)
+    if not grid:
+        return [], []
+    n_rows = max(grid) + 1
+    dense = [
+        [grid.get(r, {}).get(c, "") for c in range(max_col + 1)]
+        for r in range(n_rows)
+    ]
+    header = [str(h) for h in dense[0]]
+    return header, dense[1:]

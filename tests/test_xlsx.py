@@ -1,0 +1,110 @@
+"""S11 Excel parsing: dependency-free SpreadsheetML reader/writer
+(sources/xlsx.py) + the reference's excel-upload flow (src/api.py:141-155)."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import pytest
+
+
+def test_xlsx_roundtrip(tmp_path):
+    from pii_detection_local_ray.sources.xlsx import read_xlsx, write_xlsx
+
+    p = write_xlsx(
+        tmp_path / "t.xlsx",
+        ["name", "notes", "n"],
+        [["Jane Smith", "hello <&> \"quoted\"", 3],
+         ["", "multi word cell", 2.5]],
+    )
+    header, rows = read_xlsx(p)
+    assert header == ["name", "notes", "n"]
+    assert rows[0] == ["Jane Smith", 'hello <&> "quoted"', "3"]
+    assert rows[1] == ["", "multi word cell", "2.5"]
+
+
+def test_xlsx_shared_strings(tmp_path):
+    """Files written by real tools use sharedStrings - synthesize one."""
+    import zipfile
+    from pii_detection_local_ray.sources import xlsx as X
+
+    p = tmp_path / "shared.xlsx"
+    sheet = (
+        '<?xml version="1.0"?>'
+        f'<worksheet xmlns="{X._NS[1:-1]}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        f'<sst xmlns="{X._NS[1:-1]}" count="3" uniqueCount="3">'
+        "<si><t>col_a</t></si><si><t>col_b</t></si><si><t>Jane Smith</t></si></sst>"
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", X._CONTENT_TYPES)
+        z.writestr("_rels/.rels", X._RELS)
+        z.writestr("xl/workbook.xml", X._WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", X._WORKBOOK_RELS)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    header, rows = X.read_xlsx(p)
+    assert header == ["col_a", "col_b"]
+    assert rows == [["Jane Smith", "42"]]
+
+
+def test_read_xlsx_units_unpivot(ray_session, tmp_path):
+    from pii_detection_local_ray.sources.readers import read_xlsx_units
+    from pii_detection_local_ray.sources.xlsx import write_xlsx
+
+    p = write_xlsx(tmp_path / "u.xlsx", ["a", "b"],
+                   [["x1", "y1"], ["x2", "y2"]])
+    out = read_xlsx_units(p).to_pandas()
+    assert len(out) == 4
+    assert set(zip(out["column"], out["value"])) == {
+        ("a", "x1"), ("a", "x2"), ("b", "y1"), ("b", "y2")
+    }
+
+
+def test_detect_excel_file(tmp_path):
+    from pii_detection_local_ray.pipelines.api import PIIDetector
+    from pii_detection_local_ray.sources.model_artifact import write_stub_model
+    from pii_detection_local_ray.sources.xlsx import write_xlsx
+
+    model = write_stub_model(tmp_path / "model")
+    det = PIIDetector(str(model))
+    p = write_xlsx(tmp_path / "d.xlsx", ["who", "note"],
+                   [["Jane Smith", "plain"], ["nobody", "also plain"]])
+    out = det.detect_excel_file(p)
+    assert out["file_type"] == "excel" and out["num_rows"] == 2
+    assert len(out["cells_with_pii"]) == 1
+    assert out["redacted_records"][0]["who"] == "[REDACTED]"
+    assert out["statistics"] == {"total_cells": 4, "cells_with_pii": 1}
+
+
+def test_serve_detect_file_xlsx(tmp_path):
+    from pii_detection_local_ray.pipelines.serve import create_server
+    from pii_detection_local_ray.sources.model_artifact import write_stub_model
+    from pii_detection_local_ray.sources.xlsx import write_xlsx
+
+    model = write_stub_model(tmp_path / "model")
+    srv = create_server(str(model), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        p = write_xlsx(tmp_path / "up.xlsx", ["who"], [["Jane Smith"]])
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/detect/file",
+            data=json.dumps({
+                "filename": "up.xlsx",
+                "content_b64": base64.b64encode(p.read_bytes()).decode(),
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert body["file_type"] == "excel"
+        assert body["redacted_records"] == [{"who": "[REDACTED]"}]
+    finally:
+        srv.shutdown()
