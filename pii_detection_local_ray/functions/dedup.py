@@ -322,42 +322,76 @@ def verify_pairs_exact(
     text_col: str = "text",
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
+    broadcast_limit: int = 50_000,
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard verification of candidate pairs.
 
-    Candidate pairs are a tiny fraction of the corpus, so the candidate
-    documents' texts are gathered once (broadcast filter on the id set)
-    and each pair re-scored with the exact shingle Jaccard - the
-    signature estimate decides candidacy, the exact score decides
-    membership.  Adds ``jaccard`` and drops pairs below the threshold.
+    Adds ``jaccard`` and drops pairs below the threshold - the signature
+    estimate decides candidacy, the exact score decides membership.
+
+    Hybrid like ``_attach_sig_est``: up to ``broadcast_limit`` pairs the
+    candidate texts are gathered once and broadcast (candidates are
+    normally a tiny corpus fraction); beyond that the texts hash-join
+    onto the pairs (two (id, text) shuffles bounded by the candidate id
+    set) and each pair scores inside map_batches - nothing driver-side
+    grows with the candidate count.
     """
-    pair_rows = pairs.take_all()  # candidate pairs only - small
-    ids = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
-    ids_ref = ray.put(ids)
-
-    def grab(batch: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        mask = pa.array([v in want for v in batch[id_col].to_pylist()])
-        return batch.filter(mask).select([id_col, text_col])
-
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.map_batches(grab, batch_format="pyarrow").take_all()
-    }
-    out_a, out_b, out_j = [], [], []
-    for r in pair_rows:
-        j = ngram_jaccard(texts[r["id_a"]], texts[r["id_b"]], shingle_k)
-        if j >= jaccard_threshold:
-            out_a.append(r["id_a"])
-            out_b.append(r["id_b"])
-            out_j.append(j)
-    return ray.data.from_arrow(
-        pa.table(
-            {"id_a": pa.array(out_a, pa.int64()),
-             "id_b": pa.array(out_b, pa.int64()),
-             "jaccard": pa.array(out_j, pa.float64())}
+    pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
+    n = pairs.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            _empty_pairs({"jaccard": pa.array([], pa.float64())})
         )
+
+    if n <= broadcast_limit:
+        pair_rows = pairs.take_all()
+        ids = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
+        ids_ref = ray.put(ids)
+
+        def grab(batch: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            mask = pa.array([v in want for v in batch[id_col].to_pylist()])
+            return batch.filter(mask).select([id_col, text_col])
+
+        texts_ref = ray.put({
+            r[id_col]: r[text_col]
+            for r in ds.map_batches(grab, batch_format="pyarrow").take_all()
+        })
+
+        def score_broadcast(b: pa.Table) -> pa.Table:
+            lk = ray.get(texts_ref)
+            a = b["id_a"].to_pylist()
+            c = b["id_b"].to_pylist()
+            j = [ngram_jaccard(lk[x], lk[y], shingle_k) for x, y in zip(a, c)]
+            out = b.append_column("jaccard", pa.array(j, pa.float64()))
+            return out.filter(
+                pc.greater_equal(out["jaccard"], jaccard_threshold)
+            )
+
+        return pairs.map_batches(score_broadcast, batch_format="pyarrow")
+
+    ta = ds.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "id_a", text_col: "text_a"}
     )
+    tb = ds.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "id_b", text_col: "text_b"}
+    )
+    n_parts = max(1, min(32, n // 10_000))
+    joined = pairs.join(
+        ta, join_type="inner", num_partitions=n_parts, on=("id_a",)
+    ).join(tb, join_type="inner", num_partitions=n_parts, on=("id_b",))
+
+    def score_joined(b: pa.Table) -> pa.Table:
+        j = [
+            ngram_jaccard(x, y, shingle_k)
+            for x, y in zip(b["text_a"].to_pylist(), b["text_b"].to_pylist())
+        ]
+        out = b.drop(["text_a", "text_b"]).append_column(
+            "jaccard", pa.array(j, pa.float64())
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], jaccard_threshold))
+
+    return joined.map_batches(score_joined, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(

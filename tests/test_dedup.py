@@ -249,3 +249,27 @@ def test_minhash_join_verification_path(ray_session):
     key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["est_jaccard"]))
     assert key(a) == key(b)
     assert {(0, 1), (0, 2), (1, 2)} <= {(x, y) for x, y, _ in key(a)}
+
+
+def test_verify_pairs_exact_join_path(ray_session):
+    """broadcast_limit=0 forces the text hash-join scoring path; result
+    must match the broadcast-gather path."""
+    from pii_detection_local_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_exact,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog many many times over"
+    texts = [base, base + " indeed", base.replace("dog", "cat"),
+             "something entirely different here"] + [
+        f"unrelated filler number {i}" for i in range(10)
+    ]
+    ds = _docs_ds(texts)
+    cand = minhash_lsh_pairs(ds, jaccard_threshold=0.3)
+    a = verify_pairs_exact(ds, cand, jaccard_threshold=0.5).to_pandas()
+    b = verify_pairs_exact(
+        ds, cand, jaccard_threshold=0.5, broadcast_limit=0
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["jaccard"].round(9)))
+    assert key(a) == key(b)
+    assert {(0, 1), (0, 2)} <= {(x, y) for x, y, _ in key(a)}
