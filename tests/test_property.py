@@ -108,3 +108,52 @@ def test_generate_corpus_idempotent_and_atomic(tmp_path):
     # second call is a no-op (no regeneration, no partial tmp dir)
     assert stamp == sorted((f.name, f.stat().st_mtime_ns) for f in d2.glob("*.parquet"))
     assert not (tmp_path / "_tmp-corpus").exists()
+
+
+def test_kll_merge_order_invariance():
+    """Merging per-chunk sketches in any order gives the same quantile
+    estimates as a different merge order with the same seeds (merge is
+    deterministic given chunk content + seeds), and stays within rank
+    error of the exact answer."""
+    import numpy as np
+
+    from pii_detection_local_ray.functions.sketch import KLLSketch
+
+    data = np.random.RandomState(11).gamma(2.0, 10.0, size=60_000)
+    chunks = np.array_split(data, 23)
+
+    def build(order):
+        acc = KLLSketch(200, seed=99)
+        for i in order:
+            s = KLLSketch(200, seed=1000 + i)
+            s.update_many(chunks[i])
+            acc.merge(s)
+        return acc
+
+    ps = [0.1, 0.5, 0.9]
+    exact = [float(np.percentile(data, p * 100)) for p in ps]
+    for order in (range(23), reversed(range(23))):
+        got = build(list(order)).quantiles(ps)
+        for g, e in zip(got, exact):
+            assert abs(g - e) / e < 0.08, (g, e)
+
+
+def test_histogram_quantiles_partition_invariant(ray_session):
+    """The (value,count) histogram quantile is exactly invariant to how
+    rows are partitioned into blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detection_local_ray.functions.sketch import value_histogram_quantiles
+
+    data = np.random.RandomState(5).randint(0, 300, size=9_000)
+    ps = [0.25, 0.5, 0.9]
+    outs = []
+    for n_blocks in (1, 7):
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(data, pa.int64())})
+        ).repartition(n_blocks)
+        outs.append(value_histogram_quantiles(ds, "x", ps)["v"].to_pylist())
+    assert outs[0] == outs[1]
+    assert outs[0] == [float(np.percentile(data.astype(np.float64), p * 100)) for p in ps]
