@@ -764,18 +764,29 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 8,
+    num_planes: int | str = "auto",
     max_bucket: int = 4096,
+    target_bucket: int = 1024,
 ) -> ray.data.Dataset:
     """Cosine near-dup via random-hyperplane LSH bucketing.
 
     Vectors land in a bucket keyed by the sign pattern of ``num_planes``
     fixed random projections; only within-bucket pairs are scored
-    (numpy matmul per bucket).  Recall is per-bucket exact; raise
-    num_planes for smaller buckets at scale.  Buckets beyond
-    ``max_bucket`` fall back to anchor-star scoring (O(n) pairs) so a
-    degenerate bucket can't trigger an O(n^2) matmul.
+    (numpy matmul per bucket).  Recall is per-bucket exact; buckets
+    beyond ``max_bucket`` fall back to anchor-star scoring (O(n) pairs)
+    so a degenerate bucket can't trigger an O(n^2) matmul.
+
+    ``num_planes="auto"`` (default) sizes the hyperplane count to the
+    corpus so the EXPECTED bucket stays near ``target_bucket`` rows:
+    planes = ceil(log2(N / target_bucket)), min 4 - at 1e9 vectors that
+    is ~20 planes / ~1M buckets, keeping per-bucket matmuls bounded
+    instead of fixing 256 global buckets forever.  (``ds.count()`` on a
+    Parquet source is metadata-only.)
     """
+    if num_planes == "auto":
+        n = ds.count()
+        num_planes = max(4, int(np.ceil(np.log2(max(2, n / target_bucket)))))
+
     planes_by_dim: dict[int, np.ndarray] = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
