@@ -1619,3 +1619,61 @@ def media_frame_counts(sf_dir: str):
                      batch_size=128)
     )
     return frames.groupby("media_id").aggregate(Count(alias_name="n_sampled"))
+
+
+@register(
+    "doc_stats_by_source_salted",
+    # identical answer to doc_stats_by_source - the salted two-phase
+    # plan must be semantically invisible
+    "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+    "max(n_chars) AS max_chars, min(n_chars) AS min_chars, "
+    "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars "
+    "FROM documents GROUP BY source",
+)
+def doc_stats_by_source_salted(sf_dir: str):
+    """The north-rule salted two-phase aggregate under the driver's exact
+    check: phase 1 pre-aggregates one partial row per (source, salt) per
+    batch (salt = crc32(doc_id) % 8 splits a hot source across 8 reducer
+    keys), phase 2 combines partials per source, ratios finalized last -
+    the same plan shape as pipelines/repo_agg.py, proven here to return
+    bit-identical results to the unsalted groupby."""
+    import zlib
+
+    SALT_K = 8
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        salt = np.array(
+            [zlib.crc32(str(i).encode()) % SALT_K for i in ids], dtype=np.int32
+        )
+        t = pa.table({
+            "source": b["source"],
+            "salt": pa.array(salt, pa.int32()),
+            "n_chars": b["n_chars"],
+        })
+        g = t.group_by(["source", "salt"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum"),
+             ("n_chars", "max"), ("n_chars", "min")]
+        )
+        return g.rename_columns(
+            ["source", "salt", "n_docs", "total_chars", "max_chars", "min_chars"]
+        )
+
+    combined = (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+            Max("max_chars", alias_name="max_chars"),
+            Min("min_chars", alias_name="min_chars"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        total = b["total_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("avg_chars", pa.array(total / n))
+
+    return combined.map_batches(finalize, batch_format="pyarrow")
