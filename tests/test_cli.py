@@ -1,0 +1,44 @@
+"""CLI end-to-end: gen -> run (resumable) -> stats -> dedup, in a
+subprocess (the CLI owns its own Ray session and shuts it down, so it
+must not share the pytest session's cluster)."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _cli(*args, timeout=240):
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    return subprocess.run(
+        [sys.executable, "-m", "pii_detection_local_ray", *args],
+        capture_output=True, text=True, timeout=timeout, env=env,
+    )
+
+
+def test_cli_gen_run_stats_roundtrip(tmp_path):
+    root = tmp_path / "job"
+    r = _cli("gen", "--output", str(root), "--n-files", "200")
+    assert r.returncode == 0, r.stderr[-800:]
+
+    out = root / "out"
+    r = _cli("run", "--input", str(root / "corpus"), "--output", str(out))
+    assert r.returncode == 0, r.stderr[-800:]
+    parts = sorted(p.name for p in out.glob("part=*"))
+    assert parts, "no output partitions written"
+
+    # resume: second run must skip completed partitions (manifests intact)
+    manifests_before = {
+        p.name: p.read_text() for p in (out / "_manifests").glob("*.json")
+    }
+    r = _cli("run", "--input", str(root / "corpus"), "--output", str(out))
+    assert r.returncode == 0, r.stderr[-800:]
+    manifests_after = {
+        p.name: p.read_text() for p in (out / "_manifests").glob("*.json")
+    }
+    assert manifests_before == manifests_after  # nothing recomputed
+
+    r = _cli("stats", "--output", str(out))
+    assert r.returncode == 0, r.stderr[-800:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["total_texts"] == 200
