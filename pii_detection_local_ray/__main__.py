@@ -134,6 +134,23 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    _ray_session()
+    import ray
+
+    from .pipelines.train import fit_lexicon_model
+    from .sources.adapters import read_bio_jsonl
+
+    ds = read_bio_jsonl(args.input, "cli", args.token_col, args.label_col)
+    metrics = fit_lexicon_model(
+        ds, args.output, val_frac=args.val_frac,
+        min_count=args.min_count, min_purity=args.min_purity,
+    )
+    print(json.dumps(metrics))
+    ray.shutdown()
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .pipelines.serve import serve
     from .sources.model_artifact import write_stub_model
@@ -174,6 +191,16 @@ def main(argv=None) -> int:
     pd_.add_argument("--text-col", default="content")
     pd_.add_argument("--jaccard", type=float, default=0.8)
     pd_.set_defaults(fn=cmd_dedup)
+
+    pt = sub.add_parser("train", help="fit the lexicon NER model from BIO jsonl (A5)")
+    pt.add_argument("--input", required=True, help="BIO jsonl path")
+    pt.add_argument("--output", required=True, help="model artifact dir")
+    pt.add_argument("--token-col", default="tokens")
+    pt.add_argument("--label-col", default="labels")
+    pt.add_argument("--val-frac", type=float, default=0.1)
+    pt.add_argument("--min-count", type=int, default=2)
+    pt.add_argument("--min-purity", type=float, default=0.6)
+    pt.set_defaults(fn=cmd_train)
 
     pv = sub.add_parser("serve", help="HTTP serving layer (reference src/api.py route surface)")
     pv.add_argument("--model", default=None, help="NER model dir (stub written if omitted)")

@@ -1,0 +1,168 @@
+"""Trainer (A5): fit the lexicon token-classification model from BIO data.
+
+The reference fine-tunes a transformer (src/train.py:317-656: train/val
+split, epoch loop, eval_f1 model selection, best-model artifact +
+label_mapping.json).  This container has no torch, so the TRAINABLE model
+family here is the lexicon classifier (stages/stub_ner_model.py): its
+"weights" are the lexicon sets, and fitting them is a closed-form
+distributed frequency estimation - real training in the sense that the
+produced artifact changes inference (NERDetector loads lexicon.json via
+select_token_model), evaluated with the same span-F1 harness the
+reference uses for eval_f1.  A torch fine-tune drops in by writing real
+weights into the same artifact dir (the transformer path then
+auto-selects, stages/transformer_ner.py).
+
+Flow (mirrors the reference lifecycle):
+  1. deterministic train/val split (crc32 of the token sequence)
+  2. distributed (token_core, role) frequency counting: map_batches
+     partial aggregation -> groupby sum - the shuffle moves counts, never
+     token lists; the collected table is bounded by VOCABULARY size
+  3. lexicon derivation: role purity >= min_purity and count >= min_count
+  4. artifact write: label_mapping.json + config.json + lexicon.json
+  5. eval on the val split (span F1 via pipelines/evaluate.py) ->
+     evaluation_results.json (reference src/train.py:701-704)
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from pathlib import Path
+
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..sources.model_artifact import build_label_mapping
+from ..stages.stub_ner_model import _PUNCT
+
+# BIO role -> lexicon slot (the stub's rule structure, see
+# stub_ner_model.predict_one): B-PERSON tokens are "first names",
+# I-PERSON "last names", B-LOC locations, I-ORG org suffixes.  DATE is
+# regex-derived, not lexical - never learned.
+_ROLE_SLOT = {
+    "B-PERSON": "first_names",
+    "I-PERSON": "last_names",
+    "B-LOC": "loc_names",
+    "I-ORG": "org_suffixes",
+}
+
+
+def split_train_val(ds: ray.data.Dataset, val_frac: float = 0.1):
+    """Deterministic, partition-invariant split on the token sequence."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        buckets = [
+            zlib.crc32(" ".join(toks).encode()) % 100
+            for toks in b["tokens"].to_pylist()
+        ]
+        return b.append_column("_bucket", pa.array(buckets, pa.int32()))
+
+    cut = int(val_frac * 100)
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    train = tagged.filter(lambda r: r["_bucket"] >= cut).drop_columns(["_bucket"])
+    val = tagged.filter(lambda r: r["_bucket"] < cut).drop_columns(["_bucket"])
+    return train, val
+
+
+def _count_partial(b: pa.Table) -> pa.Table:
+    """One (core, slot, n) partial row per distinct pair per batch, plus
+    the (core, '_total', n) rows purity needs."""
+    counts: dict[tuple[str, str], int] = {}
+    for toks, labs in zip(b["tokens"].to_pylist(), b["labels"].to_pylist()):
+        for tok, lab in zip(toks, labs):
+            core = tok.strip(_PUNCT)
+            if not core:
+                continue
+            counts[(core, "_total")] = counts.get((core, "_total"), 0) + 1
+            slot = _ROLE_SLOT.get(lab)
+            if slot:
+                counts[(core, slot)] = counts.get((core, slot), 0) + 1
+    cores, slots, ns = [], [], []
+    for (core, slot), n in counts.items():
+        cores.append(core)
+        slots.append(slot)
+        ns.append(n)
+    return pa.table({
+        "core": pa.array(cores, pa.string()),
+        "slot": pa.array(slots, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+    })
+
+
+def fit_lexicon_model(
+    bio_ds: ray.data.Dataset,
+    out_dir: str | Path,
+    val_frac: float = 0.1,
+    min_count: int = 2,
+    min_purity: float = 0.6,
+) -> dict:
+    """Fit lexicons from a (tokens, labels) BIO Dataset and write the
+    model artifact; returns the metrics dict (also persisted as
+    evaluation_results.json in the artifact)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    train, val = split_train_val(bio_ds, val_frac)
+
+    freq = (
+        train.map_batches(_count_partial, batch_format="pyarrow")
+        .groupby(["core", "slot"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # vocabulary-bounded, not corpus-bounded
+    )
+    totals = (
+        freq[freq["slot"] == "_total"].set_index("core")["n"].to_dict()
+    )
+    lexicons: dict[str, list[str]] = {s: [] for s in set(_ROLE_SLOT.values())}
+    for row in freq[freq["slot"] != "_total"].itertuples():
+        purity = row.n / totals.get(row.core, row.n)
+        if row.n >= min_count and purity >= min_purity:
+            lexicons[row.slot].append(row.core)
+    lexicons = {k: sorted(v) for k, v in lexicons.items()}
+    # rule structure: never double-book a core as both first and last name
+    # (B- wins - it opens spans; see stub predict_one ordering)
+    firsts = set(lexicons["first_names"])
+    lexicons["last_names"] = [
+        w for w in lexicons["last_names"] if w not in firsts
+    ]
+
+    # observed entity types drive the label space (reference: labels
+    # derived from the kept taxonomy, src/data_preparation.py:179-186)
+    seen_types = sorted({
+        lab[2:]
+        for labs in train.select_columns(["labels"]).take_all()
+        for lab in labs["labels"]
+        if lab != "O"
+    })
+    mapping = build_label_mapping(seen_types)
+    (out_dir / "label_mapping.json").write_text(json.dumps(mapping, indent=2))
+    (out_dir / "config.json").write_text(json.dumps({
+        "model_type": "lexicon-token-classification",
+        "num_labels": mapping["num_labels"],
+        "max_length": 512,
+        "trained": True,
+        "min_count": min_count,
+        "min_purity": min_purity,
+    }))
+    (out_dir / "lexicon.json").write_text(json.dumps(lexicons, indent=2))
+
+    # eval on the held-out split with the reference's span-F1 contract
+    from .evaluate import NERScorer, evaluate_scorers
+
+    n_val = val.count()
+    if n_val:
+        report = evaluate_scorers(val, {"trained": lambda: NERScorer(str(out_dir))})
+        metrics = report["trained"]
+    else:
+        metrics = {"precision": 0.0, "recall": 0.0, "f1": 0.0, "n_records": 0}
+    metrics = {
+        **metrics,
+        "n_train": train.count(),
+        "n_val": n_val,
+        "lexicon_sizes": {k: len(v) for k, v in lexicons.items()},
+    }
+    (out_dir / "evaluation_results.json").write_text(
+        json.dumps(metrics, indent=2)
+    )
+    return metrics

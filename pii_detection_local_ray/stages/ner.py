@@ -173,16 +173,20 @@ class NERDetector:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        from .stub_ner_model import TRIGGER_PATTERN
-
         col = batch[self.content_col]
         texts = col.to_pylist()
         # vectorized RE2 candidate check: non-matching rows provably
-        # decode to all-O and skip the per-token Python loop
-        candidates = pc.fill_null(
-            pc.match_substring_regex(pc.fill_null(col, ""), TRIGGER_PATTERN),
-            False,
-        ).to_pylist()
+        # decode to all-O and skip the per-token Python loop.  The model
+        # carries its own trigger (trained lexicons change it); models
+        # without one (e.g. the transformer) classify every row.
+        trigger = getattr(self.model, "trigger_pattern", None)
+        if trigger is None:
+            candidates = [True] * len(texts)
+        else:
+            candidates = pc.fill_null(
+                pc.match_substring_regex(pc.fill_null(col, ""), trigger),
+                False,
+            ).to_pylist()
         results = self.detect_batch(texts, candidates)
 
         if "entities" in batch.schema.names:

@@ -44,19 +44,40 @@ _LOW = set(LOW_CONF_NAMES)
 # to all-O under the rules below (every non-O label requires a FIRST name,
 # LOC name, low-conf name, ORG suffix, or date literal), so the caller
 # may skip the per-token classification loop entirely for such rows.
-TRIGGER_PATTERN = (
-    r"\b(?:"
-    + "|".join(sorted(_FIRST | _LOCS | _LOW | {"Inc", "Corp", "LLC", "Ltd"}))
-    + r")\b"
-    + r"|\d{2}/\d{2}/\d{4}|\d{4}-\d{2}-\d{2}"
-)
+def build_trigger_pattern(first, locs, low, org_suffixes) -> str:
+    words = {re.escape(w) for w in (set(first) | set(locs) | set(low))}
+    words |= {re.escape(s.rstrip(".")) for s in org_suffixes}
+    return (
+        r"\b(?:" + "|".join(sorted(words)) + r")\b"
+        + r"|\d{2}/\d{2}/\d{4}|\d{4}-\d{2}-\d{2}"
+    )
+
+
+TRIGGER_PATTERN = build_trigger_pattern(_FIRST, _LOCS, _LOW, ORG_SUFFIXES)
 
 
 class StubTokenModel:
-    """predict(texts) -> list of (pred_ids, confidences, offset_mapping)."""
+    """predict(texts) -> list of (pred_ids, confidences, offset_mapping).
 
-    def __init__(self, label2id: dict[str, int]):
+    ``lexicons`` (optional) overrides the built-in constant lexicons with
+    TRAINED ones (pipelines/train.py fit_lexicon_model writes them to the
+    model artifact as lexicon.json) - the trainable state of this model
+    family, analogous to the fine-tuned weights of the reference
+    transformer.  With no lexicons the behavior is bit-identical to the
+    constant-lexicon stub.
+    """
+
+    def __init__(self, label2id: dict[str, int], lexicons: dict | None = None):
         self.label2id = label2id
+        lex = lexicons or {}
+        self.first = set(lex.get("first_names", FIRST_NAMES))
+        self.last = set(lex.get("last_names", LAST_NAMES))
+        self.locs = set(lex.get("loc_names", LOC_NAMES))
+        self.low = set(lex.get("low_conf_names", LOW_CONF_NAMES))
+        self.org_suffixes = set(lex.get("org_suffixes", ORG_SUFFIXES))
+        self.trigger_pattern = build_trigger_pattern(
+            self.first, self.locs, self.low, self.org_suffixes
+        )
 
     def _id(self, label: str) -> int:
         return self.label2id.get(label, self.label2id.get("O", 0))
@@ -81,16 +102,16 @@ class StubTokenModel:
         for i, core in enumerate(cores):
             if _DATE_RE.match(core):
                 labels[i], confs[i] = "B-DATE", 0.95
-            elif core in _FIRST:
+            elif core in self.first:
                 labels[i], confs[i] = "B-PERSON", 0.92
-                if i + 1 < n and cores[i + 1] in _LAST:
+                if i + 1 < n and cores[i + 1] in self.last:
                     labels[i + 1], confs[i + 1] = "I-PERSON", 0.90
-            elif core in _LOCS and labels[i] == "O":
+            elif core in self.locs and labels[i] == "O":
                 labels[i], confs[i] = "B-LOC", 0.85
-            elif core in _LOW and labels[i] == "O":
+            elif core in self.low and labels[i] == "O":
                 labels[i], confs[i] = "B-PERSON", 0.40  # sub-threshold
-            elif core in ORG_SUFFIXES and i > 0 and capitalized[i - 1] \
-                    and labels[i - 1] == "O" and cores[i - 1] not in _FIRST:
+            elif core in self.org_suffixes and i > 0 and capitalized[i - 1] \
+                    and labels[i - 1] == "O" and cores[i - 1] not in self.first:
                 labels[i - 1], confs[i - 1] = "B-ORG", 0.88
                 labels[i], confs[i] = "I-ORG", 0.88
 

@@ -189,4 +189,12 @@ def select_token_model(model_path: str | Path, label2id: dict):
             pass
     from .stub_ner_model import StubTokenModel
 
-    return StubTokenModel(label2id)
+    # trained lexicons (pipelines/train.py artifact) override the built-in
+    # constants - the stub family's equivalent of fine-tuned weights
+    lex_path = Path(model_path) / "lexicon.json"
+    lexicons = None
+    if lex_path.exists():
+        import json
+
+        lexicons = json.loads(lex_path.read_text())
+    return StubTokenModel(label2id, lexicons)

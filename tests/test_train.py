@@ -1,0 +1,98 @@
+"""Trainer (A5): distributed lexicon fit -> artifact -> changed inference,
+mirroring the reference train lifecycle (src/train.py:317-704)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+
+def _bio_fixture(n_per=6):
+    """BIO rows teaching: Zorblax Quux = PERSON, Gotham = LOC,
+    Wayne Enterprises-style 'Zorp' suffix = ORG tail; 'Jane' appears but
+    mostly as O (low purity - must NOT be learned)."""
+    import ray.data
+
+    rows_t, rows_l = [], []
+    for i in range(n_per):
+        rows_t.append(["met", "Zorblax", "Quux", f"at{i}", "noon"])
+        rows_l.append(["O", "B-PERSON", "I-PERSON", "O", "O"])
+        rows_t.append(["visited", "Gotham", f"yesterday{i}"])
+        rows_l.append(["O", "B-LOC", "O"])
+        rows_t.append(["joined", "Acme", "Zorp", f"recently{i}"])
+        rows_l.append(["O", "B-ORG", "I-ORG", "O"])
+        # 'Jane' as a plain word (O) far more often than as a person
+        rows_t.append(["jane-free", "Jane", "said", "nothing", f"x{i}"])
+        rows_l.append(["O", "O", "O", "O", "O"])
+    rows_t.append(["once", "Jane", "signed"])
+    rows_l.append(["O", "B-PERSON", "O"])
+    return ray.data.from_arrow(pa.table({
+        "tokens": pa.array(rows_t, pa.list_(pa.string())),
+        "labels": pa.array(rows_l, pa.list_(pa.string())),
+    }))
+
+
+def test_fit_lexicon_model_end_to_end(ray_session, tmp_path):
+    from pii_detection_local_ray.pipelines.train import fit_lexicon_model
+    from pii_detection_local_ray.stages.ner import NERDetector
+
+    out = tmp_path / "trained_model"
+    metrics = fit_lexicon_model(
+        _bio_fixture(), out, val_frac=0.2, min_count=2, min_purity=0.6
+    )
+    lex = json.loads((out / "lexicon.json").read_text())
+    assert "Zorblax" in lex["first_names"]
+    assert "Quux" in lex["last_names"]
+    assert "Gotham" in lex["loc_names"]
+    assert "Zorp" in lex["org_suffixes"]
+    assert "Jane" not in lex["first_names"]  # purity-filtered
+
+    # evaluation_results.json persisted with the span-F1 contract
+    persisted = json.loads((out / "evaluation_results.json").read_text())
+    assert persisted["f1"] == metrics["f1"]
+    assert set(persisted["lexicon_sizes"]) == {
+        "first_names", "last_names", "loc_names", "org_suffixes"
+    }
+
+    # the artifact CHANGES inference: trained detector finds the new
+    # entities, and no longer knows the built-in constants
+    det = NERDetector(str(out))
+    r = det.detect_batch(["met Zorblax Quux in Gotham"])[0]
+    spans = {(e["text"], e["type"]) for e in r["entities"]}
+    assert ("Zorblax Quux", "PERSON") in spans
+    assert ("Gotham", "LOC") in spans
+    r2 = det.detect_batch(["met Jane Smith in Berlin"])[0]
+    assert r2["entities"] == []
+
+
+def test_trained_model_through_actor_stage(ray_session, tmp_path):
+    """The trained artifact must flow through the distributed NER stage
+    (trigger pattern rebuilt from the trained lexicons)."""
+    import ray.data
+    from pii_detection_local_ray.pipelines.train import fit_lexicon_model
+    from pii_detection_local_ray.stages.ner import NERDetector
+
+    out = tmp_path / "m"
+    fit_lexicon_model(_bio_fixture(), out, val_frac=0.2)
+    ds = ray.data.from_arrow(pa.table({
+        "content": pa.array(
+            ["Zorblax Quux shipped it", "nothing notable here"], pa.string()
+        ),
+    }))
+    res = ds.map_batches(
+        NERDetector, fn_constructor_kwargs={"model_path": str(out)},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert bool(res["has_pii"][0]) is True
+    assert bool(res["has_pii"][1]) is False
+    assert "[REDACTED]" in res["redacted_text"][0]
+
+
+def test_split_deterministic(ray_session):
+    from pii_detection_local_ray.pipelines.train import split_train_val
+
+    ds = _bio_fixture()
+    t1, v1 = split_train_val(ds, 0.2)
+    t2, v2 = split_train_val(ds, 0.2)
+    assert t1.count() == t2.count() and v1.count() == v2.count()
+    assert t1.count() + v1.count() == ds.count()
