@@ -1677,3 +1677,62 @@ def doc_stats_by_source_salted(sf_dir: str):
         return b.append_column("avg_chars", pa.array(total / n))
 
     return combined.map_batches(finalize, batch_format="pyarrow")
+
+
+@register(
+    "trained_model_detect",
+    # The trained-lexicon artifact teaches that qq0..qq4 are locations;
+    # the detector over planted texts must then find exactly one LOC
+    # entity per doc whose surface form is derivable from doc_id.
+    "SELECT doc_id, 'qq' || CAST(doc_id % 5 AS VARCHAR) AS entity_text, "
+    "'LOC' AS entity_type FROM documents",
+)
+def trained_model_detect(sf_dir: str):
+    """The full train -> infer loop under the driver's exact check (A5 +
+    A2): fit_lexicon_model learns five synthetic location tokens from a
+    deterministic BIO fixture, the resulting artifact drives the
+    distributed NER stage over planted texts, and the detected spans must
+    match the planting rule exactly."""
+    from ..pipelines.train import fit_lexicon_model
+    from ..stages.ner import NERDetector
+
+    # deterministic training fixture: each qq{k} seen repeatedly as B-LOC
+    rows_t, rows_l = [], []
+    for k in range(5):
+        for rep in range(4):
+            rows_t.append(["went", "to", f"qq{k}", f"again{rep}"])
+            rows_l.append(["O", "O", "B-LOC", "O"])
+    fixture = ray.data.from_arrow(pa.table({
+        "tokens": pa.array(rows_t, pa.list_(pa.string())),
+        "labels": pa.array(rows_l, pa.list_(pa.string())),
+    }))
+    model_dir = "/tmp/pii_trained_q_model"
+    fit_lexicon_model(fixture, model_dir, val_frac=0.0, min_count=2)
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "content": pa.array(
+                [f"visit qq{i % 5} soon" for i in ids], pa.string()
+            ),
+        })
+
+    detected = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        # instance => stateless tasks on warm workers (the trained model
+        # is tiny and picklable; an actor pool would pay spawn per query)
+        .map_batches(NERDetector(model_dir), batch_format="pyarrow")
+    )
+
+    def extract(b: pa.Table) -> pa.Table:
+        ents = b["entities"].to_pylist()
+        assert all(len(e) == 1 for e in ents), "expected exactly one entity/doc"
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "entity_text": pa.array([e[0]["text"] for e in ents], pa.string()),
+            "entity_type": pa.array([e[0]["type"] for e in ents], pa.string()),
+        })
+
+    return detected.map_batches(extract, batch_format="pyarrow")
