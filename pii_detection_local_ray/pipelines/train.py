@@ -67,10 +67,17 @@ def split_train_val(ds: ray.data.Dataset, val_frac: float = 0.1):
 
 def _count_partial(b: pa.Table) -> pa.Table:
     """One (core, slot, n) partial row per distinct pair per batch, plus
-    the (core, '_total', n) rows purity needs."""
+    the (core, '_total', n) rows purity needs, '_type:T' rows for the
+    observed label space, and a ('', '_rows') record count - everything
+    the fit needs rides ONE aggregation, no extra Dataset executions."""
     counts: dict[tuple[str, str], int] = {}
+    n_rows = 0
     for toks, labs in zip(b["tokens"].to_pylist(), b["labels"].to_pylist()):
+        n_rows += 1
         for tok, lab in zip(toks, labs):
+            if lab != "O":
+                key = ("", "_type:" + lab[2:])
+                counts[key] = counts.get(key, 0) + 1
             core = tok.strip(_PUNCT)
             if not core:
                 continue
@@ -78,6 +85,7 @@ def _count_partial(b: pa.Table) -> pa.Table:
             slot = _ROLE_SLOT.get(lab)
             if slot:
                 counts[(core, slot)] = counts.get((core, slot), 0) + 1
+    counts[("", "_rows")] = n_rows
     cores, slots, ns = [], [], []
     for (core, slot), n in counts.items():
         cores.append(core)
@@ -114,8 +122,10 @@ def fit_lexicon_model(
     totals = (
         freq[freq["slot"] == "_total"].set_index("core")["n"].to_dict()
     )
+    meta = freq[freq["core"] == ""]
+    freq = freq[(freq["slot"] != "_total") & (freq["core"] != "")]
     lexicons: dict[str, list[str]] = {s: [] for s in set(_ROLE_SLOT.values())}
-    for row in freq[freq["slot"] != "_total"].itertuples():
+    for row in freq.itertuples():
         purity = row.n / totals.get(row.core, row.n)
         if row.n >= min_count and purity >= min_purity:
             lexicons[row.slot].append(row.core)
@@ -128,13 +138,12 @@ def fit_lexicon_model(
     ]
 
     # observed entity types drive the label space (reference: labels
-    # derived from the kept taxonomy, src/data_preparation.py:179-186)
-    seen_types = sorted({
-        lab[2:]
-        for labs in train.select_columns(["labels"]).take_all()
-        for lab in labs["labels"]
-        if lab != "O"
-    })
+    # derived from the kept taxonomy, src/data_preparation.py:179-186) -
+    # read off the same aggregated table, no second corpus scan
+    seen_types = sorted(
+        row.slot[len("_type:"):]
+        for row in meta.itertuples() if row.slot.startswith("_type:")
+    )
     mapping = build_label_mapping(seen_types)
     (out_dir / "label_mapping.json").write_text(json.dumps(mapping, indent=2))
     (out_dir / "config.json").write_text(json.dumps({
@@ -150,15 +159,17 @@ def fit_lexicon_model(
     # eval on the held-out split with the reference's span-F1 contract
     from .evaluate import NERScorer, evaluate_scorers
 
-    n_val = val.count()
-    if n_val:
+    n_train = int(meta[meta["slot"] == "_rows"]["n"].sum())
+    if val_frac > 0:
         report = evaluate_scorers(val, {"trained": lambda: NERScorer(str(out_dir))})
         metrics = report["trained"]
+        n_val = metrics["n_records"]
     else:
         metrics = {"precision": 0.0, "recall": 0.0, "f1": 0.0, "n_records": 0}
+        n_val = 0
     metrics = {
         **metrics,
-        "n_train": train.count(),
+        "n_train": n_train,
         "n_val": n_val,
         "lexicon_sizes": {k: len(v) for k, v in lexicons.items()},
     }
