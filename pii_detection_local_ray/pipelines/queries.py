@@ -1332,13 +1332,18 @@ def top_orders_by_revenue(sf_dir: str):
 
     cutoff = pa.scalar(datetime(1995, 6, 1), type=pa.timestamp("us"))
 
-    cust = ray.data.read_parquet(
+    import pyarrow.parquet as pq
+
+    # dimension side read driver-side (customer is the small table in
+    # this schema; a 100 TB deployment reads it distributed once and
+    # collects only the filtered key set, which is what broadcasts)
+    cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).map_batches(
-        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")),
-        batch_format="pyarrow",
     )
-    seg_keys = set(cust.to_pandas()["c_custkey"])
+    seg_keys = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+        .to_pylist()
+    )
     seg_ref = ray.put(seg_keys)
 
     def orders_filter(b: pa.Table) -> pa.Table:
