@@ -82,22 +82,40 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id",
 
         def keep_winners(batch: pa.Table) -> pa.Table:
             w = _ray.get(ref)
-            mask = pa.array([v in w for v in batch[id_col].to_pylist()])
+            mask = pa.array([v in w for v in batch[id_col].to_pylist()], pa.bool_())
             return batch.filter(mask)
 
         return ds.map_batches(keep_winners, batch_format="pyarrow")
 
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
-    )
+    # coarse-partition trick (same as the LSH bucket groupby): grouping
+    # directly on content_hash would pay one Python map_groups call per
+    # DISTINCT content - ~one per row on a mostly-unique corpus.  Instead
+    # the shuffle key is crc32(hash) % 1024 and each coarse group resolves
+    # its fine hash groups locally with one vectorized sort + first-per-
+    # hash mask (a fine group never straddles two coarse groups).
+    def hash_and_coarse(b: pa.Table) -> pa.Table:
+        b = add_content_hash(b, text_col)
+        coarse = np.array(
+            [zlib.crc32(h.encode()) % 1024 for h in b["content_hash"].to_pylist()],
+            dtype=np.int32,
+        )
+        return b.append_column("_coarse", pa.array(coarse, pa.int32()))
 
-    def keep_min_id(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        row = group.slice(int(np.argmin(ids)), 1)
-        return row.drop(["content_hash"])
+    def keep_min_local(group: pa.Table) -> pa.Table:
+        si = pc.sort_indices(
+            group,
+            sort_keys=[("content_hash", "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(si)
+        hashes = np.array(g["content_hash"].to_pylist())
+        first = np.ones(len(hashes), dtype=bool)
+        first[1:] = hashes[1:] != hashes[:-1]
+        return g.filter(pa.array(first)).drop(["content_hash", "_coarse"])
 
-    return hashed.groupby("content_hash").map_groups(
-        keep_min_id, batch_format="pyarrow"
+    return (
+        ds.map_batches(hash_and_coarse, batch_format="pyarrow")
+        .groupby("_coarse")
+        .map_groups(keep_min_local, batch_format="pyarrow")
     )
 
 
@@ -203,9 +221,17 @@ def _pairs_from_bucket(ids: list, max_bucket: int):
     Buckets up to ``max_bucket`` ids emit all pairs.  A degenerate bucket
     (mass-duplicated boilerplate - exactly what dedup corpora contain)
     would otherwise emit O(n^2) pairs; beyond the cap we emit star pairs
-    against the min-id anchor instead: O(n) pairs that keep every member
-    connected to the anchor, so downstream connected-components still
-    recovers the full cluster while pair enumeration stays linear.
+    against the min-id anchor instead: O(n) pairs, enumeration stays
+    linear.
+
+    Connectivity caveat (intentional trade): downstream similarity
+    filters score only the emitted anchor pairs, so full-cluster recovery
+    through connected-components is guaranteed only when bucket members
+    are above-threshold similar to the ANCHOR - true for the degenerate
+    exact/near-exact-duplicate buckets the cap targets (where pairwise
+    similarity ~1), but an oversized MIXED bucket can lose x-y pairs
+    whose members are each sub-threshold vs the anchor.  If that matters,
+    raise ``max_bucket`` or pre-split oversized buckets with exact dedup.
     """
     if len(ids) <= max_bucket:
         for x in range(len(ids)):
@@ -267,7 +293,7 @@ def _attach_sig_est(
 
         def grab(batch: pa.Table) -> pa.Table:
             w = ray.get(want_ref)
-            mask = pa.array([v in w for v in batch[id_col].to_pylist()])
+            mask = pa.array([v in w for v in batch[id_col].to_pylist()], pa.bool_())
             return batch.filter(mask)
 
         sig_map = {
@@ -350,7 +376,7 @@ def verify_pairs_exact(
 
         def grab(batch: pa.Table) -> pa.Table:
             want = ray.get(ids_ref)
-            mask = pa.array([v in want for v in batch[id_col].to_pylist()])
+            mask = pa.array([v in want for v in batch[id_col].to_pylist()], pa.bool_())
             return batch.filter(mask).select([id_col, text_col])
 
         texts_ref = ray.put({

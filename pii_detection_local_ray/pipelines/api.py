@@ -171,41 +171,7 @@ class PIIDetector:
         df = pd.read_csv(path, dtype=str).fillna("")
         if df.empty:
             raise EmptyInputError(path.name)
-        cols = columns or list(df.columns)
-        missing = [c for c in cols if c not in df.columns]
-        if missing:
-            raise ValueError(f"Columns not found: {missing}")
-        # unpivot -> detect -> per-cell results + repivoted redacted grid
-        cell_results = []
-        redacted = df.copy()
-        for col in cols:
-            values = df[col].astype(str).tolist()
-            results = self.batch_detect(
-                [v if v.strip() else " " for v in values]
-            )
-            for row_idx, (v, r) in enumerate(zip(values, results)):
-                if r["has_pii"]:
-                    cell_results.append(
-                        {"row": row_idx, "column": col, **r}
-                    )
-                    redacted.at[row_idx, col] = r["redacted_text"]
-        flat = [
-            {"has_pii": bool(c["has_pii"]), "pii_types": c["pii_types"],
-             "error": c["error"]}
-            for c in cell_results
-        ]
-        return {
-            "filename": path.name,
-            "file_type": "csv",
-            "num_rows": len(df),
-            "columns_scanned": cols,
-            "cells_with_pii": cell_results,
-            "redacted_records": redacted.to_dict(orient="records"),
-            "statistics": {
-                "total_cells": len(df) * len(cols),
-                "cells_with_pii": len(flat),
-            },
-        }
+        return self._detect_dataframe(df, columns, "csv", path.name)
 
     def detect_excel_file(self, path: str | Path,
                           columns: list[str] | None = None) -> dict:
@@ -223,6 +189,13 @@ class PIIDetector:
         import pandas as pd
 
         df = pd.DataFrame(rows, columns=header).astype(str)
+        return self._detect_dataframe(df, columns, "excel", path.name)
+
+    def _detect_dataframe(self, df, columns, file_type: str,
+                          filename: str) -> dict:
+        """Shared tabular flow (reference _build_tabular_response,
+        src/api.py:493-529): unpivot -> detect -> per-cell results +
+        repivoted redacted grid.  One copy serves CSV and Excel."""
         cols = columns or list(df.columns)
         missing = [c for c in cols if c not in df.columns]
         if missing:
@@ -239,8 +212,8 @@ class PIIDetector:
                     cell_results.append({"row": row_idx, "column": col, **r})
                     redacted.at[row_idx, col] = r["redacted_text"]
         return {
-            "filename": path.name,
-            "file_type": "excel",
+            "filename": filename,
+            "file_type": file_type,
             "num_rows": len(df),
             "columns_scanned": cols,
             "cells_with_pii": cell_results,

@@ -336,8 +336,9 @@ def events_hourly(sf_dir: str):
         t = pa.table(
             {"event_type": b["event_type"], "hour": hours, "cents": cents}
         )
+        # count_all == SQL count(*) (Arrow "count" skips nulls)
         g = t.group_by(["event_type", "hour"]).aggregate(
-            [("cents", "count"), ("cents", "sum")]
+            [([], "count_all"), ("cents", "sum")]
         )
         return g.rename_columns(
             ["event_type", "hour", "n_events", "total_value_cents"]
@@ -475,8 +476,9 @@ def lineitem_pricing(sf_dir: str):
                 "price": price,
             }
         )
+        # count_all == SQL count(*) (Arrow "count" skips nulls)
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("qty", "sum"), ("price", "sum"), ("qty", "count")]
+            [("qty", "sum"), ("price", "sum"), ([], "count_all")]
         )
         return g.rename_columns(
             ["l_returnflag", "l_linestatus",
@@ -848,10 +850,11 @@ def orders_lineitem_join(sf_dir: str):
         cents = pc.cast(
             pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
         )
+        # count_all == SQL count(*) (Arrow "count" skips nulls)
         g = pa.table(
             {"priority": b["o_orderpriority"], "cents": cents}
         ).group_by("priority").aggregate(
-            [("cents", "count"), ("cents", "sum")]
+            [([], "count_all"), ("cents", "sum")]
         )
         return g.rename_columns(["priority", "n_items", "price_cents"])
 
@@ -879,6 +882,10 @@ def minhash_dup_clusters(sf_dir: str):
 
     def plant_copies(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        # the synthetic-copy id space starts at 1_000_000; a corpus with
+        # natural ids in that range would collide planted and real nodes
+        assert ids.size == 0 or ids.max() < 1_000_000, \
+            "doc_id space overlaps the planted-copy range"
         dup = b.filter(pa.array(ids % 50 == 0))
         dup = dup.set_column(
             dup.schema.get_field_index("doc_id"), "doc_id",
@@ -1349,7 +1356,7 @@ def top_orders_by_revenue(sf_dir: str):
     def orders_filter(b: pa.Table) -> pa.Table:
         keys = ray.get(seg_ref)
         b = b.filter(pc.less(b["o_orderdate"], cutoff))
-        mask = pa.array([k in keys for k in b["o_custkey"].to_pylist()])
+        mask = pa.array([k in keys for k in b["o_custkey"].to_pylist()], pa.bool_())
         return b.filter(mask).select(["o_orderkey"])
 
     ok = ray.data.read_parquet(
@@ -1361,7 +1368,7 @@ def top_orders_by_revenue(sf_dir: str):
     def li_partial(b: pa.Table) -> pa.Table:
         keys = ray.get(ok_ref)
         b = b.filter(pc.greater(b["l_shipdate"], cutoff))
-        mask = pa.array([k in keys for k in b["l_orderkey"].to_pylist()])
+        mask = pa.array([k in keys for k in b["l_orderkey"].to_pylist()], pa.bool_())
         b = b.filter(mask)
         cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
         pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
@@ -1395,11 +1402,14 @@ def top_orders_by_revenue(sf_dir: str):
     "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
 )
 def region_nation_revenue(sf_dir: str):
-    """Q5-shaped multi-join rollup: the three dimension hops
-    (region->nation->customer->order) collapse into ONE broadcast
-    orderkey->nation map built from the tiny dimension side; the fact
-    table is touched once with a pruned read and partial aggregation.
-    (At 100 TB orders->lineitem becomes the hash-join shape.)"""
+    """Q5-shaped multi-join rollup: region->nation->customer collapse
+    into a customer->nation broadcast (dimension-bounded); the
+    orderkey->nation map built from it is FACT-bounded (one entry per
+    Asia-region order) - fine at sf scale, but at 100 TB that second map
+    must become the hash-join shape demonstrated by orders_lineitem_join
+    (orders joined to lineitem on orderkey), with only the
+    customer->nation side broadcast.  The lineitem fact table is touched
+    once with a pruned read and partial aggregation either way."""
     import pyarrow.parquet as pq
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
@@ -1445,7 +1455,8 @@ def region_nation_revenue(sf_dir: str):
         cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
         t = pa.table({"nation": pa.array(nations, pa.string()), "cents": cents})
         t = t.filter(pc.is_valid(t["nation"]))
-        g = t.group_by("nation").aggregate([("cents", "count"), ("cents", "sum")])
+        # count_all == SQL count(*) (Arrow "count" skips nulls)
+        g = t.group_by("nation").aggregate([([], "count_all"), ("cents", "sum")])
         return g.rename_columns(["nation", "n_items", "revenue_cents"])
 
     return (
@@ -1656,8 +1667,9 @@ def doc_stats_by_source_salted(sf_dir: str):
             "salt": pa.array(salt, pa.int32()),
             "n_chars": b["n_chars"],
         })
+        # count_all == SQL count(*) (Arrow "count" skips nulls)
         g = t.group_by(["source", "salt"]).aggregate(
-            [("n_chars", "count"), ("n_chars", "sum"),
+            [([], "count_all"), ("n_chars", "sum"),
              ("n_chars", "max"), ("n_chars", "min")]
         )
         return g.rename_columns(
@@ -1711,7 +1723,12 @@ def trained_model_detect(sf_dir: str):
         "tokens": pa.array(rows_t, pa.list_(pa.string())),
         "labels": pa.array(rows_l, pa.list_(pa.string())),
     }))
-    model_dir = "/tmp/pii_trained_q_model"
+    import tempfile
+
+    # per-run artifact dir: NERDetector loads everything into memory at
+    # construction (workers get the pickled instance, never the path), so
+    # a fresh dir removes any cross-process artifact race
+    model_dir = tempfile.mkdtemp(prefix="pii_trained_q_")
     fit_lexicon_model(fixture, model_dir, val_frac=0.0, min_count=2)
 
     def plant(b: pa.Table) -> pa.Table:

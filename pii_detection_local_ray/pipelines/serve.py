@@ -189,9 +189,16 @@ class PIIRequestHandler(BaseHTTPRequestHandler):
             if "content_b64" in body:  # binary formats (xlsx)
                 import base64
 
+                if not isinstance(body["content_b64"], str):
+                    raise InvalidFieldError("content_b64", "expected base64 string")
                 tmp.write_bytes(base64.b64decode(body["content_b64"]))
             else:
-                tmp.write_text(str(body["content"]))
+                if not isinstance(body["content"], str):
+                    raise InvalidFieldError(
+                        "content",
+                        f"expected string, got {type(body['content']).__name__}",
+                    )
+                tmp.write_text(body["content"])
             if ext == ".txt":
                 return self.detector.detect_text_file(tmp), 200
             if ext == ".csv":

@@ -130,6 +130,10 @@ def fit_lexicon_model(
         if row.n >= min_count and purity >= min_purity:
             lexicons[row.slot].append(row.core)
     lexicons = {k: sorted(v) for k, v in lexicons.items()}
+    # every lexicon slot written explicitly: a trained model must NOT
+    # silently inherit built-in constants for slots it didn't learn
+    # (low-conf names are a decoder-threshold fixture, never learned)
+    lexicons["low_conf_names"] = []
     # rule structure: never double-book a core as both first and last name
     # (B- wins - it opens spans; see stub predict_one ordering)
     firsts = set(lexicons["first_names"])

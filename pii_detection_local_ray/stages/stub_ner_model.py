@@ -47,10 +47,13 @@ _LOW = set(LOW_CONF_NAMES)
 def build_trigger_pattern(first, locs, low, org_suffixes) -> str:
     words = {re.escape(w) for w in (set(first) | set(locs) | set(low))}
     words |= {re.escape(s.rstrip(".")) for s in org_suffixes}
-    return (
-        r"\b(?:" + "|".join(sorted(words)) + r")\b"
-        + r"|\d{2}/\d{2}/\d{4}|\d{4}-\d{2}-\d{2}"
-    )
+    date_part = r"\d{2}/\d{2}/\d{4}|\d{4}-\d{2}-\d{2}"
+    if not words:
+        # no lexical triggers (e.g. a DATE-only trained model): the empty
+        # alternation \b(?:)\b would match everywhere and defeat the
+        # all-O fast path
+        return date_part
+    return r"\b(?:" + "|".join(sorted(words)) + r")\b|" + date_part
 
 
 TRIGGER_PATTERN = build_trigger_pattern(_FIRST, _LOCS, _LOW, ORG_SUFFIXES)

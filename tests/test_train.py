@@ -51,8 +51,10 @@ def test_fit_lexicon_model_end_to_end(ray_session, tmp_path):
     persisted = json.loads((out / "evaluation_results.json").read_text())
     assert persisted["f1"] == metrics["f1"]
     assert set(persisted["lexicon_sizes"]) == {
-        "first_names", "last_names", "loc_names", "org_suffixes"
+        "first_names", "last_names", "loc_names", "org_suffixes",
+        "low_conf_names",
     }
+    assert persisted["lexicon_sizes"]["low_conf_names"] == 0  # never learned
 
     # the artifact CHANGES inference: trained detector finds the new
     # entities, and no longer knows the built-in constants
