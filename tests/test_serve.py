@@ -100,3 +100,14 @@ def test_detect_file_txt_and_csv(server):
         f"{server}/detect/file", {"filename": "x.parquet", "content": ""}
     )
     assert code == 400 and body["error"] == "UnsupportedFileTypeError"
+
+
+def test_detect_file_rejects_non_string_content(server):
+    code, body = _req(
+        f"{server}/detect/file", {"filename": "a.txt", "content": 12345}
+    )
+    assert code == 400 and body["error"] == "InvalidFieldError"
+    code, body = _req(
+        f"{server}/detect/file", {"filename": "a.xlsx", "content_b64": 9}
+    )
+    assert code == 400 and body["error"] == "InvalidFieldError"

@@ -98,3 +98,42 @@ def test_split_deterministic(ray_session):
     t2, v2 = split_train_val(ds, 0.2)
     assert t1.count() == t2.count() and v1.count() == v2.count()
     assert t1.count() + v1.count() == ds.count()
+
+
+def test_trained_model_does_not_inherit_builtin_lexicons(ray_session, tmp_path):
+    """A trained artifact must not silently re-enable built-in constants
+    for slots it didn't learn (incl. the low-confidence fixture names),
+    and an all-empty lexical model keeps a working date-only trigger."""
+    import json
+
+    from pii_detection_local_ray.pipelines.train import fit_lexicon_model
+    from pii_detection_local_ray.stages.ner import NERDetector
+
+    out = tmp_path / "m"
+    fit_lexicon_model(_bio_fixture(), out, val_frac=0.2)
+    lex = json.loads((out / "lexicon.json").read_text())
+    assert lex["low_conf_names"] == []
+
+    det = NERDetector(str(out))
+    assert det.model.low == set()
+    # built-in low-conf name 'Pat' produces nothing from a trained model
+    # even at threshold 0 (the stub would emit B-PERSON@0.40 for it)
+    det0 = NERDetector(str(out), confidence_threshold=0.0)
+    assert det0.detect_batch(["Pat wrote this"])[0]["entities"] == []
+
+    # date-only trained model: trigger still matches dates, not everything
+    import pyarrow as pa
+    import ray.data
+    date_rows = ray.data.from_arrow(pa.table({
+        "tokens": pa.array(
+            [["due", "2021-03-04", "ok"]] * 4, pa.list_(pa.string())),
+        "labels": pa.array(
+            [["O", "B-DATE", "O"]] * 4, pa.list_(pa.string())),
+    }))
+    out2 = tmp_path / "m2"
+    fit_lexicon_model(date_rows, out2, val_frac=0.0)
+    det2 = NERDetector(str(out2))
+    import re
+    pat = det2.model.trigger_pattern
+    assert re.search(pat, "meeting on 2021-03-04")
+    assert not re.search(pat, "no trigger words here at all")
