@@ -1401,15 +1401,17 @@ def top_orders_by_revenue(sf_dir: str):
     "JOIN region r ON n.n_regionkey = r.r_regionkey "
     "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
 )
-def region_nation_revenue(sf_dir: str):
+def region_nation_revenue(sf_dir: str, join_strategy: str = "broadcast"):
     """Q5-shaped multi-join rollup: region->nation->customer collapse
-    into a customer->nation broadcast (dimension-bounded); the
-    orderkey->nation map built from it is FACT-bounded (one entry per
-    Asia-region order) - fine at sf scale, but at 100 TB that second map
-    must become the hash-join shape demonstrated by orders_lineitem_join
-    (orders joined to lineitem on orderkey), with only the
-    customer->nation side broadcast.  The lineitem fact table is touched
-    once with a pruned read and partial aggregation either way."""
+    into a customer->nation broadcast (dimension-bounded) either way.
+
+    join_strategy="broadcast" (query default, fastest at sf scale)
+    additionally collects an orderkey->nation map - FACT-bounded (one
+    entry per Asia-region order), fine here but not at 100 TB.
+    join_strategy="hash" is the scale path: the nation-tagged orders
+    Dataset hash-joins onto lineitem on the order key (both sides
+    shuffled once, nothing fact-bounded on the driver).  Both strategies
+    return identical results (tests pin parity)."""
     import pyarrow.parquet as pq
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
@@ -1444,32 +1446,60 @@ def region_nation_revenue(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     ).map_batches(orders_map, batch_format="pyarrow")
-    ok_to_nation = dict(
-        zip(*(orders.to_pandas()[c] for c in ["o_orderkey", "nation"]))
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice"],
     )
-    ok_ref = ray.put(ok_to_nation)
 
-    def li_partial(b: pa.Table) -> pa.Table:
-        lk = ray.get(ok_ref)
-        nations = [lk.get(k) for k in b["l_orderkey"].to_pylist()]
-        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
-        t = pa.table({"nation": pa.array(nations, pa.string()), "cents": cents})
-        t = t.filter(pc.is_valid(t["nation"]))
-        # count_all == SQL count(*) (Arrow "count" skips nulls)
-        g = t.group_by("nation").aggregate([([], "count_all"), ("cents", "sum")])
-        return g.rename_columns(["nation", "n_items", "revenue_cents"])
+    if join_strategy == "hash":
+        from ..functions.joins import hash_join
 
-    return (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_extendedprice"],
+        def li_cents(b: pa.Table) -> pa.Table:
+            cents = pc.cast(
+                pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+            )
+            return pa.table({"l_orderkey": b["l_orderkey"], "cents": cents})
+
+        joined = hash_join(
+            lineitem.map_batches(li_cents, batch_format="pyarrow"),
+            orders, on="l_orderkey", right_on="o_orderkey",
+            num_partitions=8,
         )
-        .map_batches(li_partial, batch_format="pyarrow")
-        .groupby("nation")
-        .aggregate(
-            Sum("n_items", alias_name="n_items"),
-            Sum("revenue_cents", alias_name="revenue_cents"),
-        )
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = b.select(["nation", "cents"])
+            # count_all == SQL count(*) (Arrow "count" skips nulls)
+            g = t.group_by("nation").aggregate(
+                [([], "count_all"), ("cents", "sum")]
+            )
+            return g.rename_columns(["nation", "n_items", "revenue_cents"])
+
+        agg = joined.map_batches(partial, batch_format="pyarrow")
+    else:
+        # ONE materialization: a per-column generator would execute the
+        # lazy Dataset twice, and block order can differ between
+        # executions - zipping columns from two executions misaligns the
+        # (orderkey, nation) pairs nondeterministically
+        odf = orders.to_pandas()
+        ok_to_nation = dict(zip(odf["o_orderkey"], odf["nation"]))
+        ok_ref = ray.put(ok_to_nation)
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            lk = ray.get(ok_ref)
+            nations = [lk.get(k) for k in b["l_orderkey"].to_pylist()]
+            cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+            t = pa.table({"nation": pa.array(nations, pa.string()), "cents": cents})
+            t = t.filter(pc.is_valid(t["nation"]))
+            # count_all == SQL count(*) (Arrow "count" skips nulls)
+            g = t.group_by("nation").aggregate([([], "count_all"), ("cents", "sum")])
+            return g.rename_columns(["nation", "n_items", "revenue_cents"])
+
+        agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
+
+    return agg.groupby("nation").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
     )
 
 

@@ -326,3 +326,14 @@ def test_media_embed_feeds_ann(ray_session):
         v.reshape(1, -1), k=3, id_col="media_id",
     ).to_pandas()
     assert int(top.iloc[0]["media_id"]) == int(first["media_id"])  # self top-1
+
+
+def test_region_nation_revenue_join_strategies_agree(ray_session):
+    """broadcast (query default) and hash-join (100x path) strategies of
+    the Q5-shaped rollup must return identical results."""
+    from pii_detection_local_ray.pipelines.queries import region_nation_revenue
+
+    sf = "/root/testdata/sf0.001"
+    a = region_nation_revenue(sf).to_pandas().sort_values("nation").reset_index(drop=True)
+    b = region_nation_revenue(sf, join_strategy="hash").to_pandas().sort_values("nation").reset_index(drop=True)
+    assert a.equals(b)
