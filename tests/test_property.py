@@ -157,3 +157,32 @@ def test_histogram_quantiles_partition_invariant(ray_session):
         outs.append(value_histogram_quantiles(ds, "x", ps)["v"].to_pylist())
     assert outs[0] == outs[1]
     assert outs[0] == [float(np.percentile(data.astype(np.float64), p * 100)) for p in ps]
+
+
+def test_exact_dedup_paths_agree_on_random_corpora(ray_session):
+    """Property: the distributed coarse-partitioned keep-first path and
+    the broadcast anti-join fast path must keep identical id sets for
+    random duplication patterns."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detection_local_ray.functions.dedup import exact_dedup
+
+    rng = np.random.RandomState(13)
+    for trial in range(3):
+        n = int(rng.randint(20, 120))
+        vocab = int(rng.randint(3, 15))
+        texts = [f"content variant {rng.randint(vocab)}" for _ in range(n)]
+        ids = rng.permutation(10_000)[:n]  # non-contiguous, shuffled ids
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        a = sorted(exact_dedup(ds).to_pandas()["doc_id"])
+        b = sorted(exact_dedup(ds, broadcast_winners=True).to_pandas()["doc_id"])
+        assert a == b, (trial, a, b)
+        # keep-first invariant: kept id is the min id of its content group
+        df = ds.to_pandas()
+        want = sorted(df.groupby("text")["doc_id"].min())
+        assert a == want
