@@ -248,3 +248,26 @@ def test_tagged_jsonl_adapter_fallback(ray_session, tmp_path):
     p.write_text("\n".join(_json.dumps(r) for r in rows))
     out = read_tagged_jsonl(str(p), "nemotron").to_pandas()
     assert all(list(l) == ["O", "B-EMAIL", "O"] for l in out["labels"])
+
+
+def test_bio_jsonl_gzip(ray_session, tmp_path):
+    """Compressed JSONL reads through the same adapter path (Arrow
+    auto-detects gzip from the extension) - the S4 streaming reader also
+    covers .jsonl.gz shards."""
+    import gzip
+    import json
+
+    from pii_detection_local_ray.sources.adapters import read_bio_jsonl
+
+    p = tmp_path / "bio.jsonl.gz"
+    rows = [
+        {"tokens": ["met", "Jane", "Smith"], "labels": ["O", "B-PERSON", "I-PERSON"]},
+        {"tokens": ["plain", "words"], "labels": ["O", "O"]},
+    ]
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = read_bio_jsonl(str(p), "gz-test").to_pandas()
+    assert len(out) == 2
+    assert list(out["labels"][0]) == ["O", "B-PERSON", "I-PERSON"]
+    assert set(out["source"]) == {"gz-test"}
