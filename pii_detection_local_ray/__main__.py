@@ -52,12 +52,16 @@ def cmd_run(args) -> int:
         return 2
 
     def build(fs):
+        # pool="task": the resumable runner executes one pipeline per
+        # partition, and task workers are reused across those executions
+        # while actor pools would respawn (~1.5-3 s) per partition
         return select_output(
             build_pipeline(
                 fs,
                 model_path=model,
                 with_ner=not args.no_ner,
                 with_perplexity=not args.no_perplexity,
+                pool="task",
             ),
             with_perplexity=not args.no_perplexity,
         )
