@@ -92,36 +92,33 @@ def build_ivf_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic IVF coarse quantizer: k-means (Lloyd) on a bounded
-    UNBIASED sample - rows are selected by a crc32 hash of their id at a
-    rate derived from the corpus count (a sorted-prefix sample would bias
-    the quantizer toward whatever correlates with low ids).  The sample
-    and the iteration run driver-side (bounded by sample_size);
-    assignment at query time is fully distributed."""
+    UNBIASED bottom-k-by-hash sample.  Every id gets a crc32 hash; each
+    block keeps its ``sample_size`` hash-smallest rows, a distributed
+    sort+limit reduces the per-block survivors to the global
+    hash-smallest ``sample_size`` (the classic min-wise sample:
+    deterministic regardless of block order, uncorrelated with ids or
+    content, ONE pass over the data, and the driver only ever receives
+    ``sample_size`` rows).  The Lloyd iterations run driver-side on that
+    bounded sample; assignment at query time is fully distributed."""
     import zlib
 
     import pyarrow as pa
 
-    n = ds.count()
-    if n <= sample_size:
-        sample = ds.to_pandas()[vec_col].tolist()
-    else:
-        cut = min(10_000, int(10_000 * (sample_size * 1.3) / n) + 1)
+    def bottomk(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        h = np.array([zlib.crc32(str(i).encode()) for i in ids], dtype=np.int64)
+        # lexsort for a block-order-independent tie-break (hash, then id)
+        order = np.lexsort((np.array(ids, dtype=np.int64), h))[:sample_size]
+        t = b.select([id_col, vec_col]).take(pa.array(order, pa.int64()))
+        return t.append_column("_h", pa.array(h[order], pa.int64()))
 
-        def hash_sample(b: pa.Table) -> pa.Table:
-            keep = pa.array(
-                [zlib.crc32(str(i).encode()) % 10_000 < cut
-                 for i in b[id_col].to_pylist()],
-                pa.bool_(),
-            )
-            return b.filter(keep).select([id_col, vec_col])
-
-        df = (
-            ds.map_batches(hash_sample, batch_format="pyarrow")
-            .to_pandas()
-            .sort_values(id_col)
-            .head(sample_size)
-        )
-        sample = df[vec_col].tolist()
+    sample = (
+        ds.map_batches(bottomk, batch_format="pyarrow")
+        .sort(["_h", id_col])
+        .limit(sample_size)
+        .to_pandas()[vec_col]
+        .tolist()
+    )
     x = _normalize(np.array(sample, dtype=np.float32))
     idx = np.linspace(0, len(x) - 1, num=min(n_centroids, len(x)), dtype=int)
     cents = x[idx].copy()

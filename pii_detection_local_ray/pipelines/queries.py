@@ -1452,54 +1452,49 @@ def region_nation_revenue(sf_dir: str, join_strategy: str = "broadcast"):
         columns=["l_orderkey", "l_extendedprice"],
     )
 
+    def li_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "cents": cents})
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        t = b.select(["nation", "cents"]).filter(pc.is_valid(b["nation"]))
+        # count_all == SQL count(*) (Arrow "count" skips nulls)
+        g = t.group_by("nation").aggregate([([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["nation", "n_items", "revenue_cents"])
+
+    cents_ds = lineitem.map_batches(li_cents, batch_format="pyarrow")
+
     if join_strategy == "hash":
         from ..functions.joins import hash_join
 
-        def li_cents(b: pa.Table) -> pa.Table:
-            cents = pc.cast(
-                pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
-            )
-            return pa.table({"l_orderkey": b["l_orderkey"], "cents": cents})
-
-        joined = hash_join(
-            lineitem.map_batches(li_cents, batch_format="pyarrow"),
-            orders, on="l_orderkey", right_on="o_orderkey",
+        tagged = hash_join(
+            cents_ds, orders, on="l_orderkey", right_on="o_orderkey",
             num_partitions=8,
         )
-
-        def partial(b: pa.Table) -> pa.Table:
-            t = b.select(["nation", "cents"])
-            # count_all == SQL count(*) (Arrow "count" skips nulls)
-            g = t.group_by("nation").aggregate(
-                [([], "count_all"), ("cents", "sum")]
-            )
-            return g.rename_columns(["nation", "n_items", "revenue_cents"])
-
-        agg = joined.map_batches(partial, batch_format="pyarrow")
     else:
         # ONE materialization: a per-column generator would execute the
         # lazy Dataset twice, and block order can differ between
         # executions - zipping columns from two executions misaligns the
         # (orderkey, nation) pairs nondeterministically
         odf = orders.to_pandas()
-        ok_to_nation = dict(zip(odf["o_orderkey"], odf["nation"]))
-        ok_ref = ray.put(ok_to_nation)
+        ok_ref = ray.put(dict(zip(odf["o_orderkey"], odf["nation"])))
 
-        def li_partial(b: pa.Table) -> pa.Table:
+        def attach_nation(b: pa.Table) -> pa.Table:
             lk = ray.get(ok_ref)
             nations = [lk.get(k) for k in b["l_orderkey"].to_pylist()]
-            cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
-            t = pa.table({"nation": pa.array(nations, pa.string()), "cents": cents})
-            t = t.filter(pc.is_valid(t["nation"]))
-            # count_all == SQL count(*) (Arrow "count" skips nulls)
-            g = t.group_by("nation").aggregate([([], "count_all"), ("cents", "sum")])
-            return g.rename_columns(["nation", "n_items", "revenue_cents"])
+            return b.append_column("nation", pa.array(nations, pa.string()))
 
-        agg = lineitem.map_batches(li_partial, batch_format="pyarrow")
+        tagged = cents_ds.map_batches(attach_nation, batch_format="pyarrow")
 
-    return agg.groupby("nation").aggregate(
-        Sum("n_items", alias_name="n_items"),
-        Sum("revenue_cents", alias_name="revenue_cents"),
+    return (
+        tagged.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
     )
 
 
