@@ -1,0 +1,40 @@
+"""Run every oracled query TWICE in one session and compare the runs.
+
+Catches run-order nondeterminism the single-shot driver mimic cannot
+(e.g. the region_nation_revenue bug where zipping columns from two
+executions of one lazy Dataset misaligned rows on the first run only).
+Usage: PYTHONPATH=/root/repo python tools/check_determinism.py [sf_dir]
+"""
+import sys, warnings; warnings.filterwarnings("ignore")
+import ray
+ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import pandas as pd, numpy as np
+import __ray_entry__ as E
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+qs, sqls = E.queries(), E.oracle_sql()
+
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
+        df = df.iloc[np.argsort(key.values, kind="stable")]
+    return df.reset_index(drop=True)
+
+bad = []
+for name, fn in qs.items():
+    if name not in sqls:
+        continue
+    try:
+        a = fn(sf); a = a.to_pandas() if hasattr(a, "to_pandas") else pd.DataFrame(a)
+        b = fn(sf); b = b.to_pandas() if hasattr(b, "to_pandas") else pd.DataFrame(b)
+        if not norm(a).equals(norm(b)):
+            bad.append(name); print(name, "NONDETERMINISTIC")
+        else:
+            print(name, "stable")
+    except Exception as e:
+        bad.append(name); print(name, "ERROR", str(e)[:120])
+print("\nNONDETERMINISTIC:", bad if bad else "none")
+ray.shutdown()
