@@ -1001,7 +1001,26 @@ def entity_cooccurrence(sf_dir: str):
     )
 
 
-@register("scorer_eval")
+@register(
+    "scorer_eval",
+    # The planted fixture makes every metric an exact rational: even docs
+    # carry one EMAIL span (regex bank finds all of them, NER none), odd
+    # docs one PERSON span (NER lexicon finds all, regex none) - so both
+    # scorers score precision 1, recall n_even/n resp. n_odd/n, and
+    # f1 = 2pr/(p+r), matching functions/bio.span_f1's arithmetic.
+    "WITH c AS (SELECT count(*) AS n, "
+    "  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne"
+    "  FROM documents) "
+    "SELECT 'regex' AS scorer, 1.0 AS \"precision\", "
+    "  round(CAST(ne AS DOUBLE) / n, 4) AS recall, "
+    "  round(2 * 1.0 * (CAST(ne AS DOUBLE) / n)"
+    "    / (1.0 + CAST(ne AS DOUBLE) / n), 4) AS f1, "
+    "  n AS n_records FROM c "
+    "UNION ALL "
+    "SELECT 'ner', 1.0, round(CAST(n - ne AS DOUBLE) / n, 4), "
+    "  round(2 * 1.0 * (CAST(n - ne AS DOUBLE) / n)"
+    "    / (1.0 + CAST(n - ne AS DOUBLE) / n), 4), n FROM c",
+)
 def scorer_eval(sf_dir: str):
     """run_benchmarking-analog harness: regex + NER scorers over BIO
     fixtures derived from planted documents, span-F1 per scorer."""
