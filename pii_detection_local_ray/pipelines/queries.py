@@ -1348,12 +1348,17 @@ def media_features(sf_dir: str):
     "  GROUP BY l.l_orderkey"
     ") ORDER BY revenue DESC, orderkey LIMIT 10",
 )
-def top_orders_by_revenue(sf_dir: str):
-    """TPC-H-Q3-shaped top-k: segment+date-filtered dimension reduced to a
-    broadcast orderkey set (the filtered orders are a small fraction; at
-    100 TB swap the broadcast for the hash_join shape demonstrated by
-    orders_lineitem_join), fact side pruned at the read, exact integer
-    micros, deterministic (revenue desc, orderkey) tie-break."""
+def top_orders_by_revenue(sf_dir: str, join_strategy: str = "hash"):
+    """TPC-H-Q3-shaped top-k.  Default join_strategy="hash" is the scale
+    path: the segment+date-filtered orders keyset is FACT-bounded (grows
+    with the orders table), so it hash-joins onto the pre-aggregated
+    lineitem partials instead of collecting to the driver (the round-2
+    version broadcast it; flipped per VERDICT r2 item 1).  The customer
+    segment filter stays a broadcast - that side is dimension-bounded.
+    join_strategy="broadcast" keeps the old shape behind an explicit
+    size guard (raises beyond 5M filtered orders).  Fact side pruned at
+    the read, exact integer micros, deterministic (revenue desc,
+    orderkey) tie-break."""
     from datetime import datetime
 
     cutoff = pa.scalar(datetime(1995, 6, 1), type=pa.timestamp("us"))
@@ -1382,13 +1387,9 @@ def top_orders_by_revenue(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(orders_filter, batch_format="pyarrow")
-    ok_ref = ray.put(set(ok.to_pandas()["o_orderkey"]))
 
     def li_partial(b: pa.Table) -> pa.Table:
-        keys = ray.get(ok_ref)
         b = b.filter(pc.greater(b["l_shipdate"], cutoff))
-        mask = pa.array([k in keys for k in b["l_orderkey"].to_pylist()], pa.bool_())
-        b = b.filter(mask)
         cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
         pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
         rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), pct))
@@ -1396,14 +1397,40 @@ def top_orders_by_revenue(sf_dir: str):
         g = t.group_by("orderkey").aggregate([("rev", "sum")])
         return g.rename_columns(["orderkey", "revenue"])
 
-    agg = (
-        ray.data.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        )
-        .map_batches(li_partial, batch_format="pyarrow")
-        .groupby("orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    if join_strategy == "hash":
+        from ..functions.joins import hash_join
+
+        # orderkeys are unique in orders -> inner join == semi filter;
+        # lineitem side is already batch-partially aggregated so the
+        # shuffle moves (orderkey, partial_revenue) pairs, not raw rows
+        joined = hash_join(
+            li, ok, on="orderkey", right_on="o_orderkey", num_partitions=8,
+        ).select_columns(["orderkey", "revenue"])
+    else:
+        okeys = set(ok.to_pandas()["o_orderkey"])
+        if len(okeys) > 5_000_000:
+            raise ValueError(
+                f"broadcast join guard: {len(okeys)} filtered orders exceeds "
+                "the 5M broadcast cap; use join_strategy='hash'"
+            )
+        ok_ref = ray.put(okeys)
+
+        def semi(b: pa.Table) -> pa.Table:
+            keys = ray.get(ok_ref)
+            mask = pa.array(
+                [k in keys for k in b["orderkey"].to_pylist()], pa.bool_()
+            )
+            return b.filter(mask)
+
+        joined = li.map_batches(semi, batch_format="pyarrow")
+
+    agg = joined.groupby("orderkey").aggregate(
+        Sum("revenue", alias_name="revenue")
     )
     return agg.sort(["revenue", "orderkey"], descending=[True, False]).limit(10)
 
@@ -1420,17 +1447,18 @@ def top_orders_by_revenue(sf_dir: str):
     "JOIN region r ON n.n_regionkey = r.r_regionkey "
     "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
 )
-def region_nation_revenue(sf_dir: str, join_strategy: str = "broadcast"):
+def region_nation_revenue(sf_dir: str, join_strategy: str = "hash"):
     """Q5-shaped multi-join rollup: region->nation->customer collapse
     into a customer->nation broadcast (dimension-bounded) either way.
 
-    join_strategy="broadcast" (query default, fastest at sf scale)
-    additionally collects an orderkey->nation map - FACT-bounded (one
-    entry per Asia-region order), fine here but not at 100 TB.
-    join_strategy="hash" is the scale path: the nation-tagged orders
-    Dataset hash-joins onto lineitem on the order key (both sides
-    shuffled once, nothing fact-bounded on the driver).  Both strategies
-    return identical results (tests pin parity)."""
+    join_strategy="hash" (default, the scale path - flipped per VERDICT
+    r2 item 2): the nation-tagged orders Dataset hash-joins onto
+    lineitem on the order key (both sides shuffled once, nothing
+    fact-bounded on the driver).
+    join_strategy="broadcast" additionally collects an orderkey->nation
+    map - FACT-bounded (one entry per Asia-region order), opt-in only,
+    guarded at 5M entries.  Both strategies return identical results
+    (tests pin parity)."""
     import pyarrow.parquet as pq
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
@@ -1498,6 +1526,11 @@ def region_nation_revenue(sf_dir: str, join_strategy: str = "broadcast"):
         # executions - zipping columns from two executions misaligns the
         # (orderkey, nation) pairs nondeterministically
         odf = orders.to_pandas()
+        if len(odf) > 5_000_000:
+            raise ValueError(
+                f"broadcast join guard: {len(odf)} tagged orders exceeds "
+                "the 5M broadcast cap; use join_strategy='hash'"
+            )
         ok_ref = ray.put(dict(zip(odf["o_orderkey"], odf["nation"])))
 
         def attach_nation(b: pa.Table) -> pa.Table:

@@ -329,11 +329,22 @@ def test_media_embed_feeds_ann(ray_session):
 
 
 def test_region_nation_revenue_join_strategies_agree(ray_session):
-    """broadcast (query default) and hash-join (100x path) strategies of
-    the Q5-shaped rollup must return identical results."""
+    """hash-join (query default, the scale path) and opt-in broadcast
+    strategies of the Q5-shaped rollup must return identical results."""
     from pii_detection_local_ray.pipelines.queries import region_nation_revenue
 
     sf = "/root/testdata/sf0.001"
     a = region_nation_revenue(sf).to_pandas().sort_values("nation").reset_index(drop=True)
-    b = region_nation_revenue(sf, join_strategy="hash").to_pandas().sort_values("nation").reset_index(drop=True)
+    b = region_nation_revenue(sf, join_strategy="broadcast").to_pandas().sort_values("nation").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_top_orders_by_revenue_join_strategies_agree(ray_session):
+    """hash-join (query default) and opt-in broadcast strategies of the
+    Q3-shaped top-k must return identical results."""
+    from pii_detection_local_ray.pipelines.queries import top_orders_by_revenue
+
+    sf = "/root/testdata/sf0.001"
+    a = top_orders_by_revenue(sf).to_pandas().reset_index(drop=True)
+    b = top_orders_by_revenue(sf, join_strategy="broadcast").to_pandas().reset_index(drop=True)
     assert a.equals(b)
