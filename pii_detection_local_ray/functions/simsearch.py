@@ -3,16 +3,16 @@
 Two paths:
   * brute-force cosine top-k (the correctness baseline): the query matrix
     is broadcast once via ``ray.put``; every batch computes a numpy
-    matmul against it and emits its local top-k; the driver merges the
-    tiny per-block top-k lists.  At 100 TB the only data movement is the
-    per-block (query_id, vec_id, score) top-k rows.
+    matmul against it and emits its local top-k; a distributed
+    groupby(query_id) combine reduces the partials to k rows per query
+    before the driver sees anything.  At 100 TB the only data movement is
+    the per-block (query_id, vec_id, score) top-k rows through one small
+    shuffle.
   * LSH-bucketed (the scale path): random-hyperplane buckets shared by
     queries and corpus; only matching buckets are scored.
 """
 
 from __future__ import annotations
-
-import heapq
 
 import numpy as np
 import pyarrow as pa
@@ -24,23 +24,44 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
-def _merge_topk(partials, k: int, id_col: str) -> pa.Table:
-    """Driver-side merge of per-block top-k partials (tiny: k rows per
-    query per block), deterministic tie-break on id."""
-    rows = {"query_id": [], id_col: [], "score": []}
-    for qi, g in partials.groupby("query_id"):
-        top = heapq.nsmallest(
-            k, g.itertuples(index=False), key=lambda r: (-r.score, getattr(r, id_col))
+def _merge_topk(partials: ray.data.Dataset, k: int, id_col: str) -> pa.Table:
+    """DISTRIBUTED combine of per-block top-k partials: a
+    groupby(query_id).map_groups per-query top-k runs on the cluster (the
+    shuffle moves only the k rows per query per block that the local
+    top-k already emitted), then the driver collects the final bounded
+    k x n_queries rows.  Round 2 merged the raw partials driver-side
+    (k x n_queries x n_blocks rows - multi-GB at 100 TB block counts);
+    fixed per VERDICT r2 item 3.  Deterministic tie-break on id."""
+    import pandas as pd
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["score", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    final = (
+        partials.groupby("query_id")
+        .map_groups(topk_group, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(final) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
         )
-        for r in top:
-            rows["query_id"].append(qi)
-            rows[id_col].append(getattr(r, id_col))
-            rows["score"].append(r.score)
+    final = final.sort_values(
+        ["query_id", "score", id_col],
+        ascending=[True, False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
     return pa.table(
         {
-            "query_id": pa.array(rows["query_id"], pa.int64()),
-            id_col: pa.array(rows[id_col], pa.int64()),
-            "score": pa.array(rows["score"], pa.float64()),
+            "query_id": pa.array(final["query_id"].astype("int64"), pa.int64()),
+            id_col: pa.array(final[id_col].astype("int64"), pa.int64()),
+            "score": pa.array(final["score"].astype("float64"), pa.float64()),
         }
     )
 
@@ -80,7 +101,7 @@ def knn_brute_force(
         )
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    return _merge_topk(partials.to_pandas(), k, id_col)
+    return _merge_topk(partials, k, id_col)
 
 
 def build_ivf_centroids(
@@ -174,7 +195,7 @@ def knn_ivf(
             }
         )
 
-    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
     return _merge_topk(partials, k, id_col)
 
 
@@ -226,5 +247,5 @@ def knn_lsh(
             }
         )
 
-    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
     return _merge_topk(partials, k, id_col)

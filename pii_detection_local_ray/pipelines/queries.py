@@ -1215,43 +1215,107 @@ def embedding_near_dups(sf_dir: str):
     ).select_columns(["id_a", "id_b"])
 
 
-def _assert_self_top1(res) -> None:
-    """ANN self-check for the rows-only driver queries: the query vectors
-    ARE corpus vectors (the first 3 embeddings), so any sane ANN index
-    must return each query itself as its top-1 hit (cosine ~1.0).  Raises
-    on violation so the rows-only check can't pass a broken index."""
-    df = res.to_pandas() if hasattr(res, "to_pandas") else res
-    for q, grp in df.groupby("query_id"):
-        top = grp.sort_values(["score", "vec_id"], ascending=[False, True]).iloc[0]
-        assert int(top["vec_id"]) == int(q), (
-            f"query {q} top-1 is {top['vec_id']} (score {top['score']}), not itself"
-        )
+# Exact ANN oracle design (round 3, VERDICT r2 item 3): for each query
+# vector q (vec_id 0..2) plant FOUR positive scalar multiples of q with
+# new ids.  A positive scaling preserves direction exactly, so every copy
+# lands in q's LSH bucket / IVF cell and scores cosine ~1.0 against q -
+# far above the ~0.51 natural max in the random sf embeddings.  The top-5
+# SET is therefore {q itself, the 4 copies} unambiguously in BOTH numpy
+# float32 and DuckDB list_cosine_similarity, even though the within-set
+# ordering is float noise - so the queries return (query_id, vec_id)
+# pairs without rank or score and brute-force SQL is an exact oracle for
+# the approximate engine paths.
+_KNN_PLANTED_SQL = (
+    "WITH allv AS ("
+    "  SELECT vec_id, embedding FROM embeddings"
+    "  UNION ALL"
+    "  SELECT 2000000 + q.vec_id * 10 + js.j AS vec_id,"
+    "    list_transform(q.embedding, x -> x * (1.0 + 0.5 * js.j)) AS embedding"
+    "  FROM embeddings q CROSS JOIN (SELECT unnest([1,2,3,4]) AS j) js"
+    "  WHERE q.vec_id < 3"
+    ") "
+    "SELECT query_id, vec_id FROM ("
+    "  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, row_number() OVER ("
+    "    PARTITION BY q.vec_id "
+    "    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id"
+    "  ) AS rank FROM allv q CROSS JOIN allv e WHERE q.vec_id < 3"
+    ") WHERE rank <= 5"
+)
 
 
-@register("knn_ivf_top5")
+def _plant_knn_clusters(b: pa.Table) -> pa.Table:
+    """Add 4 positively-scaled copies of every query vector (vec_id<3)."""
+    qm = b.filter(pc.less(b["vec_id"], 3))
+    tabs = [b.select(["vec_id", "embedding"])]
+    if qm.num_rows:
+        ids = qm["vec_id"].to_numpy(zero_copy_only=False)
+        embs = np.array(qm["embedding"].to_pylist(), dtype=np.float32)
+        for j in range(1, 5):
+            scaled = embs * np.float32(1.0 + 0.5 * j)
+            tabs.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(2_000_000 + ids * 10 + j, pa.int64()),
+                        "embedding": pa.array(
+                            scaled.tolist(), pa.list_(pa.float32())
+                        ),
+                    }
+                )
+            )
+    return pa.concat_tables(tabs, promote_options="permissive")
+
+
+def _knn_planted_result(sf_dir: str, kind: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb = emb.take(pc.sort_indices(emb["vec_id"]))
+    qtab = emb.filter(pc.less(emb["vec_id"], 3))
+    queries = np.array(qtab["embedding"].to_pylist(), dtype=np.float32)
+    qids = qtab["vec_id"].to_pylist()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(_plant_knn_clusters, batch_format="pyarrow")
+    if kind == "ivf":
+        cents = fsim.build_ivf_centroids(ds, n_centroids=8)
+        res = fsim.knn_ivf(ds, queries, cents, k=5, n_probe=3)
+    else:
+        res = fsim.knn_lsh(ds, queries, k=5, num_planes=4)
+    df = res.to_pandas()
+    out_q, out_v = [], []
+    for qi, grp in df.groupby("query_id"):
+        actual = int(qids[qi])
+        got = set(int(v) for v in grp["vec_id"])
+        want = {actual} | {2_000_000 + actual * 10 + j for j in range(1, 5)}
+        # fail-loud self-check: the planted cluster must be recovered in
+        # full or the approximate index is broken (recall < 1 on a
+        # cosine-1.0 cluster)
+        assert got == want, f"query {actual}: got {sorted(got)}, want {sorted(want)}"
+        for v in sorted(got):
+            out_q.append(actual)
+            out_v.append(v)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+@register("knn_ivf_top5", _KNN_PLANTED_SQL)
 def knn_ivf_top5(sf_dir: str):
-    """IVF ANN scale path: coarse k-means quantizer + probed cells."""
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    queries = np.array(emb["embedding"].to_pylist()[:3], dtype=np.float32)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    cents = fsim.build_ivf_centroids(ds, n_centroids=8)
-    res = fsim.knn_ivf(ds, queries, cents, k=5, n_probe=3)
-    _assert_self_top1(res)
-    return res
+    """IVF ANN scale path: coarse k-means quantizer + probed cells,
+    exact-oracled via the planted scaled-copy clusters."""
+    return _knn_planted_result(sf_dir, "ivf")
 
 
-@register("knn_lsh_top5")
+@register("knn_lsh_top5", _KNN_PLANTED_SQL)
 def knn_lsh_top5(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    queries = np.array(emb["embedding"].to_pylist()[:3], dtype=np.float32)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    res = fsim.knn_lsh(ds, queries, k=5, num_planes=4)
-    _assert_self_top1(res)
-    return res
+    """Hyperplane-LSH ANN path, exact-oracled via the planted clusters."""
+    return _knn_planted_result(sf_dir, "lsh")
 
 
 @register(
