@@ -197,10 +197,14 @@ def bio_to_spans(tokens: list[str], labels: list[str]) -> list[dict]:
 
 
 def span_f1(
-    true_seqs: list[list[str]], pred_seqs: list[list[str]]
+    true_seqs: list[list[str]], pred_seqs: list[list[str]],
+    digits: int | None = 4,
 ) -> dict:
     """Span-exact-match micro P/R/F1 over BIO label sequences
-    (seqeval 'default' scheme semantics)."""
+    (seqeval 'default' scheme semantics).  digits=None emits raw IEEE
+    float64 ratios (used by exact SQL oracles - Python round() is
+    half-even, DuckDB round() half-away-from-zero, so any rounding on a
+    5th-decimal tie would diverge)."""
 
     def seq_spans(labels: list[str]) -> set[tuple[str, int, int]]:
         out, cur = set(), None
@@ -245,7 +249,9 @@ def span_f1(
         p = tp / (tp + fp) if tp + fp else 0.0
         r = tp / (tp + fn) if tp + fn else 0.0
         f = 2 * p * r / (p + r) if p + r else 0.0
-        return {"precision": round(p, 4), "recall": round(r, 4), "f1": round(f, 4)}
+        if digits is None:
+            return {"precision": p, "recall": r, "f1": f}
+        return {"precision": round(p, digits), "recall": round(r, digits), "f1": round(f, digits)}
 
     out = prf(tp, fp, fn)
     out["per_type"] = {

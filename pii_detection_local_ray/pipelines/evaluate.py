@@ -183,6 +183,7 @@ def _scorer_stage(scorer_factory):
 def evaluate_scorers(
     fixtures: ray.data.Dataset,
     scorers: dict[str, callable],
+    digits: int | None = 4,
 ) -> dict:
     """fixtures: Dataset of {tokens, labels, source}.  scorers: name ->
     zero-arg factory.  Returns per-scorer span metrics + wall time
@@ -201,6 +202,7 @@ def evaluate_scorers(
         metrics = span_f1(
             [list(x) for x in pairs["true_labels"]],
             [list(x) for x in pairs["pred_labels"]],
+            digits=digits,
         )
         metrics["elapsed_seconds"] = round(time.perf_counter() - t0, 3)
         metrics["n_records"] = len(pairs)

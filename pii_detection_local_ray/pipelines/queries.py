@@ -1011,15 +1011,17 @@ def entity_cooccurrence(sf_dir: str):
     "WITH c AS (SELECT count(*) AS n, "
     "  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne"
     "  FROM documents) "
+    # no round() on either side: Python round is half-even, DuckDB
+    # half-away-from-zero - raw IEEE ratios compare exactly instead
     "SELECT 'regex' AS scorer, 1.0 AS \"precision\", "
-    "  round(CAST(ne AS DOUBLE) / n, 4) AS recall, "
-    "  round(2 * 1.0 * (CAST(ne AS DOUBLE) / n)"
-    "    / (1.0 + CAST(ne AS DOUBLE) / n), 4) AS f1, "
+    "  CAST(ne AS DOUBLE) / n AS recall, "
+    "  2 * 1.0 * (CAST(ne AS DOUBLE) / n)"
+    "    / (1.0 + CAST(ne AS DOUBLE) / n) AS f1, "
     "  n AS n_records FROM c "
     "UNION ALL "
-    "SELECT 'ner', 1.0, round(CAST(n - ne AS DOUBLE) / n, 4), "
-    "  round(2 * 1.0 * (CAST(n - ne AS DOUBLE) / n)"
-    "    / (1.0 + CAST(n - ne AS DOUBLE) / n), 4), n FROM c",
+    "SELECT 'ner', 1.0, CAST(n - ne AS DOUBLE) / n, "
+    "  2 * 1.0 * (CAST(n - ne AS DOUBLE) / n)"
+    "    / (1.0 + CAST(n - ne AS DOUBLE) / n), n FROM c",
 )
 def scorer_eval(sf_dir: str):
     """run_benchmarking-analog harness: regex + NER scorers over BIO
@@ -1055,7 +1057,8 @@ def scorer_eval(sf_dir: str):
         to_bio, batch_format="pyarrow"
     )
     report = evaluate_scorers(
-        fixtures, {"regex": RegexScorer, "ner": lambda: NERScorer(model)}
+        fixtures, {"regex": RegexScorer, "ner": lambda: NERScorer(model)},
+        digits=None,
     )
     return pa.table(
         {
@@ -1160,16 +1163,44 @@ def minhash_near_dups(sf_dir: str):
     )
 
 
-@register("simhash_docs")
-def simhash_docs(sf_dir: str):
-    """SimHash fingerprints (rows-only: bitwise sign-aggregation is not
-    SQL-expressible).  Self-check against a pinned known-good value so the
-    rows-only result certifies the kernel, not just row counts."""
-    probe = fdedup.SimHashBatch().simhash(
-        "the quick brown fox jumps over the lazy dog"
-    )
-    assert probe == 6243959418006571016, f"simhash kernel drifted: {probe}"
+# Exact SQL re-derivation of the 64-bit simhash kernel (round 3, VERDICT
+# r2 item 6).  All-integer arithmetic, so DuckDB and numpy agree bitwise:
+# shingle hash = sum over the k=4 window bytes of byte * FNV_PRIME^j
+# (mod 2^64, HUGEINT then % 2^64 emulates the uint64 wraparound), DISTINCT
+# = np.unique, per-bit sign vote over bits 0..62 (the engine masks bit 63
+# with & 0x7FFF... so it never contributes).  Assumes an ASCII corpus
+# (ord == utf-8 byte; the sf documents are pure [a-z ]).
+_SIMHASH_SQL = (
+    "WITH sh AS ("
+    "  SELECT d.doc_id,"
+    "    CAST(("
+    "        CAST(ord(substr(d.text, p.pos,   1)) AS HUGEINT) * 1"
+    "      + CAST(ord(substr(d.text, p.pos+1, 1)) AS HUGEINT)"
+    "          * 1099511628211"
+    "      + CAST(ord(substr(d.text, p.pos+2, 1)) AS HUGEINT)"
+    "          * 956575116354345"
+    "      + CAST(ord(substr(d.text, p.pos+3, 1)) AS HUGEINT)"
+    "          * 624165263380053675"
+    "    ) % 18446744073709551616 AS HUGEINT) AS h"
+    "  FROM documents d, LATERAL ("
+    "    SELECT unnest(generate_series(1, length(d.text) - 3)) AS pos) p"
+    "), uh AS (SELECT DISTINCT doc_id, h FROM sh), bits AS ("
+    "  SELECT doc_id, b.bit,"
+    "    CASE WHEN sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+    "         THEN CAST(1 AS HUGEINT) << b.bit ELSE 0 END AS contrib"
+    "  FROM uh, (SELECT unnest(generate_series(0, 62)) AS bit) b"
+    "  GROUP BY doc_id, b.bit) "
+    "SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS simhash "
+    "FROM bits GROUP BY doc_id"
+)
 
+
+@register("simhash_docs", _SIMHASH_SQL)
+def simhash_docs(sf_dir: str):
+    """SimHash fingerprints, hash-exact against a pure-integer DuckDB
+    re-derivation of the kernel (shingle rolling hash + per-bit sign
+    vote).  Requires every doc >= shingle_k chars (the sf corpora are;
+    the short-text crc32 fallback is not SQL-expressed) and ASCII text."""
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(fdedup.SimHashBatch(), batch_format="pyarrow")

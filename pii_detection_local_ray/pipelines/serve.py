@@ -225,13 +225,16 @@ def create_server(
     verbose: bool = False,
 ) -> ThreadingHTTPServer:
     """Build the server with the detector loaded once (serving singleton).
-    port=0 binds an ephemeral port (server.server_address[1])."""
-    server = ThreadingHTTPServer((host, port), PIIRequestHandler)
-    server.detector = FastPIIDetector(
+    port=0 binds an ephemeral port (server.server_address[1]).  The
+    detector is constructed BEFORE the socket binds: a model-load failure
+    must not leak a bound socket (address-in-use on retry)."""
+    detector = FastPIIDetector(
         model_path,
         confidence_threshold=confidence_threshold,
         batch_size=batch_size,
     )
+    server = ThreadingHTTPServer((host, port), PIIRequestHandler)
+    server.detector = detector
     server.verbose = verbose
     return server
 

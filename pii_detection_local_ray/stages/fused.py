@@ -64,6 +64,25 @@ class FusedModelBatch:
 _FUSED_CACHE: dict[tuple, FusedModelBatch] = {}
 
 
+def _artifact_fingerprint(model_path: str | None) -> tuple:
+    """Content fingerprint of the model artifact dir (file names, sizes,
+    mtimes).  Part of the task-worker cache key: reused Ray task workers
+    must not serve a stale model after the artifact at the SAME path is
+    rewritten (e.g. retrain into the same output dir) within a session."""
+    if model_path is None:
+        return ()
+    import os
+
+    entries = []
+    try:
+        for name in sorted(os.listdir(model_path)):
+            st = os.stat(os.path.join(model_path, name))
+            entries.append((name, st.st_size, st.st_mtime_ns))
+    except OSError:
+        return (("<missing>", 0, 0),)
+    return tuple(entries)
+
+
 def fused_model_task(
     batch: pa.Table,
     model_path: str | None = None,
@@ -71,9 +90,16 @@ def fused_model_task(
     with_perplexity: bool = True,
     with_ner: bool = True,
 ) -> pa.Table:
-    key = (model_path, content_col, with_perplexity, with_ner)
+    key = (
+        model_path, content_col, with_perplexity, with_ner,
+        _artifact_fingerprint(model_path),
+    )
     m = _FUSED_CACHE.get(key)
     if m is None:
+        # evict stale fingerprints of the same base key so a long-lived
+        # task worker doesn't accumulate one model per retrain
+        for k in [k for k in _FUSED_CACHE if k[:4] == key[:4]]:
+            del _FUSED_CACHE[k]
         m = _FUSED_CACHE[key] = FusedModelBatch(
             model_path, content_col, with_perplexity, with_ner
         )

@@ -95,3 +95,72 @@ def test_generate_corpus_param_mismatch_regenerates(tmp_path):
     d2 = corpus.generate_corpus(tmp_path, n_files=60, n_shards=2)
     n2 = sum(pq.ParquetFile(f).metadata.num_rows for f in d2.glob("*.parquet"))
     assert n2 == 60  # stale 30-file corpus was not silently reused
+
+
+def test_bucket_cap_emits_warning(caplog):
+    import logging
+    from pii_detection_local_ray.functions.dedup import _pairs_from_bucket
+
+    with caplog.at_level(logging.WARNING,
+                         logger="pii_detection_local_ray.functions.dedup"):
+        pairs = list(_pairs_from_bucket(list(range(10)), max_bucket=4))
+    assert pairs == [(0, i) for i in range(1, 10)]  # star pairs
+    assert any("bucket capped" in r.message.lower() for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="pii_detection_local_ray.functions.dedup"):
+        list(_pairs_from_bucket([1, 2, 3], max_bucket=4))
+    assert not caplog.records  # under-cap buckets stay silent
+
+
+def test_span_f1_digits_none_raw_float():
+    from pii_detection_local_ray.functions.bio import span_f1
+
+    # 1 tp, 2 fn -> recall = 1/3, unroundable in decimal
+    true = [["B-EMAIL"], ["B-EMAIL"], ["B-EMAIL"]]
+    pred = [["B-EMAIL"], ["O"], ["O"]]
+    m = span_f1(true, pred, digits=None)
+    assert m["recall"] == 1 / 3  # raw IEEE, not round(1/3, 4)
+    m4 = span_f1(true, pred)
+    assert m4["recall"] == round(1 / 3, 4)  # default unchanged
+
+
+def test_fused_task_cache_invalidates_on_artifact_rewrite(ray_session, tmp_path):
+    import pyarrow as pa
+    from pii_detection_local_ray.stages.fused import (
+        _FUSED_CACHE, fused_model_task,
+    )
+    from pii_detection_local_ray.sources.model_artifact import write_stub_model
+
+    model = str(write_stub_model(tmp_path / "m"))
+    batch = pa.table({"content": pa.array(["email me a@b.com today"])})
+    fused_model_task(batch, model_path=model, with_perplexity=False)
+    keys_before = [k for k in _FUSED_CACHE if k[0] == model]
+    assert len(keys_before) == 1
+    # rewrite the artifact in place (retrain-to-same-dir) with a bumped
+    # mtime -> the stale entry must be evicted and a fresh model loaded
+    import os, time
+    for name in os.listdir(model):
+        p = os.path.join(model, name)
+        os.utime(p, ns=(time.time_ns(), time.time_ns() + 1_000_000))
+    fused_model_task(batch, model_path=model, with_perplexity=False)
+    keys_after = [k for k in _FUSED_CACHE if k[0] == model]
+    assert len(keys_after) == 1
+    assert keys_after[0] != keys_before[0]
+
+
+def test_connected_components_overflow_guard(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pii_detection_local_ray.functions.dedup import connected_components
+
+    big = 1 << 61
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([big + i for i in range(5)], pa.int64()),
+        "id_b": pa.array([big + i + 1 for i in range(5)], pa.int64()),
+    }))
+    try:
+        connected_components(pairs, driver_threshold=0)  # force distributed
+        raise AssertionError("expected overflow guard to raise")
+    except ValueError as e:
+        assert "overflow" in str(e)
