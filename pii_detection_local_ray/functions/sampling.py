@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -59,10 +60,22 @@ def per_group_cap(
     reference caps one source at 150k with a seeded sample,
     src/data_preparation.py:56-65)."""
 
+    def precap(batch: pa.Table) -> pa.Table:
+        # batch-local pre-reduction (vectorized pandas groupby.head): the
+        # shuffle then moves <= cap rows per group per block instead of
+        # every row, and the final per-group call sees tiny groups
+        df = batch.to_pandas()
+        kept = df.sort_values(order_col).groupby(group_col, sort=False).head(cap)
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
     def head(g):
         return g.sort_values(order_col).head(cap)
 
-    return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+    return (
+        ds.map_batches(precap, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(head, batch_format="pandas")
+    )
 
 
 def stratified_subset(
@@ -75,14 +88,30 @@ def stratified_subset(
     min-1-per-group 1% subset, src/data_preparation.py:155-172).
     Deterministic: hash sample, plus each group's min-id row."""
 
-    def subset(g):
-        keep_chars = "0123456789abcdef"[:frac_16]
-        mask = g[id_col].astype(str).map(
+    keep_chars = "0123456789abcdef"[:frac_16]
+
+    def presubset(batch: pa.Table) -> pa.Table:
+        # batch-local pre-reduction: ship only the hash-sampled rows plus
+        # one min-id fallback CANDIDATE per group per block - the shuffle
+        # moves ~frac_16/16 of the data, and the final per-group call
+        # only resolves which candidate wins when a group sampled empty
+        df = batch.to_pandas()
+        mask = df[id_col].astype(str).map(
             lambda s: hashlib.md5(s.encode()).hexdigest()[0] in keep_chars
         )
-        out = g[mask]
-        if out.empty:
-            out = g.nsmallest(1, id_col)
-        return out
+        sampled = df[mask].assign(_cand=False)
+        mins = df.loc[df.groupby(group_col, sort=False)[id_col].idxmin()]
+        out = pd.concat([sampled, mins.assign(_cand=True)], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby(group_col).map_groups(subset, batch_format="pandas")
+    def subset(g):
+        real = g[~g["_cand"]]
+        if not real.empty:
+            return real.drop(columns=["_cand"])
+        return g.nsmallest(1, id_col).drop(columns=["_cand"])
+
+    return (
+        ds.map_batches(presubset, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(subset, batch_format="pandas")
+    )

@@ -528,24 +528,18 @@ def orders_by_nation(sf_dir: str):
     ref = ray.put(cust_to_nation)
 
     def partial(b: pa.Table) -> pa.Table:
+        # Arrow-kernel partial aggregate (the lineitem_pricing shape) -
+        # the only per-row Python left is the broadcast key lookup
         lookup = ray.get(ref)
-        nations = [lookup[ck] for ck in b["o_custkey"].to_pylist()]
+        nations = pa.array(
+            [lookup[ck] for ck in b["o_custkey"].to_pylist()], pa.string()
+        )
         cents = pc.cast(
             pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
-        ).to_pylist()
-        acc: dict[str, list[int]] = {}
-        for nat, c in zip(nations, cents):
-            a = acc.setdefault(nat, [0, 0])
-            a[0] += 1
-            a[1] += c
-        keys = sorted(acc)
-        return pa.table(
-            {
-                "nation": pa.array(keys, pa.string()),
-                "n_orders": pa.array([acc[k][0] for k in keys], pa.int64()),
-                "total_cents": pa.array([acc[k][1] for k in keys], pa.int64()),
-            }
         )
+        t = pa.table({"nation": nations, "cents": cents})
+        g = t.group_by("nation").aggregate([([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["nation", "n_orders", "total_cents"])
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -1132,6 +1126,113 @@ def langid_docs(sf_dir: str):
         .map_batches(plant, batch_format="pyarrow")
         .map_batches(_langid_task, batch_format="pyarrow")
         .select_columns(["doc_id", "langid"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# File-backed public-format models (fastText .bin langid, ARPA perplexity)
+# through the same actor protocols - stages/file_models.py.  The checked-in
+# fixtures (tests/fixtures/) make both exactly oracle-able.
+# ---------------------------------------------------------------------------
+
+def _fixture_path(name: str) -> str:
+    from pathlib import Path
+
+    return str(Path(__file__).resolve().parents[2] / "tests" / "fixtures" / name)
+
+
+_FT_SNIPPETS = (
+    "def import self value none",        # fixture model: python triggers
+    "function const require console",    # javascript triggers
+    "func package fmt struct",           # go triggers
+)
+
+
+def _ft_langid_task(batch: pa.Table) -> pa.Table:
+    from ..stages.file_models import FastTextLangIdBatch
+
+    return _cached(
+        "ft_langid",
+        lambda: FastTextLangIdBatch(_fixture_path("tiny_langid.bin")),
+    )(batch)
+
+
+def _arpa_ppl_task(batch: pa.Table) -> pa.Table:
+    from ..stages.file_models import ArpaPerplexityBatch
+
+    return _cached(
+        "arpa_ppl",
+        lambda: ArpaPerplexityBatch(_fixture_path("tiny.arpa")),
+    )(batch)
+
+
+@register(
+    "langid_file_model",
+    "SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER) "
+    "WHEN 0 THEN 'python' WHEN 1 THEN 'javascript' ELSE 'go' END AS langid "
+    "FROM documents",
+)
+def langid_file_model(sf_dir: str):
+    """Language ID through a REAL fastText-format .bin file (the
+    checked-in fixture model, sources/model_files.read_fasttext): planted
+    trigger-word snippets per doc_id %% 3 make the file-backed verdict
+    exactly SQL-expressible while the full loader + actor path runs."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "content": pa.array([_FT_SNIPPETS[i % 3] for i in ids]),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(_ft_langid_task, batch_format="pyarrow")
+        .select_columns(["doc_id", "langid"])
+    )
+
+
+@register(
+    "arpa_perplexity_docs",
+    # Constants hand-derived from tests/fixtures/tiny.arpa: even docs get
+    # "the cat sat" (all bigrams present: -0.2-0.3-0.4-0.1 = -1.0 log10
+    # over 4 tokens -> ppl 10^0.25, float32, x1e6 floored = 1778279); odd
+    # docs "the cat" (P(</s>|cat) backs off: -0.30103-0.7; total -1.50103
+    # over 3 -> 3164778).  Integer micros so the comparison is exact.
+    "SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1778279 "
+    "ELSE 3164778 END AS BIGINT) AS ppl_micro FROM documents",
+)
+def arpa_perplexity_docs(sf_dir: str):
+    """Word perplexity through a REAL ARPA file (KenLM interchange
+    format, sources/model_files.read_arpa): planted two-class token
+    sequences exercise both the direct-hit and the backoff scoring paths
+    with hand-derived exact expectations."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "content": pa.array(
+                ["the cat sat" if i % 2 == 0 else "the cat" for i in ids]
+            ),
+        })
+
+    def to_micro(b: pa.Table) -> pa.Table:
+        micro = np.floor(
+            b["perplexity"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 1e6
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ppl_micro": pa.array(micro, pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(_arpa_ppl_task, batch_format="pyarrow")
+        .map_batches(to_micro, batch_format="pyarrow")
     )
 
 

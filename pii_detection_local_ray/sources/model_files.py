@@ -1,0 +1,329 @@
+"""Public-format model file readers/writers: fastText ``.bin`` and ARPA.
+
+The langid / perplexity actor stages ship with deterministic built-in
+models (stages/langid.py, stages/perplexity.py) because this container
+has no network and no fastText/KenLM binaries - but a real deployment
+loads published model FILES (lid.176.bin, a KenLM ``.arpa``).  This
+module implements the two public on-disk formats so those artifacts plug
+into the same actor protocol (reference analogue: the pluggable-scorer
+pattern of run_benchmarking.py:291-383 - engines are constructed from a
+model path and swapped without touching the pipeline).
+
+fastText binary format (fasttext.cc saveModel / loadModel, public
+repo facebookresearch/fastText, src/fasttext.cc + dictionary.cc):
+  int32 magic 793712314, int32 version (<=12)
+  args: 12 x int32 (dim ws epoch minCount neg wordNgrams loss model
+        bucket minn maxn lrUpdateRate) + 1 x float64 (t)
+  dictionary: int32 size, int32 nwords, int32 nlabels, int64 ntokens,
+        int64 pruneidx_size (-1 = unpruned); then per entry:
+        NUL-terminated utf-8 word, int64 count, int8 type (0=word,
+        1=label)
+  int8 quant flag, input matrix (int64 m, int64 n, float32 m*n)
+  int8 qout flag, output matrix (int64 m, int64 n, float32 m*n)
+
+Supported subset: dense (unquantized) supervised models with
+minn=maxn=0 (no char subwords).  Word-ngram bucket hashing follows
+Dictionary::hash (FNV-1a 32-bit over SIGNED bytes) and
+Dictionary::addWordNgrams (h = h*116049371 + h_next).
+
+ARPA format (public SRILM/KenLM interchange): ``\\data\\`` header with
+per-order counts, ``\\N-grams:`` sections of ``log10prob words...
+[backoff]`` lines, ``\\end\\``.  Scoring is standard Katz backoff.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+_FT_MAGIC = 793712314
+_FT_VERSION = 12
+
+# ---------------------------------------------------------------------------
+# fastText
+# ---------------------------------------------------------------------------
+
+
+def ft_hash(word: str) -> int:
+    """Dictionary::hash - FNV-1a 32-bit over utf-8 bytes cast through
+    int8 (fastText XORs ``int8_t`` so bytes >= 0x80 sign-extend)."""
+    h = 2166136261
+    for b in word.encode("utf-8"):
+        signed = b - 256 if b >= 128 else b
+        h = (h ^ (signed & 0xFFFFFFFF)) & 0xFFFFFFFF
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+class FastTextModel:
+    """Dense supervised fastText model (words + hashed word-ngrams)."""
+
+    def __init__(
+        self,
+        words: list[str],
+        labels: list[str],
+        input_matrix: np.ndarray,
+        output_matrix: np.ndarray,
+        bucket: int,
+        word_ngrams: int,
+        dim: int,
+    ):
+        self.words = words
+        self.labels = labels
+        self.input = input_matrix  # (nwords + bucket, dim)
+        self.output = output_matrix  # (nlabels, dim)
+        self.bucket = bucket
+        self.word_ngrams = word_ngrams
+        self.dim = dim
+        self.word_id = {w: i for i, w in enumerate(words)}
+
+    def _token_ids(self, text: str) -> tuple[list[int], int]:
+        """(ids, n_vocab_words): word ids + hashed word-ngram bucket ids,
+        plus how many REAL words (not </s>, not ngram buckets) matched."""
+        toks = text.split() + ["</s>"]
+        ids = [self.word_id[t] for t in toks if t in self.word_id]
+        eos = self.word_id.get("</s>")
+        n_vocab = sum(1 for i in ids if i != eos)
+        if self.word_ngrams > 1 and self.bucket > 0:
+            hashes = [ft_hash(t) for t in toks]
+            n = len(hashes)
+            for i in range(n):
+                h = hashes[i]
+                for j in range(i + 1, min(n, i + self.word_ngrams)):
+                    h = (h * 116049371 + hashes[j]) & 0xFFFFFFFFFFFFFFFF
+                    ids.append(len(self.words) + h % self.bucket)
+        return ids, n_vocab
+
+    def predict(self, text: str) -> tuple[str, float]:
+        """(top label, softmax prob); ('unknown', 0.0) when no real word
+        is in-vocab (the ever-present </s> EOS and the ngram hash buckets
+        alone carry no signal - protocol parity with LangIdBatch's
+        blank->unknown rule)."""
+        ids, n_vocab = self._token_ids(text)
+        if not ids or n_vocab == 0:
+            return "unknown", 0.0
+        hidden = self.input[ids].mean(axis=0)
+        scores = self.output @ hidden
+        e = np.exp(scores - scores.max())
+        probs = e / e.sum()
+        best = int(probs.argmax())
+        return self.labels[best], float(probs[best])
+
+
+def read_fasttext(path: str | Path) -> FastTextModel:
+    data = Path(path).read_bytes()
+    off = 0
+
+    def take(fmt: str):
+        nonlocal off
+        vals = struct.unpack_from("<" + fmt, data, off)
+        off += struct.calcsize("<" + fmt)
+        return vals if len(vals) > 1 else vals[0]
+
+    magic = take("i")
+    if magic != _FT_MAGIC:
+        raise ValueError(f"not a fastText model (magic {magic})")
+    version = take("i")
+    if version > _FT_VERSION:
+        raise ValueError(f"unsupported fastText version {version}")
+    (dim, _ws, _epoch, _min_count, _neg, word_ngrams, _loss, _model,
+     bucket, minn, maxn, _lr_update) = take("12i")
+    _t = take("d")
+    if minn or maxn:
+        raise ValueError("char-subword models (minn/maxn > 0) unsupported")
+    size = take("i")
+    _nwords = take("i")
+    _nlabels = take("i")
+    _ntokens = take("q")
+    pruneidx_size = take("q")
+    words, labels = [], []
+    for _ in range(size):
+        end = data.index(b"\x00", off)
+        word = data[off:end].decode("utf-8")
+        off = end + 1
+        _count = take("q")
+        etype = take("b")
+        (labels if etype == 1 else words).append(word)
+    if pruneidx_size > 0:
+        take(f"{2 * pruneidx_size}i")
+    quant = take("b")
+    if quant:
+        raise ValueError("quantized (.ftz) input matrix unsupported")
+    m, n = take("2q")
+    inp = np.frombuffer(data, dtype="<f4", count=m * n, offset=off).reshape(m, n)
+    off += 4 * m * n
+    qout = take("b")
+    if qout:
+        raise ValueError("quantized output matrix unsupported")
+    mo, no = take("2q")
+    out = np.frombuffer(data, dtype="<f4", count=mo * no, offset=off).reshape(mo, no)
+    return FastTextModel(
+        words, labels, inp.copy(), out.copy(), bucket, word_ngrams, dim
+    )
+
+
+def write_fasttext_supervised(
+    path: str | Path,
+    label_words: dict[str, list[str]],
+    dim: int = 16,
+    bucket: int = 0,
+    word_ngrams: int = 1,
+    seed: int = 7,
+) -> Path:
+    """Write a tiny valid fastText supervised ``.bin``: each label gets
+    an orthogonal direction in embedding space; its trigger words' input
+    rows point along it (plus seeded low-amplitude noise) and its output
+    row is that direction - so texts containing a label's triggers score
+    highest for it by construction.  Fixture/offline-training writer -
+    real deployments point read_fasttext at a published model instead."""
+    if dim < len(label_words):
+        raise ValueError("dim must be >= number of labels")
+    rng = np.random.RandomState(seed)
+    words = sorted({w for ws in label_words.values() for w in ws}) + ["</s>"]
+    labels = [f"__label__{name}" for name in label_words]
+    basis = np.eye(dim, dtype=np.float32)[: len(label_words)]
+    inp = (rng.randn(len(words) + bucket, dim) * 0.01).astype(np.float32)
+    for li, ws in enumerate(label_words.values()):
+        for w in ws:
+            inp[words.index(w)] += basis[li]
+    out = basis.copy()
+
+    buf = bytearray()
+    buf += struct.pack("<2i", _FT_MAGIC, _FT_VERSION)
+    buf += struct.pack(
+        "<12i", dim, 5, 5, 1, 5, word_ngrams, 1, 1, bucket, 0, 0, 100
+    )
+    buf += struct.pack("<d", 1e-4)
+    buf += struct.pack(
+        "<3i", len(words) + len(labels), len(words), len(labels)
+    )
+    buf += struct.pack("<2q", 1000, -1)
+    for w in words:
+        buf += w.encode("utf-8") + b"\x00" + struct.pack("<qb", 10, 0)
+    for lab in labels:
+        buf += lab.encode("utf-8") + b"\x00" + struct.pack("<qb", 10, 1)
+    buf += struct.pack("<b2q", 0, inp.shape[0], inp.shape[1])
+    buf += inp.tobytes()
+    buf += struct.pack("<b2q", 0, out.shape[0], out.shape[1])
+    buf += out.tobytes()
+    p = Path(path)
+    p.write_bytes(bytes(buf))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# ARPA
+# ---------------------------------------------------------------------------
+
+
+class ArpaModel:
+    """Backoff n-gram LM parsed from an ARPA file (log10 probabilities)."""
+
+    def __init__(self, tables: list[dict[tuple[str, ...], tuple[float, float]]]):
+        # tables[k] maps (k+1)-gram tuples -> (log10 prob, log10 backoff)
+        self.tables = tables
+        self.order = len(tables)
+        unk = tables[0].get(("<unk>",))
+        self.unk_logprob = unk[0] if unk else -7.0
+
+    def logprob(self, context: tuple[str, ...], word: str) -> float:
+        """log10 P(word | context) with standard Katz backoff: on an
+        n-gram miss, the context's backoff weight accumulates into the
+        (n-1)-gram estimate; unknown unigrams fall to <unk>."""
+        context = context[-(self.order - 1):] if self.order > 1 else ()
+        key = (*context, word)
+        hit = self.tables[len(key) - 1].get(key)
+        if hit is not None:
+            return hit[0]
+        if not context:
+            return self.unk_logprob
+        ctx_hit = self.tables[len(context) - 1].get(context)
+        bo = ctx_hit[1] if ctx_hit else 0.0
+        return bo + self.logprob(context[1:], word)
+
+    def score_tokens(self, tokens: list[str]) -> tuple[float, int]:
+        """(total log10 prob, n scored) over <s> tokens </s>."""
+        seq = ["<s>", *tokens, "</s>"]
+        total, n = 0.0, 0
+        for i in range(1, len(seq)):
+            ctx = tuple(seq[max(0, i - self.order + 1):i])
+            total += self.logprob(ctx, seq[i])
+            n += 1
+        return total, n
+
+    def perplexity(self, tokens: list[str]) -> float:
+        total, n = self.score_tokens(tokens)
+        return float(10.0 ** (-total / max(n, 1)))
+
+
+def read_arpa(path: str | Path) -> ArpaModel:
+    tables: list[dict] = []
+    counts: list[int] = []
+    cur: int | None = None
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.strip()
+            if not line:
+                continue
+            if line == "\\data\\":
+                cur = None
+                continue
+            if line.startswith("ngram "):
+                counts.append(int(line.split("=")[1]))
+                continue
+            if line == "\\end\\":
+                break
+            if line.startswith("\\") and line.endswith("-grams:"):
+                cur = int(line[1:].split("-")[0])
+                while len(tables) < cur:
+                    tables.append({})
+                continue
+            if cur is None:
+                continue
+            parts = line.split("\t") if "\t" in line else line.split()
+            lp = float(parts[0])
+            if "\t" in line:
+                words = tuple(parts[1].split())
+                bo = float(parts[2]) if len(parts) > 2 else 0.0
+            else:
+                # whitespace variant: first field logprob, last field is a
+                # backoff only when there are cur+2 fields
+                if len(parts) == cur + 2:
+                    words, bo = tuple(parts[1:-1]), float(parts[-1])
+                else:
+                    words, bo = tuple(parts[1:]), 0.0
+            if len(words) != cur:
+                raise ValueError(f"malformed {cur}-gram line: {raw!r}")
+            tables[cur - 1][words] = (lp, bo)
+    if not tables:
+        raise ValueError(f"{path}: no n-gram sections found")
+    for k, want in enumerate(counts[: len(tables)]):
+        if want != len(tables[k]):
+            raise ValueError(
+                f"{path}: header says {want} {k+1}-grams, parsed {len(tables[k])}"
+            )
+    return ArpaModel(tables)
+
+
+def write_arpa(
+    path: str | Path,
+    tables: list[dict[tuple[str, ...], tuple[float, float]]],
+) -> Path:
+    """Write an ARPA file (fixture/offline-training helper)."""
+    lines = ["\\data\\"]
+    lines += [f"ngram {k+1}={len(t)}" for k, t in enumerate(tables)]
+    for k, t in enumerate(tables):
+        lines.append("")
+        lines.append(f"\\{k+1}-grams:")
+        for words in sorted(t):
+            lp, bo = t[words]
+            row = f"{lp}\t{' '.join(words)}"
+            if bo:
+                row += f"\t{bo}"
+            lines.append(row)
+    lines += ["", "\\end\\", ""]
+    p = Path(path)
+    p.write_text("\n".join(lines), encoding="utf-8")
+    return p

@@ -1,0 +1,84 @@
+"""Actor stages that load PUBLIC model files (fastText .bin, ARPA) and
+serve them behind the exact same batch protocols as the built-in stages:
+
+  FastTextLangIdBatch  adds (langid, langid_conf)  - LangIdBatch protocol
+  ArpaPerplexityBatch  adds (perplexity)           - PerplexityBatch protocol
+
+Both follow the load-once-per-actor / score-per-batch contract (reference
+analogue: FastPIIDetector, src/inference.py:339-352; pluggable scorers,
+run_benchmarking.py:291-383).  Swap the class in
+``map_batches(Cls, fn_constructor_kwargs={"model_path": ...})`` and the
+rest of the pipeline is untouched.
+
+Scale notes: the model file is read from a PATH visible to every node
+(shared FS / pre-staged object).  At 100 TB the per-actor load cost
+amortizes over the actor's lifetime; per-batch work is dictionary/array
+lookups.  Scoring caps at SCORE_PREFIX chars per row like the built-in
+stages - langid/perplexity are per-char-average signals, a prefix sample
+classifies as reliably as the full body and bounds cost on multi-MB rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.model_files import read_arpa, read_fasttext
+
+SCORE_PREFIX = 4096
+MAX_TOKENS = 512  # LM-scored words per row (per-word-average signal)
+
+
+class FastTextLangIdBatch:
+    """Language ID from a fastText supervised ``.bin`` file."""
+
+    def __init__(self, model_path: str, content_col: str = "content"):
+        self.model = read_fasttext(model_path)  # once per actor
+        self.content_col = content_col
+        # strip the fastText label prefix for protocol parity with
+        # LangIdBatch's plain language names
+        self.names = [
+            lab.removeprefix("__label__") for lab in self.model.labels
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.content_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        arr = pc.utf8_slice_codeunits(pc.fill_null(arr, ""), 0, SCORE_PREFIX)
+        langs, confs = [], []
+        for text in arr.to_pylist():
+            label, prob = self.model.predict(text)
+            langs.append(
+                label.removeprefix("__label__") if label != "unknown"
+                else "unknown"
+            )
+            confs.append(prob)
+        batch = batch.append_column("langid", pa.array(langs, pa.string()))
+        batch = batch.append_column(
+            "langid_conf", pa.array(np.asarray(confs, np.float32), pa.float32())
+        )
+        return batch
+
+
+class ArpaPerplexityBatch:
+    """Word-level perplexity from a KenLM-interchange ARPA file.
+
+    Emits 10^(-mean log10 P) per row (the CCNet-style word perplexity) in
+    the same ``perplexity`` column as the built-in bits-per-char trigram
+    stage - downstream thresholds must be calibrated to the model in use.
+    """
+
+    def __init__(self, model_path: str, content_col: str = "content"):
+        self.model = read_arpa(model_path)  # once per actor
+        self.content_col = content_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.content_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        arr = pc.utf8_slice_codeunits(pc.fill_null(arr, ""), 0, SCORE_PREFIX)
+        vals = np.zeros(len(arr), dtype=np.float32)
+        for i, text in enumerate(arr.to_pylist()):
+            toks = text.lower().split()[:MAX_TOKENS]
+            vals[i] = self.model.perplexity(toks) if toks else 0.0
+        return batch.append_column("perplexity", pa.array(vals, pa.float32()))

@@ -1,0 +1,41 @@
+"""Every oracled query must be run-to-run deterministic in one session.
+
+This is tools/check_determinism.py wired into CI (VERDICT r2 item 10):
+the harness caught a real round-2 bug (region_nation_revenue zipping
+columns from two executions of one lazy Dataset, misaligning rows
+nondeterministically) that single-shot oracle comparison cannot see.
+Runs at sf0.001; each oracled query executes twice and the normalized
+frames must be identical.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
+        df = df.iloc[np.argsort(key.values, kind="stable")]
+    return df.reset_index(drop=True)
+
+
+def _oracled_names():
+    from pii_detection_local_ray.pipelines import queries as q
+
+    return sorted(q.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _oracled_names())
+def test_query_is_deterministic(ray_session, name):
+    from pii_detection_local_ray.pipelines import queries as q
+
+    fn = q.queries()[name]
+    a = fn(SF)
+    a = a.to_pandas() if hasattr(a, "to_pandas") else pd.DataFrame(a)
+    b = fn(SF)
+    b = b.to_pandas() if hasattr(b, "to_pandas") else pd.DataFrame(b)
+    assert _norm(a).equals(_norm(b)), f"{name} is run-order nondeterministic"

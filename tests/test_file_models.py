@@ -1,0 +1,153 @@
+"""Public model-file formats (fastText .bin, ARPA) + their actor stages.
+
+The checked-in fixtures (tests/fixtures/tiny_langid.bin, tiny.arpa) were
+produced by the writers in sources/model_files.py; the tests re-derive
+them where cheap so drift is caught.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.sources.model_files import (
+    ArpaModel,
+    ft_hash,
+    read_arpa,
+    read_fasttext,
+    write_arpa,
+    write_fasttext_supervised,
+)
+
+FIX = "tests/fixtures"
+
+
+def test_fasttext_roundtrip(tmp_path):
+    p = write_fasttext_supervised(
+        tmp_path / "m.bin",
+        {"python": ["def", "import"], "go": ["func", "package"]},
+        dim=8,
+    )
+    m = read_fasttext(p)
+    assert m.labels == ["__label__python", "__label__go"]
+    assert set(m.words) == {"def", "import", "func", "package", "</s>"}
+    assert m.input.shape == (5, 8) and m.output.shape == (2, 8)
+    lab, prob = m.predict("def foo import bar")
+    assert lab == "__label__python" and 0 < prob <= 1
+    lab, _ = m.predict("func main package x")
+    assert lab == "__label__go"
+    assert m.predict("zzz qqq") == ("unknown", 0.0)
+
+
+def test_fasttext_fixture_loads_and_classifies():
+    m = read_fasttext(f"{FIX}/tiny_langid.bin")
+    assert m.predict("def main import os self")[0] == "__label__python"
+    assert m.predict("const x = require function y")[0] == "__label__javascript"
+    assert m.predict("the cat and the dog of it")[0] == "__label__text"
+
+
+def test_fasttext_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        read_fasttext(bad)
+
+
+def test_ft_hash_is_fnv1a_signed():
+    # independent FNV-1a with the int8 sign-extension fastText applies
+    def ref(word):
+        h = np.uint32(2166136261)
+        for b in word.encode():
+            sb = np.uint32(np.int32(np.int8(b)))
+            h = np.uint32((int(h) ^ int(sb)) & 0xFFFFFFFF)
+            h = np.uint32((int(h) * 16777619) & 0xFFFFFFFF)
+        return int(h)
+
+    for w in ["the", "def", "été"]:  # incl. multi-byte utf-8
+        assert ft_hash(w) == ref(w)
+
+
+def test_arpa_fixture_backoff_math():
+    lm = read_arpa(f"{FIX}/tiny.arpa")
+    assert lm.order == 2
+    # all-bigram path: -0.2 + -0.3 + -0.4 + -0.1 over 4 scored tokens
+    tot, n = lm.score_tokens(["the", "cat", "sat"])
+    assert n == 4 and abs(tot - (-1.0)) < 1e-12
+    assert abs(lm.perplexity(["the", "cat", "sat"]) - 10 ** 0.25) < 1e-12
+    # backoff path: P(dog|the) = bo(the) + P(<unk>) = -0.30103 - 1.5
+    assert abs(lm.logprob(("the",), "dog") - (-1.80103)) < 1e-12
+    # unigram fallback when even the context is unknown
+    assert abs(lm.logprob(("zzz",), "cat") - (-1.0)) < 1e-12
+
+
+def test_arpa_roundtrip_and_header_check(tmp_path):
+    tables = [
+        {("a",): (-0.5, -0.1), ("b",): (-0.7, 0.0), ("<unk>",): (-2.0, 0.0)},
+        {("a", "b"): (-0.2, 0.0)},
+    ]
+    p = write_arpa(tmp_path / "m.arpa", tables)
+    lm = read_arpa(p)
+    assert lm.tables[0][("a",)] == (-0.5, -0.1)
+    assert lm.tables[1][("a", "b")] == (-0.2, 0.0)
+    # header/section count mismatch must raise, not silently mis-score
+    text = p.read_text().replace("ngram 2=1", "ngram 2=5")
+    (tmp_path / "bad.arpa").write_text(text)
+    with pytest.raises(ValueError, match="header"):
+        read_arpa(tmp_path / "bad.arpa")
+
+
+def test_file_model_stages_on_dataset(ray_session):
+    """Both file-backed stages run the real actor protocol on a Dataset,
+    and swapping the model FILE changes the output (the loader actually
+    reads the file, it isn't a fixed heuristic)."""
+    from pii_detection_local_ray.stages.file_models import (
+        ArpaPerplexityBatch,
+        FastTextLangIdBatch,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "content": pa.array([
+            "def main import os self value none",
+            "const out = require function x y",
+            "the cat sat",
+        ])
+    }))
+    out = ds.map_batches(
+        FastTextLangIdBatch,
+        fn_constructor_kwargs={"model_path": f"{FIX}/tiny_langid.bin"},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    assert list(out["langid"])[:2] == ["python", "javascript"]
+    assert (out["langid_conf"] > 0).all()
+
+    ppl = ds.map_batches(
+        ArpaPerplexityBatch,
+        fn_constructor_kwargs={"model_path": f"{FIX}/tiny.arpa"},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    # "the cat sat" is exactly the fixture LM's training sentence
+    assert abs(ppl["perplexity"][2] - 10 ** 0.25) < 1e-5
+    # the unknown-word rows must score strictly worse
+    assert (ppl["perplexity"][:2] > ppl["perplexity"][2]).all()
+
+
+def test_arpa_stage_output_tracks_the_file(ray_session, tmp_path):
+    """Rewriting the ARPA file changes the stage's scores - pins that the
+    stage loads the FILE, per-actor, not an embedded constant."""
+    from pii_detection_local_ray.stages.file_models import ArpaPerplexityBatch
+
+    base = [
+        {("<unk>",): (-1.0, 0.0), ("</s>",): (-1.0, 0.0)},
+    ]
+    sharp = [
+        {("<unk>",): (-3.0, 0.0), ("</s>",): (-3.0, 0.0)},
+    ]
+    pa_tab = pa.table({"content": pa.array(["hello world"])})
+    a = ArpaPerplexityBatch(str(write_arpa(tmp_path / "a.arpa", base)))
+    b = ArpaPerplexityBatch(str(write_arpa(tmp_path / "b.arpa", sharp)))
+    va = a(pa_tab)["perplexity"][0].as_py()
+    vb = b(pa_tab)["perplexity"][0].as_py()
+    assert abs(va - 10.0) < 1e-4   # mean log10 = -1
+    assert abs(vb - 1000.0) < 1e-1  # mean log10 = -3
