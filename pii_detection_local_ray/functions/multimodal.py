@@ -77,16 +77,21 @@ class MediaFeatureBatch:
     the worker heap.
     """
 
-    def __init__(self, payload_col: str = "payload", on_error: str = "null"):
+    def __init__(self, payload_col: str = "payload", on_error: str = "null",
+                 decode_fn=None):
         self.payload_col = payload_col
         self.on_error = on_error
+        # codec seam: a real deployment injects e.g. a PIL/libsndfile
+        # decoder with the same (payload)->(kind, array, meta) contract
+        # without touching the stage (VERDICT r2 item 8)
+        self.decode = decode_fn or _decode_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
         kinds, means, stds, sizes, errors = [], [], [], [], []
         for p in payloads:
             try:
-                kind, arr, _meta = _decode_fake(p)
+                kind, arr, _meta = self.decode(p)
                 kinds.append(kind)
                 means.append(float(arr.mean()) if len(arr) else 0.0)
                 stds.append(float(arr.std()) if len(arr) else 0.0)
@@ -116,7 +121,9 @@ class ImageResizeBatch:
     schema.  Real implementation: PIL ``Image.resize``.
     """
 
-    def __init__(self, width: int, height: int, payload_col: str = "payload"):
+    def __init__(self, width: int, height: int, payload_col: str = "payload",
+                 decode_fn=None):
+        self.decode = decode_fn or _decode_fake
         self.width = width
         self.height = height
         self.payload_col = payload_col
@@ -124,7 +131,7 @@ class ImageResizeBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for p in batch[self.payload_col].to_pylist():
-            kind, arr, meta = _decode_fake(p)
+            kind, arr, meta = self.decode(p)
             if kind != "image":
                 raise NotImplementedError("resize only defined for images")
             img = arr.reshape(meta["height"], meta["width"])
@@ -173,15 +180,17 @@ class FrameSampleBatch:
     decord keyframe decode.
     """
 
-    def __init__(self, every_k: int = 4, payload_col: str = "payload"):
+    def __init__(self, every_k: int = 4, payload_col: str = "payload",
+                 decode_fn=None):
         self.every_k = every_k
         self.payload_col = payload_col
+        self.decode = decode_fn or _decode_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         carry_cols = [c for c in batch.schema.names if c != self.payload_col]
         take_idx, frame_no, frames = [], [], []
         for row, p in enumerate(batch[self.payload_col].to_pylist()):
-            kind, arr, meta = _decode_fake(p)
+            kind, arr, meta = self.decode(p)
             if kind != "video":
                 raise NotImplementedError("frame sampling only defined for video")
             w, h = meta["width"], meta["height"]
@@ -203,14 +212,16 @@ class AudioResampleBatch:
     to ``target_rate`` (binary-in/binary-out, stable schema).  Real
     implementation: soxr / librosa.resample."""
 
-    def __init__(self, target_rate: int, payload_col: str = "payload"):
+    def __init__(self, target_rate: int, payload_col: str = "payload",
+                 decode_fn=None):
         self.target_rate = target_rate
         self.payload_col = payload_col
+        self.decode = decode_fn or _decode_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for p in batch[self.payload_col].to_pylist():
-            kind, arr, meta = _decode_fake(p)
+            kind, arr, meta = self.decode(p)
             if kind != "audio":
                 raise NotImplementedError("resample only defined for audio")
             step = max(1, meta["sample_rate"] // self.target_rate)
@@ -231,14 +242,16 @@ class MediaEmbedBatch:
     CLIP/wav2vec encoder would use; the fake 'encoder' pools the decoded
     array into ``dim`` deterministic buckets."""
 
-    def __init__(self, dim: int = 16, payload_col: str = "payload"):
+    def __init__(self, dim: int = 16, payload_col: str = "payload",
+                 decode_fn=None):
         self.dim = dim
         self.payload_col = payload_col
+        self.decode = decode_fn or _decode_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         embs = []
         for p in batch[self.payload_col].to_pylist():
-            _kind, arr, _meta = _decode_fake(p)
+            _kind, arr, _meta = self.decode(p)
             if len(arr) < self.dim:
                 arr = np.pad(arr, (0, self.dim - len(arr)))
             chunks = np.array_split(arr.astype(np.float64), self.dim)

@@ -11,11 +11,12 @@ Route surface and response/error envelopes mirror the reference Flask app
   POST /detect/file   {"filename": str, "content": str, "columns": [..]?}
                       -> txt line results / csv cell results + statistics
 
-Deviation from the reference (documented): /detect/file takes the file
-content inline as JSON (stdlib has no maintained multipart parser) - the
+/detect/file accepts BOTH a real ``multipart/form-data`` upload (the
+reference's request.files route, parsed with the stdlib email parser)
+and an inline-JSON body ({"filename", "content" | "content_b64"}) - the
 parsing, per-unit results and statistics are the same code paths as the
 reference's upload route (pipelines/api.py detect_text_file /
-detect_csv_file).
+detect_csv_file) either way.
 
 Error mapping matches src/api.py: request-shape and input errors -> 400,
 model errors -> 503, anything else -> 500, all as
@@ -88,6 +89,38 @@ class PIIRequestHandler(BaseHTTPRequestHandler):
             raise InvalidFieldError("request body", "must be valid JSON")
         if not isinstance(body, dict):
             raise InvalidFieldError("request body", "must be a JSON object")
+        return body
+
+    def _read_multipart(self) -> dict:
+        """Parse a multipart/form-data upload (the reference's
+        request.files route, src/api.py:405-427) with the stdlib email
+        parser.  Returns {"filename", "content_bytes", <other form
+        fields as str>}."""
+        from email.parser import BytesParser
+        from email.policy import default as email_default
+
+        ctype = self.headers.get("Content-Type", "")
+        length = int(self.headers.get("Content-Length") or 0)
+        if length > MAX_BODY_BYTES:
+            raise InvalidFieldError("request body", f"exceeds {MAX_BODY_BYTES} bytes")
+        raw = self.rfile.read(length) if length else b""
+        msg = BytesParser(policy=email_default).parsebytes(
+            b"Content-Type: " + ctype.encode("latin-1") + b"\r\n\r\n" + raw
+        )
+        if not msg.is_multipart():
+            raise InvalidFieldError("request body", "malformed multipart body")
+        body: dict = {}
+        for part in msg.iter_parts():
+            name = part.get_param("name", header="content-disposition")
+            filename = part.get_filename()
+            payload = part.get_payload(decode=True) or b""
+            if filename:  # the file field carries the upload
+                body["filename"] = filename
+                body["content_bytes"] = payload
+            elif name:
+                body[name] = payload.decode("utf-8", errors="replace")
+        if "filename" not in body:
+            raise MissingFieldError("file")
         return body
 
     def _guarded(self, fn) -> None:
@@ -177,16 +210,32 @@ class PIIRequestHandler(BaseHTTPRequestHandler):
         return response, 200
 
     def _detect_file(self):
-        body = self._read_json()
+        ctype = self.headers.get("Content-Type", "")
+        if ctype.startswith("multipart/form-data"):
+            body = self._read_multipart()
+            if "columns" in body and isinstance(body["columns"], str):
+                cols = body["columns"].strip()
+                body["columns"] = (
+                    json.loads(cols) if cols.startswith("[")
+                    else [c.strip() for c in cols.split(",") if c.strip()]
+                )
+        else:
+            body = self._read_json()
         if "filename" not in body:
             raise MissingFieldError("filename")
-        if "content" not in body and "content_b64" not in body:
+        if (
+            "content" not in body
+            and "content_b64" not in body
+            and "content_bytes" not in body
+        ):
             raise MissingFieldError("content")
         filename = body["filename"]
         ext = Path(filename).suffix.lower()
         with tempfile.TemporaryDirectory() as td:
             tmp = Path(td) / Path(filename).name
-            if "content_b64" in body:  # binary formats (xlsx)
+            if "content_bytes" in body:  # multipart upload (raw bytes)
+                tmp.write_bytes(body["content_bytes"])
+            elif "content_b64" in body:  # binary formats (xlsx)
                 import base64
 
                 if not isinstance(body["content_b64"], str):

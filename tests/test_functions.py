@@ -348,3 +348,49 @@ def test_top_orders_by_revenue_join_strategies_agree(ray_session):
     a = top_orders_by_revenue(sf).to_pandas().reset_index(drop=True)
     b = top_orders_by_revenue(sf, join_strategy="broadcast").to_pandas().reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_media_decode_fn_injection():
+    """A user-supplied codec (e.g. real PIL/libsndfile decode) plugs into
+    every media stage through the decode_fn seam without editing the
+    stage (VERDICT r2 item 8)."""
+    import numpy as np
+    import pyarrow as pa
+    from pii_detection_local_ray.functions.multimodal import (
+        FrameSampleBatch,
+        MediaEmbedBatch,
+        MediaFeatureBatch,
+    )
+
+    calls = []
+
+    def fake_real_decoder(payload: bytes):
+        calls.append(payload)
+        # pretend every payload is a decoded 2x2 grayscale "JPEG"
+        return "image", np.array([10, 20, 30, 40], np.float32), {
+            "width": 2, "height": 2,
+        }
+
+    batch = pa.table({"payload": pa.array([b"\xff\xd8JPEGISH"], pa.binary())})
+    out = MediaFeatureBatch(decode_fn=fake_real_decoder)(batch)
+    assert out["media_kind"][0].as_py() == "image"
+    assert out["feat_mean"][0].as_py() == 25.0
+    assert out["decode_error"][0].as_py() is None
+    assert calls  # the injected codec actually ran
+
+    emb = MediaEmbedBatch(dim=4, decode_fn=fake_real_decoder)(batch)
+    v = np.array(emb["embedding"][0].as_py())
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+
+    def fake_video_decoder(payload: bytes):
+        return "video", np.arange(2 * 2 * 3, dtype=np.float32), {
+            "width": 2, "height": 2, "n_frames": 3,
+        }
+
+    vbatch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"\xff\xd8JPEGISH"], pa.binary()),
+    })
+    fs = FrameSampleBatch(every_k=2, decode_fn=fake_video_decoder)(vbatch)
+    assert fs.num_rows == 2  # frames 0 and 2
+    assert fs["frame_no"].to_pylist() == [0, 2]

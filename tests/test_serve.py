@@ -111,3 +111,83 @@ def test_detect_file_rejects_non_string_content(server):
         f"{server}/detect/file", {"filename": "a.xlsx", "content_b64": 9}
     )
     assert code == 400 and body["error"] == "InvalidFieldError"
+
+
+def _multipart_body(fields: dict, file_field: tuple) -> tuple[bytes, str]:
+    """(body, content_type) for a multipart/form-data request.
+    file_field = (name, filename, bytes)."""
+    boundary = "testBoundary7d91"
+    parts = []
+    for k, v in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"'
+            f"\r\n\r\n{v}\r\n".encode()
+        )
+    name, filename, payload = file_field
+    parts.append(
+        f'--{boundary}\r\nContent-Disposition: form-data; name="{name}"; '
+        f'filename="{filename}"\r\n'
+        f"Content-Type: application/octet-stream\r\n\r\n".encode()
+        + payload + b"\r\n"
+    )
+    parts.append(f"--{boundary}--\r\n".encode())
+    return b"".join(parts), f"multipart/form-data; boundary={boundary}"
+
+
+def _post_multipart(url, fields, file_field):
+    body, ctype = _multipart_body(fields, file_field)
+    req = urllib.request.Request(
+        url, data=body, method="POST", headers={"Content-Type": ctype}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_detect_file_multipart_txt(server):
+    """Real multipart upload (the reference's request.files route)."""
+    code, body = _post_multipart(
+        f"{server}/detect/file", {},
+        ("file", "notes.txt", b"contact me at jane@example.com\nclean line\n"),
+    )
+    assert code == 200, body
+    texts = [r for r in body["results"] if r.get("has_pii")]
+    assert len(texts) == 1  # only the email line
+
+
+def test_detect_file_multipart_csv_with_columns(server):
+    csv = b"name,email\nbob,bob@example.com\nann,ann@example.com\n"
+    code, body = _post_multipart(
+        f"{server}/detect/file", {"columns": "email"},
+        ("file", "t.csv", csv),
+    )
+    assert code == 200, body
+    assert body["columns_scanned"] == ["email"]
+    assert len(body["cells_with_pii"]) == 2
+
+
+def test_detect_file_multipart_binary_xlsx(server):
+    """Binary upload straight through multipart - no base64 step."""
+    from pii_detection_local_ray.sources.xlsx import write_xlsx
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.xlsx")
+        write_xlsx(p, ["email"], [["joe@example.com"]])
+        payload = open(p, "rb").read()
+    code, body = _post_multipart(
+        f"{server}/detect/file", {}, ("file", "t.xlsx", payload)
+    )
+    assert code == 200, body
+    assert body["file_type"] == "excel"
+    assert len(body["cells_with_pii"]) == 1
+
+
+def test_detect_file_multipart_missing_file_field(server):
+    code, body = _post_multipart(
+        f"{server}/detect/file", {"columns": "a"},
+        ("not_a_file_wrong", "", b""),  # empty filename -> no file part
+    )
+    assert code == 400
