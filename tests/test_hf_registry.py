@@ -1,0 +1,193 @@
+"""The 10 HF dataset wirings (sources/hf_registry.py) against
+schema-exact local fixtures - every per-dataset quirk from the reference
+download flow runs for real; only the network fetch is injected."""
+
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.sources.hf_registry import (
+    REGISTRY,
+    DatasetSpec,
+    ingest_all,
+    ingest_dataset,
+)
+
+
+def _bio_table(n=6):
+    return pa.table({
+        "text": [f"doc {i}" for i in range(n)],
+        "bio_labels": [
+            ["B-EMAIL", "O"] if i % 2 == 0 else ["B-PHONE", "I-PHONE"]
+            for i in range(n)
+        ],
+    })
+
+
+def _int_table(n=5, n_tags=3):
+    return pa.table({
+        "tokens": [["w1", "w2"] for _ in range(n)],
+        "ner_tags": [[0, (i % n_tags)] for i in range(n)],
+    })
+
+
+class FakeFetch:
+    """Schema-exact fixture tables per hf_id; records the kwargs so the
+    tests can assert config / revision / verification_mode plumbing."""
+
+    def __init__(self):
+        self.calls = []
+        self.datasets = {
+            "ai4privacy/pii-masking-400k": {"splits": {"train": _bio_table()}},
+            "ai4privacy/pii-masking-300k": {"splits": {"train": _bio_table(4)}},
+            "gretelai/synthetic_pii_finance_multilingual": {
+                "splits": {
+                    "train": pa.table({
+                        "text": ["a", "b"],
+                        "pii_class": ["IBAN", "SSN"],
+                    }),
+                    "test": pa.table({
+                        "text": ["c"], "pii_class": ["CREDIT_CARD"],
+                    }),
+                }
+            },
+            "nvidia/Nemotron-PII": {
+                # both ner_tags and labels present: first candidate wins
+                "splits": {"train": pa.table({
+                    "text": ["x"],
+                    "ner_tags": [["B-SSN", "O"]],
+                    "labels": [["B-WRONG"]],
+                })}
+            },
+            "wikiann": {
+                "splits": {s: _int_table() for s in
+                           ("train", "validation", "test")},
+                "label_names": ["O", "B-PER", "I-PER"],
+            },
+            "Babelscape/multinerd": {
+                "splits": {"train": pa.table({
+                    "tokens": [["a"], ["b"], ["c"]],
+                    "ner_tags": [[1], [3], [5]],
+                    "lang": ["en", "en", "de"],
+                })}
+            },
+            "DFKI-SLT/few-nerd": {
+                "splits": {s: _int_table() for s in
+                           ("train", "validation", "test")},
+                "label_names": ["O", "person-politician", "org-company"],
+            },
+            "conll2003": {
+                "splits": {s: _int_table() for s in
+                           ("train", "validation", "test")},
+                "label_names": ["O", "B-PER", "B-ORG"],
+            },
+            "nlpaueb/finer-139": {
+                "splits": {s: _int_table() for s in
+                           ("train", "validation", "test")},
+                "label_names": ["O", "B-Revenue", "B-Assets"],
+            },
+            "Isotonic/pii-masking-200k": {
+                # no 'train' split: the dynamic first-split rule must fire
+                "splits": {"all_data": _bio_table(3)},
+            },
+        }
+
+    def __call__(self, hf_id, config=None, revision=None,
+                 verification_mode=None):
+        self.calls.append((hf_id, config, revision, verification_mode))
+        return self.datasets[hf_id]
+
+    def config_names(self, hf_id):
+        return ["default", "extra"]
+
+
+def test_registry_covers_the_ten_reference_datasets():
+    assert len(REGISTRY) == 10
+    assert set(REGISTRY) == {
+        "ai4privacy_400k", "ai4privacy_300k", "gretel_finance",
+        "nvidia_nemotron", "wikiann", "multinerd", "few_nerd",
+        "conll2003", "finer_139", "isotonic_pii_200k",
+    }
+
+
+def test_ingest_all_end_to_end(ray_session, tmp_path):
+    fetch = FakeFetch()
+    rows = ingest_all(fetch, tmp_path)
+    assert len(rows) == 10
+    by = {r["dataset"]: r for r in rows}
+
+    # config / revision / verification_mode plumbing hit the fetch layer
+    calls = {c[0]: c for c in fetch.calls}
+    assert calls["wikiann"][1] == "en"
+    assert calls["DFKI-SLT/few-nerd"][1] == "supervised"
+    assert calls["conll2003"][2] == "refs/convert/parquet"
+    assert calls["nlpaueb/finer-139"][2] == "refs/convert/parquet"
+    assert calls["Babelscape/multinerd"][3] == "no_checks"
+
+    # config discovery ran for 300k only
+    assert by["ai4privacy_300k"]["configs_discovered"] == ["default", "extra"]
+    assert by["ai4privacy_400k"]["configs_discovered"] is None
+
+    # bio-label entity detection
+    assert by["ai4privacy_400k"]["entity_types"] == "EMAIL, PHONE"
+
+    # candidates: first present column wins (nemotron has labels too)
+    assert by["nvidia_nemotron"]["label_col"] == "ner_tags"
+    assert by["nvidia_nemotron"]["entity_types"] == "SSN"
+    # gretel scalar pii_class values across train+test
+    assert by["gretel_finance"]["entity_types"] == "CREDIT_CARD, IBAN, SSN"
+    assert by["gretel_finance"]["num_rows"] == 3
+
+    # en-filter dropped the de row and renamed the split dir
+    assert by["multinerd"]["num_rows"] == 2
+    assert by["multinerd"]["paths"][0].endswith("multinerd_train_en")
+    # hardcoded multinerd id2label decoded ints 1/3 -> PER/ORG (the LOC
+    # row was the de row, filtered before sampling)
+    assert by["multinerd"]["entity_types"] == "ORG, PER"
+
+    # feature label names decode for the int-tag datasets
+    assert by["wikiann"]["entity_types"] == "PER"
+    assert by["finer_139"]["entity_types"] == "Assets, Revenue"
+
+    # dynamic first-split rule
+    assert by["isotonic_pii_200k"]["paths"][0].endswith(
+        "isotonic_pii_200k_all_data"
+    )
+
+    # saved parquet round-trips with the right row counts
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.read_table(f).num_rows
+        for f in (tmp_path / "multinerd_train_en").glob("*.parquet")
+    )
+    assert n == 2
+
+
+def test_ingest_is_resumable(ray_session, tmp_path):
+    """A finished (dataset, split) dir is skipped on re-run - the
+    resumable layout contract."""
+    fetch = FakeFetch()
+    spec = REGISTRY["ai4privacy_400k"]
+    ingest_dataset(spec, fetch, tmp_path)
+    part = tmp_path / "ai4privacy_400k_train"
+    marker = part / "marker.txt"
+    marker.write_text("do not recompute")
+    ingest_dataset(spec, fetch, tmp_path)
+    assert marker.exists()  # dir untouched on the second run
+
+
+def test_missing_split_raises(ray_session, tmp_path):
+    fetch = FakeFetch()
+    spec = DatasetSpec(
+        name="broken", hf_id="wikiann", splits=("nope",),
+        label_kind="int_tags",
+    )
+    with pytest.raises(KeyError, match="nope"):
+        ingest_dataset(spec, fetch, tmp_path)
+
+
+def test_default_fetch_fails_loudly_without_datasets_lib():
+    from pii_detection_local_ray.sources.hf_registry import default_fetch
+
+    with pytest.raises(RuntimeError, match="datasets"):
+        default_fetch("any/dataset")
