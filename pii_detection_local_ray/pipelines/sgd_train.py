@@ -1,0 +1,289 @@
+"""Iterative mini-batch training loop with eval accumulation + early
+stopping (the reference PIITrainer lifecycle, src/train.py:317-656,
+re-expressed without torch).
+
+The reference wraps HF Trainer; what that loop actually DOES is:
+  * derive steps_per_epoch from the train line count // effective batch
+    (train.py:493) and max_steps from epochs unless overridden
+    (:496-505, --max-steps overrides --epochs when > 0)
+  * stream mini-batches, one optimizer step per batch
+  * evaluate each epoch, accumulating predictions in bounded chunks
+    (eval_accumulation_steps, :569 - prevents eval-set-sized OOM)
+  * track eval_f1, early-stop after ``patience`` non-improving epochs
+    (:613), keep the BEST weights (load_best_model_at_end, :559-560)
+  * save the best artifact + label_mapping.json (:640-644) and
+    evaluation_results.json (:701-704)
+
+All of that is implemented here for real, over a numpy multinomial
+logistic token classifier with hashed features.  The train Dataset
+streams through ``iter_batches`` (no full materialization - Ray feeds
+batches from the object store with backpressure); the weight vector
+lives on the driver, the right topology for a model this size.  At
+100 TB-corpus scale the same loop shards gradients instead: broadcast
+weights with ray.put, map_batches partial gradients, aggregate - the
+eval path (broadcast weights, accumulate span counts per chunk) already
+works that way.
+
+A torch fine-tune slots into the same artifact dir; the transformer
+path then auto-selects (stages/transformer_ner.select_token_model).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _feat_hash(s: str, dim: int) -> int:
+    h = 2166136261
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h % dim
+
+
+def token_features(tokens: list[str], dim: int) -> list[list[int]]:
+    """Hashed feature indices per token: lowercased word, shape flags,
+    prefix/suffix, previous/next word - the classic linear-NER basis."""
+    feats = []
+    lowers = [t.lower() for t in tokens]
+    for i, tok in enumerate(tokens):
+        f = [
+            _feat_hash("w=" + lowers[i], dim),
+            _feat_hash("pre3=" + lowers[i][:3], dim),
+            _feat_hash("suf3=" + lowers[i][-3:], dim),
+            _feat_hash("prev=" + (lowers[i - 1] if i else "<s>"), dim),
+            _feat_hash(
+                "next=" + (lowers[i + 1] if i + 1 < len(tokens) else "</s>"),
+                dim,
+            ),
+        ]
+        if tok[:1].isupper():
+            f.append(_feat_hash("shape=Upper", dim))
+        if any(c.isdigit() for c in tok):
+            f.append(_feat_hash("shape=digit", dim))
+        feats.append(f)
+    return feats
+
+
+class SGDTokenModel:
+    """Multinomial logistic token classifier over hashed features."""
+
+    def __init__(self, labels: list[str], dim: int = 2 ** 15):
+        self.labels = list(labels)
+        self.dim = dim
+        self.w = np.zeros((dim, len(labels)), dtype=np.float64)
+
+    def _scores(self, feats: list[list[int]]) -> np.ndarray:
+        out = np.zeros((len(feats), len(self.labels)))
+        for i, idx in enumerate(feats):
+            out[i] = self.w[idx].sum(axis=0)
+        return out
+
+    def step(self, tokens_rows, labels_rows, lr: float) -> float:
+        """One mini-batch SGD step; returns the batch mean NLL."""
+        lab_id = {l: i for i, l in enumerate(self.labels)}
+        total, n = 0.0, 0
+        for tokens, labels in zip(tokens_rows, labels_rows):
+            feats = token_features(list(tokens), self.dim)
+            scores = self._scores(feats)
+            scores -= scores.max(axis=1, keepdims=True)
+            p = np.exp(scores)
+            p /= p.sum(axis=1, keepdims=True)
+            y = np.array([lab_id.get(l, 0) for l in labels[: len(feats)]])
+            total += -np.log(np.maximum(p[np.arange(len(y)), y], 1e-12)).sum()
+            n += len(y)
+            g = p.copy()
+            g[np.arange(len(y)), y] -= 1.0
+            for i, idx in enumerate(feats[: len(y)]):
+                self.w[idx] -= lr * g[i]
+        return total / max(n, 1)
+
+    def predict(self, tokens: list[str]) -> list[str]:
+        if not tokens:
+            return []
+        scores = self._scores(token_features(list(tokens), self.dim))
+        return [self.labels[i] for i in scores.argmax(axis=1)]
+
+    def save(self, out_dir: str | Path) -> Path:
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(out / "weights.npz", w=self.w)
+        (out / "label_mapping.json").write_text(json.dumps({
+            "label2id": {l: i for i, l in enumerate(self.labels)},
+            "id2label": {str(i): l for i, l in enumerate(self.labels)},
+        }))
+        (out / "config.json").write_text(json.dumps({
+            "model_type": "sgd_token_classifier",
+            "feature_dim": self.dim,
+            "num_labels": len(self.labels),
+        }))
+        return out
+
+    @classmethod
+    def load(cls, model_dir: str | Path) -> "SGDTokenModel":
+        d = Path(model_dir)
+        cfg = json.loads((d / "config.json").read_text())
+        mapping = json.loads((d / "label_mapping.json").read_text())
+        labels = [
+            mapping["id2label"][str(i)] for i in range(cfg["num_labels"])
+        ]
+        m = cls(labels, dim=cfg["feature_dim"])
+        m.w = np.load(d / "weights.npz")["w"]
+        return m
+
+
+def _accumulated_eval(
+    model: SGDTokenModel,
+    val: ray.data.Dataset,
+    batch_size: int,
+    eval_accumulation_steps: int,
+) -> dict:
+    """Span-F1 eval in bounded chunks: predictions for at most
+    ``eval_accumulation_steps`` batches are held at once, their span
+    counts accumulate, and the buffers drop - the reference's
+    eval_accumulation_steps semantics (never eval-set-sized memory)."""
+    tp = fp = fn = 0
+    true_buf, pred_buf = [], []
+
+    # span_f1 (functions/bio.py) exposes ratios, not counts - chunked
+    # accumulation needs mergeable COUNTS, so the same seqeval-default
+    # span extraction runs here and tp/fp/fn accumulate across chunks
+    def spans(labels):
+        out, cur = set(), None
+        for i, lab in enumerate(labels):
+            if lab.startswith("B-"):
+                if cur:
+                    out.add(cur)
+                cur = (lab[2:], i, i + 1)
+            elif lab.startswith("I-") and cur and cur[0] == lab[2:]:
+                cur = (cur[0], cur[1], i + 1)
+            elif lab.startswith("I-"):
+                if cur:
+                    out.add(cur)
+                cur = (lab[2:], i, i + 1)
+            else:
+                if cur:
+                    out.add(cur)
+                cur = None
+        if cur:
+            out.add(cur)
+        return out
+
+    def drain():
+        nonlocal tp, fp, fn
+        for t, q in zip(true_buf, pred_buf):
+            ts, qs = spans(t), spans(q)
+            tp += len(ts & qs)
+            fp += len(qs - ts)
+            fn += len(ts - qs)
+        true_buf.clear()
+        pred_buf.clear()
+
+    steps_in_buf = 0
+    n_records = 0
+    for batch in val.iter_batches(
+        batch_size=batch_size, batch_format="pyarrow"
+    ):
+        for tokens, labels in zip(
+            batch["tokens"].to_pylist(), batch["labels"].to_pylist()
+        ):
+            true_buf.append(list(labels))
+            pred_buf.append(model.predict(list(tokens)))
+            n_records += 1
+        steps_in_buf += 1
+        if steps_in_buf >= eval_accumulation_steps:
+            drain()
+            steps_in_buf = 0
+    drain()
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f = 2 * p * r / (p + r) if p + r else 0.0
+    return {
+        "eval_precision": p, "eval_recall": r, "eval_f1": f,
+        "n_records": n_records,
+    }
+
+
+def train_sgd_model(
+    train: ray.data.Dataset,
+    val: ray.data.Dataset,
+    labels: list[str],
+    output_dir: str | Path,
+    num_epochs: int = 10,
+    max_steps: int = -1,
+    batch_size: int = 64,
+    lr: float = 0.5,
+    early_stopping_patience: int = 3,
+    eval_accumulation_steps: int = 1,
+    feature_dim: int = 2 ** 15,
+) -> dict:
+    """The PIITrainer.train() lifecycle.  Returns the history dict and
+    writes the BEST model (by eval_f1) to ``output_dir``."""
+    n_train = train.count()
+    steps_per_epoch = max(1, n_train // batch_size)
+    derived_max_steps = (
+        max_steps if max_steps > 0 else steps_per_epoch * num_epochs
+    )
+
+    model = SGDTokenModel(labels, dim=feature_dim)
+    best_f1, best_w, best_epoch = -1.0, model.w.copy(), -1
+    bad_epochs = 0
+    history = []
+    step = 0
+    stop = False
+    for epoch in range(num_epochs):
+        epoch_loss, n_batches = 0.0, 0
+        for batch in train.iter_batches(
+            batch_size=batch_size, batch_format="pyarrow"
+        ):
+            epoch_loss += model.step(
+                batch["tokens"].to_pylist(), batch["labels"].to_pylist(), lr
+            )
+            n_batches += 1
+            step += 1
+            if step >= derived_max_steps:
+                stop = True
+                break
+        metrics = _accumulated_eval(
+            model, val, batch_size, eval_accumulation_steps
+        )
+        metrics.update(
+            epoch=epoch, step=step,
+            train_loss=epoch_loss / max(n_batches, 1),
+        )
+        history.append(metrics)
+        if metrics["eval_f1"] > best_f1:
+            best_f1, best_w, best_epoch = (
+                metrics["eval_f1"], model.w.copy(), epoch,
+            )
+            bad_epochs = 0
+        else:
+            bad_epochs += 1
+            if bad_epochs >= early_stopping_patience:
+                stop = True
+        if stop:
+            break
+
+    # load_best_model_at_end
+    model.w = best_w
+    out = model.save(output_dir)
+    (out / "evaluation_results.json").write_text(json.dumps({
+        "best_epoch": best_epoch,
+        "best_eval_f1": best_f1,
+        "steps_per_epoch": steps_per_epoch,
+        "max_steps": derived_max_steps,
+        "history": history,
+    }, indent=2))
+    return {
+        "best_epoch": best_epoch,
+        "best_eval_f1": best_f1,
+        "steps_per_epoch": steps_per_epoch,
+        "max_steps": derived_max_steps,
+        "epochs_run": len(history),
+        "history": history,
+        "model_dir": str(out),
+    }

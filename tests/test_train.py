@@ -137,3 +137,109 @@ def test_trained_model_does_not_inherit_builtin_lexicons(ray_session, tmp_path):
     pat = det2.model.trigger_pattern
     assert re.search(pat, "meeting on 2021-03-04")
     assert not re.search(pat, "no trigger words here at all")
+
+
+# ---------------------------------------------------------------------------
+# SGD training loop (reference PIITrainer lifecycle, src/train.py:317-656)
+# ---------------------------------------------------------------------------
+
+def _planted_bio(n: int, seed: int = 0):
+    """Synthetic BIO data a linear model can learn: 'name' tokens from a
+    closed lexicon are B-PERSON, everything else O."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    names = ["alice", "bob", "carol", "dave", "erin", "frank"]
+    fillers = ["went", "to", "the", "market", "and", "bought", "bread",
+               "code", "review", "merge"]
+    toks_rows, labs_rows = [], []
+    for _ in range(n):
+        toks, labs = [], []
+        for _ in range(rng.randint(4, 9)):
+            if rng.rand() < 0.3:
+                toks.append(names[rng.randint(len(names))].capitalize())
+                labs.append("B-PERSON")
+            else:
+                toks.append(fillers[rng.randint(len(fillers))])
+                labs.append("O")
+        toks_rows.append(toks)
+        labs_rows.append(labs)
+    import pyarrow as pa
+    return pa.table({
+        "tokens": pa.array(toks_rows, pa.list_(pa.string())),
+        "labels": pa.array(labs_rows, pa.list_(pa.string())),
+    })
+
+
+def test_sgd_trainer_learns_and_saves_best(ray_session, tmp_path):
+    import ray.data
+    from pii_detection_local_ray.pipelines.sgd_train import (
+        SGDTokenModel, train_sgd_model,
+    )
+
+    train = ray.data.from_arrow(_planted_bio(300, seed=1))
+    val = ray.data.from_arrow(_planted_bio(80, seed=2))
+    res = train_sgd_model(
+        train, val, labels=["O", "B-PERSON"], output_dir=tmp_path / "m",
+        num_epochs=4, batch_size=32, early_stopping_patience=2,
+        eval_accumulation_steps=2,
+    )
+    assert res["best_eval_f1"] > 0.9  # the closed lexicon is learnable
+    assert res["steps_per_epoch"] == 300 // 32
+    # artifact round-trip: best weights reload to identical predictions
+    m = SGDTokenModel.load(res["model_dir"])
+    assert m.predict(["Alice", "went", "to", "Bob"]) == [
+        "B-PERSON", "O", "O", "B-PERSON",
+    ]
+    import json
+    hist = json.loads(
+        (tmp_path / "m" / "evaluation_results.json").read_text()
+    )
+    assert hist["best_eval_f1"] == res["best_eval_f1"]
+
+
+def test_sgd_trainer_max_steps_overrides_epochs(ray_session, tmp_path):
+    import ray.data
+    from pii_detection_local_ray.pipelines.sgd_train import train_sgd_model
+
+    train = ray.data.from_arrow(_planted_bio(200, seed=3))
+    val = ray.data.from_arrow(_planted_bio(40, seed=4))
+    res = train_sgd_model(
+        train, val, labels=["O", "B-PERSON"], output_dir=tmp_path / "m",
+        num_epochs=50, max_steps=3, batch_size=32,
+    )
+    assert res["max_steps"] == 3
+    assert res["epochs_run"] == 1  # stopped inside the first epoch
+    assert res["history"][0]["step"] == 3
+
+
+def test_sgd_trainer_early_stops_on_flat_f1(ray_session, tmp_path):
+    import ray.data
+    from pii_detection_local_ray.pipelines.sgd_train import train_sgd_model
+
+    # unlearnable labels (random parity of a hash the features can't see)
+    # -> f1 stays ~flat, patience must fire well before num_epochs
+    train = ray.data.from_arrow(_planted_bio(100, seed=5))
+    val = ray.data.from_arrow(_planted_bio(30, seed=6))
+    res = train_sgd_model(
+        train, val, labels=["O", "B-PERSON"], output_dir=tmp_path / "m",
+        num_epochs=30, batch_size=32, early_stopping_patience=2, lr=0.0,
+    )
+    # lr=0: weights never change, eval_f1 identical every epoch ->
+    # 1 best epoch + 2 flat epochs = 3 epochs total
+    assert res["epochs_run"] == 3
+
+
+def test_eval_accumulation_matches_unaccumulated(ray_session, tmp_path):
+    import ray.data
+    from pii_detection_local_ray.pipelines.sgd_train import (
+        SGDTokenModel, _accumulated_eval,
+    )
+
+    val = ray.data.from_arrow(_planted_bio(60, seed=7))
+    m = SGDTokenModel(["O", "B-PERSON"])
+    m.step(*[list(x) for x in zip(*[
+        (r["tokens"], r["labels"]) for r in _planted_bio(50, 8).to_pylist()
+    ])], lr=0.5)
+    a = _accumulated_eval(m, val, batch_size=16, eval_accumulation_steps=1)
+    b = _accumulated_eval(m, val, batch_size=16, eval_accumulation_steps=100)
+    assert a == b  # chunked span-count accumulation is exact
