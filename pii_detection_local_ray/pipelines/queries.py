@@ -1264,7 +1264,7 @@ def perplexity_docs(sf_dir: str):
 # a*h before the Mersenne mod, and the SQL reproduces exactly that.  The
 # 64 (a, b) coefficient pairs are inlined from the same seeded generator
 # the actor stage uses, so the oracle certifies the kernel bit-for-bit.
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(source: str = "documents d") -> str:
     mb = fdedup.MinHashBatch()
     p = 1099511628211
     pows = [pow(p, j, 1 << 64) for j in range(5)]
@@ -1282,7 +1282,7 @@ def _minhash_sig_sql() -> str:
         f"      + CAST(ord(substr(d.text, p.pos+3, 1)) AS HUGEINT) * {pows[3]}"
         f"      + CAST(ord(substr(d.text, p.pos+4, 1)) AS HUGEINT) * {pows[4]}"
         "    ) % 18446744073709551616 AS HUGEINT) AS h"
-        "  FROM documents d, LATERAL ("
+        f"  FROM {source}, LATERAL ("
         "    SELECT unnest(generate_series(1, length(d.text) - 4)) AS pos) p"
         "), uh AS (SELECT DISTINCT doc_id, h FROM sh),"
         f"perms AS (SELECT * FROM (VALUES {vals}) AS t(p, a, b)) "
@@ -1319,6 +1319,55 @@ def minhash_sig_docs(sf_dir: str):
         )
         .map_batches(explode, batch_format="pyarrow")
     )
+
+
+# Exact END-TO-END oracle for the MinHash+LSH near-dup pipeline: the SQL
+# re-derives every signature (bitwise, the minhash_sig_docs kernel) over
+# the base docs + one planted exact copy per 25th doc, self-joins on the
+# permutation index, and keeps pairs agreeing on >= ceil(0.95*64) = 61
+# permutations - EXACTLY the engine's est_jaccard >= 0.95 rule.  At <= 3
+# disagreeing permutations the 16x4 banding cannot miss the pair
+# (pigeonhole: 3 disagreements break <= 3 of 16 bands), so the engine's
+# LSH recall is provably total on the oracle's answer set and the
+# comparison certifies recall AND precision of the whole pipeline.
+_MINHASH_PAIRS_SQL = (
+    "WITH allv AS ("
+    "  SELECT doc_id, text FROM documents"
+    "  UNION ALL"
+    "  SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+    "  WHERE doc_id % 25 = 0"
+    "), sig AS (" + _minhash_sig_sql("allv d") + ") "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM sig a JOIN sig b ON a.perm = b.perm AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2 "
+    "HAVING sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) >= 61"
+)
+
+
+@register("minhash_planted_dups", _MINHASH_PAIRS_SQL)
+def minhash_planted_dups(sf_dir: str):
+    """MinHash+LSH near-dup detection, hash-exact: the full distributed
+    pipeline (signature actors -> band shuffle -> bucket pairs ->
+    signature verify) against a DuckDB oracle that recomputes every
+    signature and applies the identical 61-of-64-permutations rule
+    (round 3; the 0.5-threshold realistic variant below stays
+    rows-only)."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        dup = b.filter(pa.array(ids % 25 == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(dup["doc_id"], 1_000_000),
+        )
+        return pa.concat_tables([b, dup])
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return fdedup.minhash_lsh_pairs(
+        planted, jaccard_threshold=0.95
+    ).select_columns(["id_a", "id_b"])
 
 
 @register("minhash_near_dups")
@@ -1565,23 +1614,67 @@ def quality_score_docs(sf_dir: str):
     )
 
 
-@register("media_features")
+@register(
+    "media_features",
+    # Constant-valued planted payloads make the decoded features exact
+    # integer/IEEE arithmetic: a constant array's mean is its value
+    # (n*v and n exactly representable -> IEEE division exact) and its
+    # std is exactly 0.0.  Even doc_ids are images (v = id%7, 16+id%8 x
+    # 12+id%5 px), odd are audio (v = id%5, 256+id%100 samples).
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 ELSE doc_id % 5 END"
+    "  AS DOUBLE) AS feat_mean, "
+    "0.0 AS feat_std, "
+    "CAST(CASE WHEN doc_id % 2 = 0 THEN (16 + doc_id % 8) * (12 + doc_id % 5)"
+    "  ELSE 256 + doc_id % 100 END AS BIGINT) AS n_elements "
+    "FROM documents",
+)
 def media_features(sf_dir: str):
-    """Multimodal plumbing demo over the deterministic fake-media table
-    (no media table exists in the sf dirs; payload count scales with the
-    documents row count)."""
-    import pyarrow.parquet as pq
-    from ..functions.multimodal import MediaFeatureBatch, make_media_table
+    """Binary media columns through the full distributed decode path
+    (payloads BUILT in map_batches - nothing media-sized touches the
+    driver), hash-exact via constant-valued planted payloads (round 3:
+    was rows-only)."""
+    import struct
 
-    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    t = make_media_table(min(n, 2000))
+    from ..functions.multimodal import (
+        AUD_MAGIC,
+        IMG_MAGIC,
+        MediaFeatureBatch,
+    )
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            if i % 2 == 0:
+                w, h, v = 16 + i % 8, 12 + i % 5, i % 7
+                payloads.append(
+                    IMG_MAGIC + struct.pack("<HH", w, h) + bytes([v]) * (w * h)
+                )
+            else:
+                n, v = 256 + i % 100, i % 5
+                payloads.append(
+                    AUD_MAGIC + struct.pack("<II", 16000, n)
+                    + np.full(n, v, dtype=np.int16).tobytes()
+                )
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
     # instance (stateless tasks on warm workers) rather than the actor
     # pool: the fake codec has no per-actor state to amortize, and a pool
     # would pay fresh actor spawn on every short interactive query.  A
     # real codec/model build goes back to the class + concurrency actor
     # form (the pool topology in MediaFeatureBatch's docstring).
-    return ray.data.from_arrow(t).map_batches(
-        MediaFeatureBatch(), batch_format="pyarrow", batch_size=64,
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(build, batch_format="pyarrow")
+        .map_batches(MediaFeatureBatch(), batch_format="pyarrow", batch_size=64)
+        .select_columns(
+            ["media_id", "media_kind", "feat_mean", "feat_std", "n_elements"]
+        )
     )
 
 
