@@ -214,18 +214,26 @@ class NERDetector:
         scrubbed = batch["scrubbed_content"].to_pylist()
         scrub_sha = batch["scrubbed_sha256"].to_pylist()
         pre_sha = batch["content_sha256"].to_pylist()
+        base_types = batch["pii_types"].to_pylist()
 
         from .scrub import merge_entities
 
         merged_ents, merged_types, merged_has, errors = [], [], [], []
         for i, (text, r) in enumerate(zip(texts, results)):
             base = regex_ents[i] or []
+            errors.append(r["error"])
+            if not r["entities"]:
+                # NER found nothing: the scrub columns are already the
+                # merged answer - no merge / re-sort / re-redact work
+                merged_ents.append(base)
+                merged_types.append(base_types[i])
+                merged_has.append(bool(base))
+                continue
             ents = merge_entities(base, r["entities"])
             ner_added = len(ents) > len(base)
             merged_ents.append(ents)
             merged_types.append(sorted({e["type"] for e in ents}))
             merged_has.append(bool(ents))
-            errors.append(r["error"])
             if ner_added and r["error"] is None:
                 red = self.apply_redaction(text, ents)
                 scrubbed[i] = red

@@ -46,6 +46,12 @@ class QualityBatch:
 
     def __init__(self, content_col: str = "content"):
         self.content_col = content_col
+        # ONE RE2 alternation scan instead of one match_substring pass per
+        # marker (6 passes = 35 us/row -> 6 us/row measured; the markers
+        # are literals, so alternation is semantics-identical)
+        import re
+
+        self._lic_pattern = "|".join(re.escape(m) for m in LICENSE_MARKERS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.content_col]
@@ -58,11 +64,12 @@ class QualityBatch:
             .astype(np.int64)
         )
 
-        # license markers: vectorized substring search, OR-combined
-        lic = np.zeros(n, dtype=bool)
-        for marker in LICENSE_MARKERS:
-            hit = pc.fill_null(pc.match_substring(arr, marker), False)
-            lic |= hit.to_numpy(zero_copy_only=False).astype(bool)
+        # license markers: one vectorized RE2 alternation scan
+        lic = (
+            pc.fill_null(pc.match_substring_regex(arr, self._lic_pattern), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
 
         alnum_frac = np.zeros(n, dtype=np.float32)
         max_line = np.zeros(n, dtype=np.int32)
