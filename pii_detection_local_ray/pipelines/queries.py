@@ -1377,6 +1377,120 @@ def minhash_near_dups(sf_dir: str):
     )
 
 
+# Exact END-TO-END oracle for the n-gram-Jaccard dedup path (LSH
+# candidates -> exact shingle-set verification).  Unlike the
+# probabilistic 61-of-64 trick above, this SQL mirrors EVERY stage of the
+# engine deterministically, so there is no recall gap to argue away:
+#   1. plant a 80%-prefix truncation of every 25th doc (true jaccard
+#      ~0.8: above the 0.6 threshold but far from the trivial 1.0);
+#   2. re-derive the k=5 shingle rolling hashes and the 64 minhash perms
+#      (the minhash_sig_docs kernel, bitwise);
+#   3. band perms 4-at-a-time (perm // 4, the engine's reshape(16, 4))
+#      and take pairs sharing any band's exact 4-tuple - the engine
+#      buckets on crc32 of those 8-byte rows, identical membership up to
+#      a 2^-32 crc collision;
+#   4. keep pairs whose full signatures agree on >= 39 of 64 perms
+#      (est_jaccard >= 0.6: est is k/64, a dyadic rational, so the float
+#      comparison is exact on both sides);
+#   5. exact jaccard = |uh_a & uh_b| / |uh_a | uh_b| over the SAME
+#      shingle-hash sets the engine's ngram_jaccard uses (dedup.py:812) -
+#      one int/int IEEE double division, bit-identical to Python's.
+def _jaccard_pairs_sql() -> str:
+    mb = fdedup.MinHashBatch()
+    p = 1099511628211
+    pows = [pow(p, j, 1 << 64) for j in range(5)]
+    vals = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(mb.a.tolist(), mb.b.tolist()))
+    )
+    return (
+        "WITH allv AS ("
+        "  SELECT doc_id, text FROM documents"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000 AS doc_id,"
+        "    substr(text, 1, length(text) * 4 // 5) AS text"
+        "  FROM documents WHERE doc_id % 25 = 0"
+        "), sh AS ("
+        "  SELECT d.doc_id,"
+        "    CAST(("
+        f"        CAST(ord(substr(d.text, p.pos,   1)) AS HUGEINT) * {pows[0]}"
+        f"      + CAST(ord(substr(d.text, p.pos+1, 1)) AS HUGEINT) * {pows[1]}"
+        f"      + CAST(ord(substr(d.text, p.pos+2, 1)) AS HUGEINT) * {pows[2]}"
+        f"      + CAST(ord(substr(d.text, p.pos+3, 1)) AS HUGEINT) * {pows[3]}"
+        f"      + CAST(ord(substr(d.text, p.pos+4, 1)) AS HUGEINT) * {pows[4]}"
+        "    ) % 18446744073709551616 AS HUGEINT) AS h"
+        "  FROM allv d, LATERAL ("
+        "    SELECT unnest(generate_series(1, length(d.text) - 4)) AS pos) p"
+        "), uh AS (SELECT DISTINCT doc_id, h FROM sh),"
+        f"perms AS (SELECT * FROM (VALUES {vals}) AS t(p, a, b)),"
+        "sig AS ("
+        "  SELECT doc_id, p AS perm,"
+        "    min(((CAST(a AS HUGEINT) * h) % 18446744073709551616 + b)"
+        "        % 18446744073709551616 % 2305843009213693951) AS mh"
+        "  FROM uh CROSS JOIN perms GROUP BY doc_id, p"
+        "), bands AS ("
+        "  SELECT doc_id, perm // 4 AS band, list(mh ORDER BY perm) AS bh"
+        "  FROM sig GROUP BY doc_id, perm // 4"
+        "), cand AS ("
+        "  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+        "  FROM bands a JOIN bands b"
+        "    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
+        "), est AS ("
+        "  SELECT c.id_a, c.id_b FROM cand c"
+        "  JOIN sig a ON a.doc_id = c.id_a"
+        "  JOIN sig b ON b.doc_id = c.id_b AND b.perm = a.perm"
+        "  GROUP BY c.id_a, c.id_b"
+        "  HAVING sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) >= 39"
+        "), sizes AS (SELECT doc_id, count(*) AS n FROM uh GROUP BY doc_id),"
+        "inter AS ("
+        "  SELECT e.id_a, e.id_b, count(*) AS i FROM est e"
+        "  JOIN uh ua ON ua.doc_id = e.id_a"
+        "  JOIN uh ub ON ub.doc_id = e.id_b AND ub.h = ua.h"
+        "  GROUP BY e.id_a, e.id_b) "
+        "SELECT e.id_a, e.id_b,"
+        "  CAST(COALESCE(i.i, 0) AS DOUBLE)"
+        "    / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard "
+        "FROM est e "
+        "LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b "
+        "JOIN sizes sa ON sa.doc_id = e.id_a "
+        "JOIN sizes sb ON sb.doc_id = e.id_b "
+        "WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)"
+        "    / (sa.n + sb.n - COALESCE(i.i, 0)) >= 0.6"
+    )
+
+
+@register("jaccard_near_dups", _jaccard_pairs_sql())
+def jaccard_near_dups(sf_dir: str):
+    """n-gram-Jaccard near-dup dedup, hash-exact end to end: MinHash+LSH
+    candidate generation chased with exact shingle-set Jaccard
+    verification (functions/dedup.verify_pairs_exact), against a DuckDB
+    oracle that re-derives every stage deterministically (see
+    _jaccard_pairs_sql).  Planted 80%-prefix truncations make the answer
+    set non-trivial (scores ~0.8, not 1.0)."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        dup = b.filter(pa.array(ids % 25 == 0))
+        texts = dup["text"].to_pylist()
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(dup["doc_id"], 1_000_000),
+        )
+        dup = dup.set_column(
+            dup.schema.get_field_index("text"), "text",
+            pa.array([t[: len(t) * 4 // 5] for t in texts], pa.string()),
+        )
+        return pa.concat_tables([b, dup])
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    cand = fdedup.minhash_lsh_pairs(planted, jaccard_threshold=0.6)
+    return fdedup.verify_pairs_exact(
+        planted, cand, jaccard_threshold=0.6
+    ).select_columns(["id_a", "id_b", "jaccard"])
+
+
 # Exact SQL re-derivation of the 64-bit simhash kernel (round 3, VERDICT
 # r2 item 6).  All-integer arithmetic, so DuckDB and numpy agree bitwise:
 # shingle hash = sum over the k=4 window bytes of byte * FNV_PRIME^j
