@@ -137,7 +137,24 @@ LICENSE_MARKERS: list[str] = [
     "Redistribution and use in source and binary forms",
 ]
 
-# Drop reasons in precedence order; first matching rule wins.
+# Toxicity scrub/filter (north-rule "PII/toxicity-scrub"; opt-in -
+# with_toxicity=False by default so the keep/drop parity contract vs the
+# reference labels is untouched).  The built-in lexicon is a deliberately
+# mild placeholder: production runs load a real blocklist (LDNOOBW-style)
+# via ToxicityBatch(lexicon_path=...) - the mechanism is the contract,
+# the word list is data.
+TOXICITY_LEXICON: tuple[str, ...] = (
+    "damn", "dammit", "goddamn",
+    "hell", "crap", "bastard", "bollocks",
+    "jackass", "moron", "imbecile", "dumbass",
+)
+TOXICITY_MASK = "[TOXIC]"
+TOXICITY_MAX_SCORE = 0.05  # drop when > 5% of tokens are lexicon hits
+
+# Drop reasons in precedence order; first matching rule wins.  "toxic"
+# participates only when the opt-in toxicity stage ran (its columns are
+# present); with the default configuration the first seven reproduce the
+# reference's decisions exactly.
 DROP_REASONS = [
     "empty",
     "too_large",
@@ -146,6 +163,7 @@ DROP_REASONS = [
     "dup_lines",
     "lang_mismatch",
     "high_perplexity",
+    "toxic",
 ]
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ as the per-partition builder.
 
 from __future__ import annotations
 
+import numpy as np
 import ray.data
 
 from ..stages.decide import decide_batch
@@ -46,6 +47,8 @@ def build_pipeline(
     fused: bool = True,
     ner_num_gpus: float = 0,
     pool: str = "actor",
+    with_toxicity: bool = False,
+    toxicity_lexicon_path: str | None = None,
 ) -> ray.data.Dataset:
     """Lazy Dataset; nothing executes until the caller consumes it.
 
@@ -134,6 +137,28 @@ def build_pipeline(
                 num_cpus=1,
                 **({"num_gpus": ner_num_gpus} if ner_num_gpus else {}),
             )
+    if with_toxicity:
+        # opt-in north-rule toxicity scrub: signal over the PII-scrubbed
+        # text, mask folded into scrubbed_content (sha updated), drop
+        # rule "toxic" handled by decide_batch via the tox_score column.
+        # Off by default: the reference has no toxicity rule and the
+        # keep/drop parity contract is pinned to the default config.
+        from ..stages.toxicity import ToxicityBatch
+
+        ds = ds.map_batches(
+            ToxicityBatch(
+                content_col="scrubbed_content",
+                lexicon_path=toxicity_lexicon_path,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=STATELESS_BATCH,
+        )
+        ds = ds.map_batches(
+            _apply_toxicity_scrub,
+            batch_format="pyarrow",
+            batch_size=STATELESS_BATCH,
+        )
     ds = ds.map_batches(
         decide_batch,
         batch_format="pyarrow",
@@ -141,6 +166,34 @@ def build_pipeline(
         batch_size=STATELESS_BATCH,
     )
     return ds
+
+
+def _apply_toxicity_scrub(batch):
+    """Fold the toxicity mask into scrubbed_content for hit rows only
+    (sha256 recomputed per changed row - hits are rare, so the Python
+    loop touches a tiny row fraction)."""
+    import pyarrow as pa
+
+    from ..stages.scrub import sha256_hex
+
+    hits = batch["tox_hits"].to_numpy(zero_copy_only=False)
+    if not (hits > 0).any():
+        return batch.drop(["tox_scrubbed"])
+    scrubbed = batch["scrubbed_content"].to_pylist()
+    shas = batch["scrubbed_sha256"].to_pylist()
+    masked = batch["tox_scrubbed"].to_pylist()
+    for i in np.flatnonzero(hits > 0):
+        scrubbed[i] = masked[i]
+        shas[i] = sha256_hex(masked[i])
+    batch = batch.drop(["tox_scrubbed"])
+    batch = batch.set_column(
+        batch.schema.get_field_index("scrubbed_content"),
+        "scrubbed_content", pa.array(scrubbed, pa.string()),
+    )
+    return batch.set_column(
+        batch.schema.get_field_index("scrubbed_sha256"),
+        "scrubbed_sha256", pa.array(shas, pa.string()),
+    )
 
 
 OUTPUT_COLUMNS = [
@@ -154,6 +207,12 @@ OUTPUT_COLUMNS = [
 ]
 
 
-def select_output(ds: ray.data.Dataset, with_perplexity: bool = True) -> ray.data.Dataset:
+def select_output(
+    ds: ray.data.Dataset,
+    with_perplexity: bool = True,
+    with_toxicity: bool = False,
+) -> ray.data.Dataset:
     cols = [c for c in OUTPUT_COLUMNS if with_perplexity or c != "perplexity"]
+    if with_toxicity:
+        cols = cols + ["tox_hits", "tox_score"]
     return ds.select_columns(cols)

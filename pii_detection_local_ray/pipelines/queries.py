@@ -1459,6 +1459,72 @@ def _jaccard_pairs_sql() -> str:
     )
 
 
+# Toxicity scrub (north-rule "PII/toxicity-scrub"; stages/toxicity.py).
+# Exact oracle: the engine-side pyarrow count/replace_substring_regex and
+# DuckDB's regexp_matches/extract_all/replace are ALL RE2, so inlining
+# the identical pattern string makes hit counts, masked text and the
+# hits/tokens double division bit-identical.  Planted suffixes exercise
+# case-insensitivity (DAMN), punctuation boundaries (crap. dammit!) and
+# word-boundary negatives (Bastardly / bollocksy must NOT match).
+_TOX_PLANTS = (
+    " damn hell DAMN",      # %5 == 0: three hits incl. case fold
+    " you absolute moron",  # %5 == 1: one hit
+    " Bastardly bollocksy", # %5 == 2: zero hits (boundary negatives)
+    "",                     # %5 == 3: untouched
+    " crap. dammit!",       # %5 == 4: punctuation-bounded hits
+)
+
+
+def _toxicity_sql() -> str:
+    from ..stages.toxicity import _TOKEN_PATTERN, toxicity_pattern
+    from ..config import TOXICITY_LEXICON, TOXICITY_MASK
+
+    pat = toxicity_pattern(TOXICITY_LEXICON)
+    plants = " ".join(
+        f"WHEN {i} THEN text || '{p}'" for i, p in enumerate(_TOX_PLANTS) if p
+    )
+    return (
+        "WITH planted AS ("
+        "  SELECT doc_id,"
+        f"    CASE CAST(doc_id % 5 AS INTEGER) {plants} ELSE text END AS text"
+        "  FROM documents) "
+        "SELECT doc_id,"
+        f"  CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS tox_hits,"
+        f"  CAST(len(regexp_extract_all(text, '{pat}')) AS DOUBLE)"
+        f"    / greatest(len(regexp_extract_all(text, '{_TOKEN_PATTERN}')), 1)"
+        "     AS tox_score,"
+        f"  regexp_replace(text, '{pat}', '{TOXICITY_MASK}', 'g') AS tox_scrubbed "
+        "FROM planted"
+    )
+
+
+@register("toxicity_scrub_docs", _toxicity_sql())
+def toxicity_scrub_docs(sf_dir: str):
+    """Lexicon toxicity signal + scrub (stages/toxicity.ToxicityBatch),
+    hash-exact: planted suffixes cover case folding, punctuation
+    boundaries and whole-word negatives; counts, the masked text and the
+    hits/tokens score all re-derive in DuckDB RE2 bit-for-bit."""
+    from ..stages.toxicity import ToxicityBatch
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pa.array(
+                [t + _TOX_PLANTS[i % 5] for i, t in zip(ids, texts)],
+                pa.string(),
+            ),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(ToxicityBatch(content_col="text"), batch_format="pyarrow")
+        .select_columns(["doc_id", "tox_hits", "tox_score", "tox_scrubbed"])
+    )
+
+
 @register("jaccard_near_dups", _jaccard_pairs_sql())
 def jaccard_near_dups(sf_dir: str):
     """n-gram-Jaccard near-dup dedup, hash-exact end to end: MinHash+LSH

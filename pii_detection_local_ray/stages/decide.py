@@ -30,6 +30,7 @@ from ..config import (
     MAX_LINE_LEN,
     MAX_PERPLEXITY,
     MIN_ALNUM_FRAC,
+    TOXICITY_MAX_SCORE,
 )
 from .langid import CODE_LANGS
 
@@ -81,6 +82,11 @@ def decide_batch(batch: pa.Table) -> pa.Table:
     if "perplexity" in batch.schema.names:
         ppl = get("perplexity", np.float64)
         apply(ppl > MAX_PERPLEXITY, "high_perplexity")
+
+    if "tox_score" in batch.schema.names:
+        # opt-in toxicity rule (stages/toxicity.py); column absent in the
+        # default reference-parity configuration
+        apply(get("tox_score", np.float64) > TOXICITY_MAX_SCORE, "toxic")
 
     keep = reasons == None  # noqa: E711
     batch = batch.append_column("keep", pa.array(keep.astype(bool)))

@@ -1,0 +1,114 @@
+"""Lexicon-based toxicity signal + scrub stage (north-rule
+"PII/toxicity-scrub" component).
+
+Mechanism mirrors the public blocklist filters LLM-data pipelines use
+(C4's LDNOOBW word filter, RefinedWeb's URL/word blocklists): ONE
+word-boundary RE2 alternation over a configurable lexicon, scanned
+vectorized per batch (pyarrow.compute count/replace kernels - no per-row
+Python).  The built-in lexicon is a small mild-profanity placeholder;
+real deployments load their own list via ``lexicon_path`` (one term per
+line, ``#`` comments) - the engine's contract is the mechanism, the list
+is data.
+
+Signals (shared with the SQL oracle via the pattern builder):
+  tox_hits    number of lexicon-word matches (case-insensitive,
+              whole-word)
+  tox_score   tox_hits / max(token_count, 1), token = \\S+ run - one
+              int/int IEEE division, exactly reproducible in SQL
+  tox_scrubbed  (scrub=True) text with every match replaced by ``mask``
+
+Downstream wiring (pipelines/filter_pipeline.py, opt-in
+``with_toxicity=True``): files with tox_score above
+config.TOXICITY_MAX_SCORE drop with reason "toxic"; kept files with any
+hits get the masked text folded into scrubbed_content (sha256 updated).
+Off by default - the reference pipeline has no toxicity rule, and the
+keep/drop parity contract (F1 vs reference labels) is pinned to the
+default configuration.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import TOXICITY_LEXICON, TOXICITY_MASK
+
+_TOKEN_PATTERN = r"\S+"
+
+
+def toxicity_pattern(lexicon: tuple[str, ...] | list[str]) -> str:
+    """Case-insensitive whole-word RE2 alternation.
+
+    RE2 semantics on both sides of the oracle: pyarrow's
+    count/replace_substring_regex and DuckDB's regexp functions are both
+    RE2, so the identical pattern string guarantees identical matches.
+    Longer terms sort first so a term that prefixes another can never
+    steal its match.
+    """
+    terms = sorted(set(lexicon), key=lambda t: (-len(t), t))
+    return r"(?i:\b(?:" + "|".join(re.escape(t) for t in terms) + r")\b)"
+
+
+def load_lexicon(path: str) -> tuple[str, ...]:
+    """One term per line; blank lines and ``#`` comments skipped."""
+    terms = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            t = line.split("#", 1)[0].strip()
+            if t:
+                terms.append(t)
+    if not terms:
+        raise ValueError(f"empty toxicity lexicon: {path}")
+    return tuple(terms)
+
+
+class ToxicityBatch:
+    """``map_batches(ToxicityBatch(...), batch_format="pyarrow")`` stage.
+
+    Stateless (the compiled pattern is cheap), safe in both task and
+    actor topologies.
+    """
+
+    def __init__(
+        self,
+        content_col: str = "content",
+        lexicon: tuple[str, ...] | list[str] | None = None,
+        lexicon_path: str | None = None,
+        scrub: bool = True,
+        mask: str = TOXICITY_MASK,
+    ):
+        if lexicon is not None and lexicon_path is not None:
+            raise ValueError("pass lexicon or lexicon_path, not both")
+        if lexicon_path is not None:
+            lexicon = load_lexicon(lexicon_path)
+        self.content_col = content_col
+        self.pattern = toxicity_pattern(lexicon or TOXICITY_LEXICON)
+        self.scrub = scrub
+        self.mask = mask
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.content_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        hits = pc.fill_null(pc.count_substring_regex(arr, self.pattern), 0)
+        hits64 = hits.cast(pa.int64())
+        tokens = (
+            pc.fill_null(pc.count_substring_regex(arr, _TOKEN_PATTERN), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        score = hits64.to_numpy(zero_copy_only=False) / np.maximum(tokens, 1)
+
+        batch = batch.append_column("tox_hits", hits64)
+        batch = batch.append_column(
+            "tox_score", pa.array(score, pa.float64())
+        )
+        if self.scrub:
+            scrubbed = pc.replace_substring_regex(
+                arr, self.pattern, self.mask
+            )
+            batch = batch.append_column("tox_scrubbed", scrubbed)
+        return batch

@@ -1,0 +1,142 @@
+"""Toxicity signal + scrub stage (stages/toxicity.py) and its opt-in
+flagship wiring (north-rule "PII/toxicity-scrub")."""
+
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.config import TOXICITY_MASK
+from pii_detection_local_ray.stages.toxicity import (
+    ToxicityBatch,
+    load_lexicon,
+    toxicity_pattern,
+)
+
+
+def _run(texts, **kw):
+    return ToxicityBatch(content_col="content", **kw)(
+        pa.table({"content": pa.array(texts, pa.string())})
+    )
+
+
+class TestToxicityBatch:
+    def test_counts_and_score(self):
+        out = _run(["a damn mess of damn hell code", "clean text here"])
+        assert out["tox_hits"].to_pylist() == [3, 0]
+        assert out["tox_score"].to_pylist() == [3 / 7, 0.0]
+
+    def test_case_insensitive(self):
+        out = _run(["DAMN Damn dAmN"])
+        assert out["tox_hits"].to_pylist() == [3]
+
+    def test_whole_word_boundaries(self):
+        # embedded occurrences must not match; punctuation is a boundary
+        out = _run(["bastardly bollocksy hellish", "crap. dammit! (hell)"])
+        assert out["tox_hits"].to_pylist() == [0, 3]
+
+    def test_scrub_masks_all_matches(self):
+        out = _run(["damn it to hell"])
+        assert out["tox_scrubbed"].to_pylist() == [
+            f"{TOXICITY_MASK} it to {TOXICITY_MASK}"
+        ]
+
+    def test_scrub_off(self):
+        out = _run(["damn"], scrub=False)
+        assert "tox_scrubbed" not in out.schema.names
+        assert out["tox_hits"].to_pylist() == [1]
+
+    def test_empty_and_null(self):
+        t = pa.table({"content": pa.array(["", None], pa.string())})
+        out = ToxicityBatch(content_col="content")(t)
+        assert out["tox_hits"].to_pylist() == [0, 0]
+        assert out["tox_score"].to_pylist() == [0.0, 0.0]
+
+    def test_custom_lexicon_file(self, tmp_path):
+        p = tmp_path / "lex.txt"
+        p.write_text("foo\n# comment\nbar  # trailing\n\n")
+        assert load_lexicon(str(p)) == ("foo", "bar")
+        out = _run(["foo bar baz damn"], lexicon_path=str(p))
+        # the custom lexicon replaces the built-in one entirely
+        assert out["tox_hits"].to_pylist() == [2]
+
+    def test_empty_lexicon_file_rejected(self, tmp_path):
+        p = tmp_path / "lex.txt"
+        p.write_text("# only comments\n")
+        with pytest.raises(ValueError):
+            load_lexicon(str(p))
+
+    def test_lexicon_and_path_exclusive(self):
+        with pytest.raises(ValueError):
+            ToxicityBatch(lexicon=("a",), lexicon_path="x")
+
+    def test_longer_term_wins_prefix(self):
+        # "goddamn" must match as one hit, not leave "damn" behind
+        out = _run(["goddamn"])
+        assert out["tox_hits"].to_pylist() == [1]
+        assert out["tox_scrubbed"].to_pylist() == [TOXICITY_MASK]
+
+    def test_pattern_is_deterministic(self):
+        assert toxicity_pattern(("b", "aa")) == toxicity_pattern(("aa", "b"))
+
+
+class TestPipelineIntegration:
+    def _corpus(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        clean = "def add(a, b):\n    return a + b\n" * 4
+        mild = clean + "# damn this edge case\n"  # 1 hit, score under cutoff
+        # code-shaped (so the default rules keep it) but over the 5%
+        # token cutoff once toxicity is enabled
+        toxic = (
+            "def f():\n"
+            "    # damn hell crap moron dammit damn hell crap\n"
+            "    return 1\n"
+        )
+        t = pa.table({
+            "repo": ["r"] * 3,
+            "path": ["clean.py", "mild.py", "toxic.py"],
+            "commit": ["c"] * 3,
+            "lang": ["python"] * 3,
+            "content": [clean, mild, toxic],
+        })
+        d = tmp_path / "corpus"
+        d.mkdir()
+        pq.write_table(t, d / "part-0.parquet")
+        return str(d)
+
+    def test_flagship_toxicity_optin(self, ray_session, stub_model, tmp_path):
+        from pii_detection_local_ray.pipelines.filter_pipeline import (
+            build_pipeline,
+        )
+        from pii_detection_local_ray.stages.scrub import sha256_hex
+
+        corpus = self._corpus(tmp_path)
+        df = (
+            build_pipeline(corpus, model_path=stub_model, with_toxicity=True)
+            .to_pandas()
+            .set_index("path")
+        )
+        assert bool(df.loc["clean.py", "keep"])
+        assert df.loc["clean.py", "tox_hits"] == 0
+
+        # mild file: kept, but the mask is folded into scrubbed_content
+        # and the sha tracks the masked text
+        assert bool(df.loc["mild.py", "keep"])
+        assert df.loc["mild.py", "tox_hits"] == 1
+        assert TOXICITY_MASK in df.loc["mild.py", "scrubbed_content"]
+        assert df.loc["mild.py", "scrubbed_sha256"] == sha256_hex(
+            df.loc["mild.py", "scrubbed_content"]
+        )
+
+        assert not bool(df.loc["toxic.py", "keep"])
+        assert df.loc["toxic.py", "drop_reason"] == "toxic"
+
+    def test_default_pipeline_unchanged(self, ray_session, stub_model, tmp_path):
+        from pii_detection_local_ray.pipelines.filter_pipeline import (
+            build_pipeline,
+        )
+
+        corpus = self._corpus(tmp_path)
+        df = build_pipeline(corpus, model_path=stub_model).to_pandas()
+        # no toxicity columns, no "toxic" drops in the parity-pinned default
+        assert "tox_score" not in df.columns
+        assert bool(df.set_index("path").loc["toxic.py", "keep"])
