@@ -62,8 +62,11 @@ def cmd_run(args) -> int:
                 with_ner=not args.no_ner,
                 with_perplexity=not args.no_perplexity,
                 pool="task",
+                with_toxicity=args.toxicity,
+                toxicity_lexicon_path=args.toxicity_lexicon,
             ),
             with_perplexity=not args.no_perplexity,
+            with_toxicity=args.toxicity,
         )
 
     manifests = run_resumable(
@@ -174,6 +177,15 @@ def main(argv=None) -> int:
     pr.add_argument("--model", default=None, help="NER model dir (stub written if omitted)")
     pr.add_argument("--no-ner", action="store_true")
     pr.add_argument("--no-perplexity", action="store_true")
+    pr.add_argument(
+        "--toxicity", action="store_true",
+        help="enable the lexicon toxicity scrub + drop rule (off by "
+        "default: the reference-parity contract has no toxicity rule)",
+    )
+    pr.add_argument(
+        "--toxicity-lexicon", default=None,
+        help="path to a one-term-per-line lexicon file (default: built-in)",
+    )
     pr.add_argument("--files-per-partition", type=int, default=4)
     pr.set_defaults(fn=cmd_run)
 
