@@ -196,6 +196,33 @@ def bio_to_spans(tokens: list[str], labels: list[str]) -> list[dict]:
     return spans
 
 
+def seq_spans(labels: list[str]) -> set[tuple[str, int, int]]:
+    """(type, start, end) spans of one BIO sequence, seqeval 'default'
+    scheme.  THE span definition for both benchmark eval (span_f1) and
+    training eval (pipelines/sgd_train) - keep it single-sourced."""
+    out, cur = set(), None
+    for i, lab in enumerate(labels):
+        if lab.startswith("B-"):
+            if cur:
+                out.add(cur)
+            cur = (lab[2:], i, i + 1)
+        elif lab.startswith("I-") and cur and cur[0] == lab[2:]:
+            cur = (cur[0], cur[1], i + 1)
+        elif lab.startswith("I-"):
+            # seqeval default scheme: an orphan I-X (after O or a
+            # different type) STARTS a span rather than being dropped
+            if cur:
+                out.add(cur)
+            cur = (lab[2:], i, i + 1)
+        else:
+            if cur:
+                out.add(cur)
+            cur = None
+    if cur:
+        out.add(cur)
+    return out
+
+
 def span_f1(
     true_seqs: list[list[str]], pred_seqs: list[list[str]],
     digits: int | None = 4,
@@ -205,30 +232,6 @@ def span_f1(
     float64 ratios (used by exact SQL oracles - Python round() is
     half-even, DuckDB round() half-away-from-zero, so any rounding on a
     5th-decimal tie would diverge)."""
-
-    def seq_spans(labels: list[str]) -> set[tuple[str, int, int]]:
-        out, cur = set(), None
-        for i, lab in enumerate(labels):
-            if lab.startswith("B-"):
-                if cur:
-                    out.add(cur)
-                cur = (lab[2:], i, i + 1)
-            elif lab.startswith("I-") and cur and cur[0] == lab[2:]:
-                cur = (cur[0], cur[1], i + 1)
-            elif lab.startswith("I-"):
-                # seqeval default scheme: an orphan I-X (after O or a
-                # different type) STARTS a span rather than being dropped
-                if cur:
-                    out.add(cur)
-                cur = (lab[2:], i, i + 1)
-            else:
-                if cur:
-                    out.add(cur)
-                cur = None
-        if cur:
-            out.add(cur)
-        return out
-
     tp = fp = fn = 0
     per_type: dict[str, dict] = {}
     for t_seq, p_seq in zip(true_seqs, pred_seqs):

@@ -65,7 +65,13 @@ def per_group_cap(
         # shuffle then moves <= cap rows per group per block instead of
         # every row, and the final per-group call sees tiny groups
         df = batch.to_pandas()
-        kept = df.sort_values(order_col).groupby(group_col, sort=False).head(cap)
+        # dropna=False: pandas groupby would otherwise silently delete
+        # rows whose group key is null before the shuffle
+        kept = (
+            df.sort_values(order_col)
+            .groupby(group_col, sort=False, dropna=False)
+            .head(cap)
+        )
         return pa.Table.from_pandas(kept, preserve_index=False)
 
     def head(g):
@@ -100,7 +106,9 @@ def stratified_subset(
             lambda s: hashlib.md5(s.encode()).hexdigest()[0] in keep_chars
         )
         sampled = df[mask].assign(_cand=False)
-        mins = df.loc[df.groupby(group_col, sort=False)[id_col].idxmin()]
+        mins = df.loc[
+            df.groupby(group_col, sort=False, dropna=False)[id_col].idxmin()
+        ]
         out = pd.concat([sampled, mins.assign(_cand=True)], ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)
 

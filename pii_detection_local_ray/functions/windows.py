@@ -57,8 +57,10 @@ def _window_partial(
             }
         )
     df = pd.concat(frames, ignore_index=True)
+    # dropna=False: the dict-accumulator this replaced emitted null-key
+    # partials; pandas would otherwise silently delete those events
     g = (
-        df.groupby(["_k", "_ws"], sort=False)
+        df.groupby(["_k", "_ws"], sort=False, dropna=False)
         .agg(n_events=("_v", "size"), sum_value=("_v", "sum"))
         .reset_index()
     )

@@ -171,7 +171,13 @@ def build_pipeline(
 def _apply_toxicity_scrub(batch):
     """Fold the toxicity mask into scrubbed_content for hit rows only
     (sha256 recomputed per changed row - hits are rare, so the Python
-    loop touches a tiny row fraction)."""
+    loop touches a tiny row fraction).
+
+    Invariant shift (documented, test-pinned): with toxicity enabled the
+    north-rule sha-equality contract becomes ``has_pii == False AND
+    tox_hits == 0  =>  scrubbed_sha256 == content_sha256`` - tox_hits is
+    always part of the output schema in this mode (select_output), so a
+    consumer can attribute every divergence to PII or toxicity."""
     import pyarrow as pa
 
     from ..stages.scrub import sha256_hex

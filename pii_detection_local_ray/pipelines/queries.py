@@ -1301,6 +1301,12 @@ def minhash_sig_docs(sf_dir: str):
     Same ASCII + len >= shingle_k corpus assumptions as simhash_docs."""
 
     def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # np.array([]) is 1-D; the unpack would raise
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "perm": pa.array([], pa.int64()),
+                "minhash": pa.array([], pa.int64()),
+            })
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         sigs = np.array(b["minhash"].to_pylist(), dtype=np.uint64)
         n, k = sigs.shape
@@ -1945,12 +1951,17 @@ def top_orders_by_revenue(sf_dir: str, join_strategy: str = "hash"):
             li, ok, on="orderkey", right_on="o_orderkey", num_partitions=8,
         ).select_columns(["orderkey", "revenue"])
     else:
-        okeys = set(ok.to_pandas()["o_orderkey"])
-        if len(okeys) > 5_000_000:
+        # guard BEFORE collecting: materialize keeps the keyset in the
+        # object store and the count is then metadata, so an over-cap
+        # keyset never reaches the driver (and the filter runs once)
+        ok = ok.materialize()
+        n_ok = ok.count()
+        if n_ok > 5_000_000:
             raise ValueError(
-                f"broadcast join guard: {len(okeys)} filtered orders exceeds "
+                f"broadcast join guard: {n_ok} filtered orders exceeds "
                 "the 5M broadcast cap; use join_strategy='hash'"
             )
+        okeys = set(ok.to_pandas()["o_orderkey"])
         ok_ref = ray.put(okeys)
 
         def semi(b: pa.Table) -> pa.Table:
@@ -2057,13 +2068,17 @@ def region_nation_revenue(sf_dir: str, join_strategy: str = "hash"):
         # ONE materialization: a per-column generator would execute the
         # lazy Dataset twice, and block order can differ between
         # executions - zipping columns from two executions misaligns the
-        # (orderkey, nation) pairs nondeterministically
-        odf = orders.to_pandas()
-        if len(odf) > 5_000_000:
+        # (orderkey, nation) pairs nondeterministically.  materialize()
+        # also lets the guard check the distributed row count BEFORE
+        # anything is collected to the driver.
+        orders = orders.materialize()
+        n_orders = orders.count()
+        if n_orders > 5_000_000:
             raise ValueError(
-                f"broadcast join guard: {len(odf)} tagged orders exceeds "
+                f"broadcast join guard: {n_orders} tagged orders exceeds "
                 "the 5M broadcast cap; use join_strategy='hash'"
             )
+        odf = orders.to_pandas()
         ok_ref = ray.put(dict(zip(odf["o_orderkey"], odf["nation"])))
 
         def attach_nation(b: pa.Table) -> pa.Table:

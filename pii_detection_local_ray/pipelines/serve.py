@@ -78,8 +78,16 @@ class PIIRequestHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _content_length(self) -> int:
+        raw = self.headers.get("Content-Length") or 0
+        try:
+            return int(raw)
+        except ValueError:
+            # a garbage header is the client's fault: 400, never 500
+            raise InvalidFieldError("Content-Length", f"not an integer: {raw!r}")
+
     def _read_json(self) -> dict:
-        length = int(self.headers.get("Content-Length") or 0)
+        length = self._content_length()
         if length > MAX_BODY_BYTES:
             raise InvalidFieldError("request body", f"exceeds {MAX_BODY_BYTES} bytes")
         raw = self.rfile.read(length) if length else b""
@@ -100,7 +108,7 @@ class PIIRequestHandler(BaseHTTPRequestHandler):
         from email.policy import default as email_default
 
         ctype = self.headers.get("Content-Type", "")
-        length = int(self.headers.get("Content-Length") or 0)
+        length = self._content_length()
         if length > MAX_BODY_BYTES:
             raise InvalidFieldError("request body", f"exceeds {MAX_BODY_BYTES} bytes")
         raw = self.rfile.read(length) if length else b""
@@ -215,10 +223,14 @@ class PIIRequestHandler(BaseHTTPRequestHandler):
             body = self._read_multipart()
             if "columns" in body and isinstance(body["columns"], str):
                 cols = body["columns"].strip()
-                body["columns"] = (
-                    json.loads(cols) if cols.startswith("[")
-                    else [c.strip() for c in cols.split(",") if c.strip()]
-                )
+                try:
+                    body["columns"] = (
+                        json.loads(cols) if cols.startswith("[")
+                        else [c.strip() for c in cols.split(",") if c.strip()]
+                    )
+                except json.JSONDecodeError as exc:
+                    # malformed client input is a 400, never a 500
+                    raise InvalidFieldError("columns", str(exc))
         else:
             body = self._read_json()
         if "filename" not in body:

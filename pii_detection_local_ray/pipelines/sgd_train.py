@@ -149,29 +149,10 @@ def _accumulated_eval(
     tp = fp = fn = 0
     true_buf, pred_buf = [], []
 
-    # span_f1 (functions/bio.py) exposes ratios, not counts - chunked
-    # accumulation needs mergeable COUNTS, so the same seqeval-default
-    # span extraction runs here and tp/fp/fn accumulate across chunks
-    def spans(labels):
-        out, cur = set(), None
-        for i, lab in enumerate(labels):
-            if lab.startswith("B-"):
-                if cur:
-                    out.add(cur)
-                cur = (lab[2:], i, i + 1)
-            elif lab.startswith("I-") and cur and cur[0] == lab[2:]:
-                cur = (cur[0], cur[1], i + 1)
-            elif lab.startswith("I-"):
-                if cur:
-                    out.add(cur)
-                cur = (lab[2:], i, i + 1)
-            else:
-                if cur:
-                    out.add(cur)
-                cur = None
-        if cur:
-            out.add(cur)
-        return out
+    # chunked accumulation needs mergeable COUNTS; the span definition
+    # itself is single-sourced from functions/bio.seq_spans so training
+    # eval and benchmark eval (span_f1) can never drift
+    from ..functions.bio import seq_spans as spans
 
     def drain():
         nonlocal tp, fp, fn

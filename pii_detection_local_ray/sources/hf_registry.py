@@ -281,8 +281,14 @@ def ingest_dataset(
         entity_types |= types
         total_rows += tbl.num_rows
         part_dir = output_dir / f"{spec.name}_{split_name}"
-        if not part_dir.exists():  # resumable: finished split dirs skip
+        # resumable on the COMMIT marker, not mere dir existence:
+        # write_parquet creates the directory before it finishes, so a
+        # crashed run leaves a partial dir that must be rewritten.  The
+        # marker sits BESIDE the dir so read_parquet(dir) never sees it.
+        marker = output_dir / f"{spec.name}_{split_name}._SUCCESS"
+        if not marker.exists():
             ray.data.from_arrow(tbl).write_parquet(str(part_dir))
+            marker.touch()
         saved.append(str(part_dir))
 
     return {

@@ -36,11 +36,6 @@ class FastTextLangIdBatch:
     def __init__(self, model_path: str, content_col: str = "content"):
         self.model = read_fasttext(model_path)  # once per actor
         self.content_col = content_col
-        # strip the fastText label prefix for protocol parity with
-        # LangIdBatch's plain language names
-        self.names = [
-            lab.removeprefix("__label__") for lab in self.model.labels
-        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.content_col]

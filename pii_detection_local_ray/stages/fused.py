@@ -64,6 +64,14 @@ class FusedModelBatch:
 _FUSED_CACHE: dict[tuple, FusedModelBatch] = {}
 
 
+# fingerprint checks are rate-limited: listdir + per-file stat on every
+# batch would put filesystem metadata round-trips in the hottest stage
+# (painful on network filesystems).  1 s staleness is far below any
+# realistic retrain cadence.
+_FP_TTL_NS = 1_000_000_000
+_FP_CACHE: dict[str, tuple[int, tuple]] = {}
+
+
 def _artifact_fingerprint(model_path: str | None) -> tuple:
     """Content fingerprint of the model artifact dir (file names, sizes,
     mtimes).  Part of the task-worker cache key: reused Ray task workers
@@ -72,6 +80,12 @@ def _artifact_fingerprint(model_path: str | None) -> tuple:
     if model_path is None:
         return ()
     import os
+    import time
+
+    now = time.monotonic_ns()
+    hit = _FP_CACHE.get(model_path)
+    if hit is not None and now - hit[0] < _FP_TTL_NS:
+        return hit[1]
 
     entries = []
     try:
@@ -79,8 +93,10 @@ def _artifact_fingerprint(model_path: str | None) -> tuple:
             st = os.stat(os.path.join(model_path, name))
             entries.append((name, st.st_size, st.st_mtime_ns))
     except OSError:
-        return (("<missing>", 0, 0),)
-    return tuple(entries)
+        entries = [("<missing>", 0, 0)]
+    fp = tuple(entries)
+    _FP_CACHE[model_path] = (now, fp)
+    return fp
 
 
 def fused_model_task(

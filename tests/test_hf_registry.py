@@ -176,6 +176,25 @@ def test_ingest_is_resumable(ray_session, tmp_path):
     assert marker.exists()  # dir untouched on the second run
 
 
+def test_partial_write_is_redone(ray_session, tmp_path):
+    """A split dir WITHOUT its _SUCCESS marker (crashed mid-write) must
+    be rewritten, not skipped - dir existence alone is not completion."""
+    fetch = FakeFetch()
+    spec = REGISTRY["ai4privacy_400k"]
+    part = tmp_path / "ai4privacy_400k_train"
+    part.mkdir(parents=True)  # simulate a crash after dir creation
+    (part / "leftover.parquet").write_bytes(b"")  # truncated garbage
+    ingest_dataset(spec, fetch, tmp_path)
+    assert (tmp_path / "ai4privacy_400k_train._SUCCESS").exists()
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.read_table(f).num_rows
+        for f in part.glob("*.parquet") if f.stat().st_size > 0
+    )
+    assert n > 0  # real rows landed on the retry
+
+
 def test_missing_split_raises(ray_session, tmp_path):
     fetch = FakeFetch()
     spec = DatasetSpec(

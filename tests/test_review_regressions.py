@@ -125,13 +125,19 @@ def test_span_f1_digits_none_raw_float():
     assert m4["recall"] == round(1 / 3, 4)  # default unchanged
 
 
-def test_fused_task_cache_invalidates_on_artifact_rewrite(ray_session, tmp_path):
+def test_fused_task_cache_invalidates_on_artifact_rewrite(
+    ray_session, tmp_path, monkeypatch
+):
     import pyarrow as pa
+    from pii_detection_local_ray.stages import fused
     from pii_detection_local_ray.stages.fused import (
         _FUSED_CACHE, fused_model_task,
     )
     from pii_detection_local_ray.sources.model_artifact import write_stub_model
 
+    # fingerprint checks are TTL-rate-limited in the hot path; zero the
+    # TTL so the rewrite below is observed immediately
+    monkeypatch.setattr(fused, "_FP_TTL_NS", 0)
     model = str(write_stub_model(tmp_path / "m"))
     batch = pa.table({"content": pa.array(["email me a@b.com today"])})
     fused_model_task(batch, model_path=model, with_perplexity=False)
@@ -164,3 +170,43 @@ def test_connected_components_overflow_guard(ray_session):
         raise AssertionError("expected overflow guard to raise")
     except ValueError as e:
         assert "overflow" in str(e)
+
+
+def test_window_partial_keeps_null_keys(ray_session):
+    """The vectorized window partial must emit null-key partials like the
+    dict accumulator it replaced (pandas groupby would drop them)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detection_local_ray.functions.windows import tumbling_window
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t = pa.table({
+        "user": pa.array(["a", None, None], pa.string()),
+        "ts": pa.array([t0, t0, t0], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    out = tumbling_window(
+        ray.data.from_arrow(t), "user", "ts", "value", 3_600_000_000
+    ).to_pandas()
+    null_rows = out[out["user"].isna()]
+    assert len(null_rows) == 1
+    assert int(null_rows["n_events"].iloc[0]) == 2
+    assert float(null_rows["sum_value"].iloc[0]) == 5.0
+
+
+def test_per_group_cap_keeps_null_groups(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detection_local_ray.functions.sampling import per_group_cap
+
+    t = pa.table({
+        "g": pa.array(["x", None, None, None], pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = per_group_cap(ray.data.from_arrow(t), "g", "v", cap=2).to_pandas()
+    assert len(out[out["g"].isna()]) == 2  # null group capped, not dropped
+    assert len(out[out["g"] == "x"]) == 1

@@ -130,6 +130,11 @@ class TestPipelineIntegration:
         assert not bool(df.loc["toxic.py", "keep"])
         assert df.loc["toxic.py", "drop_reason"] == "toxic"
 
+        # invariant with toxicity enabled: every sha divergence is
+        # attributable to PII or toxicity via columns in the output
+        diverged = df[df["scrubbed_sha256"] != df["content_sha256"]]
+        assert bool((diverged["has_pii"] | (diverged["tox_hits"] > 0)).all())
+
     def test_default_pipeline_unchanged(self, ray_session, stub_model, tmp_path):
         from pii_detection_local_ray.pipelines.filter_pipeline import (
             build_pipeline,
