@@ -1,0 +1,249 @@
+"""Web-scale quality-filter signals: Gopher-style repetition metrics,
+Gopher word-statistics keep rules, C4-style line filtering, benchmark
+decontamination, and corpus vocabulary statistics.
+
+These are the document-level quality gates a 100 TB pretraining-data
+pipeline applies after PII scrubbing (Rae et al. 2021 "Scaling Language
+Models" appendix A / Raffel et al. 2020 C4; public heuristics, original
+implementation).  The reference repo's quality surface is EDA-level
+(notebooks/EDA.ipynb); these extend it to the filter rules named by the
+north rule's quality_filter tier.
+
+All operators are stateless ``map_batches`` stages over Arrow batches.
+Every metric is defined as exact integer counting followed by a single
+float64 division, in the same IEEE evaluation order as the DuckDB oracle
+SQL in pipelines/queries.py, so driver hash-compares are bit-exact.
+
+Definitions (shared contract with the oracles):
+
+repetition_signals_batch (lines = '\\n'-split, words = ' '-split
+non-empty; n-grams overlap, stride 1):
+  n_lines             number of lines
+  dup_line_frac       (n_lines - n_distinct_lines) / n_lines
+  dup_line_char_frac  sum over lines occurring >1x of (count-1)*len(line)
+                      / sum of len(line) over all lines
+  top_2gram_char_frac top word-2-gram (max count, tie-break smallest
+                      string): count * len(gram) / len(text)
+  dup_5gram_char_frac sum over word-5-grams occurring >1x of
+                      (count-1)*len(gram) / len(text)
+
+gopher_word_stats_batch (words = ' '-split non-empty):
+  n_words           word count
+  mean_word_len     sum(len(word)) / n_words
+  symbol_word_ratio count of words in {'#', '...'} / n_words
+  frac_alpha_words  count of words containing [a-z] / n_words
+  stop_hits         number of DISTINCT stopwords from
+                    {the, and, of, to, in} present
+  gopher_keep       10 <= n_words <= 1000 AND 2 <= mean_word_len <= 12
+                    AND symbol_word_ratio < 0.05
+                    AND frac_alpha_words > 0.9 AND stop_hits >= 1
+
+c4_line_stats_batch (lines = '\\n'-split):
+  n_lines         number of lines
+  kept_lines      lines ending in '.' with >= 3 ' '-split words
+  kept_line_frac  kept_lines / n_lines
+  has_lorem       'lorem ipsum' substring present
+  has_brace       '{' present
+  c4_keep         kept_lines >= 3 AND NOT has_lorem AND NOT has_brace
+
+contamination_batch (benchmark = small broadcast list of strings,
+duplicates kept):
+  n_bench_hits    number of benchmark entries that are substrings of text
+  is_contaminated n_bench_hits > 0
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "in")
+GOPHER_SYMBOL_WORDS = ("#", "...")
+
+
+def _words(text: str) -> list[str]:
+    # ' '-split + drop empties == DuckDB
+    # list_filter(string_split(text, ' '), x -> x <> '')
+    return [w for w in (text or "").split(" ") if w]
+
+
+def repetition_signals_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_lines = np.zeros(n, dtype=np.int64)
+    dup_line_frac = np.zeros(n, dtype=np.float64)
+    dup_line_char = np.zeros(n, dtype=np.float64)
+    top2 = np.zeros(n, dtype=np.float64)
+    dup5 = np.zeros(n, dtype=np.float64)
+
+    for i, text in enumerate(texts):
+        text = text or ""
+        lines = text.split("\n")
+        n_lines[i] = len(lines)
+        line_cnt = Counter(lines)
+        if lines:
+            n_distinct = len(line_cnt)
+            dup_line_frac[i] = (len(lines) - n_distinct) / len(lines)
+            total_chars = sum(len(l) for l in lines)
+            if total_chars:
+                dup_chars = sum(
+                    (c - 1) * len(l) for l, c in line_cnt.items() if c > 1
+                )
+                dup_line_char[i] = dup_chars / total_chars
+        words = _words(text.replace("\n", " "))
+        text_len = len(text)
+        if text_len and len(words) >= 2:
+            g2 = Counter(
+                words[j] + " " + words[j + 1] for j in range(len(words) - 1)
+            )
+            # max count, tie-break smallest gram string (deterministic)
+            top_gram = min(
+                (g for g, c in g2.items() if c == max(g2.values()))
+            )
+            top2[i] = g2[top_gram] * len(top_gram) / text_len
+        if text_len and len(words) >= 5:
+            g5 = Counter(
+                " ".join(words[j : j + 5]) for j in range(len(words) - 4)
+            )
+            dup_chars5 = sum((c - 1) * len(g) for g, c in g5.items() if c > 1)
+            dup5[i] = dup_chars5 / text_len
+
+    for name, vals, typ in [
+        ("n_lines", n_lines, pa.int64()),
+        ("dup_line_frac", dup_line_frac, pa.float64()),
+        ("dup_line_char_frac", dup_line_char, pa.float64()),
+        ("top_2gram_char_frac", top2, pa.float64()),
+        ("dup_5gram_char_frac", dup5, pa.float64()),
+    ]:
+        batch = batch.append_column(name, pa.array(vals, typ))
+    return batch
+
+
+def gopher_word_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_words = np.zeros(n, dtype=np.int64)
+    mean_len = np.zeros(n, dtype=np.float64)
+    sym_ratio = np.zeros(n, dtype=np.float64)
+    alpha_frac = np.zeros(n, dtype=np.float64)
+    stop_hits = np.zeros(n, dtype=np.int64)
+
+    sym = set(GOPHER_SYMBOL_WORDS)
+    stops = GOPHER_STOPWORDS
+    for i, text in enumerate(texts):
+        words = _words(text or "")
+        nw = len(words)
+        n_words[i] = nw
+        if not nw:
+            continue
+        mean_len[i] = sum(len(w) for w in words) / nw
+        sym_ratio[i] = sum(1 for w in words if w in sym) / nw
+        alpha_frac[i] = sum(
+            1 for w in words if any("a" <= ch <= "z" for ch in w)
+        ) / nw
+        wset = set(words)
+        stop_hits[i] = sum(1 for s in stops if s in wset)
+
+    keep = (
+        (n_words >= 10)
+        & (n_words <= 1000)
+        & (mean_len >= 2.0)
+        & (mean_len <= 12.0)
+        & (sym_ratio < 0.05)
+        & (alpha_frac > 0.9)
+        & (stop_hits >= 1)
+    )
+    for name, vals, typ in [
+        ("n_words", n_words, pa.int64()),
+        ("mean_word_len", mean_len, pa.float64()),
+        ("symbol_word_ratio", sym_ratio, pa.float64()),
+        ("frac_alpha_words", alpha_frac, pa.float64()),
+        ("stop_hits", stop_hits, pa.int64()),
+        ("gopher_keep", keep, pa.bool_()),
+    ]:
+        batch = batch.append_column(name, pa.array(vals, typ))
+    return batch
+
+
+def c4_line_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    arr = batch[text_col]
+    texts = arr.to_pylist()
+    n = len(texts)
+    n_lines = np.zeros(n, dtype=np.int64)
+    kept = np.zeros(n, dtype=np.int64)
+    frac = np.zeros(n, dtype=np.float64)
+
+    for i, text in enumerate(texts):
+        lines = (text or "").split("\n")
+        n_lines[i] = len(lines)
+        k = sum(
+            1
+            for l in lines
+            if l.endswith(".") and len([w for w in l.split(" ") if w]) >= 3
+        )
+        kept[i] = k
+        if lines:
+            frac[i] = k / len(lines)
+
+    filled = pc.fill_null(arr, "")
+    has_lorem = pc.match_substring(filled, "lorem ipsum")
+    has_brace = pc.match_substring(filled, "{")
+    c4_keep = pc.and_(
+        pc.and_(pa.array(kept >= 3), pc.invert(has_lorem)),
+        pc.invert(has_brace),
+    )
+    for name, vals in [
+        ("n_lines", pa.array(n_lines, pa.int64())),
+        ("kept_lines", pa.array(kept, pa.int64())),
+        ("kept_line_frac", pa.array(frac, pa.float64())),
+        ("has_lorem", has_lorem),
+        ("has_brace", has_brace),
+        ("c4_keep", c4_keep),
+    ]:
+        batch = batch.append_column(name, vals)
+    return batch
+
+
+def contamination_batch(
+    batch: pa.Table, benchmark: list[str], text_col: str = "text"
+) -> pa.Table:
+    """Count benchmark strings contained in each doc (vectorized: one
+    RE2-free literal ``match_substring`` pass per benchmark entry; the
+    benchmark list is a small broadcast side, duplicates kept so the
+    count matches a SQL cross-join row count)."""
+    arr = pc.fill_null(batch[text_col], "")
+    hits = np.zeros(len(batch), dtype=np.int64)
+    for ng in benchmark:
+        hits += (
+            pc.match_substring(arr, ng)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    batch = batch.append_column("n_bench_hits", pa.array(hits, pa.int64()))
+    batch = batch.append_column(
+        "is_contaminated", pa.array(hits > 0, pa.bool_())
+    )
+    return batch
+
+
+def word_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch word-frequency partial: the map-side combiner that makes
+    the corpus-vocabulary groupby shuffle O(distinct words per block)
+    instead of O(tokens)."""
+    cnt: Counter = Counter()
+    for text in batch[text_col].to_pylist():
+        cnt.update(_words(text or ""))
+    if not cnt:
+        return pa.table(
+            {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    words, counts = zip(*sorted(cnt.items()))
+    return pa.table(
+        {
+            "word": pa.array(list(words), pa.string()),
+            "n": pa.array(list(counts), pa.int64()),
+        }
+    )

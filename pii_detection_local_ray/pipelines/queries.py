@@ -2383,3 +2383,305 @@ def trained_model_detect(sf_dir: str):
         })
 
     return detected.map_batches(extract, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# quality_filter tier: Gopher/C4-style filter rules, decontamination,
+# vocabulary stats (functions/repetition.py; public heuristics from
+# Rae et al. 2021 app. A / Raffel et al. 2020 - no reference analogue,
+# north-rule tier operators).  The sf corpus is single-line word soup,
+# so line/symbol structure is planted deterministically per doc_id on
+# BOTH sides (the quality_score_docs pattern).
+# ---------------------------------------------------------------------------
+
+_GOPHER_REP_SQL = (
+    # planted text: lines of 2 words (remainder dropped), '\n'-joined
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents), "
+    "p AS (SELECT doc_id, ws, list_transform(range(1, len(ws)//2 + 1), "
+    "i -> ws[2*i-1] || ' ' || ws[2*i]) AS lines FROM w), "
+    "t AS (SELECT doc_id, ws, lines, array_to_string(lines, chr(10)) AS txt "
+    "FROM p), "
+    "lx AS (SELECT doc_id, unnest(lines) AS line FROM t), "
+    "lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS ln "
+    "FROM lx GROUP BY doc_id, line), "
+    "ls AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct, "
+    "sum(c * ln) AS total_chars, "
+    "sum(CASE WHEN c > 1 THEN (c - 1) * ln ELSE 0 END) AS dup_chars "
+    "FROM lc GROUP BY doc_id), "
+    # planted words = ws[1 : 2*(nw//2)]; overlapping 2/5-grams, stride 1
+    "g2x AS (SELECT doc_id, unnest(list_transform("
+    "range(1, 2*(len(ws)//2)), i -> ws[i] || ' ' || ws[i+1])) AS g FROM t), "
+    "g2c AS (SELECT doc_id, g, count(*) AS c FROM g2x GROUP BY doc_id, g), "
+    "top2 AS (SELECT doc_id, c, g FROM (SELECT doc_id, g, c, row_number() "
+    "OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM g2c) "
+    "WHERE rn = 1), "
+    "g5x AS (SELECT doc_id, unnest(list_transform("
+    "range(1, 2*(len(ws)//2) - 3), "
+    "i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS g FROM t), "
+    "g5c AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN (c - 1) * length(g) "
+    "ELSE 0 END) AS dup5_chars FROM (SELECT doc_id, g, count(*) AS c "
+    "FROM g5x GROUP BY doc_id, g) GROUP BY doc_id) "
+    "SELECT t.doc_id, CAST(ls.n_lines AS BIGINT) AS n_lines, "
+    "CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / ls.n_lines "
+    "AS dup_line_frac, "
+    "CAST(ls.dup_chars AS DOUBLE) / ls.total_chars AS dup_line_char_frac, "
+    "CAST(top2.c * length(top2.g) AS DOUBLE) / length(t.txt) "
+    "AS top_2gram_char_frac, "
+    "CAST(coalesce(g5c.dup5_chars, 0) AS DOUBLE) / length(t.txt) "
+    "AS dup_5gram_char_frac "
+    "FROM t JOIN ls USING (doc_id) JOIN top2 USING (doc_id) "
+    "LEFT JOIN g5c USING (doc_id)"
+)
+
+
+@register("gopher_repetition_docs", _GOPHER_REP_SQL)
+def gopher_repetition_docs(sf_dir: str):
+    """Gopher-style repetition signals (dup-line / dup-line-char /
+    top-2-gram-char / dup-5-gram-char fractions) over planted 2-word
+    lines.  Every fraction is exact-int counting + one float64 division
+    in the same IEEE order as the SQL."""
+    from ..functions import repetition as frep
+
+    def plant_lines(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b["text"].to_pylist():
+            ws = [w for w in (t or "").split(" ") if w]
+            out.append(
+                "\n".join(
+                    ws[2 * k] + " " + ws[2 * k + 1]
+                    for k in range(len(ws) // 2)
+                )
+            )
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant_lines, batch_format="pyarrow")
+        .map_batches(frep.repetition_signals_batch, batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+             "top_2gram_char_frac", "dup_5gram_char_frac"]
+        )
+    )
+
+
+_GOPHER_WORD_SQL = (
+    # plant: ' #' x (doc_id%4) then ' ...' when doc_id%5=0
+    "WITH p AS (SELECT doc_id, text || repeat(' #', "
+    "CAST(doc_id % 4 AS INTEGER)) || CASE WHEN doc_id % 5 = 0 THEN ' ...' "
+    "ELSE '' END AS t FROM documents), "
+    "w AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') "
+    "AS ws FROM p), "
+    "f AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+    "CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) "
+    "AS mean_word_len, "
+    "CAST(length(list_filter(ws, x -> x IN ('#', '...'))) AS DOUBLE) "
+    "/ len(ws) AS symbol_word_ratio, "
+    "CAST(length(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) "
+    "AS DOUBLE) / len(ws) AS frac_alpha_words, "
+    "CAST(length(list_filter(['the', 'and', 'of', 'to', 'in'], "
+    "s -> list_contains(ws, s))) AS BIGINT) AS stop_hits FROM w) "
+    "SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, "
+    "frac_alpha_words, stop_hits, "
+    "(n_words BETWEEN 10 AND 1000 AND mean_word_len >= 2.0 "
+    "AND mean_word_len <= 12.0 AND symbol_word_ratio < 0.05 "
+    "AND frac_alpha_words > 0.9 AND stop_hits >= 1) AS gopher_keep FROM f"
+)
+
+
+@register("gopher_word_stats_docs", _GOPHER_WORD_SQL)
+def gopher_word_stats_docs(sf_dir: str):
+    """Gopher word-statistics keep rule over planted symbol words.  The
+    keep boolean compares identical IEEE float64 values on both sides,
+    so the threshold decisions are bit-identical."""
+    from ..functions import repetition as frep
+
+    def plant_symbols(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pa.array([
+                (t or "") + " #" * (i % 4)
+                + (" ..." if i % 5 == 0 else "")
+                for i, t in zip(ids, texts)
+            ]),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant_symbols, batch_format="pyarrow")
+        .map_batches(frep.gopher_word_stats_batch, batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+             "frac_alpha_words", "stop_hits", "gopher_keep"]
+        )
+    )
+
+
+_C4_SQL = (
+    # plant: 4-word lines, '.' when (doc_id + line_idx) % 3 = 0, plus a
+    # lorem line (doc_id%97=0) and a brace line (doc_id%13=0)
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents), "
+    "p AS (SELECT doc_id, list_transform(range(1, len(ws)//4 + 1), "
+    "i -> array_to_string(list_slice(ws, 4*i-3, 4*i), ' ') || "
+    "CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END) "
+    "|| CASE WHEN doc_id % 97 = 0 THEN ['lorem ipsum dolor sit amet.'] "
+    "ELSE CAST([] AS VARCHAR[]) END "
+    "|| CASE WHEN doc_id % 13 = 0 THEN ['function() {'] "
+    "ELSE CAST([] AS VARCHAR[]) END AS lines FROM w), "
+    "t AS (SELECT doc_id, lines, array_to_string(lines, chr(10)) AS txt "
+    "FROM p), "
+    "f AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+    "CAST(length(list_filter(lines, l -> l LIKE '%.' AND "
+    "length(list_filter(string_split(l, ' '), x -> x <> '')) >= 3)) "
+    "AS BIGINT) AS kept_lines, "
+    "contains(txt, 'lorem ipsum') AS has_lorem, "
+    "contains(txt, '{') AS has_brace FROM t) "
+    "SELECT doc_id, n_lines, kept_lines, "
+    "CAST(kept_lines AS DOUBLE) / n_lines AS kept_line_frac, "
+    "has_lorem, has_brace, "
+    "(kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS c4_keep "
+    "FROM f"
+)
+
+
+@register("c4_filter_docs", _C4_SQL)
+def c4_filter_docs(sf_dir: str):
+    """C4-style line filter (terminal-punctuation lines, lorem-ipsum and
+    curly-brace page rejects) over planted 4-word lines."""
+    from ..functions import repetition as frep
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        out = []
+        for i, t in zip(ids, b["text"].to_pylist()):
+            ws = [w for w in (t or "").split(" ") if w]
+            lines = []
+            for k in range(len(ws) // 4):
+                line = " ".join(ws[4 * k : 4 * k + 4])
+                if (i + k + 1) % 3 == 0:
+                    line += "."
+                lines.append(line)
+            if i % 97 == 0:
+                lines.append("lorem ipsum dolor sit amet.")
+            if i % 13 == 0:
+                lines.append("function() {")
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(frep.c4_line_stats_batch, batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "n_lines", "kept_lines", "kept_line_frac",
+             "has_lorem", "has_brace", "c4_keep"]
+        )
+    )
+
+
+_CONTAM_SQL = (
+    # benchmark = first-5-word grams of every 50th doc, capped at 16
+    # entries (externally-supplied small artifact in production; derived
+    # from the corpus here so contamination is guaranteed plantable)
+    "WITH bench AS (SELECT array_to_string(list_slice("
+    "list_filter(string_split(text, ' '), x -> x <> ''), 1, 5), ' ') AS ng "
+    "FROM documents WHERE doc_id % 50 = 0 ORDER BY doc_id LIMIT 16) "
+    "SELECT d.doc_id, "
+    "CAST(sum(CASE WHEN contains(d.text, b.ng) THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_bench_hits, "
+    "sum(CASE WHEN contains(d.text, b.ng) THEN 1 ELSE 0 END) > 0 "
+    "AS is_contaminated "
+    "FROM documents d CROSS JOIN bench b GROUP BY d.doc_id"
+)
+
+
+@register("contamination_check_docs", _CONTAM_SQL)
+def contamination_check_docs(sf_dir: str):
+    """Benchmark decontamination: flag docs containing any of a small
+    broadcast set of benchmark n-grams (substring match, the standard
+    eval-contamination check).  The benchmark side is hard-capped at 16
+    entries (ORDER BY doc_id LIMIT) so the driver collect is bounded
+    regardless of corpus size; in production the benchmark set is an
+    external artifact, not corpus-derived."""
+    from ..functions import repetition as frep
+
+    def every_50th(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 == 0))
+
+    bench_rows = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(every_50th, batch_format="pyarrow")
+        .sort("doc_id")
+        .limit(16)
+        .take(16)
+    )
+    bench = [
+        " ".join([w for w in (r["text"] or "").split(" ") if w][:5])
+        for r in bench_rows
+    ]
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: frep.contamination_batch(b, bench),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "n_bench_hits", "is_contaminated"])
+    )
+
+
+_VOCAB_UNNEST = (
+    "(SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) "
+    "AS word FROM documents)"
+)
+
+
+@register(
+    "vocab_top25",
+    f"SELECT word, CAST(count(*) AS BIGINT) AS n FROM {_VOCAB_UNNEST} "
+    "GROUP BY word ORDER BY n DESC, word ASC LIMIT 25",
+)
+def vocab_top25(sf_dir: str):
+    """Corpus vocabulary top-k: per-batch Counter partials (map-side
+    combine, shuffle carries distinct-words-per-block not tokens) ->
+    groupby sum -> deterministic top-25."""
+    from ..functions import repetition as frep
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(frep.word_count_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(25)
+    )
+
+
+@register(
+    "vocab_size",
+    "SELECT CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words, "
+    f"CAST(count(*) AS BIGINT) AS total_tokens FROM {_VOCAB_UNNEST}",
+)
+def vocab_size(sf_dir: str):
+    """Corpus vocabulary size + total token count via the same combined
+    partials; the driver receives exactly one row."""
+    import pandas as pd
+
+    from ..functions import repetition as frep
+
+    agg = (
+        _docs(sf_dir, ["text"])
+        .map_batches(frep.word_count_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .aggregate(Count(), Sum("n"))
+    )
+    return pd.DataFrame([
+        {"n_distinct_words": int(agg["count()"]),
+         "total_tokens": int(agg["sum(n)"])}
+    ])

@@ -1,0 +1,135 @@
+"""Hand-computed unit tests for the quality_filter-tier operators in
+functions/repetition.py (Gopher repetition signals, Gopher word-stats
+keep rule, C4 line filter, decontamination, vocab partials).  These are
+pure Arrow-batch functions - no Ray session needed; the end-to-end
+oracle parity lives in the driver sweep (tools/check_queries.py)."""
+
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.functions import repetition as frep
+
+
+def _tbl(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+class TestRepetitionSignals:
+    def test_dup_lines_and_top_2gram(self):
+        # lines: "a b" x2 + "c d"; words a b a b c d
+        out = frep.repetition_signals_batch(_tbl(["a b\na b\nc d"]))
+        assert out["n_lines"][0].as_py() == 3
+        assert out["dup_line_frac"][0].as_py() == pytest.approx(1 / 3, abs=0)
+        # dup line chars = (2-1)*3 of 9 total line chars
+        assert out["dup_line_char_frac"][0].as_py() == pytest.approx(
+            3 / 9, abs=0
+        )
+        # top 2-gram "a b" (count 2, len 3) over len(text)=11
+        assert out["top_2gram_char_frac"][0].as_py() == pytest.approx(
+            6 / 11, abs=0
+        )
+        # both 5-grams unique
+        assert out["dup_5gram_char_frac"][0].as_py() == 0.0
+
+    def test_dup_5gram(self):
+        # 12 alternating words; each of the two distinct 5-grams (len 9)
+        # occurs 4 times -> dup chars 2*(4-1)*9 = 54 over len(text) 23
+        out = frep.repetition_signals_batch(
+            _tbl(["x y x y x y x y x y x y"])
+        )
+        assert out["dup_5gram_char_frac"][0].as_py() == pytest.approx(
+            54 / 23, abs=0
+        )
+        assert out["dup_line_frac"][0].as_py() == 0.0
+
+    def test_top_2gram_tie_breaks_to_smallest(self):
+        # "b c" and "a b" both occur once... craft a real tie at count 2
+        out = frep.repetition_signals_batch(_tbl(["b c b c a d a d"]))
+        # counts: "b c":2, "c b":1, "c a":1, "a d":2, "d a":1 -> tie at
+        # 2 between "a d" and "b c"; smallest string is "a d"
+        text_len = len("b c b c a d a d")
+        assert out["top_2gram_char_frac"][0].as_py() == pytest.approx(
+            2 * 3 / text_len, abs=0
+        )
+
+    def test_empty_and_null(self):
+        out = frep.repetition_signals_batch(
+            pa.table({"doc_id": [0, 1], "text": pa.array(["", None])})
+        )
+        assert out["n_lines"].to_pylist() == [1, 1]
+        assert out["dup_line_frac"].to_pylist() == [0.0, 0.0]
+
+
+class TestGopherWordStats:
+    def test_short_doc_dropped(self):
+        out = frep.gopher_word_stats_batch(_tbl(["the cat sat"]))
+        assert out["n_words"][0].as_py() == 3
+        assert out["mean_word_len"][0].as_py() == 3.0
+        assert out["stop_hits"][0].as_py() == 1
+        assert not out["gopher_keep"][0].as_py()  # < 10 words
+
+    def test_keep_and_symbol_drop(self):
+        base = "the quick brown fox jumps over one lazy dog today again yes"
+        keep = frep.gopher_word_stats_batch(_tbl([base]))
+        assert keep["n_words"][0].as_py() == 12
+        assert keep["gopher_keep"][0].as_py()
+        # one symbol word in 13 -> ratio 1/13 > 0.05 -> drop
+        drop = frep.gopher_word_stats_batch(_tbl([base + " #"]))
+        assert drop["symbol_word_ratio"][0].as_py() == pytest.approx(
+            1 / 13, abs=0
+        )
+        assert not drop["gopher_keep"][0].as_py()
+
+    def test_stop_hits_distinct(self):
+        out = frep.gopher_word_stats_batch(_tbl(["the the and of zzz"]))
+        assert out["stop_hits"][0].as_py() == 3  # the, and, of (distinct)
+
+
+class TestC4LineStats:
+    def test_kept_lines(self):
+        txt = "a b c.\nd e\nf g h i.\nshort.\nm n o."
+        out = frep.c4_line_stats_batch(_tbl([txt]))
+        # kept: ends '.' AND >= 3 words -> "a b c.", "f g h i.", "m n o."
+        assert out["n_lines"][0].as_py() == 5
+        assert out["kept_lines"][0].as_py() == 3
+        assert out["kept_line_frac"][0].as_py() == pytest.approx(3 / 5, abs=0)
+        assert out["c4_keep"][0].as_py()
+
+    def test_lorem_and_brace_reject(self):
+        good = "a b c.\nd e f.\ng h i."
+        out = frep.c4_line_stats_batch(
+            _tbl([good + "\nlorem ipsum x", good + "\nvar x = {", good])
+        )
+        assert out["has_lorem"].to_pylist() == [True, False, False]
+        assert out["has_brace"].to_pylist() == [False, True, False]
+        assert out["c4_keep"].to_pylist() == [False, False, True]
+
+
+class TestContamination:
+    def test_duplicate_benchmark_entries_counted(self):
+        out = frep.contamination_batch(
+            _tbl(["hello world foo", "bar baz"]),
+            ["hello world", "baz", "baz"],
+        )
+        assert out["n_bench_hits"].to_pylist() == [1, 2]
+        assert out["is_contaminated"].to_pylist() == [True, True]
+
+    def test_no_hits(self):
+        out = frep.contamination_batch(_tbl(["clean text"]), ["zzz"])
+        assert out["n_bench_hits"].to_pylist() == [0]
+        assert out["is_contaminated"].to_pylist() == [False]
+
+
+class TestWordCountPartial:
+    def test_counts_and_order(self):
+        out = frep.word_count_partial(_tbl(["a b a", "b  c"]))
+        assert out["word"].to_pylist() == ["a", "b", "c"]
+        assert out["n"].to_pylist() == [2, 2, 1]
+
+    def test_empty_batch(self):
+        out = frep.word_count_partial(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+        )
+        assert len(out) == 0
+        assert out.schema.field("n").type == pa.int64()
