@@ -1,0 +1,110 @@
+"""Sequence packing via a distributed prefix-sum (scan) primitive.
+
+Training-example packing assigns every document a position in a global
+token stream ordered by ``id_col`` and a ``pack_id`` = which
+fixed-``budget`` training sequence its first token lands in — the
+standard pretraining batch-packing step (no reference analogue; LLM
+pipeline brief).
+
+The scan is hierarchical, the classic two-level distributed prefix sum:
+
+  1. bucket = id // bucket_size; per-bucket token sums via a small
+     ``groupby`` (shuffle carries ONE row per bucket, not per doc);
+  2. driver computes exclusive offsets over the sorted bucket sums —
+     bounded by n_docs / bucket_size rows and guarded by
+     ``max_buckets`` (at the default 4096 docs/bucket the 5M-bucket
+     guard allows ~20G docs; raise bucket_size for more, or add a
+     third level — the construction nests);
+  3. per-bucket ``map_groups`` sorts by id and adds the broadcast
+     offset to a vectorized local cumsum.
+
+Token counts are exact ints and the scan is addition, so results are
+partition-count-invariant and bit-identical to the SQL window
+``SUM(...) OVER (ORDER BY id)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def token_count_pack_partial(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 4096,
+) -> pa.Table:
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = np.array(
+        [
+            len([w for w in (t or "").split(" ") if w])
+            for t in batch[text_col].to_pylist()
+        ],
+        dtype=np.int64,
+    )
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(n_tokens),
+            "bucket": pa.array(ids // bucket_size),
+        }
+    )
+
+
+def token_prefix_pack(
+    ds: ray.data.Dataset,
+    budget: int = 512,
+    bucket_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_buckets: int = 5_000_000,
+) -> ray.data.Dataset:
+    """id, n_tokens, cum_tokens (inclusive prefix over id order),
+    pack_id = exclusive_prefix // budget."""
+    t = ds.map_batches(
+        lambda b: token_count_pack_partial(
+            b, text_col=text_col, id_col=id_col, bucket_size=bucket_size
+        ),
+        batch_format="pyarrow",
+    )
+
+    sums = t.groupby("bucket").aggregate(
+        Sum("n_tokens", alias_name="bucket_tokens")
+    ).materialize()
+    n_buckets = sums.count()
+    if n_buckets > max_buckets:
+        raise ValueError(
+            f"{n_buckets} scan buckets exceeds max_buckets={max_buckets}; "
+            "raise bucket_size (the two-level scan nests to three levels "
+            "if a corpus ever genuinely needs it)"
+        )
+    bucket_rows = sorted(
+        (r["bucket"], r["bucket_tokens"]) for r in sums.take_all()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b, s in bucket_rows:
+        offsets[b] = acc
+        acc += int(s)
+    offsets_ref = ray.put(offsets)
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(id_col, kind="mergesort")
+        cum = off + g["n_tokens"].to_numpy(dtype=np.int64).cumsum()
+        excl = cum - g["n_tokens"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+                "cum_tokens": cum,
+                "pack_id": excl // budget,
+            }
+        )
+
+    return t.groupby("bucket").map_groups(scan_bucket, batch_format="pandas")

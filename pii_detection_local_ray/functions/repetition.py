@@ -247,3 +247,48 @@ def word_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "n": pa.array(list(counts), pa.int64()),
         }
     )
+
+
+def doc_df_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch document-frequency partial: counts each word once per
+    doc (set semantics), so the groupby-sum downstream yields exact
+    corpus df = number of docs containing the word."""
+    cnt: Counter = Counter()
+    for text in batch[text_col].to_pylist():
+        cnt.update(set(_words(text or "")))
+    if not cnt:
+        return pa.table(
+            {"word": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+    words, counts = zip(*sorted(cnt.items()))
+    return pa.table(
+        {
+            "word": pa.array(list(words), pa.string()),
+            "df": pa.array(list(counts), pa.int64()),
+        }
+    )
+
+
+def rare_word_stats_batch(
+    batch: pa.Table,
+    df_map: dict,
+    rare_df: int = 2,
+    text_col: str = "text",
+) -> pa.Table:
+    """Per-doc rare-word signals against a broadcast df table:
+    n_rare_words = occurrences of words with df <= rare_df;
+    sum_df = exact int64 sum of df over all word occurrences (the
+    integer analogue of an inverse-document-frequency score - float
+    log-sums would not hash-match across engines)."""
+    n = len(batch)
+    n_rare = np.zeros(n, dtype=np.int64)
+    sum_df = np.zeros(n, dtype=np.int64)
+    for i, text in enumerate(batch[text_col].to_pylist()):
+        for w in _words(text or ""):
+            d = df_map[w]
+            sum_df[i] += d
+            if d <= rare_df:
+                n_rare[i] += 1
+    batch = batch.append_column("n_rare_words", pa.array(n_rare, pa.int64()))
+    batch = batch.append_column("sum_df", pa.array(sum_df, pa.int64()))
+    return batch

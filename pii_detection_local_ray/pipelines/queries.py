@@ -2685,3 +2685,89 @@ def vocab_size(sf_dir: str):
         {"n_distinct_words": int(agg["count()"]),
          "total_tokens": int(agg["sum(n)"])}
     ])
+
+
+_PACK_SQL = (
+    "WITH t AS (SELECT doc_id, CAST(length(list_filter(string_split(text, "
+    "' '), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens "
+    "FROM t) "
+    "SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, "
+    "CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id FROM c"
+)
+
+
+@register("token_pack_assignments", _PACK_SQL)
+def token_pack_assignments(sf_dir: str):
+    """Sequence packing via the two-level distributed prefix sum
+    (functions/packing.py): global token-stream position per doc and the
+    512-token training sequence its first token lands in.  Equals the
+    SQL window SUM(...) OVER (ORDER BY doc_id) bit-exactly."""
+    from ..functions.packing import token_prefix_pack
+
+    return token_prefix_pack(
+        _docs(sf_dir, ["doc_id", "text"]), budget=512, bucket_size=64
+    ).select_columns(["doc_id", "n_tokens", "cum_tokens", "pack_id"])
+
+
+_RARE_SQL = (
+    # plant one df=1 word on every 7th doc so the rare-word path is
+    # non-degenerate on the word-soup corpus
+    "WITH p AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 THEN "
+    "' rare' || CAST(doc_id AS VARCHAR) ELSE '' END AS t FROM documents), "
+    "wx AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), "
+    "x -> x <> '')) AS word FROM p), "
+    "df AS (SELECT word, count(DISTINCT doc_id) AS df FROM wx "
+    "GROUP BY word) "
+    "SELECT wx.doc_id, "
+    "CAST(sum(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_rare_words, CAST(sum(df.df) AS BIGINT) AS sum_df "
+    "FROM wx JOIN df USING (word) GROUP BY wx.doc_id"
+)
+
+
+@register("rare_word_stats_docs", _RARE_SQL)
+def rare_word_stats_docs(sf_dir: str):
+    """Rare-word quality signals against a distributed document-frequency
+    table: per-batch set-semantics df partials -> groupby sum -> df
+    broadcast (vocab-bounded, 5M-entry guard) -> per-occurrence exact
+    int64 df sums.  The integer analogue of IDF scoring (float log-sums
+    would not hash-match across engines)."""
+    from ..functions import repetition as frep
+
+    def plant_rare(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pa.array([
+                (t or "") + (f" rare{i}" if i % 7 == 0 else "")
+                for i, t in zip(ids, texts)
+            ]),
+        })
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant_rare, batch_format="pyarrow"
+    )
+
+    df_tbl = (
+        planted.map_batches(frep.doc_df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+    if df_tbl.count() > 5_000_000:
+        raise ValueError(
+            "df vocabulary exceeds the 5M broadcast guard; cap the "
+            "vocabulary (min-df floor) before broadcasting"
+        )
+    df_map = {r["word"]: int(r["df"]) for r in df_tbl.take_all()}
+    df_ref = ray.put(df_map)
+
+    def stats(b: pa.Table) -> pa.Table:
+        return frep.rare_word_stats_batch(b, ray.get(df_ref), rare_df=2)
+
+    return planted.map_batches(stats, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_rare_words", "sum_df"]
+    )

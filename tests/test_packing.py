@@ -1,0 +1,116 @@
+"""Tests for the distributed prefix-sum / sequence-packing primitive
+(functions/packing.py) and the document-frequency rare-word signals
+(functions/repetition.doc_df_partial / rare_word_stats_batch)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.functions import repetition as frep
+from pii_detection_local_ray.functions.packing import (
+    token_count_pack_partial,
+    token_prefix_pack,
+)
+
+
+def _corpus_table(n=100, seed=7):
+    rng = np.random.default_rng(seed)
+    texts = [
+        " ".join(["w"] * int(rng.integers(1, 30))) for _ in range(n)
+    ]
+    return pa.table({"doc_id": list(range(n)), "text": texts})
+
+
+def _expected_prefix(tbl, budget):
+    toks = [len(t.split()) for t in tbl["text"].to_pylist()]
+    cum = np.cumsum(toks)
+    excl = cum - np.array(toks)
+    return toks, cum, excl // budget
+
+
+class TestTokenPrefixPack:
+    def test_matches_serial_scan(self, ray_session):
+        import ray.data
+
+        tbl = _corpus_table()
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        out = (
+            token_prefix_pack(ds, budget=64, bucket_size=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        toks, cum, packs = _expected_prefix(tbl, 64)
+        assert out["n_tokens"].tolist() == toks
+        assert out["cum_tokens"].tolist() == cum.tolist()
+        assert out["pack_id"].tolist() == packs.tolist()
+
+    def test_partition_count_invariant(self, ray_session):
+        import ray.data
+
+        tbl = _corpus_table(n=60, seed=11)
+        results = []
+        for parts, bucket in [(1, 8), (5, 8), (5, 1000)]:
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            df = (
+                token_prefix_pack(ds, budget=32, bucket_size=bucket)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            results.append(df)
+        for other in results[1:]:
+            assert results[0].equals(other)
+
+    def test_sparse_noncontiguous_ids(self, ray_session):
+        import ray.data
+
+        # ids with gaps and out-of-order blocks: scan order is id order
+        ids = [503, 2, 901, 17, 88]
+        texts = ["a b c", "d", "e f", "g h i j", "k"]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in zip(ids, texts)]
+        )
+        out = (
+            token_prefix_pack(ds, budget=4, bucket_size=100)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # id order: 2(1), 17(4), 88(1), 503(3), 901(2) -> cum 1,5,6,9,11
+        assert out["doc_id"].tolist() == [2, 17, 88, 503, 901]
+        assert out["cum_tokens"].tolist() == [1, 5, 6, 9, 11]
+        assert out["pack_id"].tolist() == [0, 0, 1, 1, 2]
+
+    def test_bucket_guard_trips(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_arrow(_corpus_table(n=50))
+        with pytest.raises(ValueError, match="max_buckets"):
+            token_prefix_pack(ds, bucket_size=1, max_buckets=10)
+
+    def test_partial_schema(self):
+        out = token_count_pack_partial(
+            pa.table({"doc_id": [0, 4096], "text": ["a b", ""]}),
+            bucket_size=4096,
+        )
+        assert out["n_tokens"].to_pylist() == [2, 0]
+        assert out["bucket"].to_pylist() == [0, 1]
+
+
+class TestDocFrequency:
+    def test_df_set_semantics(self):
+        out = frep.doc_df_partial(
+            pa.table({"text": ["a a b", "a c", ""]})
+        )
+        got = dict(zip(out["word"].to_pylist(), out["df"].to_pylist()))
+        assert got == {"a": 2, "b": 1, "c": 1}  # 'a' once per doc
+
+    def test_rare_word_stats(self):
+        df_map = {"a": 5, "b": 1, "c": 2}
+        out = frep.rare_word_stats_batch(
+            pa.table({"text": ["a b a", "c"]}), df_map, rare_df=2
+        )
+        # doc0: occurrences a,b,a -> sum_df 11, rare: b (df 1) -> 1
+        assert out["sum_df"].to_pylist() == [11, 2]
+        assert out["n_rare_words"].to_pylist() == [1, 1]
