@@ -1,0 +1,110 @@
+"""Cross-document line/paragraph-level exact dedup with rewrite.
+
+The web-corpus "remove duplicated boilerplate lines across the crawl"
+step (C4-style line dedup, public heuristic): a line occurring in many
+documents is kept only at its first global occurrence ordered by
+(doc_id, line_idx); every document is rebuilt from its surviving
+lines.  Complements the page-level dedup family in functions/dedup.py
+(reference parity anchor: the dedup stage of
+consolidate_pii_datasets.py's corpus prep; the line-level variant is a
+beyond-reference training-data operator).
+
+Distributed shape (two shuffles, both combiner-reduced):
+
+  1. explode docs into (doc_id, idx, line, h) rows with a MAP-SIDE
+     COMBINER: within a batch only the batch-local first occurrence of
+     each line can possibly be the global keeper (all later ones are
+     duplicates by definition), so the keeper-selection shuffle
+     carries at most distinct-lines-per-block rows, and a boilerplate
+     line occurring millions of times costs one row per block, not per
+     occurrence - the hot-key case is pre-reduced.
+  2. group by h (64-bit siphash of the line, not the line text, keys
+     the exchange); within a group, exact line comparison resolves
+     hash collisions and row_number-style first-occurrence selection
+     marks keepers.
+  3. group kept rows by doc_id and reassemble text in idx order.
+
+Lines shorter than ``min_chars`` (default 1, i.e. empty lines) are
+dropped outright before dedup - blank separators are not meaningful
+dedup keys and would otherwise be globally collapsed to a single
+surviving blank line.  Documents whose every line is owned by an
+earlier document disappear from the output (same semantics as the SQL
+mirror's inner GROUP BY).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def explode_lines_combined(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> pa.Table:
+    """(doc_id, idx, line, h) rows, batch-locally reduced to the first
+    occurrence of each line (the only row that can win globally)."""
+    ids, idxs, lines = [], [], []
+    for i, t in zip(
+        batch[id_col].to_pylist(), batch[text_col].to_pylist()
+    ):
+        for j, line in enumerate((t or "").split("\n"), start=1):
+            if len(line) < min_chars:
+                continue
+            ids.append(i)
+            idxs.append(j)
+            lines.append(line)
+    df = pd.DataFrame({id_col: ids, "idx": idxs, "line": lines})
+    df = df.sort_values([id_col, "idx"], kind="mergesort").drop_duplicates(
+        "line", keep="first"
+    )
+    # vectorized deterministic 64-bit hash (fixed default key, stable
+    # across worker processes - unlike builtin str hash)
+    h = pd.util.hash_array(df["line"].to_numpy(dtype=object), categorize=False)
+    return pa.table(
+        {
+            id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+            "idx": pa.array(df["idx"].to_numpy(), pa.int64()),
+            "line": pa.array(df["line"].tolist(), pa.string()),
+            "h": pa.array(h.view(np.int64)),
+        }
+    )
+
+
+def dedup_lines_across_docs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> ray.data.Dataset:
+    """doc_id, n_kept_lines, rebuilt_text for docs with >= 1 kept line."""
+    ex = ds.map_batches(
+        lambda b: explode_lines_combined(
+            b, text_col=text_col, id_col=id_col, min_chars=min_chars
+        ),
+        batch_format="pyarrow",
+    )
+
+    def mark_keepers(g: pd.DataFrame) -> pd.DataFrame:
+        # exact line comparison within the hash bucket resolves 64-bit
+        # collisions; first occurrence by (doc_id, idx) wins
+        g = g.sort_values([id_col, "idx"], kind="mergesort")
+        return g[~g.duplicated("line", keep="first")][[id_col, "idx", "line"]]
+
+    kept = ex.groupby("h").map_groups(mark_keepers, batch_format="pandas")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("idx", kind="mergesort")
+        return pd.DataFrame(
+            {
+                id_col: [int(g[id_col].iloc[0])],
+                "n_kept_lines": [len(g)],
+                "rebuilt_text": ["\n".join(g["line"])],
+            }
+        )
+
+    return kept.groupby(id_col).map_groups(rebuild, batch_format="pandas")

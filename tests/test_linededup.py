@@ -1,0 +1,109 @@
+"""Cross-document line dedup (functions/linededup.py): combiner
+semantics on raw batches, end-to-end keeper/rebuild semantics on a
+crafted corpus, and DuckDB parity for the registered query at
+sf0.001."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.linededup import (
+    dedup_lines_across_docs,
+    explode_lines_combined,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(docs):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [d for d, _ in docs],
+                "text": [t for _, t in docs],
+            }
+        )
+    )
+    df = dedup_lines_across_docs(ds).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+class TestCombiner:
+    def test_batch_local_first_only(self):
+        out = explode_lines_combined(
+            pa.table({"doc_id": [1, 2], "text": ["dup\nx", "dup\ny"]})
+        )
+        # 'dup' appears once (doc 1, idx 1); later occurrence dropped
+        df = out.to_pandas()
+        assert len(df) == 3
+        row = df[df["line"] == "dup"].iloc[0]
+        assert (row["doc_id"], row["idx"]) == (1, 1)
+
+    def test_empty_lines_dropped(self):
+        out = explode_lines_combined(
+            pa.table({"doc_id": [1], "text": ["a\n\nb\n"]})
+        )
+        assert out["line"].to_pylist() == ["a", "b"]
+        assert out["idx"].to_pylist() == [1, 3]
+
+    def test_same_hash_distinct_lines_both_survive(self):
+        out = explode_lines_combined(
+            pa.table({"doc_id": [1], "text": ["a\nb"]})
+        )
+        assert sorted(out["line"].to_pylist()) == ["a", "b"]
+
+
+class TestEndToEnd:
+    def test_cross_doc_keeper_and_rebuild(self, ray_session):
+        df = _run(
+            [
+                (1, "alpha beta\nshared line\ngamma"),
+                (2, "shared line\nunique two"),
+                (3, "shared line"),
+                (4, "delta\ndelta\nepsilon"),
+            ]
+        )
+        # doc 3's only line is owned by doc 1 -> vanishes
+        assert df["doc_id"].tolist() == [1, 2, 4]
+        by = df.set_index("doc_id")
+        assert by.loc[1, "rebuilt_text"] == "alpha beta\nshared line\ngamma"
+        assert by.loc[2, "rebuilt_text"] == "unique two"
+        # within-doc dup: second 'delta' dropped
+        assert by.loc[4, "rebuilt_text"] == "delta\nepsilon"
+        assert by.loc[4, "n_kept_lines"] == 2
+
+    def test_idx_order_preserved_after_dedup(self, ray_session):
+        df = _run([(1, "z\na"), (2, "a\nmid\nz\nend")])
+        by = df.set_index("doc_id")
+        # doc 2 loses 'a' and 'z' (owned by doc 1) but keeps order
+        assert by.loc[2, "rebuilt_text"] == "mid\nend"
+        assert by.loc[1, "rebuilt_text"] == "z\na"
+
+
+class TestOracleParity:
+    def test_line_dedup_docs_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from pii_detection_local_ray.pipelines import queries as Q
+
+        res = Q._QUERIES["line_dedup_docs"](SF).to_pandas()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(Q._SQL["line_dedup_docs"]).df()
+        a = res.sort_values("doc_id").reset_index(drop=True)
+        b = want.sort_values("doc_id").reset_index(drop=True)
+        assert len(a) == len(b) > 0
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)],
+            b[sorted(b.columns)],
+            check_dtype=False,
+        )
+        # plants actually exercised: boilerplate kept exactly once
+        n_boiler = sum(
+            "all rights reserved" in t for t in a["rebuilt_text"]
+        )
+        assert n_boiler == 1
