@@ -1,0 +1,101 @@
+"""Duplicate k-gram span statistics across the corpus.
+
+The "how much of each document is verbatim-repeated elsewhere" signal
+from Lee et al. 2021 (Deduplicating Training Data Makes Language Models
+Better): for every document, the fraction of its distinct k-token grams
+that also occur in at least one OTHER document.  The full suffix-array
+substring remover is a single-machine construction; the distributed
+form used by web pipelines is this k-gram approximation, which is a
+pure two-shuffle Ray Data job.
+
+Distributed shape:
+
+  1. map_batches explodes each doc into its DISTINCT k-gram set as
+     (doc_id, gh, gram) rows - the distinct-per-doc reduction happens
+     map-side (a doc never spans blocks), so a doc repeating one gram
+     thousands of times ships it once.  gh is a 64-bit siphash of the
+     gram text and keys the exchange (fixed-width sort key); the gram
+     text rides along only to resolve hash collisions exactly.
+  2. groupby(gh): within a bucket, a gram's doc-frequency is its exact
+     nunique(doc_id) per distinct gram text; emit (doc_id, is_dup).
+  3. per-doc partial sums map-side, then a tiny groupby(doc_id) sum:
+     n_grams, n_dup_grams, dup_gram_frac (exact int division to
+     float64 so the DuckDB oracle reproduces it bit-for-bit).
+
+Documents with fewer than k tokens contribute no grams and are absent
+from the output (the SQL mirror's unnest produces no rows for them).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def explode_kgrams(
+    batch: pa.Table, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """(doc_id, gh, gram) rows - each doc's DISTINCT k-grams."""
+    ids, grams = [], []
+    for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        toks = [w for w in (t or "").split(" ") if w]
+        if len(toks) < k:
+            continue
+        seen = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+        ids.extend([i] * len(seen))
+        grams.extend(seen)
+    h = pd.util.hash_array(np.array(grams, dtype=object), categorize=False)
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "gh": pa.array(h.view(np.int64)),
+            "gram": pa.array(grams, pa.string()),
+        }
+    )
+
+
+def dup_kgram_stats(
+    ds: ray.data.Dataset, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """doc_id, n_grams, n_dup_grams, dup_gram_frac per doc with >= k tokens."""
+    pairs = ds.map_batches(
+        lambda b: explode_kgrams(b, k=k, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+
+    def flag_dups(g: pd.DataFrame) -> pd.DataFrame:
+        # exact doc-frequency per distinct gram TEXT inside the hash
+        # bucket (collision-safe); one output row per (doc, gram)
+        nd = g.groupby("gram", sort=False)[id_col].transform("nunique")
+        return pd.DataFrame(
+            {id_col: g[id_col], "is_dup": (nd > 1).astype(np.int64)}
+        )
+
+    flagged = pairs.groupby("gh").map_groups(flag_dups, batch_format="pandas")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        p = df.groupby(id_col, sort=False, dropna=False).agg(
+            n_grams=("is_dup", "size"), n_dup_grams=("is_dup", "sum")
+        )
+        return pa.Table.from_pandas(p.reset_index(), preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n_grams"].sum())
+        d = int(g["n_dup_grams"].sum())
+        return pd.DataFrame(
+            {
+                id_col: [int(g[id_col].iloc[0])],
+                "n_grams": [n],
+                "n_dup_grams": [d],
+                "dup_gram_frac": [d / n],
+            }
+        )
+
+    return (
+        flagged.map_batches(partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .map_groups(finalize, batch_format="pandas")
+    )

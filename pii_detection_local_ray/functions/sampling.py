@@ -49,6 +49,43 @@ def hash_sample_batch(
     return batch.filter(pa.array(keep))
 
 
+def rate_threshold_hex(rate: float) -> str | None:
+    """Map a keep-probability to an 8-hex-char md5-prefix threshold.
+
+    Row kept iff md5(id)[:8] < threshold (lexicographic == numeric for
+    fixed-width hex).  None means keep-all (rate >= 1).  The DuckDB
+    mirror is printf('%08x', CAST(floor(rate*4294967296) AS BIGINT)) -
+    identical IEEE double arithmetic on both sides."""
+    if rate >= 1.0:
+        return None
+    return format(int(rate * 4294967296.0), "08x")
+
+
+def rate_quota_sample_batch(
+    batch: pa.Table,
+    rates: dict,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Keep each row with its group's probability via deterministic
+    md5-prefix thresholding (the token-budget mixture-sampling step of
+    web pipelines: groups over budget are downsampled to rate =
+    budget/total, groups under budget pass through).  ``rates`` is a
+    small broadcast dict {group: rate}; rows whose group is absent are
+    dropped."""
+    thr = {g: rate_threshold_hex(r) for g, r in rates.items()}
+    keep = []
+    for g, i in zip(
+        batch[group_col].to_pylist(), batch[id_col].to_pylist()
+    ):
+        t = thr.get(g, "")
+        keep.append(
+            t is None
+            or (t != "" and hashlib.md5(str(i).encode()).hexdigest()[:8] < t)
+        )
+    return batch.filter(pa.array(keep))
+
+
 def per_group_cap(
     ds: ray.data.Dataset,
     group_col: str,

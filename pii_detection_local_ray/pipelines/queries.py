@@ -2583,6 +2583,168 @@ def c4_filter_docs(sf_dir: str):
     )
 
 
+_LINEDEDUP_SQL = (
+    # plant: 5-word lines; shared intro (3 variants, doc_id%11),
+    # newsletter boilerplate (doc_id%7), rights boilerplate (doc_id%5).
+    # Global first occurrence by (doc_id, idx) keeps a line; docs are
+    # rebuilt from surviving lines (docs with none vanish).
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents), "
+    "p AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "['shared intro line number ' || CAST(doc_id % 3 AS VARCHAR)] "
+    "ELSE CAST([] AS VARCHAR[]) END "
+    "|| list_transform(range(1, len(ws)//5 + 1), "
+    "i -> array_to_string(list_slice(ws, 5*i-4, 5*i), ' ')) "
+    "|| CASE WHEN doc_id % 7 = 0 THEN "
+    "['subscribe to our newsletter today'] "
+    "ELSE CAST([] AS VARCHAR[]) END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ['all rights reserved'] "
+    "ELSE CAST([] AS VARCHAR[]) END AS lines FROM w), "
+    "l AS (SELECT doc_id, unnest(lines) AS line, "
+    "unnest(range(1, len(lines)+1)) AS idx FROM p), "
+    "k AS (SELECT doc_id, idx, line, "
+    "row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn "
+    "FROM l) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines, "
+    "string_agg(line, chr(10) ORDER BY idx) AS rebuilt_text "
+    "FROM k WHERE rn = 1 GROUP BY doc_id"
+)
+
+
+@register("line_dedup_docs", _LINEDEDUP_SQL)
+def line_dedup_docs(sf_dir: str):
+    """Cross-document exact line dedup with rewrite (C4-style
+    boilerplate-line removal): first global occurrence by (doc_id,
+    line_idx) survives, docs rebuilt from surviving lines.  Plants
+    three shared-intro variants plus two boilerplate lines so the
+    cross-doc keeper path is exercised deterministically."""
+    from ..functions.linededup import dedup_lines_across_docs
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ws = [w for w in (t or "").split(" ") if w]
+            lines = []
+            if i % 11 == 0:
+                lines.append(f"shared intro line number {i % 3}")
+            for k in range(len(ws) // 5):
+                lines.append(" ".join(ws[5 * k : 5 * k + 5]))
+            if i % 7 == 0:
+                lines.append("subscribe to our newsletter today")
+            if i % 5 == 0:
+                lines.append("all rights reserved")
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out)})
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return dedup_lines_across_docs(planted)
+
+
+_PASSAGE = (
+    "shared passage anchor river stone cloud ember willow harbor meadow "
+    "lantern orchard thistle granite sparrow cedar maple aspen birch alder "
+    "hazel rowan juniper laurel olive walnut chestnut poplar sycamore elm"
+)
+
+_DUPSPAN_SQL = (
+    # plant: every 17th doc gets the same 30-word passage appended, so
+    # its 8-gram set overlaps every other planted doc (23 passage
+    # grams shared, boundary grams unique per doc)
+    "WITH t AS (SELECT doc_id, text || CASE WHEN doc_id % 17 = 0 THEN "
+    f"' {_PASSAGE}' ELSE '' END AS tx FROM documents), "
+    "w AS (SELECT doc_id, list_filter(string_split(tx, ' '), "
+    "x -> x <> '') AS ws FROM t), "
+    "g AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, "
+    "unnest(list_transform(range(1, len(ws)-6), "
+    "i -> array_to_string(list_slice(ws, i, i+7), ' '))) AS gram FROM w)), "
+    "d AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram) "
+    "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+    "CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dup_grams, "
+    "CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) "
+    "AS dup_gram_frac "
+    "FROM g JOIN d USING (gram) GROUP BY g.doc_id"
+)
+
+
+@register("dup_span_stats_docs", _DUPSPAN_SQL)
+def dup_span_stats_docs(sf_dir: str):
+    """Duplicate 8-gram span statistics (Lee et al. 2021 k-gram
+    approximation of suffix-array dedup): per doc, the fraction of its
+    distinct 8-token grams occurring in >= 2 docs.  A shared 30-word
+    passage is planted into every 17th doc so cross-doc duplicated
+    spans exist deterministically."""
+    from ..functions.dupspans import dup_kgram_stats
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = [
+            (t or "") + f" {_PASSAGE}" if i % 17 == 0 else (t or "")
+            for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist())
+        ]
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out)})
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return dup_kgram_stats(planted, k=8)
+
+
+_MIX_SQL = (
+    # per-source token budget 1300: sources over budget are hash-
+    # downsampled to rate = budget/total, sources under pass through
+    "WITH t AS (SELECT doc_id, source, CAST(length(list_filter("
+    "string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) "
+    "AS n_tokens FROM documents), "
+    "s AS (SELECT source, sum(n_tokens) AS tot FROM t GROUP BY source), "
+    "r AS (SELECT source, least(1.0, 1300.0 / CAST(tot AS DOUBLE)) "
+    "AS rate FROM s) "
+    "SELECT t.doc_id, t.source, t.n_tokens FROM t JOIN r USING (source) "
+    "WHERE rate >= 1.0 OR substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) "
+    "< printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))"
+)
+
+
+@register("token_budget_mix_sample", _MIX_SQL)
+def token_budget_mix_sample(sf_dir: str):
+    """Token-budget mixture sampling (the Pile/DoReMi-style source
+    mixing step): aggregate per-source token totals (tiny bounded
+    collect - one partial row per source per block), derive keep-rate
+    = min(1, budget/total), then deterministically hash-downsample
+    each source at its rate via md5-prefix thresholding
+    (functions/sampling.rate_quota_sample_batch)."""
+    from ..functions import text as ftext
+    from ..functions.sampling import rate_quota_sample_batch
+
+    budget = 1300.0
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        return ftext.token_count_batch(b).select(
+            ["doc_id", "source", "n_tokens"]
+        )
+
+    toks = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        with_tokens, batch_format="pyarrow"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        p = df.groupby("source", sort=False, dropna=False)["n_tokens"].sum()
+        return pa.Table.from_pandas(p.reset_index(), preserve_index=False)
+
+    totals: dict = {}
+    for row in toks.map_batches(partial, batch_format="pyarrow").take_all():
+        totals[row["source"]] = totals.get(row["source"], 0) + row["n_tokens"]
+    rates = {s: min(1.0, budget / float(t)) for s, t in totals.items()}
+
+    return toks.map_batches(
+        lambda b: rate_quota_sample_batch(b, rates, "source", "doc_id"),
+        batch_format="pyarrow",
+    )
+
+
 _CONTAM_SQL = (
     # benchmark = first-5-word grams of every 50th doc, capped at 16
     # entries (externally-supplied small artifact in production; derived

@@ -1,0 +1,119 @@
+"""Duplicate k-gram span stats (functions/dupspans.py) and token-budget
+mixture sampling (functions/sampling.rate_*): hand-computed semantics
+plus DuckDB parity for both registered queries at sf0.001."""
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.dupspans import (
+    dup_kgram_stats,
+    explode_kgrams,
+)
+from pii_detection_local_ray.functions.sampling import (
+    rate_quota_sample_batch,
+    rate_threshold_hex,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestExplode:
+    def test_distinct_grams_per_doc(self):
+        # "a b a b a" with k=2 -> grams {"a b", "b a"} (distinct)
+        out = explode_kgrams(
+            pa.table({"doc_id": [1], "text": ["a b a b a"]}), k=2
+        )
+        assert sorted(out["gram"].to_pylist()) == ["a b", "b a"]
+
+    def test_short_docs_skipped(self):
+        out = explode_kgrams(
+            pa.table({"doc_id": [1, 2], "text": ["a b", "a b c"]}), k=3
+        )
+        assert out["doc_id"].to_pylist() == [2]
+
+
+class TestDupKgramStats:
+    def test_shared_passage_flagged(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "p q r s t u",   # 3 grams, shares all with doc 2
+                        "p q r s t u",   # identical
+                        "x y z w v k",   # 3 unique grams
+                    ],
+                }
+            )
+        )
+        df = (
+            dup_kgram_stats(ds, k=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+        assert df.loc[1, "n_grams"] == 3 and df.loc[1, "n_dup_grams"] == 3
+        assert df.loc[2, "dup_gram_frac"] == 1.0
+        assert df.loc[3, "n_dup_grams"] == 0 and df.loc[3, "dup_gram_frac"] == 0.0
+
+
+class TestRateQuota:
+    def test_threshold_hex(self):
+        assert rate_threshold_hex(1.0) is None
+        assert rate_threshold_hex(1.5) is None
+        assert rate_threshold_hex(0.5) == "80000000"
+        assert rate_threshold_hex(0.0) == "00000000"
+
+    def test_batch_filter_matches_manual(self):
+        b = pa.table(
+            {
+                "doc_id": list(range(200)),
+                "source": ["a" if i % 2 else "b" for i in range(200)],
+            }
+        )
+        out = rate_quota_sample_batch(b, {"a": 0.25, "b": 1.0})
+        df = out.to_pandas()
+        # every 'b' row kept
+        assert (df["source"] == "b").sum() == 100
+        # 'a' rows: exactly those with md5 prefix under 0x40000000
+        kept_a = set(df[df["source"] == "a"]["doc_id"])
+        want = {
+            i
+            for i in range(1, 200, 2)
+            if hashlib.md5(str(i).encode()).hexdigest()[:8] < "40000000"
+        }
+        assert kept_a == want
+        assert 0 < len(kept_a) < 100
+
+    def test_unknown_group_dropped(self):
+        b = pa.table({"doc_id": [1, 2], "source": ["a", "zz"]})
+        out = rate_quota_sample_batch(b, {"a": 1.0})
+        assert out["source"].to_pylist() == ["a"]
+
+
+class TestOracleParity:
+    @pytest.mark.parametrize(
+        "name", ["dup_span_stats_docs", "token_budget_mix_sample"]
+    )
+    def test_matches_duckdb(self, ray_session, name):
+        import duckdb
+
+        from pii_detection_local_ray.pipelines import queries as Q
+
+        res = Q._QUERIES[name](SF).to_pandas()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.sql(Q._SQL[name]).df()
+        cols = sorted(res.columns)
+        assert cols == sorted(want.columns)
+        a = res[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b) > 0
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
