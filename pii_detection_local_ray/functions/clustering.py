@@ -1,0 +1,163 @@
+"""Embedding clustering + semantic dedup (SemDeDup).
+
+Distributed spherical k-means over an embedding column and the
+SemDeDup pruning step (Abbas et al. 2023: cluster the corpus, then
+inside every cluster drop near-duplicate embeddings, keeping the
+lowest id) - the modern semantic-level complement to the lexical
+dedup family in functions/dedup.py.
+
+Distributed shape (per k-means iteration, one small shuffle):
+
+  - centroids are TINY (k x dim float64) and broadcast once per
+    iteration via ray.put; every map_batches task reads the same
+    object-store copy instead of re-shipping per batch.
+  - each batch computes its assignment vectorized (normalized rows @
+    centroids.T, argmax; ties -> lowest cluster id via argmax-first)
+    and emits exactly k partial rows (cluster, partial sum vector,
+    count) - the all-to-all exchange carries k rows per block, never
+    the data.
+  - groupby(cluster) combines partials; the driver sees k rows total
+    and renormalizes (spherical update).  Empty clusters keep their
+    previous centroid.
+
+SemDeDup pruning groups the FINAL assignment by cluster and inside
+each group drops every vector whose cosine similarity to ANY lower-id
+member is >= threshold (deterministic, non-iterative semantics - the
+drop set does not depend on scan order).  Per-group work is O(c^2) on
+the cluster size c, which is the SemDeDup contract: k is chosen so
+clusters stay small (the paper uses ~sqrt(n) clusters); a pathological
+giant cluster should be re-clustered, not silently truncated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    return np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+
+
+def init_centroids(
+    ds: ray.data.Dataset, k: int, id_col: str, emb_col: str
+) -> np.ndarray:
+    """Deterministic init: normalized embeddings of the k smallest ids
+    (map-side bottom-k, then a k-row global sort - bounded collect)."""
+
+    def bottomk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().nsmallest(k, id_col)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rows = (
+        ds.map_batches(bottomk, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(k)
+        .take(k)
+    )
+    m = np.array([r[emb_col] for r in rows], dtype=np.float64)
+    return _normalize(m)
+
+
+def spherical_kmeans(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Fit centroids; the dataset is streamed once per iteration."""
+    cents = init_centroids(ds, k, id_col, emb_col)
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(b: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            v = _normalize(_emb_matrix(b, emb_col))
+            a = np.argmax(v @ c.T, axis=1)
+            hot = np.zeros((len(v), k))
+            hot[np.arange(len(v)), a] = 1.0
+            sums = hot.T @ v  # k x dim
+            counts = hot.sum(axis=0)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k), pa.int64()),
+                    "psum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                    "n": pa.array(counts.astype(np.int64)),
+                }
+            )
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            s = np.sum(np.stack(g["psum"].to_numpy()), axis=0)
+            return pd.DataFrame(
+                {
+                    "cluster": [int(g["cluster"].iloc[0])],
+                    "psum": [s.tolist()],
+                    "n": [int(g["n"].sum())],
+                }
+            )
+
+        rows = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(combine, batch_format="pandas")
+            .take_all()
+        )
+        new = cents.copy()
+        for r in rows:
+            if r["n"] > 0:
+                new[r["cluster"]] = np.asarray(r["psum"], dtype=np.float64)
+        cents = _normalize(new)
+    return cents
+
+
+def assign_clusters(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    ref = ray.put(centroids)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        v = _normalize(_emb_matrix(b, emb_col))
+        a = np.argmax(v @ c.T, axis=1)
+        return b.append_column("cluster", pa.array(a.astype(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """(id, keep) - keep=False iff some lower-id member of the same
+    cluster has cosine similarity >= threshold."""
+    cents = spherical_kmeans(ds, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
+    assigned = assign_clusters(ds, cents, emb_col=emb_col)
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        v = _normalize(
+            np.array([np.asarray(e) for e in g[emb_col]], dtype=np.float64)
+        )
+        sim = v @ v.T
+        dup = (np.tril(sim, k=-1) >= threshold).any(axis=1)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), "keep": ~dup})
+
+    return assigned.groupby("cluster").map_groups(prune, batch_format="pandas")

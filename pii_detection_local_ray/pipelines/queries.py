@@ -1736,6 +1736,68 @@ def _knn_planted_result(sf_dir: str, kind: str) -> pa.Table:
     )
 
 
+_SEMDEDUP_SQL = (
+    # base = every 5th embedding; plant 3 positively-scaled copies of
+    # every 250th base vector (same direction => cosine ~1.0, far above
+    # the ~0.5 natural max).  Oracle = GLOBAL brute-force pairwise rule
+    # (keep iff no lower-id vector has cosine >= 0.99); the engine's
+    # clustered SemDeDup agrees because same-direction near-dups land
+    # in the same spherical-kmeans cluster by construction.
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings "
+    "WHERE vec_id % 5 = 0), "
+    "allv AS ("
+    "  SELECT vec_id, embedding FROM base"
+    "  UNION ALL"
+    "  SELECT 2000000 + b.vec_id * 10 + js.j AS vec_id,"
+    "    list_transform(b.embedding, x -> x * (1.0 + 0.5 * js.j)) AS embedding"
+    "  FROM base b CROSS JOIN (SELECT unnest([1,2,3]) AS j) js"
+    "  WHERE b.vec_id % 250 = 0"
+    ") "
+    "SELECT a.vec_id, NOT EXISTS (SELECT 1 FROM allv b "
+    "WHERE b.vec_id < a.vec_id AND "
+    "list_cosine_similarity(a.embedding, b.embedding) >= 0.99) AS keep "
+    "FROM allv a"
+)
+
+
+@register("semdedup_embeddings", _SEMDEDUP_SQL)
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): spherical k-means over embeddings,
+    then within-cluster cosine near-dup pruning keeping the lowest id.
+    Planted scaled-copy families make the keep/drop set exact."""
+    from ..functions.clustering import semdedup
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids_all = b["vec_id"].to_numpy(zero_copy_only=False)
+        base = b.filter(pa.array(ids_all % 5 == 0))
+        tabs = [base.select(["vec_id", "embedding"])]
+        ids = base["vec_id"].to_numpy(zero_copy_only=False)
+        anchors = base.filter(pa.array(ids % 250 == 0))
+        if anchors.num_rows:
+            aids = anchors["vec_id"].to_numpy(zero_copy_only=False)
+            embs = np.array(anchors["embedding"].to_pylist(), dtype=np.float32)
+            for j in range(1, 4):
+                tabs.append(
+                    pa.table(
+                        {
+                            "vec_id": pa.array(
+                                2_000_000 + aids * 10 + j, pa.int64()
+                            ),
+                            "embedding": pa.array(
+                                (embs * np.float32(1.0 + 0.5 * j)).tolist(),
+                                pa.list_(pa.float32()),
+                            ),
+                        }
+                    )
+                )
+        return pa.concat_tables(tabs, promote_options="permissive")
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(plant, batch_format="pyarrow")
+    return semdedup(ds, k=8, iters=2, threshold=0.99)
+
+
 @register("knn_ivf_top5", _KNN_PLANTED_SQL)
 def knn_ivf_top5(sf_dir: str):
     """IVF ANN scale path: coarse k-means quantizer + probed cells,

@@ -1,0 +1,99 @@
+"""Spherical k-means + SemDeDup (functions/clustering.py).
+
+SemDeDup (Abbas et al. 2023) is an LLM-data-pipeline operator with no
+reference analogue: cluster embeddings, then prune within-cluster cosine
+near-duplicates keeping the lowest id.
+"""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.functions.clustering import (
+    assign_clusters,
+    semdedup,
+    spherical_kmeans,
+)
+
+
+def _corpus(n_per=20, dim=8, seed=7):
+    """3 well-separated direction families + exact scaled copies."""
+    rng = np.random.default_rng(seed)
+    anchors = np.eye(dim)[:3]
+    rows, ids = [], []
+    vid = 0
+    for a in anchors:
+        for _ in range(n_per):
+            v = a + rng.normal(scale=0.05, size=dim)
+            rows.append(v.astype(np.float32))
+            ids.append(vid)
+            vid += 1
+    # scaled copies of ids 0, n_per, 2*n_per -> cosine 1.0 with their anchor
+    dup_of = [0, n_per, 2 * n_per]
+    for j, src in enumerate(dup_of):
+        rows.append((rows[src] * np.float32(2.0 + j)))
+        ids.append(1000 + j)
+    return ids, rows, dup_of
+
+
+def _ds(ids, rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(4)
+
+
+def test_kmeans_separates_direction_families(ray_session):
+    ids, rows, _ = _corpus()
+    ds = _ds(ids, rows)
+    cents = spherical_kmeans(ds, k=3, iters=3)
+    assert cents.shape == (3, 8)
+    # centroids are unit-norm
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-9)
+    # each family maps to one cluster, families to distinct clusters
+    lab = assign_clusters(ds, cents).to_pandas().set_index("vec_id")["cluster"]
+    fams = [lab.loc[range(0, 20)], lab.loc[range(20, 40)], lab.loc[range(40, 60)]]
+    per_fam = [set(f.unique()) for f in fams]
+    assert all(len(s) == 1 for s in per_fam)
+    assert len(set().union(*per_fam)) == 3
+
+
+def test_semdedup_drops_exact_scaled_copies_keeps_lowest_id(ray_session):
+    ids, rows, dup_of = _corpus()
+    out = semdedup(_ds(ids, rows), k=3, iters=3, threshold=0.999).to_pandas()
+    out = out.set_index("vec_id")["keep"]
+    assert len(out) == len(ids)
+    # the three planted copies (higher ids) are dropped, originals kept
+    for j, src in enumerate(dup_of):
+        assert not out.loc[1000 + j], "scaled copy must be pruned"
+        assert out.loc[src], "lowest-id original must be kept"
+    # noise-only vectors (cos < 0.999 pairwise w.h.p.) are all kept
+    assert out.drop(index=[1000, 1001, 1002]).all()
+
+
+def test_semdedup_deterministic_across_partitionings(ray_session):
+    ids, rows, _ = _corpus(seed=11)
+    a = semdedup(_ds(ids, rows), k=3, iters=2).to_pandas()
+    b = (
+        semdedup(_ds(ids, rows).repartition(9), k=3, iters=2)
+        .to_pandas()
+    )
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(ray_session):
+    # k larger than the number of distinct directions: extra clusters
+    # must keep their (init) centroid, not collapse to NaN.
+    ids, rows, _ = _corpus(n_per=4)
+    cents = spherical_kmeans(_ds(ids, rows), k=8, iters=2)
+    assert np.isfinite(cents).all()
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-9)
