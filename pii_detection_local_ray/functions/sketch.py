@@ -167,3 +167,98 @@ def kll_quantiles(
     vs = merged.quantiles(ps)
     return pa.table({"p": pa.array(ps, pa.float64()),
                      "v": pa.array(vs, pa.float64())})
+
+
+def grouped_histogram_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+) -> dict:
+    """Exact per-group quantiles: {group: np.ndarray of len(ps) values}.
+
+    Same mergeable (value, count) histogram as value_histogram_quantiles,
+    keyed by (group, value).  The all-to-all exchange and the driver
+    collect are bounded by  #groups x value-domain  (languages x distinct
+    lengths), never the row count - the scale contract for a discrete /
+    integer value column.  Continuous columns should be quantized first
+    or use per-group KLL instead.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([group_col, value_col])
+            .group_by([group_col, value_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([group_col, value_col, "cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # #groups x #distinct values - domain-bounded
+    )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r[group_col], []).append((r[value_col], r["cnt"]))
+    out = {}
+    for g, pairs in by_group.items():
+        values = np.array([v for v, _ in pairs])
+        counts = np.array([c for _, c in pairs])
+        out[g] = np.array(
+            _interp_quantiles_from_hist(values, counts, ps), dtype=np.float64
+        )
+    return out
+
+
+def ccnet_quantile_buckets(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    qs: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple = ("head", "middle", "tail"),
+) -> ray.data.Dataset:
+    """CCNet-style per-group quantile bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): split every group (language) into head/middle/tail by the
+    group's own score quantiles - CCNet buckets each language by
+    perplexity terciles so downstream sampling can prefer the head.
+
+    Two passes over the stream, zero unbounded driver state:
+      1. exact per-group boundaries via the mergeable histogram above
+         (#groups x domain rows collected, not the corpus);
+      2. boundaries broadcast ONCE via ray.put; every map_batches task
+         reads the same object-store copy and assigns
+         bucket_i = #boundaries <= value  (i.e. value < t_1 -> head).
+
+    Bucket semantics mirror the SQL  CASE WHEN v < t1 ... WHEN v < t2
+    with strict comparisons, so an engine/oracle pair computing
+    bit-identical boundaries (quantile_cont == numpy interpolation)
+    assigns bit-identical buckets.
+    """
+    assert len(labels) == len(qs) + 1
+    bounds = grouped_histogram_quantiles(ds, group_col, value_col, list(qs))
+    ref = ray.put(bounds)
+    label_arr = list(labels)
+
+    def assign(b: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        groups = b[group_col].to_pylist()
+        vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.empty(len(vals), dtype=np.int64)
+        for i, g in enumerate(groups):
+            # side='right': idx = number of boundaries <= v, which is
+            # exactly the CASE WHEN v < t_k chain with strict <.
+            idx[i] = np.searchsorted(bd[g], vals[i], side="right")
+        bucket = pa.array([label_arr[i] for i in idx], pa.string())
+        return pa.table(
+            {
+                id_col: b[id_col],
+                group_col: b[group_col],
+                "bucket": bucket,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -807,6 +807,33 @@ def doc_length_percentiles(sf_dir: str):
     return value_histogram_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars", ps)
 
 
+@register(
+    "ccnet_lang_buckets",
+    "WITH t AS (SELECT lang, quantile_cont(n_chars, 1.0/3) AS t1, "
+    "quantile_cont(n_chars, 2.0/3) AS t2 FROM documents GROUP BY lang) "
+    "SELECT d.doc_id, d.lang, CASE WHEN d.n_chars < t.t1 THEN 'head' "
+    "WHEN d.n_chars < t.t2 THEN 'middle' ELSE 'tail' END AS bucket "
+    "FROM documents d JOIN t USING (lang)",
+)
+def ccnet_lang_buckets(sf_dir: str):
+    """CCNet-style per-language tercile bucketing (Wenzek et al. 2020):
+    every language is split head/middle/tail by its OWN score quantiles
+    so downstream sampling can prefer the head.  CCNet buckets on KenLM
+    perplexity; here the oracled score is the discrete n_chars column
+    (exact histogram quantiles), with the perplexity wiring exercised in
+    tests/test_clustering-adjacent pytest via quantized ppl scores.
+    Two streamed passes, #langs x domain driver state, boundaries
+    broadcast once via ray.put."""
+    from ..functions.sketch import ccnet_quantile_buckets
+
+    return ccnet_quantile_buckets(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        group_col="lang",
+        value_col="n_chars",
+        id_col="doc_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver records rows-only checks)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,119 @@
+"""CCNet-style per-group quantile bucketing (functions/sketch.py).
+
+Wenzek et al. 2020 bucket each language by its own perplexity terciles
+(head/middle/tail).  The operator is generic over any discrete score
+column; these tests pin the semantics against a local pandas oracle and
+exercise the perplexity wiring with quantized scores.
+"""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _buckets_oracle(df, group_col, value_col, qs=(1 / 3, 2 / 3)):
+    out = {}
+    for g, sub in df.groupby(group_col):
+        ts = np.percentile(
+            sub[value_col].to_numpy(), [q * 100 for q in qs],
+            method="linear",
+        )
+        for _, r in sub.iterrows():
+            v = r[value_col]
+            out[r["id"]] = (
+                "head" if v < ts[0] else ("middle" if v < ts[1] else "tail")
+            )
+    return out
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(5)
+
+
+def test_ccnet_buckets_match_pandas_oracle(ray_session):
+    from pii_detection_local_ray.functions.sketch import ccnet_quantile_buckets
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(300),
+            "lang": rng.choice(["en", "fr", "de"], size=300),
+            "score": rng.integers(0, 50, size=300),
+        }
+    )
+    got = (
+        ccnet_quantile_buckets(_ds(df), "lang", "score", "id")
+        .to_pandas()
+        .set_index("id")["bucket"]
+    )
+    want = _buckets_oracle(df, "lang", "score")
+    assert len(got) == len(df)
+    for i, b in want.items():
+        assert got.loc[i] == b, (i, got.loc[i], b)
+
+
+def test_ccnet_buckets_each_group_splits_into_thirds(ray_session):
+    """With all-distinct scores per group the split is balanced, and each
+    group's terciles are computed from that group alone."""
+    from pii_detection_local_ray.functions.sketch import ccnet_quantile_buckets
+
+    # lang A scores 0..89, lang B scores 1000..1089: global quantiles
+    # would dump all of A into head; per-group must split both 30/30/30.
+    df = pd.DataFrame(
+        {
+            "id": np.arange(180),
+            "lang": ["A"] * 90 + ["B"] * 90,
+            "score": list(range(90)) + list(range(1000, 1090)),
+        }
+    )
+    got = ccnet_quantile_buckets(_ds(df), "lang", "score", "id").to_pandas()
+    counts = got.groupby(["lang", "bucket"]).size()
+    for lang in ["A", "B"]:
+        for b in ["head", "middle", "tail"]:
+            assert counts.loc[(lang, b)] == 30
+
+
+def test_ccnet_perplexity_bucketing_quantized(ray_session):
+    """The real CCNet wiring: perplexity scores quantized to a discrete
+    grid (2 decimals) so the exact histogram path applies."""
+    from pii_detection_local_ray.functions.sketch import ccnet_quantile_buckets
+
+    rng = np.random.default_rng(9)
+    ppl = np.round(rng.uniform(10, 500, size=200), 2)
+    df = pd.DataFrame(
+        {"id": np.arange(200), "lang": ["en"] * 200, "ppl_q": ppl}
+    )
+    got = (
+        ccnet_quantile_buckets(_ds(df), "lang", "ppl_q", "id")
+        .to_pandas()
+        .set_index("id")["bucket"]
+    )
+    want = _buckets_oracle(df, "lang", "ppl_q")
+    assert all(got.loc[i] == b for i, b in want.items())
+    # head really is the low-perplexity third
+    assert df.set_index("id").loc[got[got == "head"].index, "ppl_q"].max() < \
+        df.set_index("id").loc[got[got == "tail"].index, "ppl_q"].min()
+
+
+def test_grouped_histogram_quantiles_bit_equal_numpy(ray_session):
+    from pii_detection_local_ray.functions.sketch import (
+        grouped_histogram_quantiles,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], size=400),
+            "v": rng.integers(0, 30, size=400),
+        }
+    )
+    got = grouped_histogram_quantiles(_ds(df), "g", "v", [0.25, 0.5, 0.9])
+    for g, sub in df.groupby("g"):
+        want = np.percentile(
+            sub["v"].to_numpy(), [25, 50, 90], method="linear"
+        )
+        np.testing.assert_array_equal(got[g], want)
