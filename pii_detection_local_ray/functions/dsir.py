@@ -1,0 +1,164 @@
+"""DSIR - Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Select pretraining documents whose hashed-n-gram distribution looks like
+a TARGET corpus: fit two bag-of-hashed-unigram models (target vs raw),
+score every document with the log importance weight
+
+    log w(doc) = sum_b c_doc[b] * ln( p_target[b] / p_raw[b] )
+
+with Laplace-smoothed bucket probabilities, and keep documents with
+positive weight (resampling rank = the same score).
+
+Exactness contract: the log-ratio per bucket is quantized to int64
+fixed-point via  floor(1e6 * ln((t_b+1)/(r_b+1)) + 0.5)  computed with
+the IDENTICAL sequence of IEEE-double operations a SQL oracle performs
+(int->double division, libm ln, *1e6, +0.5, floor), so the per-document
+score is pure int64 arithmetic on both sides - no float summation-order
+hazard anywhere.
+
+Distributed shape (two streamed passes, no unbounded driver state):
+
+  pass 1  map_batches emits <= n_buckets partial rows
+          (bucket, target_count, raw_count) per block; a groupby-sum
+          exchange moves bucket partials (256 x blocks rows), never
+          tokens; the driver collects exactly n_buckets rows.
+  fixed-point log-ratio table (n_buckets ints) broadcast ONCE via
+          ray.put; every scoring task reads the same object-store copy.
+  pass 2  map_batches scores each document independently:
+          score = sum_b c[b]*lr[b] + n_words*K  (all int64).
+
+Bucketing is the first two hex chars of md5(word) (256 buckets) -
+md5 is reproducible in any SQL engine, unlike language-native hash().
+At 100 TB the only caveat is that global token counts must stay below
+2^53 for the int->double division to be exact; int64 token counts at
+that scale are ~1e13, well inside 2^53.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+N_BUCKETS = 256
+
+
+def _tokenize(text: str) -> list[str]:
+    """Mirror of SQL regexp_split_to_array(lower(text), '[^a-z0-9]+')
+    with empties dropped (== findall of the complement class)."""
+    return _WORD_RE.findall(text.lower())
+
+
+class _BucketCache:
+    """word -> md5-prefix bucket, memoized (vocab-bounded)."""
+
+    def __init__(self):
+        self._m: dict[str, int] = {}
+
+    def __call__(self, w: str) -> int:
+        b = self._m.get(w)
+        if b is None:
+            b = int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+            self._m[w] = b
+        return b
+
+
+def fit_bucket_counts(
+    ds: ray.data.Dataset,
+    text_col: str,
+    is_target,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One streamed pass -> (target_counts, raw_counts), each length 256.
+
+    is_target(batch: pa.Table) -> np.ndarray[bool] marks the rows whose
+    tokens also count toward the target distribution.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = _BucketCache()
+        tgt_mask = np.asarray(is_target(b), dtype=bool)
+        t = np.zeros(N_BUCKETS, dtype=np.int64)
+        r = np.zeros(N_BUCKETS, dtype=np.int64)
+        for text, in_t in zip(b[text_col].to_pylist(), tgt_mask):
+            cnt = Counter(bucket(w) for w in _tokenize(text or ""))
+            for bk, c in cnt.items():
+                r[bk] += c
+                if in_t:
+                    t[bk] += c
+        nz = np.flatnonzero(r)
+        return pa.table(
+            {
+                "b": pa.array(nz, pa.int64()),
+                "t": pa.array(t[nz], pa.int64()),
+                "r": pa.array(r[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("t", alias_name="t"), Sum("r", alias_name="r"))
+        .take_all()  # <= 256 rows
+    )
+    t = np.zeros(N_BUCKETS, dtype=np.int64)
+    r = np.zeros(N_BUCKETS, dtype=np.int64)
+    for row in rows:
+        t[row["b"]] = row["t"]
+        r[row["b"]] = row["r"]
+    return t, r
+
+
+def _fixed_log(x_num: int, x_den: int) -> int:
+    """floor(1e6 * ln(num/den) + 0.5) with the exact op sequence the SQL
+    oracle uses: exact int->double conversion, one double division, libm
+    ln, double multiply/add, floor."""
+    return math.floor(1e6 * math.log(x_num / x_den) + 0.5)
+
+
+def dsir_scores(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    is_target,
+) -> ray.data.Dataset:
+    """(id, dsir_score, keep) - int64 fixed-point log importance weight;
+    keep = score > 0 (doc looks more target-like than raw-like)."""
+    t, r = fit_bucket_counts(ds, text_col, is_target)
+    # Laplace-smoothed log ratio per bucket + the normalizer constant:
+    # log w = sum c[b]*ln((t_b+1)/(r_b+1)) + n * ln((Tr+256)/(Tt+256))
+    lr = np.array(
+        [_fixed_log(int(t[b]) + 1, int(r[b]) + 1) for b in range(N_BUCKETS)],
+        dtype=np.int64,
+    )
+    K = _fixed_log(int(r.sum()) + N_BUCKETS, int(t.sum()) + N_BUCKETS)
+    ref = ray.put(lr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lr_tab = ray.get(ref)
+        bucket = _BucketCache()
+        out = np.empty(batch.num_rows, dtype=np.int64)
+        nw = np.empty(batch.num_rows, dtype=np.int64)
+        for i, text in enumerate(batch[text_col].to_pylist()):
+            ws = _tokenize(text or "")
+            cnt = Counter(bucket(w) for w in ws)
+            out[i] = sum(c * int(lr_tab[bk]) for bk, c in cnt.items())
+            nw[i] = len(ws)
+        s = out + nw * K
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "dsir_score": pa.array(s, pa.int64()),
+                "keep": pa.array(s > 0),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

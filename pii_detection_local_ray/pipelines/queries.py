@@ -834,6 +834,55 @@ def ccnet_lang_buckets(sf_dir: str):
     )
 
 
+_DSIR_SQL = (
+    # DSIR (Xie et al. 2023) with the engine's exactness contract: the
+    # per-bucket log-ratio is quantized to int64 fixed point with the
+    # identical IEEE op sequence (int->double division, ln, *1e6, +0.5,
+    # floor), so per-doc scores are pure integer sums on both sides.
+    "WITH words AS ("
+    "  SELECT doc_id, lang, unnest(list_filter("
+    "    regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    "    w -> len(w) > 0)) AS w FROM documents), "
+    "feat AS (SELECT doc_id, lang, substr(md5(w), 1, 2) AS bh, "
+    "  count(*) AS c FROM words GROUP BY doc_id, lang, bh), "
+    "agg AS (SELECT bh, "
+    "  CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS t, "
+    "  CAST(sum(c) AS BIGINT) AS r FROM feat GROUP BY bh), "
+    "tot AS (SELECT CAST(sum(t) AS BIGINT) AS tt, "
+    "  CAST(sum(r) AS BIGINT) AS tr FROM agg), "
+    "lr AS (SELECT bh, CAST(floor(1e6 * ln(CAST(t + 1 AS DOUBLE) / (r + 1))"
+    "  + 0.5) AS BIGINT) AS lr FROM agg), "
+    "kk AS (SELECT CAST(floor(1e6 * ln(CAST(tr + 256 AS DOUBLE) / (tt + 256))"
+    "  + 0.5) AS BIGINT) AS k FROM tot), "
+    "sc AS (SELECT f.doc_id, CAST(sum(f.c * lr.lr) AS BIGINT) "
+    "  + CAST(sum(f.c) AS BIGINT) * (SELECT k FROM kk) AS dsir_score "
+    "  FROM feat f JOIN lr ON f.bh = lr.bh GROUP BY f.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(sc.dsir_score, 0) AS BIGINT) AS dsir_score, "
+    "coalesce(sc.dsir_score, 0) > 0 AS keep "
+    "FROM documents d LEFT JOIN sc USING (doc_id)"
+)
+
+
+@register("dsir_en_selection", _DSIR_SQL)
+def dsir_en_selection(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): fit hashed-unigram
+    bag models for the target slice (lang='en') vs the raw corpus, score
+    every document with the fixed-point log importance weight, keep
+    target-like docs (score > 0).  Two streamed passes; the 256-bucket
+    log-ratio table is the only broadcast state."""
+    from ..functions.dsir import dsir_scores
+
+    def is_en(b: pa.Table) -> np.ndarray:
+        return pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+
+    return dsir_scores(
+        _docs(sf_dir, ["doc_id", "lang", "text"]),
+        text_col="text",
+        id_col="doc_id",
+        is_target=is_en,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver records rows-only checks)
 # ---------------------------------------------------------------------------

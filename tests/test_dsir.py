@@ -1,0 +1,102 @@
+"""DSIR importance resampling (functions/dsir.py; Xie et al. 2023)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(4)
+
+
+def _corpus():
+    # target-flavoured docs reuse a small "english-ish" vocab; raw-only
+    # docs use a disjoint vocab, so their importance weights separate.
+    tgt_words = ["the", "model", "data", "learn", "scale"]
+    raw_words = ["xqz", "vrb", "plk", "wmn", "ghj"]
+    rows = []
+    for i in range(40):
+        rows.append((i, "en", " ".join(tgt_words * 3)))
+    for i in range(40, 80):
+        rows.append((i, "zz", " ".join(raw_words * 3)))
+    # a target-like doc NOT labelled en: DSIR should still keep it
+    rows.append((80, "zz", " ".join(tgt_words * 4)))
+    # an empty doc: score 0, dropped
+    rows.append((81, "zz", ""))
+    return pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+
+
+def test_dsir_separates_target_like_docs(ray_session):
+    from pii_detection_local_ray.functions.dsir import dsir_scores
+
+    df = _corpus()
+
+    def is_en(b: pa.Table) -> np.ndarray:
+        return np.array([v == "en" for v in b["lang"].to_pylist()])
+
+    out = (
+        dsir_scores(_ds(df), "text", "doc_id", is_en)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == len(df)
+    assert out.loc[range(40), "keep"].all(), "target docs must score > 0"
+    assert not out.loc[range(40, 80), "keep"].any(), "raw-only docs drop"
+    assert out.loc[80, "keep"], "target-like text wins regardless of label"
+    assert out.loc[81, "dsir_score"] == 0 and not out.loc[81, "keep"]
+    assert str(out["dsir_score"].dtype) == "int64"
+
+
+def test_dsir_score_matches_serial_recompute(ray_session):
+    """Distributed two-pass scores == a single-process recompute with the
+    same fixed-point formula (partition-invariance of the int math)."""
+    import math
+    from collections import Counter
+
+    from pii_detection_local_ray.functions.dsir import (
+        N_BUCKETS,
+        _BucketCache,
+        _fixed_log,
+        _tokenize,
+        dsir_scores,
+    )
+
+    df = _corpus()
+
+    def is_en(b):
+        return np.array([v == "en" for v in b["lang"].to_pylist()])
+
+    got = (
+        dsir_scores(_ds(df).repartition(7), "text", "doc_id", is_en)
+        .to_pandas()
+        .set_index("doc_id")["dsir_score"]
+    )
+
+    bucket = _BucketCache()
+    t = np.zeros(N_BUCKETS, dtype=np.int64)
+    r = np.zeros(N_BUCKETS, dtype=np.int64)
+    for _, row in df.iterrows():
+        for w in _tokenize(row["text"]):
+            b = bucket(w)
+            r[b] += 1
+            if row["lang"] == "en":
+                t[b] += 1
+    lr = [_fixed_log(int(t[b]) + 1, int(r[b]) + 1) for b in range(N_BUCKETS)]
+    K = _fixed_log(int(r.sum()) + N_BUCKETS, int(t.sum()) + N_BUCKETS)
+    for _, row in df.iterrows():
+        ws = _tokenize(row["text"])
+        cnt = Counter(bucket(w) for w in ws)
+        want = sum(c * lr[b] for b, c in cnt.items()) + len(ws) * K
+        assert got.loc[row["doc_id"]] == want
+
+
+def test_tokenize_mirrors_sql_split():
+    from pii_detection_local_ray.functions.dsir import _tokenize
+
+    assert _tokenize("Hello, World! 42x") == ["hello", "world", "42x"]
+    assert _tokenize("  --  ") == []
+    assert _tokenize("") == []
