@@ -11,16 +11,27 @@ pure two-shuffle Ray Data job.
 Distributed shape:
 
   1. map_batches explodes each doc into its DISTINCT k-gram set as
-     (doc_id, gh, gram) rows - the distinct-per-doc reduction happens
+     (doc_id, bh, gram) rows - the distinct-per-doc reduction happens
      map-side (a doc never spans blocks), so a doc repeating one gram
-     thousands of times ships it once.  gh is a 64-bit siphash of the
-     gram text and keys the exchange (fixed-width sort key); the gram
-     text rides along only to resolve hash collisions exactly.
-  2. groupby(gh): within a bucket, a gram's doc-frequency is its exact
-     nunique(doc_id) per distinct gram text; emit (doc_id, is_dup).
-  3. per-doc partial sums map-side, then a tiny groupby(doc_id) sum:
-     n_grams, n_dup_grams, dup_gram_frac (exact int division to
-     float64 so the DuckDB oracle reproduces it bit-for-bit).
+     thousands of times ships it once.  bh is a COARSE bucket of the
+     gram's 64-bit siphash (``num_buckets`` buckets): keying the
+     exchange on the full hash would hand the combiner one Python
+     group call per distinct gram (per-group overhead dominates -
+     measured 15.5 s -> ~1 s at sf0.01); the coarse key gives each
+     group ~corpus/num_buckets grams to process in one vectorized
+     pandas pass.  Size num_buckets so a bucket fits worker memory:
+     distinct_grams/num_buckets rows per group, the documented scale
+     knob (1e12 grams at 100 TB wants ~2^20 buckets).
+  2. groupby(bh): a gram's doc-frequency is its exact row count per
+     distinct gram TEXT ((doc, gram) rows are globally unique, so
+     rows == distinct docs; hash collisions inside a bucket are
+     resolved by the text, which rides the exchange).  The bucket
+     combiner fuses dup-flagging with the per-doc partial sum in one
+     factorize+bincount pass and emits (doc_id, n_grams, n_dup_grams)
+     partials keyed by a doc bucket.
+  3. doc-bucketed groupby sums the partials: n_grams, n_dup_grams,
+     dup_gram_frac (exact int division to float64 so the DuckDB
+     oracle reproduces it bit-for-bit).
 
 Documents with fewer than k tokens contribute no grams and are absent
 from the output (the SQL mirror's unnest produces no rows for them).
@@ -33,11 +44,18 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+DEFAULT_BUCKETS = 1 << 12
+
 
 def explode_kgrams(
-    batch: pa.Table, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    batch: pa.Table,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = DEFAULT_BUCKETS,
 ) -> pa.Table:
-    """(doc_id, gh, gram) rows - each doc's DISTINCT k-grams."""
+    """(doc_id, bh, gram) rows - each doc's DISTINCT k-grams, keyed by
+    the coarse hash bucket of the gram text."""
     ids, grams = [], []
     for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
         toks = [w for w in (t or "").split(" ") if w]
@@ -50,52 +68,67 @@ def explode_kgrams(
     return pa.table(
         {
             id_col: pa.array(ids, pa.int64()),
-            "gh": pa.array(h.view(np.int64)),
+            "bh": pa.array((h % num_buckets).view(np.int64)),
             "gram": pa.array(grams, pa.string()),
         }
     )
 
 
 def dup_kgram_stats(
-    ds: ray.data.Dataset, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = DEFAULT_BUCKETS,
 ) -> ray.data.Dataset:
     """doc_id, n_grams, n_dup_grams, dup_gram_frac per doc with >= k tokens."""
     pairs = ds.map_batches(
-        lambda b: explode_kgrams(b, k=k, text_col=text_col, id_col=id_col),
+        lambda b: explode_kgrams(
+            b, k=k, text_col=text_col, id_col=id_col, num_buckets=num_buckets
+        ),
         batch_format="pyarrow",
     )
 
-    def flag_dups(g: pd.DataFrame) -> pd.DataFrame:
-        # exact doc-frequency per distinct gram TEXT inside the hash
-        # bucket (collision-safe); one output row per (doc, gram)
-        nd = g.groupby("gram", sort=False)[id_col].transform("nunique")
-        return pd.DataFrame(
-            {id_col: g[id_col], "is_dup": (nd > 1).astype(np.int64)}
-        )
-
-    flagged = pairs.groupby("gh").map_groups(flag_dups, batch_format="pandas")
-
-    def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        p = df.groupby(id_col, sort=False, dropna=False).agg(
-            n_grams=("is_dup", "size"), n_dup_grams=("is_dup", "sum")
-        )
-        return pa.Table.from_pandas(p.reset_index(), preserve_index=False)
-
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["n_grams"].sum())
-        d = int(g["n_dup_grams"].sum())
+    def flag_and_sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # exact doc-frequency per distinct gram TEXT inside the coarse
+        # bucket (collision-safe): (doc, gram) rows are globally unique
+        # (map-side distinct + a doc never spans blocks), so rows per
+        # gram == distinct docs per gram.  ONE factorize pass hashes
+        # each gram string once; everything after is integer bincount -
+        # no per-gram pandas groups, no repeated string hashing.
+        gcodes = pd.factorize(g["gram"].to_numpy(), sort=False)[0]
+        gcnt = np.bincount(gcodes)
+        is_dup = (gcnt[gcodes] > 1).astype(np.int64)
+        dcodes, dids = pd.factorize(g[id_col].to_numpy(), sort=False)
+        n = np.bincount(dcodes).astype(np.int64)
+        # weighted bincount is float64; sums are small ints, cast exact
+        d = np.bincount(dcodes, weights=is_dup).astype(np.int64)
         return pd.DataFrame(
             {
-                id_col: [int(g[id_col].iloc[0])],
-                "n_grams": [n],
-                "n_dup_grams": [d],
-                "dup_gram_frac": [d / n],
+                id_col: dids,
+                "n_grams": n,
+                "n_dup_grams": d,
+                "db": dids % num_buckets,
             }
         )
 
-    return (
-        flagged.map_batches(partial, batch_format="pyarrow")
-        .groupby(id_col)
-        .map_groups(finalize, batch_format="pandas")
+    flagged = pairs.groupby("bh").map_groups(
+        flag_and_sum_bucket, batch_format="pandas"
+    )
+
+    def finalize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            g.groupby(id_col, sort=False, dropna=False)
+            .agg(n_grams=("n_grams", "sum"), n_dup_grams=("n_dup_grams", "sum"))
+            .reset_index()
+        )
+        # one int64/int64 -> float64 IEEE division, bit-equal to the
+        # SQL oracle's CAST(d AS DOUBLE)/n
+        p["dup_gram_frac"] = p["n_dup_grams"].to_numpy() / p[
+            "n_grams"
+        ].to_numpy()
+        return p
+
+    return flagged.groupby("db").map_groups(
+        finalize_bucket, batch_format="pandas"
     )

@@ -18,11 +18,16 @@ Distributed shape (two shuffles, both combiner-reduced):
      carries at most distinct-lines-per-block rows, and a boilerplate
      line occurring millions of times costs one row per block, not per
      occurrence - the hot-key case is pre-reduced.
-  2. group by h (64-bit siphash of the line, not the line text, keys
-     the exchange); within a group, exact line comparison resolves
-     hash collisions and row_number-style first-occurrence selection
-     marks keepers.
-  3. group kept rows by doc_id and reassemble text in idx order.
+  2. group by bh, a COARSE bucket of the line's 64-bit siphash (the
+     full hash as exchange key would mean one Python group call per
+     distinct line - per-group overhead dominates; the coarse key
+     gives each group ~distinct_lines/num_buckets lines handled in one
+     vectorized pandas pass).  Within a bucket, exact line comparison
+     resolves hash collisions and row_number-style first-occurrence
+     selection marks keepers.  num_buckets is the scale knob: size it
+     so distinct_lines/num_buckets rows fit worker memory.
+  3. group kept rows by a doc_id bucket and reassemble each doc's text
+     in idx order (vectorized per-bucket, not per-doc).
 
 Lines shorter than ``min_chars`` (default 1, i.e. empty lines) are
 dropped outright before dedup - blank separators are not meaningful
@@ -40,13 +45,17 @@ import pyarrow as pa
 import ray.data
 
 
+DEFAULT_BUCKETS = 1 << 12
+
+
 def explode_lines_combined(
     batch: pa.Table,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 1,
+    num_buckets: int = DEFAULT_BUCKETS,
 ) -> pa.Table:
-    """(doc_id, idx, line, h) rows, batch-locally reduced to the first
+    """(doc_id, idx, line, bh) rows, batch-locally reduced to the first
     occurrence of each line (the only row that can win globally)."""
     ids, idxs, lines = [], [], []
     for i, t in zip(
@@ -70,7 +79,7 @@ def explode_lines_combined(
             id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
             "idx": pa.array(df["idx"].to_numpy(), pa.int64()),
             "line": pa.array(df["line"].tolist(), pa.string()),
-            "h": pa.array(h.view(np.int64)),
+            "bh": pa.array((h % num_buckets).view(np.int64)),
         }
     )
 
@@ -80,31 +89,37 @@ def dedup_lines_across_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 1,
+    num_buckets: int = DEFAULT_BUCKETS,
 ) -> ray.data.Dataset:
     """doc_id, n_kept_lines, rebuilt_text for docs with >= 1 kept line."""
     ex = ds.map_batches(
         lambda b: explode_lines_combined(
-            b, text_col=text_col, id_col=id_col, min_chars=min_chars
+            b,
+            text_col=text_col,
+            id_col=id_col,
+            min_chars=min_chars,
+            num_buckets=num_buckets,
         ),
         batch_format="pyarrow",
     )
 
     def mark_keepers(g: pd.DataFrame) -> pd.DataFrame:
-        # exact line comparison within the hash bucket resolves 64-bit
-        # collisions; first occurrence by (doc_id, idx) wins
+        # exact line comparison within the coarse bucket resolves
+        # collisions; first occurrence by (doc_id, idx) wins.  One
+        # vectorized pass over all the bucket's lines.
         g = g.sort_values([id_col, "idx"], kind="mergesort")
-        return g[~g.duplicated("line", keep="first")][[id_col, "idx", "line"]]
+        out = g[~g.duplicated("line", keep="first")][[id_col, "idx", "line"]]
+        out = out.copy()
+        out["db"] = out[id_col].to_numpy() % num_buckets
+        return out
 
-    kept = ex.groupby("h").map_groups(mark_keepers, batch_format="pandas")
+    kept = ex.groupby("bh").map_groups(mark_keepers, batch_format="pandas")
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("idx", kind="mergesort")
-        return pd.DataFrame(
-            {
-                id_col: [int(g[id_col].iloc[0])],
-                "n_kept_lines": [len(g)],
-                "rebuilt_text": ["\n".join(g["line"])],
-            }
+    def rebuild_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "idx"], kind="mergesort")
+        agg = g.groupby(id_col, sort=False, dropna=False)["line"].agg(
+            n_kept_lines="size", rebuilt_text="\n".join
         )
+        return agg.reset_index()
 
-    return kept.groupby(id_col).map_groups(rebuild, batch_format="pandas")
+    return kept.groupby("db").map_groups(rebuild_bucket, batch_format="pandas")
