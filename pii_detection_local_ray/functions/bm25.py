@@ -1,0 +1,127 @@
+"""BM25 ranked retrieval over a text column (Robertson & Zaragoza 2009,
+"The Probabilistic Relevance Framework: BM25 and Beyond"; the Lucene
+idf variant ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+The lexical complement to the embedding ANN family in simsearch.py:
+score every document against a bag-of-terms query and return the global
+top-k by (score desc, id asc).
+
+Distributed shape (two streamed passes, constant driver state):
+
+  pass 1  one map_batches computes per-block partials of EVERYTHING the
+          score needs: n_docs, total_words, and per-query-term document
+          frequency - one row per block with |query|+2 integers; the
+          driver folds them into exact global ints.
+  pass 2  scoring is embarrassingly parallel (the tiny term->df table
+          and the two globals ride the task closure); each block emits
+          only its local top-k, and the global merge sorts k x blocks
+          rows - never the corpus.
+
+Exactness contract: the per-document score is evaluated with the same
+left-associated IEEE-double expression a SQL oracle writes down,
+summing term contributions in query order:
+
+    score = sum_t ln(1 + ((N - df_t) + 0.5)/(df_t + 0.5))
+            * (tf_t * (k1 + 1))
+            / (tf_t + k1 * ((1 - b) + (b * dl) / avgdl))
+
+with avgdl = total_words / n_docs as one int/int -> double division.
+All inputs are exact ints below 2^53, so engine and oracle produce
+bit-identical float64 scores and an identical top-k SET under the
+(score desc, id asc) tie-break.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .dsir import _tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+def corpus_stats(
+    ds: ray.data.Dataset, text_col: str, terms: list[str]
+) -> tuple[int, int, list[int]]:
+    """(n_docs, total_words, df per term) in one streamed pass."""
+    terms = list(terms)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        tw = 0
+        dfs = [0] * len(terms)
+        for t in b[text_col].to_pylist():
+            ws = _tokenize(t or "")
+            tw += len(ws)
+            seen = set(ws)
+            for j, q in enumerate(terms):
+                if q in seen:
+                    dfs[j] += 1
+        cols = {"n": [n], "tw": [tw]}
+        for j in range(len(terms)):
+            cols[f"df{j}"] = [dfs[j]]
+        return pa.table(cols)
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    tw = sum(r["tw"] for r in rows)
+    dfs = [sum(r[f"df{j}"] for r in rows) for j in range(len(terms))]
+    return n, tw, dfs
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Global top-k (id, score) by BM25 against the bag-of-terms query."""
+    terms = list(terms)
+    n, tw, dfs = corpus_stats(ds, text_col, terms)
+    # idf per term, fixed while scoring; identical op order to the SQL:
+    # ln(1 + ((N - df) + 0.5) / (df + 0.5))
+    import math
+
+    idf = [
+        math.log(1.0 + ((n - df) + 0.5) / (df + 0.5)) for df in dfs
+    ]
+    avgdl = tw / n  # one exact-int double division
+
+    def score_block(b: pa.Table) -> pa.Table:
+        out_ids, out_scores = [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            ws = _tokenize(t or "")
+            dl = len(ws)
+            cnt = Counter(ws)
+            s = 0.0
+            for j in range(len(terms)):
+                tf = cnt.get(terms[j], 0)
+                # left-associated exactly as the SQL expression
+                s = s + idf[j] * (tf * (K1 + 1.0)) / (
+                    tf + K1 * ((1.0 - B) + (B * dl) / avgdl)
+                )
+            out_ids.append(i)
+            out_scores.append(s)
+        tab = pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "score": pa.array(out_scores, pa.float64()),
+            }
+        )
+        # block-local top-k: only k rows per block enter the merge
+        order = np.lexsort(
+            (np.asarray(out_ids), -np.asarray(out_scores, dtype=np.float64))
+        )[:k]
+        return tab.take(pa.array(order, pa.int64()))
+
+    return (
+        ds.map_batches(score_block, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -863,6 +863,58 @@ _DSIR_SQL = (
 )
 
 
+def _bm25_term_sql(j: int, term: str) -> str:
+    # one BM25 term contribution, op-for-op the engine's expression.
+    # Constants use e0 notation: DuckDB parses bare 1.2 as DECIMAL and
+    # would fold (tf * (1.2 + 1.0)) EXACTLY (e.g. 3 * 2.2 = 6.6), while
+    # the engine's double arithmetic gives 6.6000000000000005 - e0
+    # literals force DOUBLE so both sides round identically.
+    return (
+        f"ln(1e0 + ((st.n - st.df{j}) + 0.5e0) / (st.df{j} + 0.5e0)) "
+        f"* (tf{j} * (1.2e0 + 1e0)) "
+        f"/ (tf{j} + 1.2e0 * ((1e0 - 0.75e0) + (0.75e0 * dl) "
+        f"/ (CAST(st.tw AS DOUBLE) / st.n)))"
+    )
+
+
+_BM25_TERMS = ["hash", "join", "filter"]
+_BM25_SQL = (
+    "WITH d AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> len(w) > 0)"
+    " AS ws FROM documents), "
+    "st AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS BIGINT) AS tw, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS df{j}"
+        for j, t in enumerate(_BM25_TERMS)
+    )
+    + " FROM d), "
+    "tf AS (SELECT doc_id, len(ws) AS dl, "
+    + ", ".join(
+        f"len(list_filter(ws, w -> w = '{t}')) AS tf{j}"
+        for j, t in enumerate(_BM25_TERMS)
+    )
+    + " FROM d) "
+    "SELECT doc_id, "
+    + " + ".join(_bm25_term_sql(j, t) for j, t in enumerate(_BM25_TERMS))
+    + " AS score FROM tf, st ORDER BY score DESC, doc_id LIMIT 10"
+)
+
+
+@register("bm25_top10", _BM25_SQL)
+def bm25_top10(sf_dir: str):
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, Lucene idf):
+    global top-10 documents for the bag-of-terms query 'hash join
+    filter'.  One stats pass (per-block integer partials), one scoring
+    pass with block-local top-k, and a k x blocks global merge; the
+    float64 scores are bit-identical to the SQL expression."""
+    from ..functions.bm25 import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, ["doc_id", "text"]), terms=_BM25_TERMS, k=10
+    )
+
+
 @register("dsir_en_selection", _DSIR_SQL)
 def dsir_en_selection(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): fit hashed-unigram

@@ -1,0 +1,85 @@
+"""BM25 ranked retrieval (functions/bm25.py)."""
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(df):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(4)
+
+
+def _bm25_serial(df, terms, k1=1.2, b=0.75):
+    from collections import Counter
+
+    from pii_detection_local_ray.functions.dsir import _tokenize
+
+    toks = {r.doc_id: _tokenize(r.text) for r in df.itertuples()}
+    n = len(df)
+    tw = sum(len(t) for t in toks.values())
+    avgdl = tw / n
+    dfs = [sum(1 for t in toks.values() if q in t) for q in terms]
+    out = {}
+    for i, ws in toks.items():
+        cnt = Counter(ws)
+        s = 0.0
+        for j, q in enumerate(terms):
+            tf = cnt.get(q, 0)
+            idf = math.log(1.0 + ((n - dfs[j]) + 0.5) / (dfs[j] + 0.5))
+            s = s + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + (b * len(ws)) / avgdl)
+            )
+        out[i] = s
+    return out
+
+
+def test_bm25_topk_matches_serial_scoring(ray_session):
+    from pii_detection_local_ray.functions.bm25 import bm25_topk
+
+    rng = np.random.default_rng(2)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(60),
+            "text": [
+                " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+                for _ in range(60)
+            ],
+        }
+    )
+    terms = ["alpha", "gamma"]
+    got = bm25_topk(_ds(df), terms, k=7).to_pandas()
+    want = _bm25_serial(df, terms)
+    order = sorted(want, key=lambda i: (-want[i], i))[:7]
+    assert got["doc_id"].tolist() == order
+    for _, r in got.iterrows():
+        assert r["score"] == want[r["doc_id"]], "bit-exact float64 contract"
+
+
+def test_bm25_rare_term_outranks_common(ray_session):
+    """idf does its job: a doc matching the rare term beats docs
+    stuffed with the common one."""
+    from pii_detection_local_ray.functions.bm25 import bm25_topk
+
+    rows = [(i, "common filler words here") for i in range(20)]
+    rows.append((100, "needle common"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = bm25_topk(_ds(df), ["needle", "common"], k=3).to_pandas()
+    assert got["doc_id"].iloc[0] == 100
+
+
+def test_bm25_empty_and_nonmatching_docs(ray_session):
+    from pii_detection_local_ray.functions.bm25 import bm25_topk
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["", "xyz abc", "needle"]}
+    )
+    got = bm25_topk(_ds(df), ["needle"], k=3).to_pandas()
+    assert got["doc_id"].tolist()[0] == 3
+    assert (got.set_index("doc_id")["score"].loc[[1, 2]] == 0.0).all()
