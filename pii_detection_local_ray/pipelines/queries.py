@@ -915,6 +915,52 @@ def bm25_top10(sf_dir: str):
     )
 
 
+_LUHN_SQL = (
+    # plant one Luhn-valid and one off-by-one-invalid PAN; the oracle
+    # re-derives Luhn from scratch over the reversed digit list (double
+    # every 2nd digit from the right, -9 when > 9, total % 10 = 0)
+    "WITH planted AS (SELECT doc_id, text || CASE "
+    "WHEN doc_id % 7 = 0 THEN ' card 4111111111111111 on file' "
+    "WHEN doc_id % 7 = 1 THEN ' card 4111111111111112 on file' "
+    "ELSE '' END AS text FROM documents), "
+    "cand AS (SELECT doc_id, unnest(regexp_extract_all(text, "
+    "'[0-9]{13,19}')) AS candidate FROM planted), "
+    "rev AS (SELECT doc_id, candidate, list_transform("
+    "range(1, len(candidate) + 1), i -> CAST(substr(candidate, "
+    "len(candidate) - i + 1, 1) AS INTEGER)) AS ds FROM cand) "
+    "SELECT doc_id, candidate, (list_sum(list_transform("
+    "range(1, len(ds) + 1), i -> CASE WHEN i % 2 = 0 THEN "
+    "CASE WHEN ds[i] * 2 > 9 THEN ds[i] * 2 - 9 ELSE ds[i] * 2 END "
+    "ELSE ds[i] END)) % 10 = 0) AS luhn_valid FROM rev"
+)
+
+
+@register("luhn_card_validation", _LUHN_SQL)
+def luhn_card_validation(sf_dir: str):
+    """Checksum post-validation of numeric PII candidates (ISO/IEC 7812
+    Luhn): scan digit runs of PAN length, keep the checksum verdict so
+    redaction can skip order-id false positives.  Stateless exploded
+    map_batches, no shuffle."""
+    from ..functions.validators import validate_card_candidates
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        suffix = np.where(
+            ids % 7 == 0,
+            " card 4111111111111111 on file",
+            np.where(ids % 7 == 1, " card 4111111111111112 on file", ""),
+        )
+        text = pc.binary_join_element_wise(
+            b["text"], pa.array(suffix.tolist(), pa.string()), ""
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return validate_card_candidates(ds)
+
+
 @register("dsir_en_selection", _DSIR_SQL)
 def dsir_en_selection(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): fit hashed-unigram

@@ -1,0 +1,94 @@
+"""Checksum validators (functions/validators.py): Luhn + IBAN mod-97."""
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.functions.validators import (
+    iban_valid,
+    luhn_valid,
+    validate_card_candidates,
+    validate_iban_candidates,
+)
+
+
+class TestLuhn:
+    def test_known_valid_pans(self):
+        for pan in [
+            "4111111111111111",  # Visa test
+            "5500005555555559",  # MC test
+            "378282246310005",   # Amex test (15 digits)
+            "79927398713",       # classic Luhn example
+        ]:
+            assert luhn_valid(pan), pan
+
+    def test_single_digit_change_invalidates(self):
+        assert not luhn_valid("4111111111111112")
+        assert not luhn_valid("79927398710")
+
+    def test_transposition_detected(self):
+        # Luhn catches most adjacent transpositions
+        assert luhn_valid("4111111111111111")
+        assert not luhn_valid("4111111111111121"[:16])
+
+
+class TestIban:
+    def test_known_valid(self):
+        for iban in [
+            "GB82WEST12345698765432",
+            "DE89370400440532013000",
+            "FR1420041010050500013M02606",
+        ]:
+            assert iban_valid(iban), iban
+
+    def test_invalid_checksum(self):
+        assert not iban_valid("GB82WEST12345698765433")
+        assert not iban_valid("DE00370400440532013000")
+
+    def test_garbage_rejected(self):
+        assert not iban_valid("GB82WEST1234569876543!")
+
+
+def _ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+class TestScan:
+    def test_card_scan_explodes_and_validates(self, ray_session):
+        rows = [
+            (1, "pay with 4111111111111111 or 4111111111111112 today"),
+            (2, "no numbers here"),
+            (3, "short 1234 run and order 378282246310005 done"),
+        ]
+        df = (
+            validate_card_candidates(_ds(rows))
+            .to_pandas()
+            .sort_values(["doc_id", "candidate"])
+            .reset_index(drop=True)
+        )
+        assert len(df) == 3
+        assert df.loc[0, "luhn_valid"] and not df.loc[1, "luhn_valid"]
+        assert df.loc[2, "candidate"] == "378282246310005"
+        assert df.loc[2, "luhn_valid"]
+        assert 2 not in set(df["doc_id"])
+
+    def test_iban_scan(self, ray_session):
+        rows = [
+            (1, "wire to GB82WEST12345698765432 ref 7"),
+            (2, "bad GB82WEST12345698765433 here"),
+        ]
+        df = (
+            validate_iban_candidates(_ds(rows))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert df["iban_valid"].tolist() == [True, False]
