@@ -262,3 +262,91 @@ def ccnet_quantile_buckets(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) - mergeable distinct-count sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+_HLL_RANK_BITS = 52            # 13 md5 hex chars; < 2^53 stays int-exact
+
+
+def hll_bucket_rank(word: str) -> tuple[int, int]:
+    """(register, rank) for one item, md5-keyed so any SQL engine can
+    reproduce it: register = first 2 hex chars, rank = leading-zero
+    count of the next 13 hex chars (52 bits) + 1, computed with integer
+    bit_length (never float log2 - a value just below a power of two
+    makes floor(log2(v)) misround)."""
+    import hashlib
+
+    hx = hashlib.md5(word.encode()).hexdigest()
+    v = int(hx[2:15], 16)
+    rank = (_HLL_RANK_BITS - v.bit_length()) + 1 if v else _HLL_RANK_BITS + 1
+    return int(hx[:2], 16), rank
+
+
+def hll_register_partial(
+    batch: pa.Table, col: str, tokenize=None
+) -> pa.Table:
+    """Per-block HLL register partial: <=256 (bucket, rank) rows holding
+    the block-local max rank per register.  tokenize=None treats the
+    column value itself as the item; a callable explodes each value into
+    items (e.g. words) first."""
+    regs: dict[int, int] = {}
+    seen: set[str] = set()
+    for v in batch[col].to_pylist():
+        items = tokenize(v or "") if tokenize else [v]
+        for it in items:
+            if it in seen:
+                continue
+            seen.add(it)
+            b, r = hll_bucket_rank(it)
+            if regs.get(b, 0) < r:
+                regs[b] = r
+    bs = sorted(regs)
+    return pa.table(
+        {
+            "bucket": pa.array(bs, pa.int64()),
+            "max_rank": pa.array([regs[b] for b in bs], pa.int64()),
+        }
+    )
+
+
+def hll_registers(
+    ds: ray.data.Dataset, col: str, tokenize=None
+) -> ray.data.Dataset:
+    """Merged HLL registers for the distinct items of a column: the
+    exchange carries <=256 rows per block and the merge is max-per-
+    register (the HLL merge operator) - constant memory at any corpus
+    size.  Only non-empty registers appear (estimators treat missing
+    registers as rank 0)."""
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(
+            lambda b: hll_register_partial(b, col, tokenize=tokenize),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Max("max_rank", alias_name="max_rank"))
+    )
+
+
+def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
+    """Standard bias-corrected HLL estimate with the small-range
+    (linear counting) correction; registers maps bucket -> max rank,
+    missing buckets are 0."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = 0.0
+    zeros = 0
+    for j in range(m):
+        r = registers.get(j, 0)
+        if r == 0:
+            zeros += 1
+        s += 2.0 ** (-r)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

@@ -961,6 +961,43 @@ def luhn_card_validation(sf_dir: str):
     return validate_card_candidates(ds)
 
 
+_HLL_SQL = (
+    # exact mirror of the md5-keyed HLL registers: bucket = first 2 hex
+    # chars, rank = leading zeros of the next 13 hex chars + 1, derived
+    # with pure string/integer arithmetic (float log2 misrounds just
+    # below powers of two)
+    "WITH w AS (SELECT DISTINCT unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))"
+    " AS w FROM documents), "
+    "h AS (SELECT md5(w) AS hx FROM w), "
+    "r AS (SELECT CAST(CONCAT('0x', substr(hx, 1, 2)) AS BIGINT) AS bucket, "
+    "substr(hx, 3, 13) AS tail, "
+    "len(regexp_extract(substr(hx, 3, 13), '^0*')) AS z FROM h), "
+    "rk AS (SELECT bucket, CASE WHEN z = 13 THEN 53 ELSE 4 * z + "
+    "(CASE WHEN n >= 8 THEN 0 WHEN n >= 4 THEN 1 WHEN n >= 2 THEN 2 "
+    "ELSE 3 END) + 1 END AS rank FROM (SELECT bucket, z, CASE WHEN z = 13 "
+    "THEN 0 ELSE CAST(CONCAT('0x', substr(tail, z + 1, 1)) AS BIGINT) END"
+    " AS n FROM r)) "
+    "SELECT bucket, CAST(max(rank) AS BIGINT) AS max_rank FROM rk "
+    "GROUP BY bucket"
+)
+
+
+@register("hll_vocab_registers", _HLL_SQL)
+def hll_vocab_registers(sf_dir: str):
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) over the
+    corpus vocabulary: the scale path for vocab_size's exact distinct.
+    The exchange carries <=256 register rows per block; the merge is
+    max-per-register.  Registers (not the float estimate) are the query
+    output so the oracle compare stays pure-integer."""
+    from ..functions.dsir import _tokenize
+    from ..functions.sketch import hll_registers
+
+    return hll_registers(
+        _docs(sf_dir, ["text"]), "text", tokenize=_tokenize
+    )
+
+
 @register("dsir_en_selection", _DSIR_SQL)
 def dsir_en_selection(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): fit hashed-unigram

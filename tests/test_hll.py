@@ -1,0 +1,65 @@
+"""HyperLogLog sketch (functions/sketch.py, Flajolet et al. 2007)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.functions.sketch import (
+    HLL_M,
+    hll_bucket_rank,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _ds(values, parts=6):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"v": pa.array(values, pa.string())})
+    ).repartition(parts)
+
+
+def _regs_dict(ds_result):
+    df = ds_result.to_pandas()
+    return dict(zip(df["bucket"], df["max_rank"]))
+
+
+def test_bucket_rank_ranges():
+    for w in ["alpha", "beta", "x9", ""]:
+        b, r = hll_bucket_rank(w)
+        assert 0 <= b < HLL_M
+        assert 1 <= r <= 53
+
+
+def test_estimate_within_hll_error_bound(ray_session):
+    # 10k distinct items; m=256 -> relative std ~ 1.04/sqrt(256) = 6.5%
+    items = [f"item-{i}" for i in range(10_000)]
+    regs = _regs_dict(hll_registers(_ds(items), "v"))
+    est = hll_estimate(regs)
+    assert abs(est - 10_000) / 10_000 < 0.2
+
+
+def test_duplicates_do_not_change_registers(ray_session):
+    uniq = [f"u{i}" for i in range(500)]
+    a = _regs_dict(hll_registers(_ds(uniq), "v"))
+    b = _regs_dict(hll_registers(_ds(uniq * 5, parts=9), "v"))
+    assert a == b
+
+
+def test_merge_equals_serial(ray_session):
+    """Distributed register merge == one-process scan (mergeability)."""
+    items = [f"w{i}" for i in range(2_000)]
+    got = _regs_dict(hll_registers(_ds(items, parts=11), "v"))
+    want: dict[int, int] = {}
+    for it in items:
+        b, r = hll_bucket_rank(it)
+        want[b] = max(want.get(b, 0), r)
+    assert got == want
+
+
+def test_small_range_linear_counting(ray_session):
+    items = [f"s{i}" for i in range(30)]
+    regs = _regs_dict(hll_registers(_ds(items, parts=2), "v"))
+    est = hll_estimate(regs)
+    assert abs(est - 30) < 6
