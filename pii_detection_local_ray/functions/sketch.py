@@ -350,3 +350,70 @@ def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005) - mergeable frequency
+# sketch; pairs with HLL above (distinct) for cardinality + frequency
+# monitoring of unbounded key domains
+# ---------------------------------------------------------------------------
+
+CMS_D = 4        # hash rows
+CMS_W = 512      # counters per row
+
+
+def cms_cells(item: str) -> list[int]:
+    """One column index per hash row, all derived from a single md5 so
+    any SQL engine reproduces them: row j uses hex chars [4j, 4j+4)
+    (16 bits) mod CMS_W."""
+    import hashlib
+
+    hx = hashlib.md5(item.encode()).hexdigest()
+    return [int(hx[4 * j : 4 * j + 4], 16) % CMS_W for j in range(CMS_D)]
+
+
+def cms_partial(batch: pa.Table, col: str, tokenize=None) -> pa.Table:
+    """Per-block CMS partial: (row, cell, cnt) for the block's items
+    (every occurrence counts, unlike the HLL distinct semantics)."""
+    counts: dict[tuple[int, int], int] = {}
+    cell_cache: dict[str, list[int]] = {}
+    for v in batch[col].to_pylist():
+        items = tokenize(v or "") if tokenize else [v]
+        for it in items:
+            cells = cell_cache.get(it)
+            if cells is None:
+                cells = cms_cells(it)
+                cell_cache[it] = cells
+            for j, c in enumerate(cells):
+                key = (j, c)
+                counts[key] = counts.get(key, 0) + 1
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "row": pa.array([k[0] for k in keys], pa.int64()),
+            "cell": pa.array([k[1] for k in keys], pa.int64()),
+            "cnt": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def cms_table(
+    ds: ray.data.Dataset, col: str, tokenize=None
+) -> ray.data.Dataset:
+    """Merged CMS: <= CMS_D * CMS_W (row, cell, cnt) rows.  The exchange
+    carries at most d*w rows per block; the merge is a sum - constant
+    memory at any corpus size."""
+    return (
+        ds.map_batches(
+            lambda b: cms_partial(b, col, tokenize=tokenize),
+            batch_format="pyarrow",
+        )
+        .groupby(["row", "cell"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def cms_query(table: dict[tuple[int, int], int], item: str) -> int:
+    """Point estimate: min over the item's d cells (>= true count;
+    overestimates only)."""
+    return min(table.get((j, c), 0) for j, c in enumerate(cms_cells(item)))

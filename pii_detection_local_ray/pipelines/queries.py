@@ -998,6 +998,34 @@ def hll_vocab_registers(sf_dir: str):
     )
 
 
+_CMS_SQL = (
+    # exact mirror of the md5-keyed count-min sketch: row j's cell is
+    # hex chars [4j, 4j+4) of md5(word) mod 512; counts are plain sums
+    "WITH words AS (SELECT unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))"
+    " AS w FROM documents), "
+    "h AS (SELECT md5(w) AS hx FROM words), "
+    "cells AS (SELECT j, CAST(CONCAT('0x', substr(hx, 4 * j + 1, 4)) "
+    "AS BIGINT) % 512 AS cell "
+    "FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js) "
+    "SELECT CAST(j AS BIGINT) AS row, cell, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM cells GROUP BY j, cell"
+)
+
+
+@register("cms_word_counts", _CMS_SQL)
+def cms_word_counts(sf_dir: str):
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005) of corpus word
+    frequencies: the fixed-memory scale path for vocab_top25's exact
+    counts over unbounded key domains.  <=2048 (row, cell, cnt) rows per
+    block on the exchange, sum-merged; the sketch itself is the query
+    output so the compare stays pure-integer."""
+    from ..functions.dsir import _tokenize
+    from ..functions.sketch import cms_table
+
+    return cms_table(_docs(sf_dir, ["text"]), "text", tokenize=_tokenize)
+
+
 @register("dsir_en_selection", _DSIR_SQL)
 def dsir_en_selection(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): fit hashed-unigram

@@ -1,0 +1,60 @@
+"""Count-Min Sketch (functions/sketch.py, Cormode & Muthukrishnan 2005)."""
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.functions.sketch import (
+    CMS_D,
+    CMS_W,
+    cms_cells,
+    cms_query,
+    cms_table,
+)
+
+
+def _ds(values, parts=5):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"v": pa.array(values, pa.string())})
+    ).repartition(parts)
+
+
+def _table_dict(res):
+    df = res.to_pandas()
+    return {(r, c): n for r, c, n in zip(df["row"], df["cell"], df["cnt"])}
+
+
+def test_cells_shape():
+    cells = cms_cells("word")
+    assert len(cells) == CMS_D
+    assert all(0 <= c < CMS_W for c in cells)
+
+
+def test_point_estimates_upper_bound_and_tight(ray_session):
+    # skewed stream: one heavy key + a light tail
+    stream = ["heavy"] * 400 + [f"tail{i}" for i in range(300)]
+    tab = _table_dict(cms_table(_ds(stream, parts=7), "v"))
+    truth = Counter(stream)
+    for k, true_c in list(truth.items())[:50] + [("heavy", 400)]:
+        est = cms_query(tab, k)
+        assert est >= true_c, "CMS never underestimates"
+        assert est <= true_c + len(stream) * CMS_D / CMS_W + 1
+    assert cms_query(tab, "heavy") == 400  # heavy key collides rarely
+
+
+def test_merge_equals_serial(ray_session):
+    stream = [f"k{i % 37}" for i in range(1000)]
+    got = _table_dict(cms_table(_ds(stream, parts=9), "v"))
+    want: dict = {}
+    for it in stream:
+        for j, c in enumerate(cms_cells(it)):
+            want[(j, c)] = want.get((j, c), 0) + 1
+    assert got == want
+
+
+def test_every_occurrence_counts(ray_session):
+    a = _table_dict(cms_table(_ds(["x"] * 10, parts=2), "v"))
+    assert all(n == 10 for n in a.values())
+    assert len(a) == CMS_D
