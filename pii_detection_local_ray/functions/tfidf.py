@@ -1,0 +1,119 @@
+"""TF-IDF characteristic-term extraction (Sparck Jones 1972 idf).
+
+Per-document top-k keywords by tf * idf - the summarization/tagging
+staple of corpus curation pipelines.  Complements BM25 (query-driven
+ranking) with the query-free "what is this document about" signal.
+
+Distributed shape:
+
+  pass 1  set-semantics df partials per block (the doc_df_partial
+          pattern from repetition.py) + a doc-count sentinel row ride
+          the SAME exchange; one groupby-sum yields exact df per word
+          and the corpus size - a single streamed pass, vocab-bounded
+          collect behind the 5M guard.
+  idf     quantized to int64 fixed point per word on the driver
+          (floor(1e6 * ln(N / df) + 0.5), the dsir.py exactness
+          contract: int->double division, libm ln) and broadcast ONCE.
+  pass 2  embarrassingly parallel: per doc, tf from one Counter,
+          score = tf * idf_fp (pure int64 - no float ordering hazard),
+          top-k by (score desc, term asc).  No shuffle.
+
+At 100 TB the broadcast df map is the only pressure point (same as
+rare_word_stats): cap the vocabulary with a min-df floor or swap in the
+CMS sketch (sketch.py) for approximate df before broadcasting.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .dsir import _tokenize
+
+# a word the tokenizer can never produce (it only emits [a-z0-9]+)
+_N_SENTINEL = "\x00__n_docs__"
+
+
+def _df_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    cnt: Counter = Counter()
+    n = 0
+    for text in batch[text_col].to_pylist():
+        n += 1
+        cnt.update(set(_tokenize(text or "")))
+    cnt[_N_SENTINEL] = n
+    words = sorted(cnt)
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "df": pa.array([cnt[w] for w in words], pa.int64()),
+        }
+    )
+
+
+def fit_idf(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    max_vocab: int = 5_000_000,
+) -> tuple[int, dict[str, int]]:
+    """(n_docs, word -> fixed-point idf) in one streamed pass."""
+    tbl = (
+        ds.map_batches(
+            lambda b: _df_partial(b, text_col), batch_format="pyarrow"
+        )
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+    if tbl.count() > max_vocab:
+        raise ValueError(
+            "df vocabulary exceeds the broadcast guard; apply a min-df "
+            "floor or use the CMS sketch for approximate df"
+        )
+    dfs = {r["word"]: int(r["df"]) for r in tbl.take_all()}
+    n = dfs.pop(_N_SENTINEL)
+    idf = {
+        w: math.floor(1e6 * math.log(n / df) + 0.5) for w, df in dfs.items()
+    }
+    return n, idf
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> ray.data.Dataset:
+    """(id, term, tfidf_fp, rank) - each doc's top-k terms by the
+    int64 fixed-point tf*idf, ties broken by term ascending."""
+    _, idf = fit_idf(ds, text_col=text_col)
+    ref = ray.put(idf)
+
+    def topk(b: pa.Table) -> pa.Table:
+        idf_map = ray.get(ref)
+        ids, terms, scores, ranks = [], [], [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            cnt = Counter(_tokenize(t or ""))
+            best = sorted(
+                ((tf * idf_map[w], w) for w, tf in cnt.items()),
+                key=lambda p: (-p[0], p[1]),
+            )[:k]
+            for r, (s, w) in enumerate(best, start=1):
+                ids.append(i)
+                terms.append(w)
+                scores.append(s)
+                ranks.append(r)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tfidf_fp": pa.array(scores, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")

@@ -1026,6 +1026,37 @@ def cms_word_counts(sf_dir: str):
     return cms_table(_docs(sf_dir, ["text"]), "text", tokenize=_tokenize)
 
 
+_TFIDF_SQL = (
+    "WITH d AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+    " AS ws FROM documents), "
+    "n AS (SELECT count(*) AS nd FROM d), "
+    "ex AS (SELECT doc_id, unnest(ws) AS w FROM d), "
+    "tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM ex "
+    "GROUP BY doc_id, w), "
+    "dfs AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+    "FROM ex GROUP BY w), "
+    "sc AS (SELECT tf.doc_id, tf.w AS term, tf.tf * CAST(floor(1e6 * "
+    "ln(CAST(nd AS DOUBLE) / df) + 0.5) AS BIGINT) AS tfidf_fp "
+    "FROM tf JOIN dfs USING (w), n), "
+    "rk AS (SELECT doc_id, term, tfidf_fp, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY tfidf_fp DESC, term) AS rank FROM sc) "
+    "SELECT doc_id, term, tfidf_fp, CAST(rank AS BIGINT) AS rank "
+    "FROM rk WHERE rank <= 3"
+)
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def tfidf_top_terms_docs(sf_dir: str):
+    """Per-document top-3 characteristic terms by fixed-point tf*idf
+    (Sparck Jones 1972): one df+count pass, idf broadcast once,
+    shuffle-free per-doc top-k with integer scores (the dsir.py
+    exactness contract)."""
+    from ..functions.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
 @register("dsir_en_selection", _DSIR_SQL)
 def dsir_en_selection(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): fit hashed-unigram

@@ -1,0 +1,55 @@
+"""TF-IDF characteristic terms (functions/tfidf.py)."""
+import math
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.functions.tfidf import fit_idf, tfidf_top_terms
+
+
+def _ds(rows, parts=3):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(parts)
+
+
+def test_fit_idf_counts(ray_session):
+    rows = [(1, "a b"), (2, "a c"), (3, "a b c d")]
+    n, idf = fit_idf(_ds(rows))
+    assert n == 3
+    assert idf["a"] == 0  # df == N -> ln(1) -> 0
+    assert idf["b"] == math.floor(1e6 * math.log(3 / 2) + 0.5)
+    assert idf["d"] == math.floor(1e6 * math.log(3 / 1) + 0.5)
+
+
+def test_top_terms_prefer_rare_words(ray_session):
+    rows = [
+        (1, "common common common unique1"),
+        (2, "common filler"),
+        (3, "common filler"),
+    ]
+    out = tfidf_top_terms(_ds(rows), k=2).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    # unique1 (df=1) outranks common (df=3, idf 0) despite tf=3
+    assert d1.iloc[0]["term"] == "unique1" and d1.iloc[0]["rank"] == 1
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+
+
+def test_deterministic_tie_break_and_partition_invariance(ray_session):
+    rows = [(i, "x y z") for i in range(30)]
+    a = tfidf_top_terms(_ds(rows, parts=2), k=3).to_pandas()
+    b = tfidf_top_terms(_ds(rows, parts=9), k=3).to_pandas()
+    key = ["doc_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    # all scores 0 (every word everywhere): rank by term ascending
+    assert a[a.doc_id == 0]["term"].tolist() == ["x", "y", "z"]
