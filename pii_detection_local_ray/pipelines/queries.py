@@ -3265,3 +3265,196 @@ def rare_word_stats_docs(sf_dir: str):
     return planted.map_batches(stats, batch_format="pyarrow").select_columns(
         ["doc_id", "n_rare_words", "sum_df"]
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_filter tier: source-code-corpus structure filters (The Stack /
+# StarCoder data-prep heuristics; functions/codequality.py).  The sf
+# corpus is single-line word soup, so blob / header / comment structure
+# is planted deterministically per doc_id on BOTH sides (the
+# gopher_repetition_docs pattern).
+# ---------------------------------------------------------------------------
+
+def _encoded_sql() -> str:
+    from ..functions import codequality as fcq
+
+    th = fcq.ENCODED_FRAC_THRESHOLD
+    runs = {
+        "b64": fcq.B64_RUN_RE,
+        "hex": fcq.HEX_RUN_RE,
+    }
+    chars = ", ".join(
+        "CAST(coalesce(list_sum(list_transform(regexp_extract_all("
+        f"content, '{pat}'), x -> length(x))), 0) AS BIGINT) AS {k}_chars"
+        for k, pat in runs.items()
+    )
+    return (
+        "WITH p AS (SELECT doc_id, text"
+        " || CASE WHEN doc_id % 3 = 0"
+        "      THEN ' ' || repeat('Zm9vYmFy+', 8 + doc_id % 5) ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0"
+        "      THEN ' ' || repeat('deadbeef', 8 + doc_id % 4) ELSE '' END"
+        " AS content FROM documents), "
+        f"c AS (SELECT doc_id, length(content) AS n_chars, {chars} FROM p) "
+        "SELECT doc_id, b64_chars, hex_chars, "
+        "CAST(b64_chars AS DOUBLE) / n_chars AS b64_frac, "
+        "CAST(hex_chars AS DOUBLE) / n_chars AS hex_frac, "
+        f"CAST(b64_chars AS DOUBLE) / n_chars < {th} AND "
+        f"CAST(hex_chars AS DOUBLE) / n_chars < {th} AS encoded_keep "
+        "FROM c"
+    )
+
+
+@register("encoded_data_docs", _encoded_sql())
+def encoded_data_docs(sf_dir: str):
+    """The Stack encoded-data filter: per-doc base64/hex blob coverage
+    and the keep verdict, hash-exact (exact char counts + one float64
+    division per fraction).  Blobs of 64-108 chars are planted onto the
+    48-553-char corpus so both keep branches are live at sf0.01."""
+    from ..functions import codequality as fcq
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            c = t or ""
+            if i % 3 == 0:
+                c += " " + "Zm9vYmFy+" * (8 + i % 5)
+            if i % 4 == 0:
+                c += " " + "deadbeef" * (8 + i % 4)
+            out.append(c)
+        return pa.table({"doc_id": b["doc_id"], "content": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(fcq.encoded_data_stats_batch, batch_format="pyarrow")
+        .select_columns([
+            "doc_id", "b64_chars", "hex_chars", "b64_frac", "hex_frac",
+            "encoded_keep",
+        ])
+    )
+
+
+def _autogen_sql() -> str:
+    import re as _re
+
+    from ..functions import codequality as fcq
+
+    pat = "|".join(_re.escape(m) for m in fcq.AUTOGEN_MARKERS)
+    return (
+        "WITH p AS (SELECT doc_id, CASE"
+        " WHEN doc_id % 3 = 0 THEN"
+        "   '// Code generated by protoc-gen-go. DO NOT EDIT.' || chr(10) || text"
+        " WHEN doc_id % 5 = 0 THEN"
+        "   '# hand maintained; edits welcome' || chr(10) || text"
+        " ELSE text END AS content FROM documents) "
+        "SELECT doc_id, regexp_matches(lower(substr(content, 1, "
+        f"{fcq.AUTOGEN_HEAD_CHARS})), '{pat}') AS autogen_hit FROM p"
+    )
+
+
+@register("autogen_docs", _autogen_sql())
+def autogen_docs(sf_dir: str):
+    """Autogenerated-file detection (The Stack / license-header class of
+    head-marker scans): one vectorized RE2 alternation over the
+    lowercased 400-char head.  The %5 branch plants a header that must
+    NOT match, pinning precision as well as recall."""
+    from ..functions import codequality as fcq
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 3 == 0:
+                out.append(
+                    "// Code generated by protoc-gen-go. DO NOT EDIT.\n"
+                    + (t or "")
+                )
+            elif i % 5 == 0:
+                out.append("# hand maintained; edits welcome\n" + (t or ""))
+            else:
+                out.append(t or "")
+        return pa.table({"doc_id": b["doc_id"], "content": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(fcq.autogen_detect_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "autogen_hit"])
+    )
+
+
+_COMMENT_SQL = (
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents), "
+    "p AS (SELECT doc_id, list_transform(range(1, len(ws) + 1), "
+    "i -> CASE WHEN (i-1) % 3 = 0 THEN '# ' || ws[i] "
+    "WHEN (i-1) % 7 = 0 THEN '// ' || ws[i] ELSE ws[i] END) AS lines "
+    "FROM w), "
+    "p2 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN "
+    "list_concat(['<?xml version=\"1.0\"?>'], lines) ELSE lines END "
+    "AS lines FROM p), "
+    "t AS (SELECT doc_id, array_to_string(lines, chr(10)) AS content "
+    "FROM p2), "
+    "lx AS (SELECT doc_id, unnest(string_split(content, chr(10))) AS line "
+    "FROM t), "
+    "st AS (SELECT doc_id, trim(line, ' ' || chr(9) || chr(13)) AS s "
+    "FROM lx), "
+    "agg AS (SELECT doc_id, count(*) AS n_lines, "
+    "sum(CASE WHEN s <> '' THEN 1 ELSE 0 END) AS n_nonblank, "
+    "sum(CASE WHEN s <> '' AND (starts_with(s, '#') OR starts_with(s, '//') "
+    "OR starts_with(s, '--') OR starts_with(s, ';') OR starts_with(s, '/*') "
+    "OR starts_with(s, '*')) THEN 1 ELSE 0 END) AS n_comment "
+    "FROM st GROUP BY doc_id) "
+    "SELECT a.doc_id, CAST(a.n_lines AS BIGINT) AS n_lines, "
+    "CAST(a.n_comment AS BIGINT) AS n_comment_lines, "
+    "CASE WHEN a.n_nonblank > 0 THEN "
+    "CAST(a.n_comment AS DOUBLE) / a.n_nonblank ELSE 0.0 END "
+    "AS comment_frac, "
+    "contains(lower(substr(t.content, 1, 200)), '<?xml') OR "
+    "contains(lower(substr(t.content, 1, 200)), '<!doctype') OR "
+    "contains(lower(substr(t.content, 1, 200)), '<html') AS markup_hit "
+    "FROM agg a JOIN t USING (doc_id)"
+)
+
+
+@register("comment_ratio_docs", _COMMENT_SQL)
+def comment_ratio_docs(sf_dir: str):
+    """Comment-line fraction + markup detection over planted one-word
+    lines ('# ' every 3rd line, '// ' every 7th, an XML prolog on every
+    11th doc).  The engine parses the planted CONTENT generically (line
+    split -> trim -> prefix test); the oracle re-parses the same text
+    with string functions, so the line parser itself is certified."""
+    from ..functions import codequality as fcq
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            ws = [w for w in (t or "").split(" ") if w]
+            lines = []
+            for j, w in enumerate(ws):
+                if j % 3 == 0:
+                    lines.append("# " + w)
+                elif j % 7 == 0:
+                    lines.append("// " + w)
+                else:
+                    lines.append(w)
+            if i % 11 == 0:
+                lines.insert(0, '<?xml version="1.0"?>')
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": b["doc_id"], "content": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(fcq.comment_line_stats_batch, batch_format="pyarrow")
+        .select_columns([
+            "doc_id", "n_lines", "n_comment_lines", "comment_frac",
+            "markup_hit",
+        ])
+    )
