@@ -3458,3 +3458,71 @@ def comment_ratio_docs(sf_dir: str):
             "markup_hit",
         ])
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact END-TO-END oracle for the duplicate-cluster chain (round 3: the
+# 0.5-threshold realistic minhash_dup_clusters stays rows-only; this
+# planted variant certifies the SAME machinery - signatures, banding,
+# pair rule, connected components - hash-exact).  Copies planted at
+# doc_id+1M (every 25th) and doc_id+2M (every 50th) create 2- and 3-node
+# components; the oracle recomputes every signature (the
+# minhash_sig_docs kernel), applies the identical >= 61-of-64 pair rule,
+# and resolves components with a recursive-CTE min-label closure -
+# component = min reachable node == the engine's min-id representative.
+# ---------------------------------------------------------------------------
+
+_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE allv AS ("
+    "  SELECT doc_id, text FROM documents"
+    "  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+    "  WHERE doc_id % 25 = 0"
+    "  UNION ALL SELECT doc_id + 2000000 AS doc_id, text FROM documents"
+    "  WHERE doc_id % 50 = 0"
+    "), sig AS (" + _minhash_sig_sql("allv d") + "), "
+    "pr AS ("
+    "  SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "  FROM sig a JOIN sig b ON a.perm = b.perm AND a.doc_id < b.doc_id "
+    "  GROUP BY 1, 2 "
+    "  HAVING sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) >= 61"
+    "), edges AS ("
+    "  SELECT id_a AS s, id_b AS t FROM pr"
+    "  UNION ALL SELECT id_b AS s, id_a AS t FROM pr"
+    "), walk(id, comp) AS ("
+    "  SELECT s, s FROM edges"
+    "  UNION"
+    "  SELECT e.t, w.comp FROM walk w JOIN edges e ON w.id = e.s"
+    ") "
+    "SELECT id, CAST(min(comp) AS BIGINT) AS component "
+    "FROM walk GROUP BY id"
+)
+
+
+@register("dup_clusters_planted", _DUP_CLUSTERS_SQL)
+def dup_clusters_planted(sf_dir: str):
+    """MinHash -> LSH -> connected components, hash-exact: 2- and 3-node
+    planted exact-copy components (plus any natural >= 61-of-64 pairs,
+    which the oracle derives identically) resolved to min-id labels on
+    both sides.  Certifies the full cluster chain end to end; the
+    bucket-cap star fallback cannot change the result because capped
+    pairs stay anchor-connected (dedup.py:218)."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out = [b]
+        for mod, offset in ((25, 1_000_000), (50, 2_000_000)):
+            dup = b.filter(pa.array(ids % mod == 0))
+            dup = dup.set_column(
+                dup.schema.get_field_index("doc_id"), "doc_id",
+                pc.add(dup["doc_id"], offset),
+            )
+            out.append(dup)
+        return pa.concat_tables(out)
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    pairs = fdedup.minhash_lsh_pairs(planted, jaccard_threshold=0.95)
+    return fdedup.connected_components(pairs).rename_columns(
+        {"id": "id", "component": "component"}
+    )
