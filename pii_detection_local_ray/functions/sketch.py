@@ -417,3 +417,66 @@ def cms_query(table: dict[tuple[int, int], int], item: str) -> int:
     """Point estimate: min over the item's d cells (>= true count;
     overestimates only)."""
     return min(table.get((j, c), 0) for j, c in enumerate(cms_cells(item)))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) - mergeable set-membership sketch; the
+# URL/doc-id "seen in a previous snapshot" gate of an incremental-crawl
+# pipeline.  Completes the sketch family: HLL (distinct), CMS
+# (frequency), KLL (quantiles), Bloom (membership).
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096   # bits
+BLOOM_K = 4      # hash functions
+
+
+def bloom_bits_for(item: str) -> list[int]:
+    """One bit index per hash, all derived from a single md5 so any SQL
+    engine reproduces them: hash j uses hex chars [4j, 4j+4) (16 bits)
+    mod BLOOM_M (the cms_cells scheme over a wider modulus)."""
+    import hashlib
+
+    hx = hashlib.md5(item.encode()).hexdigest()
+    return [int(hx[4 * j : 4 * j + 4], 16) % BLOOM_M for j in range(BLOOM_K)]
+
+
+def bloom_partial(batch: pa.Table, col: str, tokenize=None) -> pa.Table:
+    """Per-block Bloom partial: the block's distinct set bits, <= BLOOM_M
+    rows regardless of block size."""
+    bits: set[int] = set()
+    cache: dict[str, list[int]] = {}
+    for v in batch[col].to_pylist():
+        items = tokenize(v or "") if tokenize else [v]
+        for it in items:
+            got = cache.get(it)
+            if got is None:
+                got = bloom_bits_for(it)
+                cache[it] = got
+            bits.update(got)
+    return pa.table({"bit": pa.array(sorted(bits), pa.int64())})
+
+
+def bloom_bits(ds: ray.data.Dataset, col: str, tokenize=None) -> ray.data.Dataset:
+    """Merged Bloom filter as (bit) rows: the exchange carries <= BLOOM_M
+    rows per block and the merge is set union (groupby-distinct) -
+    constant memory at any corpus size."""
+    return (
+        ds.map_batches(
+            lambda b: bloom_partial(b, col, tokenize=tokenize),
+            batch_format="pyarrow",
+        )
+        .groupby("bit")
+        .count()
+        .select_columns(["bit"])
+    )
+
+
+def bloom_contains(bit_set: set[int], item: str) -> bool:
+    """Membership probe: True = maybe present (fp rate ~ (n_set/m)^k),
+    False = DEFINITELY absent (no false negatives)."""
+    return all(b in bit_set for b in bloom_bits_for(item))
+
+
+def bloom_fp_rate(n_set_bits: int, m: int = BLOOM_M, k: int = BLOOM_K) -> float:
+    """Estimated false-positive probability given the observed load."""
+    return float((n_set_bits / m) ** k)

@@ -3526,3 +3526,31 @@ def dup_clusters_planted(sf_dir: str):
     return fdedup.connected_components(pairs).rename_columns(
         {"id": "id", "component": "component"}
     )
+
+
+_BLOOM_SQL = (
+    # exact mirror of the md5-keyed Bloom filter: hash j of a word is
+    # hex chars [4j, 4j+4) of md5(word) mod 4096; the filter is the
+    # distinct union of all bits (the cms_word_counts hex scheme)
+    "WITH w AS (SELECT DISTINCT unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))"
+    " AS w FROM documents), "
+    "h AS (SELECT md5(w) AS hx FROM w), "
+    "b AS (SELECT DISTINCT CAST(CONCAT('0x', substr(hx, 4*j + 1, 4)) "
+    "AS BIGINT) % 4096 AS bit "
+    "FROM h, (VALUES (0), (1), (2), (3)) AS t(j)) "
+    "SELECT bit FROM b"
+)
+
+
+@register("bloom_vocab_bits", _BLOOM_SQL)
+def bloom_vocab_bits(sf_dir: str):
+    """Bloom membership filter over the corpus vocabulary (the
+    seen-before gate of an incremental-crawl dedup), hash-exact at the
+    bit level: <= 4096 (bit) rows per block on the exchange, set-union
+    merge.  Same tokenization as hll_vocab_registers / cms_word_counts
+    so the three sketches certify one shared item stream."""
+    from ..functions.dsir import _tokenize
+    from ..functions.sketch import bloom_bits
+
+    return bloom_bits(_docs(sf_dir, ["text"]), "text", tokenize=_tokenize)

@@ -1,0 +1,65 @@
+"""Bloom-filter sketch unit tests (functions/sketch.py round-3 addition):
+merge == serial, no false negatives, definite absence on clear bits.
+Pure Arrow-batch functions except the merged-path test, which uses the
+session Ray fixture."""
+
+import pyarrow as pa
+
+from pii_detection_local_ray.functions import sketch as sk
+
+
+def _bits(texts, tokenize=None):
+    out = set()
+    for t in texts:
+        items = tokenize(t) if tokenize else [t]
+        for it in items:
+            out.update(sk.bloom_bits_for(it))
+    return out
+
+
+class TestBloomPartial:
+    def test_partial_equals_direct(self):
+        texts = ["alpha", "beta", "gamma", "alpha"]
+        p = sk.bloom_partial(pa.table({"w": texts}), "w")
+        assert set(p["bit"].to_pylist()) == _bits(texts)
+
+    def test_no_false_negatives(self):
+        words = [f"word{i}" for i in range(200)]
+        bits = set(sk.bloom_partial(pa.table({"w": words}), "w")["bit"].to_pylist())
+        assert all(sk.bloom_contains(bits, w) for w in words)
+
+    def test_definite_absence(self):
+        bits = set(
+            sk.bloom_partial(pa.table({"w": ["only", "these"]}), "w")["bit"]
+            .to_pylist()
+        )
+        # a probe whose bits are not all set is DEFINITELY absent; find
+        # one deterministically
+        missing = [
+            w for w in (f"probe{i}" for i in range(50))
+            if not sk.bloom_contains(bits, w)
+        ]
+        assert missing, "2 items cannot saturate a 4096-bit filter"
+
+    def test_tokenize_explodes(self):
+        p = sk.bloom_partial(
+            pa.table({"t": ["a b", "b c"]}), "t", tokenize=str.split
+        )
+        assert set(p["bit"].to_pylist()) == _bits(["a", "b", "c"])
+
+    def test_fp_rate_monotone(self):
+        assert sk.bloom_fp_rate(0) == 0.0
+        assert sk.bloom_fp_rate(4096) == 1.0
+        assert sk.bloom_fp_rate(100) < sk.bloom_fp_rate(1000)
+
+
+class TestBloomMerged:
+    def test_merge_equals_serial(self, ray_session):
+        import ray
+
+        texts = [f"w{i % 37}" for i in range(500)]
+        ds = ray.data.from_arrow(pa.table({"w": texts})).repartition(8)
+        merged = set(
+            r["bit"] for r in sk.bloom_bits(ds, "w").take_all()
+        )
+        assert merged == _bits(texts)
