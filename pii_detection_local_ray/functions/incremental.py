@@ -1,0 +1,128 @@
+"""Incremental-snapshot delta: which rows of the current crawl are new
+(or changed) since the previous snapshot?
+
+The canonical 100 TB shape (incremental CommonCrawl-style refreshes):
+a Bloom filter of the previous snapshot's content-addressed keys gates
+the current snapshot — "bits missing" proves DEFINITELY NEW with zero
+further work (Bloom has no false negatives), and only the "maybe seen"
+remainder pays for exact verification via a distributed anti-join.  The
+driver holds <= BLOOM_M bit rows regardless of snapshot size; the exact
+verify is a hash-partitioned groupby, never a driver set.
+
+Keys are content-addressed: ``snapshot_key_batch`` emits
+``"{id}:{fnv1a64(text)}"`` so an id whose content changed between
+snapshots re-enters the delta (the re-crawl semantics), while unchanged
+rows are skipped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .sketch import bloom_bits, bloom_contains
+from .text import fnv1a_64
+
+
+def snapshot_key_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
+    key_col: str = "snap_key",
+) -> pa.Table:
+    """Content-addressed snapshot key per row: id + content fingerprint."""
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    keys = pa.array(
+        [f"{i}:{format(fnv1a_64(t or ''), '016x')}" for i, t in zip(ids, texts)],
+        pa.string(),
+    )
+    return batch.append_column(key_col, keys)
+
+
+def snapshot_delta(
+    current: ray.data.Dataset,
+    seen: ray.data.Dataset,
+    key_col: str = "snap_key",
+    payload_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Rows of ``current`` whose key is absent from ``seen``.
+
+    Bloom-gate + exact-verify: rows failing the Bloom probe are emitted
+    directly; rows passing it (maybe false positives) are verified by a
+    hash-partitioned anti-join (tagged union -> groupby(key) -> keep
+    current-side rows of groups with no seen-side row).  Exact output
+    either way — the Bloom only routes work."""
+    cur_schema = current.schema()
+    payload_cols = payload_cols or [
+        c for c in cur_schema.names if c != key_col
+    ]
+    payload_types = {
+        c: cur_schema.base_schema.field(c).type for c in payload_cols
+    }
+
+    bits = frozenset(
+        r["bit"] for r in bloom_bits(seen, key_col).take_all()
+    )
+    ref = ray.put(bits)
+
+    def gate(b: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        maybe = pa.array(
+            [bloom_contains(bs, k) for k in b[key_col].to_pylist()]
+        )
+        return b.append_column("_maybe_seen", maybe)
+
+    gated = current.select_columns(payload_cols + [key_col]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+    def split(b: pa.Table, want_maybe: bool) -> pa.Table:
+        mask = b["_maybe_seen"]
+        if not want_maybe:
+            mask = pc.invert(mask)
+        return b.filter(mask).drop_columns(["_maybe_seen"])
+
+    definite_new = gated.map_batches(
+        split, fn_kwargs={"want_maybe": False}, batch_format="pyarrow"
+    )
+    maybe_seen = gated.map_batches(
+        split, fn_kwargs={"want_maybe": True}, batch_format="pyarrow"
+    )
+
+    # exact verify: tagged union, one hash shuffle on the key.  Seen-side
+    # rows carry null payloads (schemas must align for the union).
+    def tag_seen(b: pa.Table) -> pa.Table:
+        # same column ORDER as the current side: a union of blocks with
+        # reordered columns makes Ray re-derive the schema per bundle
+        cols = {c: pa.nulls(b.num_rows, payload_types[c]) for c in payload_cols}
+        cols[key_col] = b[key_col]
+        cols["_src"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_current(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_src", pa.array(np.ones(b.num_rows, dtype=np.int8))
+        )
+
+    tagged = seen.select_columns([key_col]).map_batches(
+        tag_seen, batch_format="pyarrow"
+    ).union(maybe_seen.map_batches(tag_current, batch_format="pyarrow"))
+
+    def anti(g: pa.Table) -> pa.Table:
+        src = g["_src"].to_numpy(zero_copy_only=False)
+        if (src == 0).any():  # key exists in the previous snapshot
+            g = g.slice(0, 0)
+        else:
+            g = g.filter(pc.equal(g["_src"], 1))
+        # project here (not in a downstream select) so every bundle
+        # entering the final union already has the payload-only schema
+        return g.select(payload_cols)
+
+    verified_new = tagged.groupby(key_col).map_groups(
+        anti, batch_format="pyarrow"
+    )
+    # both branches are already payload-only and same-order: a mixed-order
+    # union would force per-bundle schema re-derivation
+    return definite_new.select_columns(payload_cols).union(verified_new)

@@ -26,23 +26,29 @@ def broadcast_join(
     columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Left join: every row of ``large`` gains the matching columns of
-    ``small_table`` (nulls when unmatched)."""
+    ``small_table`` (nulls when unmatched).  Row order and length of the
+    fact side are preserved exactly (append_column, never a re-ordering
+    join engine), so positional zip-joins downstream stay valid.
+
+    Dimension keys must be unique - the usual dimension-table contract
+    (duplicate keys would make "the" matching row ambiguous)."""
     right_on = right_on or on
     cols = columns or [c for c in small_table.schema.names if c != right_on]
-    lookup: dict = {}
-    keys = small_table[right_on].to_pylist()
-    col_data = {c: small_table[c].to_pylist() for c in cols}
-    for i, k in enumerate(keys):
-        lookup[k] = tuple(col_data[c][i] for c in cols)
-    ref = ray.put(lookup)
+    key_arr = small_table[right_on]
+    if pa.compute.count_distinct(key_arr).as_py() != len(small_table):
+        raise ValueError(f"broadcast_join small side has duplicate {right_on!r} keys")
+    # ship Arrow arrays, not Python dicts: zero-copy through the object
+    # store and vectorized index_in/take per batch (no per-row loop)
+    small = small_table.select([right_on] + cols).combine_chunks()
+    ref = ray.put(small)
 
     def attach(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        vals = [lk.get(k) for k in batch[on].to_pylist()]
-        for j, c in enumerate(cols):
-            batch = batch.append_column(
-                c, pa.array([v[j] if v is not None else None for v in vals])
-            )
+        import pyarrow.compute as pc
+
+        sm = ray.get(ref)
+        idx = pc.index_in(batch[on], value_set=sm[right_on])
+        for c in cols:
+            batch = batch.append_column(c, pc.take(sm[c], idx))
         return batch
 
     return large.map_batches(attach, batch_format="pyarrow")

@@ -3554,3 +3554,37 @@ def bloom_vocab_bits(sf_dir: str):
     from ..functions.sketch import bloom_bits
 
     return bloom_bits(_docs(sf_dir, ["text"]), "text", tokenize=_tokenize)
+
+
+@register(
+    "snapshot_delta_docs",
+    # previous snapshot = even docs, with every 10th≡6 stored under OLD
+    # content -> the delta is the odd docs plus the changed evens
+    "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 OR doc_id % 10 = 6",
+)
+def snapshot_delta_docs(sf_dir: str):
+    """Incremental-crawl delta (functions/incremental.py): the previous
+    snapshot's content-addressed keys gate the current snapshot through
+    a Bloom filter (<= 4096 bit rows to the driver at ANY snapshot
+    size); "maybe seen" survivors are exactly verified by a
+    hash-partitioned anti-join.  Planted: evens were seen, 10k+6 evens
+    changed content since - both the definitely-new and the
+    verified-changed path must fire for the oracle to match."""
+    from ..functions import incremental as finc
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def prev_snapshot(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = b.filter(pa.array(ids % 2 == 0))
+        texts = [
+            (t or "") + " v1" if i % 10 == 6 else t
+            for i, t in zip(keep["doc_id"].to_pylist(), keep["text"].to_pylist())
+        ]
+        return pa.table({"doc_id": keep["doc_id"], "text": pa.array(texts)})
+
+    seen = docs.map_batches(prev_snapshot, batch_format="pyarrow").map_batches(
+        finc.snapshot_key_batch, batch_format="pyarrow"
+    )
+    current = docs.map_batches(finc.snapshot_key_batch, batch_format="pyarrow")
+    return finc.snapshot_delta(current, seen, payload_cols=["doc_id"])

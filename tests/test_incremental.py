@@ -1,0 +1,69 @@
+"""Incremental-snapshot delta tests (functions/incremental.py round-3
+addition): Bloom-gated + exact-verified new/changed-row detection."""
+
+import pyarrow as pa
+
+from pii_detection_local_ray.functions import incremental as inc
+
+
+def _keyed(ds):
+    return ds.map_batches(inc.snapshot_key_batch, batch_format="pyarrow")
+
+
+class TestSnapshotKey:
+    def test_key_is_content_addressed(self):
+        a = inc.snapshot_key_batch(pa.table({"doc_id": [1], "text": ["x"]}))
+        b = inc.snapshot_key_batch(pa.table({"doc_id": [1], "text": ["y"]}))
+        c = inc.snapshot_key_batch(pa.table({"doc_id": [2], "text": ["x"]}))
+        ka, kb, kc = (t["snap_key"][0].as_py() for t in (a, b, c))
+        assert ka != kb, "content change must change the key"
+        assert ka != kc, "id change must change the key"
+
+    def test_null_text(self):
+        t = inc.snapshot_key_batch(pa.table({"doc_id": [1], "text": [None]}))
+        assert t["snap_key"][0].as_py().startswith("1:")
+
+
+class TestSnapshotDelta:
+    def test_new_and_changed_rows(self, ray_session):
+        import ray
+
+        cur = _keyed(ray.data.from_arrow(pa.table({
+            "doc_id": [0, 1, 2, 3, 4, 5, 6],
+            "text": ["a", "b", "c", "d", "e", "f", "g"],
+        })))
+        # evens were seen; id 6's content changed since the old snapshot
+        seen = _keyed(ray.data.from_arrow(pa.table({
+            "doc_id": [0, 2, 4, 6],
+            "text": ["a", "c", "e", "OLD"],
+        })))
+        out = inc.snapshot_delta(cur, seen, payload_cols=["doc_id"])
+        assert sorted(r["doc_id"] for r in out.take_all()) == [1, 3, 5, 6]
+
+    def test_disjoint_and_identical(self, ray_session):
+        import ray
+
+        cur = _keyed(ray.data.from_arrow(
+            pa.table({"doc_id": [1, 2], "text": ["x", "y"]})
+        ))
+        same = inc.snapshot_delta(cur, cur, payload_cols=["doc_id"])
+        assert same.count() == 0, "identical snapshots have an empty delta"
+        other = _keyed(ray.data.from_arrow(
+            pa.table({"doc_id": [9], "text": ["z"]})
+        ))
+        out = inc.snapshot_delta(cur, other, payload_cols=["doc_id"])
+        assert sorted(r["doc_id"] for r in out.take_all()) == [1, 2]
+
+    def test_payload_preserved(self, ray_session):
+        import ray
+
+        cur = _keyed(ray.data.from_arrow(pa.table({
+            "doc_id": [1, 2], "text": ["x", "y"], "lang": ["py", "go"],
+        })))
+        seen = _keyed(ray.data.from_arrow(
+            pa.table({"doc_id": [1], "text": ["x"]})
+        ))
+        rows = inc.snapshot_delta(
+            cur, seen, payload_cols=["doc_id", "lang"]
+        ).take_all()
+        assert [(r["doc_id"], r["lang"]) for r in rows] == [(2, "go")]
