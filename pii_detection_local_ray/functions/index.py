@@ -1,0 +1,94 @@
+"""Distributed inverted-index construction (posting lists per term).
+
+The search-index build step that pairs with BM25 ranked retrieval
+(functions/bm25.py): BM25 computes scores on the fly; a real retrieval
+deployment materialises term -> sorted posting list once and serves
+lookups from it.  Classic IR shape (Manning et al., "Introduction to
+Information Retrieval" ch. 4 — public algorithm, original
+implementation).
+
+Scale shape: the map side emits DISTINCT (term, doc_id) pairs per block
+(set-combiner — a doc contributes one pair per distinct term, so the
+exchange carries the index size, not the token count), then ONE hash
+shuffle on term builds each posting list inside its group.  Posting
+lists are per-term sharded across the cluster; no driver
+materialisation.  Stopword-class terms with unbounded df are the skew
+risk — ``max_df`` drops them inside the group before the list is built
+(the classic stop-list prune), and dropped terms are emitted with a NULL
+postings string rather than silently vanishing (no-silent-caps rule).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def index_pairs_partial(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+    tokenize=None,
+) -> pa.Table:
+    """Block-local distinct (term, doc_id) pairs."""
+    if tokenize is None:
+        from .dsir import _tokenize as tokenize  # lower + non-alnum split
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    terms_out: list[str] = []
+    ids_out: list[int] = []
+    for i, t in zip(ids, texts):
+        for w in sorted(set(tokenize(t or ""))):
+            terms_out.append(w)
+            ids_out.append(i)
+    return pa.table({
+        "term": pa.array(terms_out, pa.string()),
+        "doc_id": pa.array(ids_out, pa.int64()),
+    })
+
+
+def inverted_index(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    tokenize=None, max_df: int | None = None,
+) -> ray.data.Dataset:
+    """(term, df, postings) with postings = comma-joined ascending
+    doc_ids.  df is always exact; postings is NULL for terms whose df
+    exceeds ``max_df`` (pruned stopword-class terms)."""
+
+    def build(g: pa.Table) -> pa.Table:
+        # distinct across blocks: the same (term, doc) pair can arrive
+        # from two blocks of the same doc only if the doc was split —
+        # ids are deduped here either way for safety
+        ids = sorted(set(g["doc_id"].to_pylist()))
+        df = len(ids)
+        postings = (
+            None if (max_df is not None and df > max_df)
+            else ",".join(map(str, ids))
+        )
+        return pa.table({
+            "term": pa.array([g["term"][0].as_py()], pa.string()),
+            "df": pa.array([df], pa.int64()),
+            "postings": pa.array([postings], pa.string()),
+        })
+
+    return (
+        ds.map_batches(
+            index_pairs_partial,
+            fn_kwargs={
+                "text_col": text_col, "id_col": id_col, "tokenize": tokenize,
+            },
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .map_groups(build, batch_format="pyarrow")
+    )
+
+
+def postings_lookup(index_rows: list[dict], term: str) -> list[int]:
+    """Serve-side probe over collected index rows (small slices only)."""
+    for r in index_rows:
+        if r["term"] == term:
+            return (
+                [int(x) for x in r["postings"].split(",")]
+                if r["postings"] else []
+            )
+    return []

@@ -3588,3 +3588,28 @@ def snapshot_delta_docs(sf_dir: str):
     )
     current = docs.map_batches(finc.snapshot_key_batch, batch_format="pyarrow")
     return finc.snapshot_delta(current, seen, payload_cols=["doc_id"])
+
+
+@register(
+    "inverted_index_terms",
+    # same tokenization as hll/cms/bloom/bm25 (one shared item stream)
+    "WITH wx AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))"
+    " AS term FROM documents), "
+    "dw AS (SELECT DISTINCT doc_id, term FROM wx) "
+    "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+    "CASE WHEN count(*) > 300 THEN NULL "
+    "ELSE array_to_string(list_sort(list(doc_id)), ',') END AS postings "
+    "FROM dw GROUP BY term",
+)
+def inverted_index_terms(sf_dir: str):
+    """Inverted-index build (functions/index.py): distinct-pair map
+    combiner -> one term shuffle -> per-group sorted posting list,
+    hash-exact including the max_df stop-list prune (df stays exact,
+    postings NULL for pruned terms - both prune branches are live on
+    the word-soup corpus: df spans 25-402 at sf0.01, so 300 splits it)."""
+    from ..functions.index import inverted_index
+
+    return inverted_index(
+        _docs(sf_dir, ["doc_id", "text"]), max_df=300
+    )

@@ -1,0 +1,61 @@
+"""Inverted-index construction tests (functions/index.py round-3
+addition): distinct-pair combiner, posting-list build, max_df prune."""
+
+import pyarrow as pa
+
+from pii_detection_local_ray.functions import index as fidx
+
+
+class TestIndexPairs:
+    def test_distinct_pairs_per_block(self):
+        out = fidx.index_pairs_partial(pa.table({
+            "doc_id": [1, 2],
+            "text": ["a b a", "b c"],
+        }))
+        pairs = set(zip(out["term"].to_pylist(), out["doc_id"].to_pylist()))
+        assert pairs == {("a", 1), ("b", 1), ("b", 2), ("c", 2)}
+
+    def test_custom_tokenize(self):
+        out = fidx.index_pairs_partial(
+            pa.table({"doc_id": [1], "text": ["X|Y"]}),
+            tokenize=lambda t: t.split("|"),
+        )
+        assert sorted(out["term"].to_pylist()) == ["X", "Y"]
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_and_df(self, ray_session):
+        import ray
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": [3, 1, 2],
+            "text": ["common x", "common", "common x"],
+        })).repartition(3)
+        rows = {r["term"]: r for r in fidx.inverted_index(ds).take_all()}
+        assert rows["common"]["df"] == 3
+        assert rows["common"]["postings"] == "1,2,3"
+        assert rows["x"]["postings"] == "2,3"
+
+    def test_max_df_prunes_postings_not_df(self, ray_session):
+        import ray
+
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": [1, 2, 3],
+            "text": ["stop a", "stop b", "stop"],
+        }))
+        rows = {
+            r["term"]: r
+            for r in fidx.inverted_index(ds, max_df=2).take_all()
+        }
+        assert rows["stop"]["df"] == 3, "df stays exact for pruned terms"
+        assert rows["stop"]["postings"] is None
+        assert rows["a"]["postings"] == "1"
+
+    def test_lookup(self):
+        rows = [
+            {"term": "a", "df": 2, "postings": "1,5"},
+            {"term": "stop", "df": 9, "postings": None},
+        ]
+        assert fidx.postings_lookup(rows, "a") == [1, 5]
+        assert fidx.postings_lookup(rows, "stop") == []
+        assert fidx.postings_lookup(rows, "zzz") == []
