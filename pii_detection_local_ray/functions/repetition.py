@@ -292,3 +292,47 @@ def rare_word_stats_batch(
     batch = batch.append_column("n_rare_words", pa.array(n_rare, pa.int64()))
     batch = batch.append_column("sum_df", pa.array(sum_df, pa.int64()))
     return batch
+
+
+def ngram_decontamination_batch(
+    batch: pa.Table, bench_grams: set[str], n: int = 8,
+    text_col: str = "text",
+) -> pa.Table:
+    """GPT-3-appendix-style benchmark decontamination: a document is
+    contaminated when any of its word n-grams (default 13 in the paper,
+    8 here per the stricter FLAN/PaLM variants) appears in the benchmark
+    n-gram set.  contamination_batch (above) is the cheaper
+    whole-substring variant; this one catches partial passage overlap.
+
+    ``bench_grams`` is driver-built from the benchmark suite - bounded
+    by benchmark size (thousands of docs), never corpus size - and
+    broadcast once via ray.put by callers.
+
+    Emits n_overlap_grams (DISTINCT doc grams hitting the set; exact
+    int) and contaminated."""
+    texts = batch[text_col].to_pylist()
+    m = len(texts)
+    n_overlap = np.zeros(m, dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = _words(t)
+        if len(ws) < n:
+            continue
+        grams = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+        n_overlap[i] = len(grams & bench_grams)
+    batch = batch.append_column(
+        "n_overlap_grams", pa.array(n_overlap, pa.int64())
+    )
+    return batch.append_column(
+        "contaminated", pa.array(n_overlap > 0)
+    )
+
+
+def build_bench_grams(texts: list[str], n: int = 8) -> set[str]:
+    """Distinct word n-grams of a benchmark suite (driver-side; bounded
+    by benchmark size)."""
+    out: set[str] = set()
+    for t in texts:
+        ws = _words(t)
+        for j in range(max(0, len(ws) - n + 1)):
+            out.add(" ".join(ws[j : j + n]))
+    return out

@@ -93,3 +93,22 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         [format(fnv1a_64(t or ""), "016x") for t in texts], pa.string()
     )
     return batch.append_column("fingerprint", fps)
+
+
+def nfc_normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Unicode NFC normalization + changed flag (the C4/CCNet text-fix
+    step before hashing or dedup: un-normalized text makes equal-looking
+    strings hash apart).  Both sides of the oracle implement the same
+    Unicode standard (Python unicodedata vs DuckDB nfc_normalize), so
+    the compare is exact on any input."""
+    import unicodedata
+
+    texts = batch[text_col].to_pylist()
+    out = [
+        None if t is None else unicodedata.normalize("NFC", t) for t in texts
+    ]
+    changed = [
+        False if t is None else (o != t) for t, o in zip(texts, out)
+    ]
+    batch = batch.append_column("text_nfc", pa.array(out, pa.string()))
+    return batch.append_column("nfc_changed", pa.array(changed))

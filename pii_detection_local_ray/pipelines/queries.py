@@ -3613,3 +3613,106 @@ def inverted_index_terms(sf_dir: str):
     return inverted_index(
         _docs(sf_dir, ["doc_id", "text"]), max_df=300
     )
+
+
+@register(
+    "nfc_normalize_docs",
+    # plant decomposed sequences (e + combining acute) on every 4th doc;
+    # NFC composes them to a single codepoint on both sides
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+    "text || ' caf' || chr(101) || chr(769) ELSE text END AS content "
+    "FROM documents) "
+    "SELECT doc_id, nfc_normalize(content) AS text_nfc, "
+    "nfc_normalize(content) <> content AS nfc_changed FROM p",
+)
+def nfc_normalize_docs(sf_dir: str):
+    """Unicode NFC normalization (functions/text.py): planted decomposed
+    e+U+0301 sequences must compose to U+00E9; ASCII rows must pass
+    through unchanged with nfc_changed = false."""
+    from ..functions.text import nfc_normalize_batch
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = [
+            (t or "") + " caf" + "e" + "\u0301" if i % 4 == 0 else t
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b["doc_id"], "content": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(
+            nfc_normalize_batch, fn_kwargs={"text_col": "content"},
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "text_nfc", "nfc_changed"])
+    )
+
+
+_NGRAM_DECON_SQL = (
+    # benchmark = docs 0-2; plant benchmark doc 0's first 8 words onto
+    # every 17th doc so overlap exists beyond the benchmark's own rows
+    "WITH b AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents WHERE doc_id < 3), "
+    "bg AS (SELECT DISTINCT array_to_string(list_slice(ws, i, i + 7), ' ') "
+    "AS g FROM b, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) "
+    "WHERE len(ws) >= 8), "
+    "d0 AS (SELECT array_to_string(list_slice(ws, 1, 8), ' ') AS p "
+    "FROM b WHERE doc_id = 0), "
+    "docs2 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN "
+    "text || ' ' || (SELECT p FROM d0) ELSE text END AS t FROM documents), "
+    "dw AS (SELECT doc_id, list_filter(string_split(t, ' '), "
+    "x -> x <> '') AS ws FROM docs2), "
+    "dg AS (SELECT DISTINCT doc_id, "
+    "array_to_string(list_slice(ws, i, i + 7), ' ') AS g "
+    "FROM dw, LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) "
+    "WHERE len(ws) >= 8), "
+    "ov AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (g) "
+    "GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap_grams, "
+    "coalesce(ov.n, 0) > 0 AS contaminated "
+    "FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id"
+)
+
+
+@register("ngram_decontamination_docs", _NGRAM_DECON_SQL)
+def ngram_decontamination_docs(sf_dir: str):
+    """n-gram-overlap benchmark decontamination (GPT-3 appendix C
+    method; functions/repetition.py): benchmark 8-gram set built from 3
+    benchmark docs (bounded by benchmark size), broadcast once; each
+    doc counts its DISTINCT 8-grams hitting the set.  Benchmark rows
+    self-contaminate; planted passages on every 17th doc catch the
+    partial-overlap path the substring variant misses."""
+    from ..functions import repetition as frep
+
+    bench = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: b.filter(pc.less(b["doc_id"], 3)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    bench.sort(key=lambda r: r["doc_id"])
+    bench_texts = [r["text"] for r in bench]
+    grams = frep.build_bench_grams(bench_texts, n=8)
+    passage = " ".join(frep._words(bench_texts[0])[:8])
+    ref = ray.put(grams)
+
+    def plant_and_score(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        planted = [
+            (t or "") + " " + passage if i % 17 == 0 else t
+            for i, t in zip(ids, texts)
+        ]
+        t2 = pa.table({"doc_id": b["doc_id"], "text": pa.array(planted)})
+        return frep.ngram_decontamination_batch(t2, ray.get(ref), n=8)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant_and_score, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_overlap_grams", "contaminated"])
+    )

@@ -394,3 +394,15 @@ def test_media_decode_fn_injection():
     fs = FrameSampleBatch(every_k=2, decode_fn=fake_video_decoder)(vbatch)
     assert fs.num_rows == 2  # frames 0 and 2
     assert fs["frame_no"].to_pylist() == [0, 2]
+
+
+def test_nfc_normalize_batch():
+    import pyarrow as pa
+
+    from pii_detection_local_ray.functions.text import nfc_normalize_batch
+
+    t = nfc_normalize_batch(
+        pa.table({"text": ["caf" + "e\u0301", "ascii only", None]})
+    )
+    assert t["text_nfc"].to_pylist() == ["caf\u00e9", "ascii only", None]
+    assert t["nfc_changed"].to_pylist() == [True, False, False]

@@ -133,3 +133,31 @@ class TestWordCountPartial:
         )
         assert len(out) == 0
         assert out.schema.field("n").type == pa.int64()
+
+
+class TestNgramDecontamination:
+    def test_overlap_counts_distinct_grams(self):
+        bg = frep.build_bench_grams(["a b c d e f g h i j"])
+        # "a b c d e f g h" and "b c d e f g h i" both present
+        out = frep.ngram_decontamination_batch(
+            _tbl(["x a b c d e f g h i y", "totally clean document w1 w2 w3 w4 w5"]),
+            bg,
+        )
+        assert out["n_overlap_grams"].to_pylist() == [2, 0]
+        assert out["contaminated"].to_pylist() == [True, False]
+
+    def test_short_docs_never_flagged(self):
+        bg = frep.build_bench_grams(["a b c d e f g h"])
+        out = frep.ngram_decontamination_batch(_tbl(["a b c d e f g"]), bg)
+        assert out["contaminated"].to_pylist() == [False]
+
+    def test_duplicate_doc_grams_count_once(self):
+        bench = "a b c d e f g h"
+        bg = frep.build_bench_grams([bench])
+        out = frep.ngram_decontamination_batch(
+            _tbl([bench + " " + bench]), bg
+        )
+        # the repeated passage yields the same gram set; overlap counts
+        # DISTINCT doc grams (1 distinct run of grams, several of which
+        # are the benchmark gram itself exactly once)
+        assert out["n_overlap_grams"][0].as_py() == 1
