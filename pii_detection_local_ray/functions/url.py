@@ -1,0 +1,100 @@
+"""URL normalization + domain blocklist filtering.
+
+The first stage of every web-crawl pipeline (RefinedWeb §3.1 "URL
+filtering", C4, Dolma — public descriptions; original implementation):
+normalize URLs so the same resource dedupes to one key, and drop
+documents from blocked domains before any content work is spent on
+them.
+
+Normalization contract (explicit string rules, mirrored verbatim by the
+oracle SQL — NOT urllib, whose edge-case semantics no SQL engine
+reproduces):
+
+  1. scheme and host lowercase
+  2. default port stripped (http:80, https:443)
+  3. fragment dropped
+  4. tracking params dropped: any query key starting with ``utm_``,
+     plus ``fbclid`` / ``gclid``
+  5. remaining query params sorted lexicographically (full ``k=v``
+     strings), re-joined with '&'; an emptied query drops its '?'
+  6. path '' becomes '/'; a trailing '/' on a non-root path is stripped
+
+Blocklist semantics: a host is blocked when it equals a blocked suffix
+or ends with '.' + suffix (subdomains inherit their parent's verdict).
+
+Assumes well-formed absolute http(s) URLs (the crawler's frontier
+guarantees this upstream); rows that do not match the URL shape pass
+through with NULL outputs rather than raising.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_URL_RE = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+)
+_TRACKING = ("fbclid", "gclid")
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def normalize_url(url: str) -> tuple[str, str] | None:
+    """(normalized_url, host) or None for non-URL-shaped input."""
+    m = _URL_RE.match(url or "")
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    host = m.group(2).lower()
+    port = _DEFAULT_PORTS.get(scheme)
+    if port and host.endswith(port):
+        host = host[: -len(port)]
+    path = m.group(3) or "/"
+    if path != "/" and path.endswith("/"):
+        path = path[:-1]
+    query = m.group(4)
+    out = f"{scheme}://{host}{path}"
+    if query:
+        kept = sorted(
+            p for p in query.split("&")
+            if p and not p.split("=", 1)[0].startswith("utm_")
+            and p.split("=", 1)[0] not in _TRACKING
+        )
+        if kept:
+            out += "?" + "&".join(kept)
+    return out, host
+
+
+def host_blocked(host: str, suffixes: frozenset[str] | set[str]) -> bool:
+    if host in suffixes:
+        return True
+    # subdomains inherit: check every suffix boundary, not all suffixes
+    # (len(host) dot-splits beats len(suffixes) scans for real blocklists)
+    parts = host.split(".")
+    return any(".".join(parts[i:]) in suffixes for i in range(1, len(parts)))
+
+
+def url_normalize_batch(
+    batch: pa.Table, url_col: str = "url",
+    blocked: frozenset[str] | set[str] | None = None,
+) -> pa.Table:
+    """Adds url_norm, host and (when a blocklist is given) blocked."""
+    urls = batch[url_col].to_pylist()
+    n = len(urls)
+    norm: list[str | None] = [None] * n
+    hosts: list[str | None] = [None] * n
+    blk = np.zeros(n, dtype=bool)
+    for i, u in enumerate(urls):
+        got = normalize_url(u) if u else None
+        if got is None:
+            continue
+        norm[i], hosts[i] = got
+        if blocked:
+            blk[i] = host_blocked(hosts[i], blocked)
+    batch = batch.append_column("url_norm", pa.array(norm, pa.string()))
+    batch = batch.append_column("host", pa.array(hosts, pa.string()))
+    if blocked is not None:
+        batch = batch.append_column("blocked", pa.array(blk))
+    return batch

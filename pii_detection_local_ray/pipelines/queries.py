@@ -3716,3 +3716,93 @@ def ngram_decontamination_docs(sf_dir: str):
         .map_batches(plant_and_score, batch_format="pyarrow")
         .select_columns(["doc_id", "n_overlap_grams", "contaminated"])
     )
+
+
+# shared plant: every normalization path is live (mixed-case scheme/host,
+# default port, tracking params, unsorted query, fragment, trailing
+# slash, blocked exact host and blocked-by-suffix subdomain)
+_URL_PLANT_SQL = (
+    "'HTTPS://' || CASE doc_id % 5 WHEN 3 THEN 'W3.Example.COM' "
+    "WHEN 4 THEN 'deep.W4.Blocked.TEST' "
+    "ELSE 'w' || (doc_id % 5) || '.example.com' END "
+    "|| CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END "
+    "|| '/Path' || (doc_id % 3) "
+    "|| CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN '?utm_only=1&gclid=g' "
+    "WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1' "
+    "ELSE '?a=1&utm_campaign=z' END "
+    "|| CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END"
+)
+
+_URL_SQL = (
+    "WITH p AS (SELECT doc_id, " + _URL_PLANT_SQL + " AS u FROM documents), "
+    "x AS (SELECT doc_id, u, "
+    "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme, "
+    "lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) "
+    "AS hostport, "
+    "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) "
+    "AS rawpath, "
+    "regexp_extract(u, '\\?([^#]*)', 1) AS q FROM p), "
+    "y AS (SELECT doc_id, scheme, "
+    "CASE WHEN scheme = 'https' AND hostport LIKE '%:443' "
+    "THEN substr(hostport, 1, length(hostport) - 4) "
+    "WHEN scheme = 'http' AND hostport LIKE '%:80' "
+    "THEN substr(hostport, 1, length(hostport) - 3) "
+    "ELSE hostport END AS host, "
+    "CASE WHEN rawpath = '' THEN '/' "
+    "WHEN rawpath <> '/' AND rawpath LIKE '%/' "
+    "THEN substr(rawpath, 1, length(rawpath) - 1) ELSE rawpath END AS path, "
+    "list_sort(list_filter(string_split(q, '&'), s -> s <> '' "
+    "AND NOT starts_with(string_split(s, '=')[1], 'utm_') "
+    "AND string_split(s, '=')[1] NOT IN ('fbclid', 'gclid'))) AS kept "
+    "FROM x) "
+    "SELECT doc_id, "
+    "scheme || '://' || host || path || "
+    "CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') "
+    "ELSE '' END AS url_norm, host, "
+    "host IN ('blocked.test', 'w3.example.com') "
+    "OR host LIKE '%.blocked.test' OR host LIKE '%.w3.example.com' "
+    "AS blocked FROM y"
+)
+
+
+@register("url_filter_docs", _URL_SQL)
+def url_filter_docs(sf_dir: str):
+    """URL normalization + domain blocklist (functions/url.py, RefinedWeb
+    section 3.1 shape): the oracle re-applies the explicit normalization
+    contract with SQL string/regexp functions on the same planted URLs,
+    so the parser itself is certified (scheme/host case, default port,
+    tracking-param drop, param sort, fragment drop, trailing slash,
+    exact-host and suffix-subdomain blocking all live)."""
+    from ..functions.url import url_normalize_batch
+
+    blocked = frozenset({"blocked.test", "w3.example.com"})
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        urls = []
+        for i in ids:
+            host = {
+                3: "W3.Example.COM", 4: "deep.W4.Blocked.TEST",
+            }.get(i % 5, f"w{i % 5}.example.com")
+            port = ":443" if i % 2 == 0 else ""
+            path = f"/Path{i % 3}" + ("/" if i % 3 == 0 else "")
+            if i % 7 == 0:
+                q = "?utm_only=1&gclid=g"
+            elif i % 2 == 0:
+                q = "?utm_source=x&b=2&a=1"
+            else:
+                q = "?a=1&utm_campaign=z"
+            frag = "#frag" if i % 4 == 0 else ""
+            urls.append(f"HTTPS://{host}{port}{path}{q}{frag}")
+        return pa.table({"doc_id": b["doc_id"], "url": pa.array(urls)})
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(
+            url_normalize_batch, fn_kwargs={"blocked": blocked},
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "url_norm", "host", "blocked"])
+    )

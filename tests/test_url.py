@@ -1,0 +1,72 @@
+"""URL normalization + blocklist tests (functions/url.py round-3
+addition).  The normalization contract is explicit string rules (module
+docstring); these pin each rule individually."""
+
+import pyarrow as pa
+
+from pii_detection_local_ray.functions import url as furl
+
+
+def norm(u):
+    got = furl.normalize_url(u)
+    return got[0] if got else None
+
+
+class TestNormalize:
+    def test_case_and_default_port(self):
+        assert norm("HTTPS://Example.COM:443/A") == "https://example.com/A"
+        assert norm("HTTP://x.org:80/") == "http://x.org/"
+        # non-default port survives
+        assert norm("https://x.org:8443/a") == "https://x.org:8443/a"
+        # http:443 is NOT a default port for http
+        assert norm("http://x.org:443/a") == "http://x.org:443/a"
+
+    def test_path_rules(self):
+        assert norm("https://x.org") == "https://x.org/"
+        assert norm("https://x.org/a/") == "https://x.org/a"
+        assert norm("https://x.org/") == "https://x.org/"
+        # path case is preserved (only scheme/host fold)
+        assert norm("https://x.org/CaseSensitive") == "https://x.org/CaseSensitive"
+
+    def test_query_rules(self):
+        assert norm("https://x.org/a?b=2&a=1") == "https://x.org/a?a=1&b=2"
+        assert (
+            norm("https://x.org/a?utm_source=t&a=1&fbclid=f&gclid=g")
+            == "https://x.org/a?a=1"
+        )
+        # emptied query drops its '?'
+        assert norm("https://x.org/a?utm_only=1") == "https://x.org/a"
+
+    def test_fragment_dropped(self):
+        assert norm("https://x.org/a#sec") == "https://x.org/a"
+
+    def test_malformed_is_none(self):
+        assert furl.normalize_url("not a url") is None
+        assert furl.normalize_url("") is None
+
+
+class TestBlocklist:
+    def test_exact_and_suffix(self):
+        s = frozenset({"spam.test"})
+        assert furl.host_blocked("spam.test", s)
+        assert furl.host_blocked("a.spam.test", s)
+        assert furl.host_blocked("deep.a.spam.test", s)
+        assert not furl.host_blocked("notspam.test", s)
+        assert not furl.host_blocked("spam.test.evil.org", s)
+
+
+class TestBatch:
+    def test_batch_columns_and_nulls(self):
+        out = furl.url_normalize_batch(
+            pa.table({"url": ["https://A.spam.test/x?b=1", "garbage", None]}),
+            blocked=frozenset({"spam.test"}),
+        )
+        assert out["url_norm"].to_pylist() == [
+            "https://a.spam.test/x?b=1", None, None,
+        ]
+        assert out["host"].to_pylist() == ["a.spam.test", None, None]
+        assert out["blocked"].to_pylist() == [True, False, False]
+
+    def test_no_blocklist_no_column(self):
+        out = furl.url_normalize_batch(pa.table({"url": ["https://x.org/"]}))
+        assert "blocked" not in out.column_names
