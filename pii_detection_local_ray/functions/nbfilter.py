@@ -1,0 +1,114 @@
+"""Supervised Naive-Bayes quality classifier over hashed unigrams.
+
+The model-based quality-filter stage of the modern pretraining stack
+(DCLM "fastText classifier", FineWeb-Edu scorer — public method
+descriptions; original implementation): train a two-class bag-of-words
+model on a LABELED subset (curated-positive vs rejected-negative), then
+score EVERY document with the class log-odds and keep positives.  DSIR
+(functions/dsir.py) is the unsupervised sibling (target-distribution
+importance); this one learns from explicit labels.
+
+Math: equal-prior multinomial NB log-odds,
+
+    score(doc) = sum_b c_doc[b] * ln((p_b+1)/(q_b+1))
+               + n_doc * ln((Q+256)/(P+256))
+
+with p/q the positive/negative hashed-bucket counts and P/Q their
+totals (the second term is the normalizer ratio; Laplace +1 / +256).
+
+Exactness contract and distributed shape are EXACTLY DSIR's (shared
+helpers): md5-prefix 256-bucket features, per-bucket log-ratios
+quantized to int64 fixed point with the oracle's IEEE op sequence, so
+per-document scores are pure integer sums; one streamed counting pass
+(<= 256 partial rows per block on the exchange), one 256-int broadcast,
+one streamed scoring pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .dsir import N_BUCKETS, _BucketCache, _fixed_log, _tokenize
+
+
+def fit_nb_counts(
+    ds: ray.data.Dataset, text_col: str, label_of,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One streamed pass -> (pos_counts, neg_counts), each length 256.
+
+    label_of(batch: pa.Table) -> np.ndarray[int8] per row: 1 = positive
+    example, 0 = negative example, -1 = unlabeled (not trained on).
+    """
+    from collections import Counter
+
+    def partial(b: pa.Table) -> pa.Table:
+        bucket = _BucketCache()
+        labels = np.asarray(label_of(b), dtype=np.int8)
+        p = np.zeros(N_BUCKETS, dtype=np.int64)
+        q = np.zeros(N_BUCKETS, dtype=np.int64)
+        for text, lab in zip(b[text_col].to_pylist(), labels):
+            if lab < 0:
+                continue
+            cnt = Counter(bucket(w) for w in _tokenize(text or ""))
+            tgt = p if lab == 1 else q
+            for bk, c in cnt.items():
+                tgt[bk] += c
+        nz = np.flatnonzero(p | q)
+        return pa.table({
+            "b": pa.array(nz, pa.int64()),
+            "p": pa.array(p[nz], pa.int64()),
+            "q": pa.array(q[nz], pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("p", alias_name="p"), Sum("q", alias_name="q"))
+        .take_all()  # <= 256 rows
+    )
+    p = np.zeros(N_BUCKETS, dtype=np.int64)
+    q = np.zeros(N_BUCKETS, dtype=np.int64)
+    for row in rows:
+        p[row["b"]] = row["p"]
+        q[row["b"]] = row["q"]
+    return p, q
+
+
+def nb_quality_scores(
+    ds: ray.data.Dataset, text_col: str, id_col: str, label_of,
+) -> ray.data.Dataset:
+    """(id, nb_score, nb_keep) for EVERY row (labeled or not); int64
+    fixed-point log-odds, nb_keep = score > 0.  Buckets unseen in
+    training contribute ln(1/1) = 0 exactly."""
+    from collections import Counter
+
+    p, q = fit_nb_counts(ds, text_col, label_of)
+    lr = np.array(
+        [_fixed_log(int(p[b]) + 1, int(q[b]) + 1) for b in range(N_BUCKETS)],
+        dtype=np.int64,
+    )
+    K = _fixed_log(int(q.sum()) + N_BUCKETS, int(p.sum()) + N_BUCKETS)
+    ref = ray.put(lr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lr_tab = ray.get(ref)
+        bucket = _BucketCache()
+        out = np.empty(batch.num_rows, dtype=np.int64)
+        nw = np.empty(batch.num_rows, dtype=np.int64)
+        for i, text in enumerate(batch[text_col].to_pylist()):
+            ws = _tokenize(text or "")
+            cnt = Counter(bucket(w) for w in ws)
+            out[i] = sum(c * int(lr_tab[bk]) for bk, c in cnt.items())
+            nw[i] = len(ws)
+        s = out + nw * K
+        return pa.table({
+            id_col: batch[id_col],
+            "nb_score": pa.array(s, pa.int64()),
+            "nb_keep": pa.array(s > 0),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

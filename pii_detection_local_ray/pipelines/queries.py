@@ -3806,3 +3806,84 @@ def url_filter_docs(sf_dir: str):
         )
         .select_columns(["doc_id", "url_norm", "host", "blocked"])
     )
+
+
+_NB_SQL = (
+    # DCLM-style supervised NB quality classifier with the DSIR exactness
+    # contract (identical IEEE fixed-point op sequence; see _DSIR_SQL)
+    "WITH p AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 "
+    "THEN ' excellent prose clarity' ELSE ' spam junk clutter' END AS t, "
+    "doc_id % 10 < 4 AS labeled, doc_id % 2 = 0 AS pos FROM documents), "
+    "words AS (SELECT doc_id, labeled, pos, unnest(list_filter("
+    "regexp_split_to_array(lower(t), '[^a-z0-9]+'), w -> len(w) > 0)) AS w "
+    "FROM p), "
+    "feat AS (SELECT doc_id, labeled, pos, substr(md5(w), 1, 2) AS bh, "
+    "count(*) AS c FROM words GROUP BY doc_id, labeled, pos, bh), "
+    "agg AS (SELECT bh, "
+    "CAST(sum(CASE WHEN labeled AND pos THEN c ELSE 0 END) AS BIGINT) AS pc, "
+    "CAST(sum(CASE WHEN labeled AND NOT pos THEN c ELSE 0 END) AS BIGINT) "
+    "AS qc FROM feat GROUP BY bh), "
+    "tot AS (SELECT CAST(sum(pc) AS BIGINT) AS tp, "
+    "CAST(sum(qc) AS BIGINT) AS tq FROM agg), "
+    "lr AS (SELECT bh, CAST(floor(1e6 * ln(CAST(pc + 1 AS DOUBLE) / (qc + 1))"
+    " + 0.5) AS BIGINT) AS lr FROM agg), "
+    "kk AS (SELECT CAST(floor(1e6 * ln(CAST(tq + 256 AS DOUBLE) / (tp + 256))"
+    " + 0.5) AS BIGINT) AS k FROM tot), "
+    "sc AS (SELECT f.doc_id, CAST(sum(f.c * coalesce(lr.lr, 0)) AS BIGINT) "
+    "+ CAST(sum(f.c) AS BIGINT) * (SELECT k FROM kk) AS nb_score "
+    "FROM feat f LEFT JOIN lr ON f.bh = lr.bh GROUP BY f.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(sc.nb_score, 0) AS BIGINT) AS nb_score, "
+    "coalesce(sc.nb_score, 0) > 0 AS nb_keep "
+    "FROM documents d LEFT JOIN sc USING (doc_id)"
+)
+
+
+@register("nb_quality_filter_docs", _NB_SQL)
+def nb_quality_filter_docs(sf_dir: str):
+    """Supervised NB quality classifier (functions/nbfilter.py): train on
+    the 40% labeled slice (planted marker words make labels learnable),
+    score EVERY doc with fixed-point log-odds, keep positives.  The
+    in-query assertion pins generalization: every unlabeled doc must be
+    classified by its planted markers, or the query raises."""
+    from ..functions.nbfilter import nb_quality_scores
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = [
+            (t or "") + (
+                " excellent prose clarity" if i % 2 == 0
+                else " spam junk clutter"
+            )
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b["doc_id"], "t": pa.array(out)})
+
+    def label_of(b: pa.Table) -> np.ndarray:
+        ids = np.asarray(b["doc_id"].to_pylist())
+        lab = np.where(ids % 2 == 0, 1, 0).astype(np.int8)
+        lab[ids % 10 >= 4] = -1  # unlabeled: scored, never trained on
+        return lab
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    # materialized once: the probe below and the returned result share
+    # the same execution instead of re-running the scoring pass
+    out = nb_quality_scores(planted, "t", "doc_id", label_of).materialize()
+
+    # generalization self-check on top of the exact oracle: the held-out
+    # rows (60%) must follow their planted markers
+    probe = out.map_batches(
+        lambda b: pa.table({
+            "bad": pa.array([
+                int(((i % 2 == 0) != k) and (i % 10 >= 4))
+                for i, k in zip(
+                    b["doc_id"].to_pylist(), b["nb_keep"].to_pylist()
+                )
+            ], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sum("bad")
+    assert probe == 0, f"NB classifier failed to generalize on {probe} held-out docs"
+    return out

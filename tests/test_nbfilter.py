@@ -1,0 +1,90 @@
+"""Supervised NB quality-classifier tests (functions/nbfilter.py
+round-3 addition)."""
+
+import numpy as np
+import pyarrow as pa
+
+from pii_detection_local_ray.functions import nbfilter as nb
+
+
+def _make_parity_label():
+    # defined as a returned closure: closures pickle by VALUE into Ray
+    # workers, while test-module top-level functions pickle by reference
+    # and fail to import there
+    def label(b: pa.Table) -> np.ndarray:
+        ids = np.asarray(b["doc_id"].to_pylist())
+        return np.where(ids % 2 == 0, 1, 0).astype(np.int8)
+
+    return label
+
+
+class TestNBFilter:
+    def test_learns_planted_markers(self, ray_session):
+        import ray
+
+        rows = pa.table({
+            "doc_id": list(range(40)),
+            "t": [
+                ("great clear helpful" if i % 2 == 0 else "junk spam noise")
+                + f" filler{i % 3}"
+                for i in range(40)
+            ],
+        })
+        ds = ray.data.from_arrow(rows).repartition(4)
+        out = {
+            r["doc_id"]: r
+            for r in nb.nb_quality_scores(
+                ds, "t", "doc_id", _make_parity_label()
+            ).take_all()
+        }
+        assert all(out[i]["nb_keep"] == (i % 2 == 0) for i in range(40))
+
+    def test_unlabeled_rows_scored_not_trained(self, ray_session):
+        import ray
+
+        def label_of(b):
+            ids = np.asarray(b["doc_id"].to_pylist())
+            lab = np.where(ids % 2 == 0, 1, 0).astype(np.int8)
+            lab[ids >= 20] = -1
+            return lab
+
+        rows = pa.table({
+            "doc_id": list(range(30)),
+            "t": [
+                "great clear" if i % 2 == 0 else "junk spam"
+                for i in range(30)
+            ],
+        })
+        ds = ray.data.from_arrow(rows)
+        p, q = nb.fit_nb_counts(ds, "t", label_of)
+        # only the 20 labeled docs' tokens are counted: 10 pos x 2 words
+        assert p.sum() == 20 and q.sum() == 20
+        out = {
+            r["doc_id"]: r["nb_keep"]
+            for r in nb.nb_quality_scores(ds, "t", "doc_id", label_of).take_all()
+        }
+        assert all(out[i] == (i % 2 == 0) for i in range(20, 30)), \
+            "held-out rows must be classified by their content"
+
+    def test_partition_invariance(self, ray_session):
+        import ray
+
+        rows = pa.table({
+            "doc_id": list(range(24)),
+            "t": [f"w{i % 5} common great" if i % 2 == 0 else f"w{i % 5} bad"
+                  for i in range(24)],
+        })
+        a = {
+            r["doc_id"]: r["nb_score"]
+            for r in nb.nb_quality_scores(
+                ray.data.from_arrow(rows), "t", "doc_id", _make_parity_label()
+            ).take_all()
+        }
+        b = {
+            r["doc_id"]: r["nb_score"]
+            for r in nb.nb_quality_scores(
+                ray.data.from_arrow(rows).repartition(7), "t", "doc_id",
+                _make_parity_label(),
+            ).take_all()
+        }
+        assert a == b, "int64 fixed-point scores are partition-invariant"
