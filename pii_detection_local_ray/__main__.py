@@ -64,9 +64,11 @@ def cmd_run(args) -> int:
                 pool="task",
                 with_toxicity=args.toxicity,
                 toxicity_lexicon_path=args.toxicity_lexicon,
+                with_code_filters=args.code_filters,
             ),
             with_perplexity=not args.no_perplexity,
             with_toxicity=args.toxicity,
+            with_code_filters=args.code_filters,
         )
 
     manifests = run_resumable(
@@ -185,6 +187,12 @@ def main(argv=None) -> int:
     pr.add_argument(
         "--toxicity-lexicon", default=None,
         help="path to a one-term-per-line lexicon file (default: built-in)",
+    )
+    pr.add_argument(
+        "--code-filters", action="store_true",
+        help="enable The-Stack-style code gates (encoded-data blobs, "
+        "autogenerated headers) as drop rules (off by default: not part "
+        "of the reference-parity contract)",
     )
     pr.add_argument("--files-per-partition", type=int, default=4)
     pr.set_defaults(fn=cmd_run)

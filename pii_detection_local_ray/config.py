@@ -151,16 +151,19 @@ TOXICITY_LEXICON: tuple[str, ...] = (
 TOXICITY_MASK = "[TOXIC]"
 TOXICITY_MAX_SCORE = 0.05  # drop when > 5% of tokens are lexicon hits
 
-# Drop reasons in precedence order; first matching rule wins.  "toxic"
-# participates only when the opt-in toxicity stage ran (its columns are
-# present); with the default configuration the first seven reproduce the
-# reference's decisions exactly.
+# Drop reasons in precedence order; first matching rule wins.
+# "encoded_data" / "autogenerated" / "toxic" participate only when their
+# opt-in stages ran (their columns are present); with the default
+# configuration the non-opt-in rules reproduce the reference's
+# decisions exactly.
 DROP_REASONS = [
     "empty",
     "too_large",
     "long_lines",
     "low_alnum",
     "dup_lines",
+    "encoded_data",
+    "autogenerated",
     "lang_mismatch",
     "high_perplexity",
     "toxic",
