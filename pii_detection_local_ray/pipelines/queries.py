@@ -3887,3 +3887,57 @@ def nb_quality_filter_docs(sf_dir: str):
     ).sum("bad")
     assert probe == 0, f"NB classifier failed to generalize on {probe} held-out docs"
     return out
+
+
+def _pagerank_sql() -> str:
+    from ..functions.pagerank import SCALE, _BASE
+
+    it = (
+        "i{k} AS (SELECT e.dst AS node, "
+        "SUM((r{p}.r * 85) // (100 * od.d)) AS inc "
+        "FROM e JOIN od USING (src) JOIN r{p} ON r{p}.node = e.src "
+        "GROUP BY e.dst), "
+        "r{k} AS (SELECT n.node, CAST({base} + coalesce(i{k}.inc, 0) "
+        "AS BIGINT) AS r FROM nodes n LEFT JOIN i{k} USING (node))"
+    )
+    rounds = ", ".join(
+        it.format(k=k, p=k - 1, base=_BASE) for k in (1, 2, 3)
+    )
+    return (
+        "WITH e AS (SELECT DISTINCT doc_id % 20 AS src, "
+        "(doc_id // 20) % 20 AS dst FROM documents), "
+        "od AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e "
+        "GROUP BY src), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+        f"r0 AS (SELECT node, CAST({SCALE} AS BIGINT) AS r FROM nodes), "
+        + rounds +
+        " SELECT node, r AS pagerank_fixed FROM r3"
+    )
+
+
+@register("host_pagerank", _pagerank_sql())
+def host_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (functions/pagerank.py) over a
+    planted 20-host link graph ((doc_id % 20) -> (doc_id // 20) % 20,
+    distinct): 3 rounds of rank⋈edges hash joins + groupby(dst) sums,
+    hash-exact against the unrolled pure-integer SQL recursion.  The
+    engine's iterative-graph-compute shape alongside connected
+    components."""
+    from ..functions.pagerank import pagerank_fixed
+
+    def plant_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(ids % 20, pa.int64()),
+            "dst": pa.array((ids // 20) % 20, pa.int64()),
+        })
+
+    edges = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+    )
+    return pagerank_fixed(edges, iters=3)

@@ -1,0 +1,47 @@
+"""Integer fixed-point PageRank tests (functions/pagerank.py round-3
+addition), hand-computed on tiny graphs."""
+
+import pyarrow as pa
+
+from pii_detection_local_ray.functions import pagerank as pr
+
+
+def _edges(pairs):
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.int64()),
+        "dst": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+
+
+def _run(pairs, iters):
+    out = pr.pagerank_fixed(_edges(pairs), iters=iters).take_all()
+    return {r["node"]: r["pagerank_fixed"] for r in out}
+
+
+class TestPagerank:
+    def test_two_cycle_conserves(self, ray_session):
+        # 0 <-> 1, outdeg 1 each: contrib = (S*85)//100, rank stays
+        # base + contrib = S exactly at every iteration
+        got = _run([(0, 1), (1, 0)], iters=3)
+        assert got == {0: pr.SCALE, 1: pr.SCALE}
+
+    def test_hub_two_iters_hand_computed(self, ray_session):
+        # 0 -> {1,2}, {1,2} -> 0; hand-rolled two rounds of the integer
+        # recurrence (see module contract)
+        got = _run([(0, 1), (0, 2), (1, 0), (2, 0)], iters=2)
+        assert got[0] == 1_127_500_000_000
+        assert got[1] == got[2] == 936_250_000_000
+
+    def test_dangling_sink_receives_but_leaks(self, ray_session):
+        # 1 has no out-edges: it accumulates base + inflow; node 0 gets
+        # only the teleport base after round 1 (its inflow source is
+        # dangling)
+        got = _run([(0, 1)], iters=1)
+        assert got[0] == pr._BASE
+        assert got[1] == pr._BASE + (pr.SCALE * 85) // 100
+
+    def test_iteration_count_matters(self, ray_session):
+        pairs = [(0, 1), (0, 2), (1, 0), (2, 0)]
+        assert _run(pairs, iters=1) != _run(pairs, iters=2)
