@@ -41,17 +41,46 @@ _BASE = (SCALE * 15) // 100
 
 def pagerank_fixed(
     edges: ray.data.Dataset, iters: int = 3,
+    driver_threshold: int = 100_000,
 ) -> ray.data.Dataset:
     """(node, pagerank_fixed) after ``iters`` integer PageRank rounds.
 
     ``edges`` holds DISTINCT (src, dst) int64 pairs; every src has
     outdeg >= 1 by construction, dangling dst-only nodes receive mass
-    but emit none (their outflow vanishes — documented above)."""
+    but emit none (their outflow vanishes — documented above).
+
+    Hybrid like connected_components: a provably small edge set
+    (counted first) runs the identical integer recurrence in numpy on
+    the driver — per-round Ray joins cost seconds of shuffle-actor
+    spawn that a 500-edge graph cannot amortize; the distributed
+    join+groupby rounds engage beyond ``driver_threshold`` edges."""
     edges = edges.select_columns(["src", "dst"]).materialize()
+    n_edges = edges.count()
+
+    if n_edges <= driver_threshold:
+        import numpy as np
+
+        rows = edges.take_all()
+        src = np.array([r["src"] for r in rows], dtype=np.int64)
+        dst = np.array([r["dst"] for r in rows], dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        si, di = inv[: len(src)], inv[len(src):]
+        outdeg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+        r = np.full(len(nodes), SCALE, dtype=np.int64)
+        for _ in range(iters):
+            contrib = (r[si] * 85) // (100 * outdeg[si])
+            acc = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(acc, di, contrib)  # int64-exact (bincount would float)
+            r = _BASE + acc
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "pagerank_fixed": pa.array(r, pa.int64()),
+        }))
+
     # an empty join partition carries an empty schema, which breaks the
     # Arrow-side key resolution (the dedup.py:connected_components
     # workaround) - keep every partition non-trivially filled
-    n_parts = max(1, min(8, edges.count() // 4))
+    n_parts = max(1, min(8, n_edges // 4))
 
     outdeg = edges.groupby("src").aggregate(Count(alias_name="d"))
     # edges with outdeg attached once, reused every round

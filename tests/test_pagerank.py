@@ -45,3 +45,13 @@ class TestPagerank:
     def test_iteration_count_matters(self, ray_session):
         pairs = [(0, 1), (0, 2), (1, 0), (2, 0)]
         assert _run(pairs, iters=1) != _run(pairs, iters=2)
+
+    def test_driver_and_distributed_paths_agree(self, ray_session):
+        pairs = [(i % 7, (i * 3 + 1) % 7) for i in range(30)]
+        pairs = sorted(set(pairs))
+        a = _run(pairs, iters=3)
+        out = pr.pagerank_fixed(
+            _edges(pairs), iters=3, driver_threshold=0  # force distributed
+        ).take_all()
+        b = {r["node"]: r["pagerank_fixed"] for r in out}
+        assert a == b
