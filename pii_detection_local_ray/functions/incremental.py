@@ -62,8 +62,12 @@ def snapshot_delta(
         c: cur_schema.base_schema.field(c).type for c in payload_cols
     }
 
+    # the seen side is consumed twice (Bloom build + verify union): pin
+    # the key-only projection so the snapshot is not recomputed — the
+    # narrow column spills to the object store rather than re-reading
+    seen_keys = seen.select_columns([key_col]).materialize()
     bits = frozenset(
-        r["bit"] for r in bloom_bits(seen, key_col).take_all()
+        r["bit"] for r in bloom_bits(seen_keys, key_col).take_all()
     )
     ref = ray.put(bits)
 
@@ -74,9 +78,11 @@ def snapshot_delta(
         )
         return b.append_column("_maybe_seen", maybe)
 
+    # both split branches consume the gate output: materialized once, or
+    # the whole current snapshot (read + keys + probe) would run twice
     gated = current.select_columns(payload_cols + [key_col]).map_batches(
         gate, batch_format="pyarrow"
-    )
+    ).materialize()
 
     def split(b: pa.Table, want_maybe: bool) -> pa.Table:
         mask = b["_maybe_seen"]
@@ -106,7 +112,7 @@ def snapshot_delta(
             "_src", pa.array(np.ones(b.num_rows, dtype=np.int8))
         )
 
-    tagged = seen.select_columns([key_col]).map_batches(
+    tagged = seen_keys.map_batches(
         tag_seen, batch_format="pyarrow"
     ).union(maybe_seen.map_batches(tag_current, batch_format="pyarrow"))
 
