@@ -3941,3 +3941,47 @@ def host_pagerank(sf_dir: str):
         .select_columns(["src", "dst"])
     )
     return pagerank_fixed(edges, iters=3)
+
+
+@register(
+    "pseudonymize_docs",
+    # planted entities are unique literals absent from the word-soup
+    # text, so SQL replace() reproduces the engine's offset splice; the
+    # md5-keyed pseudonyms are re-derived bit-for-bit
+    "WITH p AS (SELECT doc_id, "
+    "text || ' contact u' || doc_id || '@example.com via 192.168.' "
+    "|| (doc_id % 200) || '.' || (doc_id % 250) AS content, "
+    "'u' || doc_id || '@example.com' AS em, "
+    "'192.168.' || (doc_id % 200) || '.' || (doc_id % 250) AS ip "
+    "FROM documents) "
+    "SELECT doc_id, replace(replace(content, em, "
+    "'user' || substr(md5(em), 1, 8) || '@example.com'), ip, "
+    "'10.' || CAST(CONCAT('0x', substr(md5(ip), 1, 2)) AS BIGINT) || '.' "
+    "|| CAST(CONCAT('0x', substr(md5(ip), 3, 2)) AS BIGINT) || '.' "
+    "|| CAST(CONCAT('0x', substr(md5(ip), 5, 2)) AS BIGINT)) "
+    "AS pseudo_content, true AS has_pii FROM p",
+)
+def pseudonymize_docs(sf_dir: str):
+    """Deterministic pseudonymization (stages/scrub.py round-3 section):
+    consistent md5-keyed fake values instead of [REDACTED] - the
+    utility-preserving scrub.  The engine SCANS the planted content
+    (full regex bank + splice); the oracle replaces the known planted
+    literals and re-derives each pseudonym, certifying scanner offsets
+    and the replacement scheme together."""
+    from ..stages.scrub import pseudonymize_batch
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        content = [
+            f"{t} contact u{i}@example.com via 192.168.{i % 200}.{i % 250}"
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b["doc_id"], "content": pa.array(content)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(pseudonymize_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "pseudo_content", "has_pii"])
+    )

@@ -171,3 +171,75 @@ class ScrubBatch:
         batch = batch.append_column("scrubbed_content", pa.array(scrubbed, pa.string()))
         batch = batch.append_column("scrubbed_sha256", pa.array(post_sha, pa.string()))
         return batch
+
+
+# ---------------------------------------------------------------------------
+# Deterministic pseudonymization (round 3) - the utility-preserving
+# alternative to [REDACTED]: the same original value maps to the same
+# fake value EVERYWHERE in the corpus, so dedup/joins/frequency stats
+# over scrubbed text still align across documents.  The reference only
+# redacts (src/inference.py:325-332); pseudonymization is the standard
+# extension (Presidio "operators" feature class - public concept,
+# original implementation).  md5-keyed so a SQL oracle reproduces every
+# replacement bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def pseudonym_for(etype: str, value: str) -> str:
+    """Deterministic fake value for one entity occurrence.
+
+    EMAIL       user<h8>@example.com        (reserved example domain)
+    IP_ADDRESS  10.<h0>.<h1>.<h2>           (RFC 1918 private range)
+    other       [<TYPE>_<h8>]               (typed opaque token)
+
+    h* are md5(value) hex prefixes; octets are hex-pair ints (0-255).
+    """
+    h = hashlib.md5(value.encode("utf-8", errors="surrogatepass")).hexdigest()
+    if etype == "EMAIL":
+        return f"user{h[:8]}@example.com"
+    if etype == "IP_ADDRESS":
+        return (
+            f"10.{int(h[0:2], 16)}.{int(h[2:4], 16)}.{int(h[4:6], 16)}"
+        )
+    return f"[{etype}_{h[:8]}]"
+
+
+def apply_pseudonyms(text: str, entities: list[dict]) -> str:
+    """Reverse-start-order splice of per-entity pseudonyms (same offset
+    discipline as apply_redaction)."""
+    if not entities:
+        return text
+    out = text
+    for e in sorted(entities, key=lambda e: e["start"], reverse=True):
+        out = (
+            out[: e["start"]]
+            + pseudonym_for(e["type"], e["text"])
+            + out[e["end"] :]
+        )
+    return out
+
+
+def pseudonymize_batch(batch: pa.Table, content_col: str = "content") -> pa.Table:
+    """Scan + pseudonymize in one stateless pass: adds pseudo_content
+    (and has_pii for convenience).  Same RE2 prefilter discipline as
+    ScrubBatch - clean rows never pay the Python scanner."""
+    col = batch[content_col]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    texts = arr.to_pylist()
+    candidates = pc.fill_null(
+        pc.match_substring_regex(arr, _PREFILTER_PATTERN), False
+    ).to_numpy(zero_copy_only=False)
+    out = np.empty(len(texts), dtype=object)
+    has = np.zeros(len(texts), dtype=bool)
+    for i, text in enumerate(texts):
+        if text is None:
+            text = ""
+        if not candidates[i]:
+            out[i] = text
+            continue
+        ents = scan_entities(text)
+        has[i] = bool(ents)
+        out[i] = apply_pseudonyms(text, ents)
+    batch = batch.append_column(
+        "pseudo_content", pa.array(out, pa.string())
+    )
+    return batch.append_column("has_pii", pa.array(has))

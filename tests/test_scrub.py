@@ -87,3 +87,41 @@ def test_engine_scan_matches_oracle_scan():
         a = [(e["start"], e["end"], e["type"]) for e in scan_entities(text)]
         b = [(e["start"], e["end"], e["type"]) for e in oracle.scan(text)]
         assert a == b, text
+
+
+class TestPseudonymize:
+    def test_consistent_across_documents(self):
+        from pii_detection_local_ray.stages.scrub import pseudonymize_batch
+
+        t = pseudonymize_batch(pa.table({"content": [
+            "write to a@b.co today",
+            "a@b.co replied",
+        ]}))
+        out = t["pseudo_content"].to_pylist()
+        tok0 = out[0].split()[2]
+        assert tok0.startswith("user") and tok0.endswith("@example.com")
+        assert tok0 in out[1], "same value must map to the same pseudonym"
+
+    def test_types_get_typed_replacements(self):
+        from pii_detection_local_ray.stages.scrub import pseudonym_for
+
+        assert pseudonym_for("EMAIL", "x@y.co").endswith("@example.com")
+        ip = pseudonym_for("IP_ADDRESS", "8.8.8.8")
+        parts = ip.split(".")
+        assert parts[0] == "10" and all(0 <= int(p) <= 255 for p in parts[1:])
+        assert pseudonym_for("SSN", "123-45-6789").startswith("[SSN_")
+
+    def test_clean_rows_unchanged_and_offsets_hold(self):
+        from pii_detection_local_ray.stages.scrub import pseudonymize_batch
+
+        t = pseudonymize_batch(pa.table({"content": [
+            "no pii at all",
+            "a@b.co and 1.2.3.4 both",  # two entities, reverse splice
+            None,
+        ]}))
+        out = t["pseudo_content"].to_pylist()
+        assert out[0] == "no pii at all"
+        assert out[1].endswith(" both") and " and " in out[1]
+        assert "a@b.co" not in out[1] and "1.2.3.4" not in out[1]
+        assert out[2] == ""
+        assert t["has_pii"].to_pylist() == [False, True, False]
