@@ -54,14 +54,18 @@ def explode_lines_combined(
     id_col: str = "doc_id",
     min_chars: int = 1,
     num_buckets: int = DEFAULT_BUCKETS,
+    sep: str = "\n",
 ) -> pa.Table:
     """(doc_id, idx, line, bh) rows, batch-locally reduced to the first
-    occurrence of each line (the only row that can win globally)."""
+    occurrence of each line (the only row that can win globally).
+
+    ``sep`` picks the dedup unit: "\n" = lines (default), "\n\n" =
+    paragraphs (the RefinedWeb/C4 paragraph-dedup variant)."""
     ids, idxs, lines = [], [], []
     for i, t in zip(
         batch[id_col].to_pylist(), batch[text_col].to_pylist()
     ):
-        for j, line in enumerate((t or "").split("\n"), start=1):
+        for j, line in enumerate((t or "").split(sep), start=1):
             if len(line) < min_chars:
                 continue
             ids.append(i)
@@ -90,8 +94,10 @@ def dedup_lines_across_docs(
     id_col: str = "doc_id",
     min_chars: int = 1,
     num_buckets: int = DEFAULT_BUCKETS,
+    sep: str = "\n",
 ) -> ray.data.Dataset:
-    """doc_id, n_kept_lines, rebuilt_text for docs with >= 1 kept line."""
+    """doc_id, n_kept_lines, rebuilt_text for docs with >= 1 kept line;
+    rebuilt units are re-joined with the same ``sep``."""
     ex = ds.map_batches(
         lambda b: explode_lines_combined(
             b,
@@ -99,6 +105,7 @@ def dedup_lines_across_docs(
             id_col=id_col,
             min_chars=min_chars,
             num_buckets=num_buckets,
+            sep=sep,
         ),
         batch_format="pyarrow",
     )
@@ -118,7 +125,7 @@ def dedup_lines_across_docs(
     def rebuild_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "idx"], kind="mergesort")
         agg = g.groupby(id_col, sort=False, dropna=False)["line"].agg(
-            n_kept_lines="size", rebuilt_text="\n".join
+            n_kept_lines="size", rebuilt_text=sep.join
         )
         return agg.reset_index()
 

@@ -3985,3 +3985,60 @@ def pseudonymize_docs(sf_dir: str):
         .map_batches(pseudonymize_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "pseudo_content", "has_pii"])
     )
+
+
+_PARADEDUP_SQL = (
+    # plant: two-line paragraphs of 10 words; a shared boilerplate
+    # paragraph on every 6th doc.  Units split on blank lines (\n\n) -
+    # the intra-paragraph \n must NOT split (distinguishes this from
+    # line_dedup_docs) - and global first occurrence by (doc_id, idx)
+    # wins, docs rebuilt from surviving paragraphs.
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents), "
+    "p AS (SELECT doc_id, "
+    "list_transform(range(1, len(ws)//10 + 1), "
+    "i -> array_to_string(list_slice(ws, 10*i-9, 10*i-5), ' ') || chr(10) "
+    "|| array_to_string(list_slice(ws, 10*i-4, 10*i), ' ')) "
+    "|| CASE WHEN doc_id % 6 = 0 THEN "
+    "['follow us on social media' || chr(10) || 'see terms of service'] "
+    "ELSE CAST([] AS VARCHAR[]) END AS paras FROM w), "
+    "l AS (SELECT doc_id, unnest(paras) AS para, "
+    "unnest(range(1, len(paras)+1)) AS idx FROM p), "
+    "k AS (SELECT doc_id, idx, para, "
+    "row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn "
+    "FROM l) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_lines, "
+    "string_agg(para, chr(10) || chr(10) ORDER BY idx) AS rebuilt_text "
+    "FROM k WHERE rn = 1 GROUP BY doc_id"
+)
+
+
+@register("paragraph_dedup_docs", _PARADEDUP_SQL)
+def paragraph_dedup_docs(sf_dir: str):
+    """Cross-document exact PARAGRAPH dedup with rewrite (the RefinedWeb
+    paragraph-granularity variant of line_dedup_docs): same combiner +
+    coarse-bucket exchange machinery, unit = blank-line-separated
+    paragraph (sep="\\n\\n"); intra-paragraph newlines survive."""
+    from ..functions.linededup import dedup_lines_across_docs
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ws = [w for w in (t or "").split(" ") if w]
+            paras = []
+            for k in range(len(ws) // 10):
+                paras.append(
+                    " ".join(ws[10 * k : 10 * k + 5]) + "\n"
+                    + " ".join(ws[10 * k + 5 : 10 * k + 10])
+                )
+            if i % 6 == 0:
+                paras.append(
+                    "follow us on social media\nsee terms of service"
+                )
+            out.append("\n\n".join(paras))
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out)})
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return dedup_lines_across_docs(planted, sep="\n\n")

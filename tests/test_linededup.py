@@ -107,3 +107,46 @@ class TestOracleParity:
             "all rights reserved" in t for t in a["rebuilt_text"]
         )
         assert n_boiler == 1
+
+
+class TestParagraphUnit:
+    def test_sep_paragraphs(self, ray_session):
+        import ray
+
+        docs = pa.table({
+            "doc_id": [1, 2],
+            "text": [
+                "intro line\nsecond line\n\nunique one",
+                "intro line\nsecond line\n\nunique two",
+            ],
+        })
+        out = {
+            r["doc_id"]: r
+            for r in dedup_lines_across_docs(
+                ray.data.from_arrow(docs), sep="\n\n"
+            ).take_all()
+        }
+        # the two-LINE intro paragraph is one unit: doc 1 keeps it,
+        # doc 2 loses it but keeps its unique paragraph
+        assert out[1]["n_kept_lines"] == 2
+        assert out[1]["rebuilt_text"] == (
+            "intro line\nsecond line\n\nunique one"
+        )
+        assert out[2]["n_kept_lines"] == 1
+        assert out[2]["rebuilt_text"] == "unique two"
+
+    def test_line_sep_would_split_differently(self, ray_session):
+        import ray
+
+        docs = pa.table({
+            "doc_id": [1],
+            "text": ["a\nb\n\nc"],
+        })
+        by_para = dedup_lines_across_docs(
+            ray.data.from_arrow(docs), sep="\n\n"
+        ).take_all()[0]
+        by_line = dedup_lines_across_docs(
+            ray.data.from_arrow(docs), sep="\n"
+        ).take_all()[0]
+        assert by_para["n_kept_lines"] == 2   # "a\nb" and "c"
+        assert by_line["n_kept_lines"] == 3   # "a", "b", "c" (blank dropped)
