@@ -1,0 +1,216 @@
+"""Distributed bigram language-model training with stupid backoff
+(Brants et al. 2007, "Large Language Models in Machine Translation" -
+the web-scale n-gram estimator: no normalized discounting, unseen
+bigrams fall back to alpha * unigram), exported as a real ARPA file
+(KenLM/SRILM interchange, sources/model_files.write_arpa) and reloaded
+through the same ``read_arpa`` loader the fixture-backed perplexity
+stage uses - the full train -> artifact -> score loop of a KenLM-style
+quality-filter pipeline (reference analogue: the pluggable-scorer
+pattern of run_benchmarking.py:291-383, where engines are constructed
+from a model path).
+
+Estimator (order 2, event = every token plus one </s> per document,
+context = previous token or <s>):
+
+    seen (c2 >= min_count):  lp(w|ctx) = log10( c2(ctx,w) / c1(ctx) )
+    otherwise:               lp(w|ctx) = log10(alpha) + lp_uni(w)
+    lp_uni(w) = log10( (c_ev(w)+1) / (N_ev + V + 1) )   (add-one)
+
+Exactness contract (same as functions/dsir.py): every log10 is computed
+as ``ln(x)/ln(10)`` with the IDENTICAL IEEE-double op sequence a SQL
+oracle performs (exact int->double division, libm ln, divide), survives
+the ARPA text round trip bit-for-bit (Python str(float) round-trips),
+and per-token scores are quantized to int64 micros via
+``floor(1e6 * lp + 0.5)`` so per-document totals are pure integer sums
+- no float summation-order hazard on either side.
+
+Distributed shape:
+  pass 0 (optional, max_vocab set): streamed unigram count -> top-V
+         keep-set broadcast once via ray.put; out-of-vocab tokens map
+         to <unk> before bigram counting (the CCNet/KenLM vocab cap).
+  pass 1 one bigram-count exchange: map_batches emits per-block
+         (ctx<US>w, c) partials (Counter per block, not per row), a
+         groupby-sum moves unique-bigram partials - never tokens.
+         Unigram event and context counts DERIVE from the bigram table
+         by summation, so training is ONE shuffle total.
+  driver materializes only the unique-bigram count table.  This is
+         bounded by construction: the ARPA artifact must fit on every
+         scoring worker anyway (each actor loads the whole model), so
+         ``max_artifact_entries`` enforces the same bound at train time
+         and raises - loudly, not truncating - when pruning/max_vocab
+         need to be raised.  KenLM's own answer at 100 TB is identical:
+         prune singletons (min_count) and cap the vocabulary.
+  score  the parsed ArpaModel is broadcast ONCE via ray.put; scoring is
+         an embarrassingly parallel map_batches (dict lookups per
+         token, int64 accumulation per doc).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..sources.model_files import ArpaModel, read_arpa, write_arpa
+from .dsir import _tokenize
+
+_US = "\x1f"  # unit separator: cannot appear in [a-z0-9]+ tokens
+_LN10_DIV = 10  # both sides compute ln(x) / ln(10)
+BOS, EOS, UNK = "<s>", "</s>", "<unk>"
+
+
+def _log10_ratio(num: int, den: int) -> float:
+    """ln(num/den)/ln(10) with the exact SQL op sequence:
+    int->double conversion, one double division, libm ln, one divide."""
+    return math.log(num / den) / math.log(_LN10_DIV)
+
+
+def _events(tokens: list[str]) -> zip:
+    """(ctx, word) pairs over <s> tokens </s> - one event per token plus
+    the terminating </s> (context <s> for an empty document)."""
+    return zip([BOS, *tokens], [*tokens, EOS])
+
+
+def _count_bigrams(
+    ds: ray.data.Dataset, text_col: str, vocab_ref=None
+) -> list[dict]:
+    """One streamed pass -> rows of {"k": "ctx<US>w", "c": int64}."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = ray.get(vocab_ref) if vocab_ref is not None else None
+        cnt: Counter = Counter()
+        for text in b[text_col].to_pylist():
+            toks = _tokenize(text or "")
+            if keep is not None:
+                toks = [w if w in keep else UNK for w in toks]
+            cnt.update(ctx + _US + w for ctx, w in _events(toks))
+        return pa.table({
+            "k": pa.array(list(cnt.keys()), pa.string()),
+            "c": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+
+
+def _top_vocab(ds: ray.data.Dataset, text_col: str, max_vocab: int) -> set:
+    """Streamed unigram count -> the max_vocab most frequent tokens
+    (ties broken lexicographically for determinism)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for text in b[text_col].to_pylist():
+            cnt.update(_tokenize(text or ""))
+        return pa.table({
+            "w": pa.array(list(cnt.keys()), pa.string()),
+            "c": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: (-r["c"], r["w"]))
+    return {r["w"] for r in rows[:max_vocab]}
+
+
+def fit_stupid_backoff(
+    ds: ray.data.Dataset,
+    text_col: str,
+    out_path: str,
+    *,
+    alpha: float = 0.4,
+    min_count: int = 2,
+    max_vocab: int | None = None,
+    max_artifact_entries: int = 5_000_000,
+) -> str:
+    """Train the bigram stupid-backoff LM over ``ds[text_col]`` and write
+    a valid ARPA file to ``out_path``.  Returns ``out_path``."""
+    vocab_ref = None
+    if max_vocab is not None:
+        vocab_ref = ray.put(_top_vocab(ds, text_col, max_vocab))
+
+    rows = _count_bigrams(ds, text_col, vocab_ref)
+    if len(rows) > max_artifact_entries:
+        raise ValueError(
+            f"{len(rows)} unique bigrams exceed max_artifact_entries="
+            f"{max_artifact_entries}; raise min_count or lower max_vocab "
+            "(the artifact must fit on every scoring worker)"
+        )
+
+    big: dict[tuple[str, str], int] = {}
+    c_ctx: Counter = Counter()
+    c_ev: Counter = Counter()
+    for r in rows:
+        ctx, w = r["k"].split(_US)
+        c = int(r["c"])
+        big[(ctx, w)] = c
+        c_ctx[ctx] += c
+        c_ev[w] += c
+
+    v = len(c_ev)  # distinct event types (vocab words + </s>)
+    n_ev = sum(c_ev.values())
+    # the SQL mirror's literal (e.g. ln(0.4e0)) parses to the identical
+    # IEEE double as the Python literal, so ln agrees bit-for-bit
+    bo = math.log(alpha) / math.log(_LN10_DIV)
+    unigrams: dict[tuple[str, ...], tuple[float, float]] = {
+        (UNK,): (_log10_ratio(1, n_ev + v + 1), 0.0),
+        (BOS,): (-99.0, bo),
+    }
+    for w, c in c_ev.items():
+        # </s> is never a context; a backoff weight on it is harmless
+        # (ARPA semantics only consult bo through a context lookup).
+        unigrams[(w,)] = (_log10_ratio(c + 1, n_ev + v + 1), bo)
+    bigrams = {
+        (ctx, w): (_log10_ratio(c, c_ctx[ctx]), 0.0)
+        for (ctx, w), c in big.items()
+        if c >= min_count
+    }
+    write_arpa(out_path, [unigrams, bigrams])
+    return out_path
+
+
+def score_fixed_point(
+    ds: ray.data.Dataset,
+    model_path: str,
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """(id, lp_fp, n_scored): per-document sum of per-token
+    floor(1e6 * log10 P + 0.5) micros under the trained model, plus the
+    number of scored events.  The ArpaModel parses once at the driver
+    (through the real loader) and broadcasts via ray.put - scoring tasks
+    never touch the filesystem."""
+    model = read_arpa(model_path)
+    ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m: ArpaModel = ray.get(ref)
+        ids = batch[id_col]
+        fp = np.zeros(batch.num_rows, dtype=np.int64)
+        n = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, text in enumerate(batch[text_col].to_pylist()):
+            toks = _tokenize(text or "")
+            total = 0
+            for ctx, w in _events(toks):
+                total += math.floor(1e6 * m.logprob((ctx,), w) + 0.5)
+            fp[i] = total
+            n[i] = len(toks) + 1
+        return pa.table({
+            id_col: ids,
+            "lp_fp": pa.array(fp, pa.int64()),
+            "n_scored": pa.array(n, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -4042,3 +4042,67 @@ def paragraph_dedup_docs(sf_dir: str):
         plant, batch_format="pyarrow"
     )
     return dedup_lines_across_docs(planted, sep="\n\n")
+
+
+# ---------------------------------------------------------------------------
+# Distributed n-gram LM training -> ARPA artifact -> exact scoring
+# ---------------------------------------------------------------------------
+
+_NGRAM_LM_SQL = (
+    # Stupid-backoff bigram LM (Brants et al. 2007) re-derived from raw
+    # counts: every log10 is ln(x)/ln(10) with the engine's exact IEEE
+    # op sequence (the DSIR contract), and each token's contribution is
+    # quantized to int64 micros BEFORE the per-doc sum so the comparison
+    # is pure integer arithmetic.  Events = every token plus one </s>
+    # per doc; context = previous token or <s>; bigrams with c >= 2 hit
+    # directly, the rest back off to ln(0.4)/ln(10) + add-one unigram.
+    "WITH base AS (SELECT doc_id, list_filter("
+    "  regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS arr "
+    "  FROM documents), "
+    "tk AS (SELECT doc_id, unnest(arr) AS w, "
+    "  unnest(range(1, len(arr) + 1)) AS pos FROM base), "
+    "ev AS ("
+    "  SELECT doc_id, pos, coalesce(lag(w) OVER "
+    "    (PARTITION BY doc_id ORDER BY pos), '<s>') AS ctx, w FROM tk "
+    "  UNION ALL "
+    "  SELECT doc_id, len(arr) + 1 AS pos, "
+    "    CASE WHEN len(arr) = 0 THEN '<s>' ELSE arr[len(arr)] END AS ctx, "
+    "    '</s>' AS w FROM base), "
+    "big AS (SELECT ctx, w, count(*) AS c FROM ev GROUP BY ctx, w), "
+    "cctx AS (SELECT ctx, count(*) AS c FROM ev GROUP BY ctx), "
+    "cev AS (SELECT w, count(*) AS c FROM ev GROUP BY w), "
+    "vv AS (SELECT count(*) AS v, sum(c) AS nev FROM cev), "
+    "uni AS (SELECT w, ln(CAST(c + 1 AS DOUBLE) / (nev + v + 1)) / ln(10) AS lp "
+    "  FROM cev, vv), "
+    "term AS (SELECT e.doc_id, "
+    "  CASE WHEN b.c IS NOT NULL AND b.c >= 2 "
+    "  THEN CAST(floor(1e6 * (ln(CAST(b.c AS DOUBLE) / cc.c) / ln(10)) + 0.5) AS BIGINT) "
+    "  ELSE CAST(floor(1e6 * (ln(0.4e0) / ln(10) + u.lp) + 0.5) AS BIGINT) END AS fp "
+    "  FROM ev e "
+    "  LEFT JOIN big b ON b.ctx = e.ctx AND b.w = e.w "
+    "  JOIN cctx cc ON cc.ctx = e.ctx "
+    "  JOIN uni u ON u.w = e.w) "
+    "SELECT doc_id, CAST(sum(fp) AS BIGINT) AS lp_fp, "
+    "CAST(count(*) AS BIGINT) AS n_scored FROM term GROUP BY doc_id"
+)
+
+
+@register("ngram_lm_train_score", _NGRAM_LM_SQL)
+def ngram_lm_train_score(sf_dir: str):
+    """Full KenLM-style loop on the real corpus: train a bigram
+    stupid-backoff LM distributed (one bigram-count exchange, unigram /
+    context counts derived by summation), write a REAL ARPA artifact
+    (sources/model_files.write_arpa), reload it through the same
+    read_arpa loader the fixture-backed perplexity stage uses, broadcast
+    the parsed model once via ray.put, and score every document to
+    int64 fixed-point micros (functions/ngram_lm.py)."""
+    from ..functions.ngram_lm import fit_stupid_backoff, score_fixed_point
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = fit_stupid_backoff(
+        _docs(sf_dir, ["doc_id", "text"]), "text",
+        f"/tmp/ngram_lm_{tag}.arpa",
+    )
+    return score_fixed_point(
+        _docs(sf_dir, ["doc_id", "text"]), path, "text", "doc_id"
+    )

@@ -1,0 +1,137 @@
+"""Distributed stupid-backoff bigram LM: train -> ARPA -> reload -> score.
+
+Hand-checked expectations on a tiny corpus, the pruning/backoff path,
+the max_vocab <unk> cap, the artifact-size guard, and determinism of the
+full loop (functions/ngram_lm.py; ARPA I/O in sources/model_files.py).
+"""
+
+import math
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.ngram_lm import (
+    BOS,
+    EOS,
+    UNK,
+    _events,
+    fit_stupid_backoff,
+    score_fixed_point,
+)
+from pii_detection_local_ray.sources.model_files import read_arpa
+
+LN10 = math.log(10)
+
+
+def _ds(texts):
+    return ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+    )
+
+
+CORPUS = ["a b", "a b", "a c"]
+# events: (<s>,a) x3, (a,b) x2, (a,c) x1, (b,</s>) x2, (c,</s>) x1
+# c_ctx: <s>=3, a=3, b=2, c=1;  c_ev: a=3, b=2, c=1, </s>=3
+# V=4 event types, N_ev=9
+
+
+def test_trained_arpa_counts_and_probs(ray_session, tmp_path):
+    path = fit_stupid_backoff(_ds(CORPUS), "text", str(tmp_path / "m.arpa"))
+    m = read_arpa(path)
+    assert m.order == 2
+    # pruned bigrams: only c >= 2 survive -> (<s>,a)=3, (a,b)=2, (b,</s>)=2
+    assert set(m.tables[1]) == {(BOS, "a"), ("a", "b"), ("b", EOS)}
+    assert m.tables[1][(BOS, "a")][0] == pytest.approx(math.log(3 / 3) / LN10)
+    assert m.tables[1][("a", "b")][0] == pytest.approx(math.log(2 / 3) / LN10)
+    # unigrams: add-one over (N_ev + V + 1) = 9 + 4 + 1 = 14
+    assert m.tables[0][("a",)][0] == pytest.approx(math.log(4 / 14) / LN10)
+    assert m.tables[0][(UNK,)][0] == pytest.approx(math.log(1 / 14) / LN10)
+    # every real unigram carries the stupid-backoff weight log10(0.4)
+    assert m.tables[0][("b",)][1] == pytest.approx(math.log(0.4) / LN10)
+    assert m.tables[0][(BOS,)][0] == -99.0
+
+
+def test_backoff_path_used_for_pruned_bigram(ray_session, tmp_path):
+    path = fit_stupid_backoff(_ds(CORPUS), "text", str(tmp_path / "m.arpa"))
+    m = read_arpa(path)
+    # (a, c) had c=1 -> pruned -> scored via bo(a) + uni(c)
+    want = math.log(0.4) / LN10 + math.log(2 / 14) / LN10
+    assert m.logprob(("a",), "c") == pytest.approx(want)
+    # direct hit returns the MLE ratio untouched by smoothing
+    assert m.logprob(("a",), "b") == pytest.approx(math.log(2 / 3) / LN10)
+
+
+def test_score_fixed_point_matches_serial(ray_session, tmp_path):
+    path = fit_stupid_backoff(_ds(CORPUS), "text", str(tmp_path / "m.arpa"))
+    m = read_arpa(path)
+    out = (
+        score_fixed_point(_ds(CORPUS), path, "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    for _, row in out.iterrows():
+        toks = CORPUS[int(row["doc_id"])].split()
+        want = sum(
+            math.floor(1e6 * m.logprob((c,), w) + 0.5)
+            for c, w in _events(toks)
+        )
+        assert int(row["lp_fp"]) == want
+        assert int(row["n_scored"]) == len(toks) + 1
+
+
+def test_empty_doc_scores_single_eos_event(ray_session, tmp_path):
+    path = fit_stupid_backoff(
+        _ds(["a b", "a b", ""]), "text", str(tmp_path / "m.arpa")
+    )
+    out = (
+        score_fixed_point(_ds([""]), path, "text", "doc_id")
+        .to_pandas()
+    )
+    assert int(out["n_scored"].iloc[0]) == 1  # just (<s>, </s>)
+
+
+def test_max_vocab_maps_rare_words_to_unk(ray_session, tmp_path):
+    texts = ["x x x y y rareword", "x y"]
+    path = fit_stupid_backoff(
+        _ds(texts), "text", str(tmp_path / "m.arpa"), max_vocab=2
+    )
+    m = read_arpa(path)
+    words = {w for (w,) in m.tables[0]}
+    assert "rareword" not in words and {"x", "y", UNK} <= words
+    # the OOV token was counted as <unk>: (y, <unk>) bigram existed once,
+    # pruned at min_count=2, but <unk>'s EVENT count is 1 -> add-one 2/denom
+    uni_unk = m.tables[0][(UNK,)][0]
+    # denom = N_ev + V + 1 ; N_ev = 8 tokens + 2 </s> = 10, V = {x,y,<unk>,</s>} = 4
+    assert uni_unk == pytest.approx(math.log(2 / 15) / LN10)
+
+
+def test_artifact_entry_guard_raises(ray_session, tmp_path):
+    with pytest.raises(ValueError, match="max_artifact_entries"):
+        fit_stupid_backoff(
+            _ds(["a b c d e f g h"]), "text", str(tmp_path / "m.arpa"),
+            max_artifact_entries=3,
+        )
+
+
+def test_full_loop_deterministic_across_runs(ray_session, tmp_path):
+    texts = [f"tok{i % 7} tok{(i * 3) % 5} common word" for i in range(40)]
+    outs = []
+    for run in range(2):
+        path = fit_stupid_backoff(
+            _ds(texts), "text", str(tmp_path / f"m{run}.arpa")
+        )
+        outs.append(
+            score_fixed_point(_ds(texts), path, "text", "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+    assert (
+        (tmp_path / "m0.arpa").read_text()
+        == (tmp_path / "m1.arpa").read_text()
+    )
