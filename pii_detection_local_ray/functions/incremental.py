@@ -46,14 +46,23 @@ def snapshot_delta(
     seen: ray.data.Dataset,
     key_col: str = "snap_key",
     payload_cols: list[str] | None = None,
+    verify_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Rows of ``current`` whose key is absent from ``seen``.
 
     Bloom-gate + exact-verify: rows failing the Bloom probe are emitted
     directly; rows passing it (maybe false positives) are verified by a
-    hash-partitioned anti-join (tagged union -> groupby(key) -> keep
-    current-side rows of groups with no seen-side row).  Exact output
-    either way — the Bloom only routes work."""
+    hash-partitioned anti-join (tagged union -> coarse-bucket groupby ->
+    vectorized is_in anti-mask per bucket).  Exact output either way —
+    the Bloom only routes work.
+
+    ``verify_partitions`` compacts the tagged union to that many blocks
+    before the shuffle: the Bloom gate typically leaves a SMALL maybe-
+    seen remainder spread over the full input block count, and an
+    all-to-all over hundreds of near-empty blocks is pure scheduling
+    overhead.  Size it to ~the cluster's core count; None keeps the
+    natural block structure (right when the remainder is genuinely
+    large)."""
     cur_schema = current.schema()
     payload_cols = payload_cols or [
         c for c in cur_schema.names if c != key_col
@@ -112,21 +121,39 @@ def snapshot_delta(
             "_src", pa.array(np.ones(b.num_rows, dtype=np.int8))
         )
 
-    tagged = seen_keys.map_batches(
-        tag_seen, batch_format="pyarrow"
-    ).union(maybe_seen.map_batches(tag_current, batch_format="pyarrow"))
+    # coarse-partition trick (same as the dedup keep-first groupby):
+    # grouping by the FULL key would pay one Python map_groups call per
+    # unique key, so the shuffle key is crc32(key) % 256 and each coarse
+    # bucket resolves exactly with one vectorized is_in anti-mask (a key
+    # never straddles two coarse buckets).
+    import zlib
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        co = np.array(
+            [zlib.crc32(k.encode()) % 256 for k in b[key_col].to_pylist()],
+            dtype=np.int32,
+        )
+        return b.append_column("_coarse", pa.array(co, pa.int32()))
+
+    tagged = (
+        seen_keys.map_batches(tag_seen, batch_format="pyarrow")
+        .union(maybe_seen.map_batches(tag_current, batch_format="pyarrow"))
+        .map_batches(add_coarse, batch_format="pyarrow")
+    )
+    if verify_partitions is not None:
+        tagged = tagged.repartition(verify_partitions)
 
     def anti(g: pa.Table) -> pa.Table:
-        src = g["_src"].to_numpy(zero_copy_only=False)
-        if (src == 0).any():  # key exists in the previous snapshot
-            g = g.slice(0, 0)
-        else:
-            g = g.filter(pc.equal(g["_src"], 1))
+        seen_in_bucket = g.filter(pc.equal(g["_src"], 0))[key_col]
+        cur = g.filter(pc.equal(g["_src"], 1))
+        mask = pc.invert(
+            pc.is_in(cur[key_col], value_set=seen_in_bucket.combine_chunks())
+        )
         # project here (not in a downstream select) so every bundle
         # entering the final union already has the payload-only schema
-        return g.select(payload_cols)
+        return cur.filter(mask).select(payload_cols)
 
-    verified_new = tagged.groupby(key_col).map_groups(
+    verified_new = tagged.groupby("_coarse").map_groups(
         anti, batch_format="pyarrow"
     )
     # both branches are already payload-only and same-order: a mixed-order

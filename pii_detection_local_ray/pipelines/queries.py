@@ -3587,7 +3587,9 @@ def snapshot_delta_docs(sf_dir: str):
         finc.snapshot_key_batch, batch_format="pyarrow"
     )
     current = docs.map_batches(finc.snapshot_key_batch, batch_format="pyarrow")
-    return finc.snapshot_delta(current, seen, payload_cols=["doc_id"])
+    return finc.snapshot_delta(
+        current, seen, payload_cols=["doc_id"], verify_partitions=16
+    )
 
 
 @register(
