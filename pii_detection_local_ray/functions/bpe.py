@@ -1,0 +1,161 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") and application.
+
+The scale shape: BPE training needs only the WORD-FREQUENCY table, not
+the corpus - one distributed word-count exchange reduces 100 TB of text
+to a unique-word table (vocab-bounded; ``max_word_table`` guards the
+driver materialization and raises loudly rather than truncating), and
+the merge loop then runs driver-local over that table, exactly how the
+published GPT-2/RoBERTa tokenizers were trained.  Application broadcasts
+the learned merge ranks once via ``ray.put`` and maps over batches with
+a per-word memo (vocab-bounded cache, Zipf makes the hit rate ~1).
+
+Determinism contract: the merge picked each round is the pair with the
+highest count, ties broken by the lexicographically SMALLEST pair -
+fully deterministic given the corpus, independent of partitioning.
+
+Words are ``[a-z0-9]+`` over lowercased text (the engine's shared
+tokenizer, functions/dsir._tokenize); merges never cross word
+boundaries and no end-of-word marker is used, so a word's tokenization
+depends only on the word itself.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .dsir import _tokenize
+
+
+def count_words(
+    ds: ray.data.Dataset,
+    text_col: str,
+    max_word_table: int = 5_000_000,
+) -> dict[str, int]:
+    """One streamed pass -> {word: count} (the only exchange training
+    pays; partials are per-block Counters, never raw tokens)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for text in b[text_col].to_pylist():
+            cnt.update(_tokenize(text or ""))
+        return pa.table({
+            "w": pa.array(list(cnt.keys()), pa.string()),
+            "c": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    if len(rows) > max_word_table:
+        raise ValueError(
+            f"{len(rows)} unique words exceed max_word_table="
+            f"{max_word_table}; BPE training needs the word table on one "
+            "node - pre-filter the corpus or raise the guard"
+        )
+    return {r["w"]: int(r["c"]) for r in rows}
+
+
+def train_bpe(
+    ds: ray.data.Dataset,
+    text_col: str,
+    num_merges: int,
+    max_word_table: int = 5_000_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` merges from the corpus; returns them in
+    learned order (rank = list index)."""
+    word_freq = count_words(ds, text_col, max_word_table)
+    return train_bpe_from_counts(word_freq, num_merges)
+
+
+def train_bpe_from_counts(
+    word_freq: dict[str, int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Serial BPE merge loop over a word-frequency table."""
+    seqs: dict[str, list[str]] = {w: list(w) for w in word_freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, syms in seqs.items():
+            c = word_freq[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        for w, syms in seqs.items():
+            i, out = 0, []
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges by rank priority (equivalent to replaying them in
+    learned order, the standard GPT-2 encode)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def apply_bpe(
+    ds: ray.data.Dataset,
+    merges: list[tuple[str, str]],
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """(id, n_bpe_tokens, bpe_text): tokenize every document with the
+    learned merges.  The rank table broadcasts once; encoding memoizes
+    per word (vocab-bounded cache per task worker)."""
+    ref = ray.put({pair: i for i, pair in enumerate(merges)})
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(ref)
+        memo: dict[str, list[str]] = {}
+        n = []
+        joined = []
+        for text in batch[text_col].to_pylist():
+            toks: list[str] = []
+            for w in _tokenize(text or ""):
+                enc = memo.get(w)
+                if enc is None:
+                    enc = encode_word(w, ranks)
+                    memo[w] = enc
+                toks.extend(enc)
+            n.append(len(toks))
+            joined.append(" ".join(toks))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bpe_tokens": pa.array(n, pa.int64()),
+            "bpe_text": pa.array(joined, pa.string()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -4108,3 +4108,47 @@ def ngram_lm_train_score(sf_dir: str):
     return score_fixed_point(
         _docs(sf_dir, ["doc_id", "text"]), path, "text", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training + apply
+# ---------------------------------------------------------------------------
+
+@register(
+    "bpe_train_tokenize",
+    # Hand-derived from the planted two-class corpus (E evens, O odds,
+    # O <= E <= O+1 at every sf): word freqs hug=2E+O, pug=E, pun=O,
+    # bun=2O give merges (u,g) -> (h,ug) [count tie at E=O broken by the
+    # lexicographic rule] -> (u,n) -> (b,un), so evens "hug hug pug"
+    # encode to 4 tokens and odds "hug pun bun bun" to 5.
+    "SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 5 END AS BIGINT)"
+    " AS n_bpe_tokens, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'hug hug p ug' ELSE 'hug p un bun bun' END"
+    " AS bpe_text FROM documents",
+)
+def bpe_train_tokenize(sf_dir: str):
+    """Full BPE loop (Sennrich et al. 2016, functions/bpe.py): ONE
+    distributed word-count exchange reduces the corpus to its word-
+    frequency table, the merge loop runs driver-local over that bounded
+    table (how the published GPT-2 tokenizer was trained), and the
+    learned ranks broadcast once for the distributed encode.  Planted
+    two-class docs make merges and tokenizations exact SQL constants
+    while the real train + apply machinery runs end to end - including
+    the deterministic count-then-lexicographic tie-break."""
+    from ..functions.bpe import apply_bpe, train_bpe
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pa.array([
+                "hug hug pug" if i % 2 == 0 else "hug pun bun bun"
+                for i in ids
+            ]),
+        })
+
+    planted = _docs(sf_dir, ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    merges = train_bpe(planted, "text", num_merges=4)
+    return apply_bpe(planted, merges, "text", "doc_id")

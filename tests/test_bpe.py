@@ -1,0 +1,92 @@
+"""BPE training/encoding: serial reference parity, tie-break
+determinism, memoized distributed apply, and the word-table guard
+(functions/bpe.py)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.bpe import (
+    apply_bpe,
+    count_words,
+    encode_word,
+    train_bpe,
+    train_bpe_from_counts,
+)
+
+
+def _ds(texts):
+    return ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+    )
+
+
+def test_textbook_example(ray_session):
+    # the Sennrich-style toy: merges learned in frequency order,
+    # ties broken lexicographically
+    ds = _ds(["hug hug pug"] * 3 + ["hug pun bun bun"] * 3)
+    merges = train_bpe(ds, "text", num_merges=4)
+    assert merges == [("u", "g"), ("h", "ug"), ("u", "n"), ("b", "un")]
+    out = apply_bpe(ds, merges, "text", "doc_id").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["bpe_text"][0] == "hug hug p ug"
+    assert out["bpe_text"][3] == "hug p un bun bun"
+    assert out["n_bpe_tokens"].tolist() == [4, 4, 4, 5, 5, 5]
+
+
+def test_distributed_count_matches_serial(ray_session):
+    texts = [f"alpha beta{i % 3} gamma alpha" for i in range(50)]
+    wf = count_words(_ds(texts).repartition(7), "text")
+    from collections import Counter
+
+    want = Counter()
+    for t in texts:
+        want.update(t.split())
+    assert wf == dict(want)
+
+
+def test_encode_equals_replaying_merges_in_order(ray_session):
+    # rank-priority encode == applying merges sequentially (the
+    # equivalence the memoized fast path relies on)
+    texts = ["banana bandana ban anna nab an", "dan nad and band"] * 5
+    merges = train_bpe(_ds(texts), "text", num_merges=6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in {w for t in texts for w in t.split()}:
+        seq = list(w)
+        for a, b in merges:
+            i, out = 0, []
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        assert encode_word(w, ranks) == seq, w
+
+
+def test_merge_count_exhausts_gracefully(ray_session):
+    # fewer possible merges than requested: loop stops, no padding
+    merges = train_bpe_from_counts({"ab": 5}, num_merges=10)
+    assert merges == [("a", "b")]
+
+
+def test_single_char_and_empty_words():
+    assert encode_word("x", {("a", "b"): 0}) == ["x"]
+    assert train_bpe_from_counts({"a": 3, "b": 2}, 5) == []
+
+
+def test_word_table_guard(ray_session):
+    with pytest.raises(ValueError, match="max_word_table"):
+        count_words(_ds(["a b c d e"]), "text", max_word_table=2)
+
+
+def test_partition_invariance(ray_session):
+    texts = [f"w{i % 11}x y{i % 7} zz common common" for i in range(60)]
+    m1 = train_bpe(_ds(texts).repartition(2), "text", 5)
+    m2 = train_bpe(_ds(texts).repartition(13), "text", 5)
+    assert m1 == m2
