@@ -4152,3 +4152,112 @@ def bpe_train_tokenize(sf_dir: str):
     )
     merges = train_bpe(planted, "text", num_merges=4)
     return apply_bpe(planted, merges, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame-based rolling window aggregate (ROWS BETWEEN k PRECEDING AND CURRENT)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_rolling_sum3",
+    "SELECT user_id, event_id, "
+    "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id "
+    "  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_cents "
+    "FROM events",
+)
+def events_rolling_sum3(sf_dir: str):
+    """Frame-based rolling aggregate (ROWS 2 PRECEDING..CURRENT): the
+    window-function family tumbling/sliding windows (functions/windows.py)
+    don't cover, because the frame is ordinal (last 3 events), not
+    time-bucketed.  Hash-partition by the window key (user), sort inside
+    the group, and the frame sum is a cumsum difference - one vectorized
+    pass per group, nothing global.  Same per-user-fits-one-group
+    partitioning assumption as sessionization; values carried as int64
+    cents so the sum is order-exact."""
+
+    def roll_group(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(g["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        cs = np.cumsum(cents[order])
+        roll = cs.copy()
+        roll[3:] -= cs[:-3]
+        return pa.table({
+            "user_id": pc.take(g["user_id"], pa.array(order)),
+            "event_id": pa.array(ids[order], pa.int64()),
+            "roll3_cents": pa.array(roll, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .groupby("user_id")
+        .map_groups(roll_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band / interval) join: fact x broadcast interval table
+# ---------------------------------------------------------------------------
+
+# Overlapping on purpose: 908-912 falls in low+mid, 914-916 in mid+high,
+# so this is a genuine interval join (a row can match several bands),
+# not a bucketing.  p_retailprice starts at 900.0 and the corpus spans
+# [900, 920) already at sf0.001, so all three bands (and both overlap
+# regions) are populated at every sf.
+_PRICE_BANDS = (("low", 900, 912), ("mid", 908, 916), ("high", 914, 1000))
+
+
+@register(
+    "part_price_band_join",
+    "SELECT band, count(*) AS n_parts, "
+    "CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)"
+    " AS total_cents "
+    "FROM part p JOIN (VALUES "
+    + ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+    + ") AS b(band, lo, hi) "
+    "ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi "
+    "GROUP BY band",
+)
+def part_price_band_join(sf_dir: str):
+    """Range join as the SURVEY custom-operator recipe (a): the interval
+    table is the broadcast small side (a handful of literals here; a
+    ray.put'd table in general), each fact batch evaluates one vectorized
+    [lo, hi) mask per band - O(bands) kernels per batch, ZERO shuffle of
+    the fact table - and only (band, count, cents) partials enter the
+    final tiny groupby.  Overlap is handled naturally: a row joins every
+    band whose interval contains it."""
+
+    def band_partials(b: pa.Table) -> pa.Table:
+        price = b["p_retailprice"].to_numpy(zero_copy_only=False)
+        cents = np.round(price * 100.0).astype(np.int64)
+        names, ns, sums = [], [], []
+        for band, lo, hi in _PRICE_BANDS:
+            m = (price >= lo) & (price < hi)
+            if m.any():
+                names.append(band)
+                ns.append(int(m.sum()))
+                sums.append(int(cents[m].sum()))
+        return pa.table({
+            "band": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "cents": pa.array(sums, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_retailprice"]
+        )
+        .map_batches(band_partials, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Sum("n", alias_name="n_parts"),
+            Sum("cents", alias_name="total_cents"),
+        )
+    )

@@ -91,3 +91,85 @@ def test_dedup_corpus_pipeline(ray_session):
     cl = clusters.to_pandas().set_index("id")
     assert cl.loc[0, "is_representative"] and not cl.loc[2, "is_representative"]
     assert cl.loc[2, "component"] == 0
+
+
+def test_rolling_sum3_matches_pandas(ray_session, tmp_path):
+    """events_rolling_sum3 vs a pandas rolling(3).sum reference on an
+    irregular per-user corpus (dup timestamps broken by event_id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t0 = datetime(2024, 1, 1)
+    ts = [t0 + timedelta(seconds=int(s)) for s in rng.integers(0, 3600, n)]
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 13, n), pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(rng.uniform(-5, 5, n).round(2)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = (
+        queries()["events_rolling_sum3"](str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    df = tbl.to_pandas()
+    df["cents"] = np.round(df["value"] * 100).astype("int64")
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["roll3_cents"] = (
+        df.groupby("user_id")["cents"]
+        .rolling(3, min_periods=1).sum().reset_index(level=0, drop=True)
+        .astype("int64")
+    )
+    want = df.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == n
+    assert (got["roll3_cents"].values == want["roll3_cents"].values).all()
+    assert (got["user_id"].values == want["user_id"].values).all()
+
+
+def test_band_join_overlap_multimatch(ray_session, tmp_path):
+    """A part priced inside an overlap region joins BOTH bands; totals
+    are the vectorized per-band masks, verified by brute force."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pii_detection_local_ray.pipelines.queries import (
+        _PRICE_BANDS,
+        queries,
+    )
+
+    prices = [900.0, 909.5, 911.99, 914.5, 915.0, 950.0, 999.9]
+    tbl = pa.table({
+        "p_partkey": pa.array(range(len(prices)), pa.int64()),
+        "p_name": pa.array(["p"] * len(prices)),
+        "p_brand": pa.array(["b"] * len(prices)),
+        "p_type": pa.array(["t"] * len(prices)),
+        "p_size": pa.array([1] * len(prices), pa.int32()),
+        "p_retailprice": pa.array(prices),
+    })
+    pq.write_table(tbl, tmp_path / "part.parquet")
+
+    got = (
+        queries()["part_price_band_join"](str(tmp_path))
+        .to_pandas()
+        .set_index("band")
+    )
+    arr = np.array(prices)
+    for band, lo, hi in _PRICE_BANDS:
+        m = (arr >= lo) & (arr < hi)
+        assert got.loc[band, "n_parts"] == m.sum(), band
+        assert got.loc[band, "total_cents"] == int(
+            np.round(arr[m] * 100).sum()
+        ), band
+    # 909.5 and 911.99 sit in low∩mid, 914.5/915.0 in mid∩high: total
+    # joined row count exceeds the part count - a real interval join
+    assert int(got["n_parts"].sum()) == len(prices) + 4
