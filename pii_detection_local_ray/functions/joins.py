@@ -54,6 +54,23 @@ def broadcast_join(
     return large.map_batches(attach, batch_format="pyarrow")
 
 
+def pin_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Re-assert a known schema on every block.  Ray's hash aggregate
+    emits SCHEMA-LESS empty blocks for empty shuffle partitions, and a
+    downstream Dataset.join then fails Arrow key resolution ("No match
+    or multiple matches for key field reference ... ") when such a block
+    lands in a join partition.  Mapping each block through a cast keeps
+    empty blocks carrying the real schema; non-empty blocks are a
+    zero-copy cast to the same types."""
+
+    def pin(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return schema.empty_table()
+        return b.select(schema.names).cast(schema)
+
+    return ds.map_batches(pin, batch_format="pyarrow")
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -334,6 +334,50 @@ def hll_registers(
     )
 
 
+def grouped_hll_registers(
+    ds: ray.data.Dataset, group_col: str, item_col: str
+) -> ray.data.Dataset:
+    """Per-group HLL registers: distinct-count sketches keyed by a group
+    column (e.g. distinct users per event type).  The map side first
+    collapses the batch to its distinct (group, item) pairs with one
+    Arrow group_by - the md5 loop then touches each distinct pair once,
+    not each row - and emits <=256 register rows PER GROUP per block.
+    The exchange therefore carries O(groups x 256) rows regardless of
+    corpus size, and the merge stays max-per-register within each
+    (group, bucket) cell.  Items are stringified with str(), which for
+    int64 matches SQL CAST(x AS VARCHAR)."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = (
+            batch.select([group_col, item_col])
+            .group_by([group_col, item_col])
+            .aggregate([])
+        )
+        regs: dict[tuple, int] = {}
+        for g, it in zip(
+            pairs[group_col].to_pylist(), pairs[item_col].to_pylist()
+        ):
+            b, r = hll_bucket_rank(str(it))
+            key = (g, b)
+            if regs.get(key, 0) < r:
+                regs[key] = r
+        keys = sorted(regs)
+        return pa.table(
+            {
+                group_col: pa.array([k[0] for k in keys]),
+                "bucket": pa.array([k[1] for k in keys], pa.int64()),
+                "max_rank": pa.array([regs[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bucket"])
+        .aggregate(Max("max_rank", alias_name="max_rank"))
+    )
+
+
 def hll_estimate(registers: dict[int, int], m: int = HLL_M) -> float:
     """Standard bias-corrected HLL estimate with the small-range
     (linear counting) correction; registers maps bucket -> max rank,

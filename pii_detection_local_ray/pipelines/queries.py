@@ -4261,3 +4261,218 @@ def part_price_band_join(sf_dir: str):
             Sum("cents", alias_name="total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered view -> click -> purchase per user
+# ---------------------------------------------------------------------------
+
+@register(
+    "funnel_stages",
+    "WITH v AS (SELECT user_id, min(ts) AS t FROM events "
+    "  WHERE event_type = 'view' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "  JOIN v ON e.user_id = v.user_id "
+    "  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "  JOIN c ON e.user_id = c.user_id "
+    "  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id) "
+    "SELECT * FROM ("
+    "  SELECT 'view' AS stage, count(*) AS n_users FROM v "
+    "  UNION ALL SELECT 'click', count(*) FROM c "
+    "  UNION ALL SELECT 'purchase', count(*) FROM p)",
+)
+def funnel_stages(sf_dir: str):
+    """Ordered-funnel analysis (how many users did view, THEN click,
+    THEN purchase, each stage strictly after the previous one).  Rather
+    than a per-user map_groups (per-group Python-call overhead, and the
+    whole chain in one shuffle group), the funnel unrolls into k
+    aggregate+join rounds, all distributed:
+
+      stage 1: min ts of 'view' per user       (partial-aggregable Min)
+      stage k: events of type k hash-join the stage-k-1 table on user,
+               keep ts strictly after the prior stage's ts, Min per user
+
+    Every intermediate is fact-bounded but lives in the object store
+    (materialize() for reuse across the two consumers - the next join
+    and the count), never on the driver; the driver sees three ints."""
+    from ..functions.joins import hash_join, pin_schema
+
+    def _ts_schema(col: str) -> pa.Schema:
+        return pa.schema(
+            [("user_id", pa.int64()), (col, pa.timestamp("us"))]
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+    ).materialize()
+
+    def first_ts(ds, etype: str, alias: str):
+        def partial(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], etype))
+            g = b.select(["user_id", "ts"]).group_by("user_id").aggregate(
+                [("ts", "min")]
+            )
+            return g.rename_columns(["user_id", alias])
+
+        return pin_schema(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Min(alias, alias_name=alias)),
+            _ts_schema(alias),
+        )
+
+    v = first_ts(ev, "view", "t1").materialize()
+
+    def after(prev, n_prev: int, etype: str, prev_col: str, alias: str):
+        # a join partition that receives zero rows from one side gets an
+        # empty SCHEMA-LESS table from Ray's partition builder and Arrow
+        # key resolution fails - size partitions so each holds many keys
+        # (same convention as dedup.py:345)
+        n_parts = max(1, min(8, n_prev // 64))
+        joined = hash_join(
+            ev, prev, on="user_id", num_partitions=n_parts
+        )
+
+        def partial(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(b["event_type"], etype),
+                pc.greater(b["ts"], b[prev_col]),
+            )
+            b = b.filter(m)
+            g = b.select(["user_id", "ts"]).group_by("user_id").aggregate(
+                [("ts", "min")]
+            )
+            return g.rename_columns(["user_id", alias])
+
+        return pin_schema(
+            joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Min(alias, alias_name=alias)),
+            _ts_schema(alias),
+        )
+
+    def stage_counts() -> list[int]:
+        n1 = v.count()
+        if n1 == 0:
+            return [0, 0, 0]
+        c = after(v, n1, "click", "t1", "t2").materialize()
+        n2 = c.count()
+        if n2 == 0:
+            return [n1, 0, 0]
+        p = after(c, n2, "purchase", "t2", "t3")
+        return [n1, n2, p.count()]
+
+    return pa.table(
+        {
+            "stage": pa.array(["view", "click", "purchase"], pa.string()),
+            "n_users": pa.array(stage_counts(), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL: per-event-type approximate distinct users
+# ---------------------------------------------------------------------------
+
+@register(
+    "hll_users_by_type",
+    # same md5 register arithmetic as hll_vocab_registers, carried
+    # through a group key; int64 str() == CAST(x AS VARCHAR)
+    "WITH pairs AS (SELECT DISTINCT event_type, "
+    "  CAST(user_id AS VARCHAR) AS w FROM events), "
+    "h AS (SELECT event_type, md5(w) AS hx FROM pairs), "
+    "r AS (SELECT event_type, "
+    "CAST(CONCAT('0x', substr(hx, 1, 2)) AS BIGINT) AS bucket, "
+    "substr(hx, 3, 13) AS tail, "
+    "len(regexp_extract(substr(hx, 3, 13), '^0*')) AS z FROM h), "
+    "rk AS (SELECT event_type, bucket, CASE WHEN z = 13 THEN 53 "
+    "ELSE 4 * z + (CASE WHEN n >= 8 THEN 0 WHEN n >= 4 THEN 1 "
+    "WHEN n >= 2 THEN 2 ELSE 3 END) + 1 END AS rank "
+    "FROM (SELECT event_type, bucket, z, CASE WHEN z = 13 THEN 0 ELSE "
+    "CAST(CONCAT('0x', substr(tail, z + 1, 1)) AS BIGINT) END AS n "
+    "FROM r)) "
+    "SELECT event_type, bucket, CAST(max(rank) AS BIGINT) AS max_rank "
+    "FROM rk GROUP BY event_type, bucket",
+)
+def hll_users_by_type(sf_dir: str):
+    """Per-group HLL sketch: distinct active users per event type
+    without a distinct-count shuffle.  The exchange carries at most
+    (n_event_types x 256) register rows per block; registers (not the
+    float estimate) are the output so the oracle stays pure-integer."""
+    from ..functions.sketch import grouped_hll_registers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_hll_registers(ev, "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Left-outer join: per-customer order counts including zero
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_order_counts",
+    "SELECT n_orders, count(*) AS n_customers FROM ("
+    "  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders "
+    "  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+    "  GROUP BY c.c_custkey"
+    ") GROUP BY n_orders",
+)
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER join exercised as a distributed shape: orders collapse
+    to per-customer counts first (partial Arrow group_by per batch, so
+    the join's left-behind side is customer-bounded, never raw fact
+    rows), then customer LEFT JOINs the counts - zero-order customers
+    surface as nulls and are coalesced to 0.  Output is the order-count
+    histogram, so the driver sees O(distinct counts) rows."""
+    from ..functions.joins import hash_join, pin_schema
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate([([], "count_all")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    counts = pin_schema(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        )
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="n")),
+        pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())]),
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    counts = counts.materialize()
+    n_keys = counts.count()
+    if n_keys == 0:
+        # no orders at all: LEFT join degenerates to one histogram row
+        return pa.table(
+            {
+                "n_orders": pa.array([0], pa.int64()),
+                "n_customers": pa.array([cust.count()], pa.int64()),
+            }
+        )
+    # partition sizing: an empty one-sided join partition is schema-less
+    # and breaks Arrow key resolution (dedup.py:345 convention)
+    joined = hash_join(
+        cust, counts, on="c_custkey", right_on="o_custkey",
+        join_type="left_outer",
+        num_partitions=max(1, min(8, n_keys // 64)),
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        n = pc.coalesce(b["n"], pa.scalar(0, pa.int64()))
+        t = pa.table({"n_orders": pc.cast(n, pa.int64())})
+        g = t.group_by("n_orders").aggregate([([], "count_all")])
+        return g.rename_columns(["n_orders", "nc"])
+
+    return (
+        joined.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("nc", alias_name="n_customers"))
+    )

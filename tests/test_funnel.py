@@ -1,0 +1,129 @@
+"""Funnel analysis, grouped HLL, and left-outer join tests."""
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(path, rows):
+    t0 = datetime(2024, 1, 1)
+    n = len(rows)
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(
+            [t0 + timedelta(seconds=s) for s, _, _ in rows],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([u for _, u, _ in rows], pa.int64()),
+        "event_type": pa.array([e for _, _, e in rows], pa.string()),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, path)
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    """Each stage must be STRICTLY after the previous one; equal
+    timestamps and wrong-order events do not advance the funnel."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    rows = [
+        # user 0: full funnel in order
+        (0, 0, "view"), (10, 0, "click"), (20, 0, "purchase"),
+        # user 1: click BEFORE view -> stops at view
+        (5, 1, "click"), (6, 1, "view"),
+        # user 2: click at the SAME instant as first view -> not after
+        (7, 2, "view"), (7, 2, "click"),
+        # user 3: view then click, but purchase BEFORE the click ->
+        # reaches the click stage, never the purchase stage
+        (0, 3, "view"), (1, 3, "purchase"), (2, 3, "click"),
+        # user 4: purchase only -> no stage
+        (0, 4, "purchase"),
+        # user 5: second view is what the click follows; still counts
+        # (funnel anchors on the FIRST view: click at 3 > view at 1)
+        (1, 5, "view"), (2, 5, "view"), (3, 5, "click"),
+    ]
+    _write_events(tmp_path / "events.parquet", rows)
+    got = (
+        queries()["funnel_stages"](str(tmp_path))
+        .to_pandas()
+        .set_index("stage")["n_users"]
+    )
+    assert got["view"] == 5        # users 0,1,2,3,5
+    assert got["click"] == 3       # users 0,3,5
+    assert got["purchase"] == 1    # user 0
+
+
+def test_grouped_hll_registers_match_reference(ray_session, tmp_path):
+    """grouped_hll_registers == per-group brute-force register maps,
+    and the per-group estimates land within HLL's error band."""
+    import ray
+
+    from pii_detection_local_ray.functions.sketch import (
+        grouped_hll_registers,
+        hll_bucket_rank,
+        hll_estimate,
+    )
+
+    rng = np.random.default_rng(11)
+    types = rng.choice(["a", "b"], 3000)
+    users = np.where(
+        types == "a", rng.integers(0, 400, 3000), rng.integers(0, 80, 3000)
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"event_type": pa.array(types), "user_id": pa.array(users, pa.int64())})
+    ).repartition(7)
+
+    got = grouped_hll_registers(ds, "event_type", "user_id").to_pandas()
+
+    want: dict[tuple, int] = {}
+    truth: dict[str, set] = {}
+    for g, u in zip(types, users):
+        truth.setdefault(g, set()).add(int(u))
+        b, r = hll_bucket_rank(str(int(u)))
+        if want.get((g, b), 0) < r:
+            want[(g, b)] = r
+    got_map = {
+        (row.event_type, row.bucket): row.max_rank
+        for row in got.itertuples()
+    }
+    assert got_map == want
+
+    for g in ("a", "b"):
+        regs = {b: r for (gg, b), r in want.items() if gg == g}
+        est = hll_estimate(regs)
+        n = len(truth[g])
+        assert abs(est - n) / n < 0.2, (g, est, n)
+
+
+def test_customer_order_counts_zero_bucket(ray_session, tmp_path):
+    """Customers with no orders appear in the n_orders=0 histogram
+    bucket (the LEFT-outer semantics an inner join would lose)."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(5)]),
+        "c_nationkey": pa.array([0] * 5, pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING"] * 5),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_orderdate": pa.array(
+            [datetime(1995, 1, 1)] * 3, pa.timestamp("us")
+        ),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0]),
+    })
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+
+    got = (
+        queries()["customer_order_counts"](str(tmp_path))
+        .to_pandas()
+        .set_index("n_orders")["n_customers"]
+    )
+    assert got[0] == 3   # customers 2, 4, 5
+    assert got[1] == 1   # customer 3
+    assert got[2] == 1   # customer 1
