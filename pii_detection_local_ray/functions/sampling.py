@@ -160,3 +160,44 @@ def stratified_subset(
         .groupby(group_col)
         .map_groups(subset, batch_format="pandas")
     )
+
+
+def weighted_priority_partial(
+    batch: pa.Table, id_col: str, weight_col: str, k: int
+) -> pa.Table:
+    """Block-local top-k of the weighted-priority sample: priority =
+    md5_uniform(id) / max(weight, 1), smaller = more likely selected,
+    so heavier rows win proportionally (the priority-sampling variant
+    of Efraimidis-Spirakis 2006 weighted reservoir sampling).
+
+    The uniform is the first 13 md5 hex chars (52 bits, exact in a
+    double) and the priority is ONE IEEE division - correctly rounded,
+    so any engine computes the identical double and the sample is
+    deterministic and partition-invariant.  Each block emits <=k rows;
+    the global merge is a tiny sort+limit."""
+    ids = batch[id_col].to_pylist()
+    w = batch[weight_col].to_pylist()
+    pri = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        / max(int(wt or 0), 1)
+        for i, wt in zip(ids, w)
+    ]
+    t = batch.append_column("priority", pa.array(pri, pa.float64()))
+    order = pa.compute.sort_indices(
+        t, sort_keys=[("priority", "ascending"), (id_col, "ascending")]
+    )
+    return t.take(order[:k])
+
+
+def weighted_priority_sample(
+    ds: ray.data.Dataset, id_col: str, weight_col: str, k: int
+) -> ray.data.Dataset:
+    """Distributed weighted sample without replacement: block-local
+    top-k partials (each block contributes <=k candidate rows), then a
+    sort+limit over the k x n_blocks candidates - the only all-to-all
+    touches the bounded candidate set, never the corpus."""
+    partials = ds.map_batches(
+        lambda b: weighted_priority_partial(b, id_col, weight_col, k),
+        batch_format="pyarrow",
+    )
+    return partials.sort(["priority", id_col]).limit(k)

@@ -4476,3 +4476,238 @@ def customer_order_counts(sf_dir: str):
         .groupby("n_orders")
         .aggregate(Sum("nc", alias_name="n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis-Spirakis priority variant)
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_sample_docs",
+    # priority = 52-bit md5 uniform / weight, ONE correctly-rounded IEEE
+    # division on both engines -> identical doubles, identical sample
+    "SELECT doc_id, n_chars FROM ("
+    "  SELECT doc_id, n_chars, "
+    "  CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) "
+    "    AS BIGINT) / GREATEST(n_chars, 1) AS priority "
+    "  FROM documents"
+    ") ORDER BY priority, doc_id LIMIT 50",
+)
+def weighted_sample_docs(sf_dir: str):
+    """Weighted sampling without replacement, weight = document length:
+    longer docs proportionally more likely.  Deterministic md5-derived
+    priorities make the sample partition-invariant and SQL-mirrorable;
+    each block ships <=k candidates so the merge is O(k x blocks)."""
+    from ..functions.sampling import weighted_priority_sample
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return weighted_priority_sample(
+        docs, "doc_id", "n_chars", k=50
+    ).select_columns(["doc_id", "n_chars"])
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long -> wide): per-user event-type counts
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_by_type",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def events_pivot_by_type(sf_dir: str):
+    """Pivot operator (long rows -> one wide row per key): the column
+    set is the declared pivot domain, so each batch emits an already-
+    wide partial via vectorized boolean casts + one Arrow group_by, and
+    the exchange carries wide partials (one row per user per block),
+    never the long form.  Unknown event types are ignored by
+    construction - the schema is fixed up front, which is what makes
+    the pivot streamable (a data-driven column set would need two
+    passes)."""
+
+    def pivot_partial(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        for t in _PIVOT_TYPES:
+            cols[f"n_{t}"] = pc.cast(
+                pc.equal(b["event_type"], t), pa.int64()
+            )
+        wide = pa.table(cols)
+        return wide.group_by("user_id").aggregate(
+            [(f"n_{t}", "sum") for t in _PIVOT_TYPES]
+        ).rename_columns(["user_id"] + [f"n_{t}" for t in _PIVOT_TYPES])
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return (
+        ev.map_batches(pivot_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_TYPES])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Algebraic moments: distributed variance/covariance inputs per group
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_moments_by_type",
+    "SELECT event_type, count(*) AS n, "
+    "CAST(sum(c) AS BIGINT) AS sum_cents, "
+    "CAST(sum(c * c) AS BIGINT) AS sum_sq_cents, "
+    "CAST(sum(h) AS BIGINT) AS sum_hour, "
+    "CAST(sum(h * h) AS BIGINT) AS sum_sq_hour, "
+    "CAST(sum(c * h) AS BIGINT) AS sum_cents_hour "
+    "FROM (SELECT event_type, "
+    "  CAST(round(value * 100) AS BIGINT) AS c, "
+    "  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h FROM events) "
+    "GROUP BY event_type",
+)
+def value_moments_by_type(sf_dir: str):
+    """Distributed second-moment statistics: the mergeable integer
+    moments (n, sum, sum-of-squares, cross products) from which mean,
+    variance and the value-vs-hour Pearson correlation all derive in
+    closed form - the standard one-pass algebraic-aggregate shape for
+    corr/var at scale (no second pass over the data, no float summation
+    order hazard; everything int64 until the caller divides)."""
+
+    def moments_partial(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        h = pc.cast(pc.hour(b["ts"]), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "one": pa.array(np.ones(len(b), dtype=np.int64)),
+                "c": c,
+                "cc": pc.multiply(c, c),
+                "h": h,
+                "hh": pc.multiply(h, h),
+                "ch": pc.multiply(c, h),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [(x, "sum") for x in ("one", "c", "cc", "h", "hh", "ch")]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sum_cents", "sum_sq_cents", "sum_hour",
+             "sum_sq_hour", "sum_cents_hour"]
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "ts"]
+    )
+    names = ["n", "sum_cents", "sum_sq_cents", "sum_hour", "sum_sq_hour",
+             "sum_cents_hour"]
+    return (
+        ev.map_batches(moments_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(x, alias_name=x) for x in names])
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: multi-level subtotals in one pass
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_rollup_lang_source",
+    "SELECT COALESCE(lang, 'ALL') AS lang, "
+    "COALESCE(source, 'ALL') AS source, count(*) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY ROLLUP(lang, source)",
+)
+def doc_rollup_lang_source(sf_dir: str):
+    """GROUP BY ROLLUP in one corpus pass: the finest (lang, source)
+    aggregate is the only one that touches the data; the (lang, ALL)
+    and (ALL, ALL) levels re-aggregate the finest result, which is
+    dimension-bounded (distinct pairs), so the rollup costs one
+    shuffle + two local group_bys on a tiny table."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(["lang", "source", "n_docs", "total_chars"])
+
+    fine = (
+        _docs(sf_dir, ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+    ft = pa.concat_tables(
+        [ray.get(ref) for ref in fine.to_arrow_refs()]
+    ).combine_chunks()
+    by_lang = (
+        ft.group_by("lang")
+        .aggregate([("n_docs", "sum"), ("total_chars", "sum")])
+        .rename_columns(["lang", "n_docs", "total_chars"])
+    )
+    lvl1 = by_lang.append_column(
+        "source", pa.array(["ALL"] * len(by_lang), pa.string())
+    ).select(["lang", "source", "n_docs", "total_chars"])
+    total = pa.table(
+        {
+            "lang": pa.array(["ALL"], pa.string()),
+            "source": pa.array(["ALL"], pa.string()),
+            "n_docs": pa.array(
+                [pc.sum(ft["n_docs"]).as_py()], pa.int64()
+            ),
+            "total_chars": pa.array(
+                [pc.sum(ft["total_chars"]).as_py()], pa.int64()
+            ),
+        }
+    )
+    return pa.concat_tables([ft, lvl1, total])
+
+
+# ---------------------------------------------------------------------------
+# Group-concat / collect_list: sorted distinct sources per language
+# ---------------------------------------------------------------------------
+
+@register(
+    "sources_by_lang_concat",
+    "SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) "
+    "AS sources FROM documents GROUP BY lang",
+)
+def sources_by_lang_concat(sf_dir: str):
+    """collect_list / group-concat: the distinct (lang, source) pairs
+    are reduced FIRST (batch group_by partials, one small exchange), so
+    the string concatenation - inherently order-sensitive and done per
+    group - only ever sees the dimension-bounded pair table, sorted for
+    determinism."""
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["lang", "source"]).aggregate([])
+
+    pairs = (
+        _docs(sf_dir, ["lang", "source"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def concat_group(g: pa.Table) -> pa.Table:
+        lang = g["lang"][0].as_py()
+        srcs = sorted(g["source"].to_pylist())
+        return pa.table(
+            {
+                "lang": pa.array([lang], pa.string()),
+                "sources": pa.array([",".join(srcs)], pa.string()),
+            }
+        )
+
+    return pairs.groupby("lang").map_groups(
+        concat_group, batch_format="pyarrow"
+    )

@@ -1,0 +1,136 @@
+"""Weighted sampling, pivot, moments, rollup, group-concat tests."""
+from datetime import datetime, timedelta
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_weighted_priority_partition_invariant(ray_session):
+    """The weighted sample is identical at any partitioning, favors
+    heavy rows, and matches a brute-force priority computation."""
+    import ray
+
+    from pii_detection_local_ray.functions.sampling import (
+        weighted_priority_sample,
+    )
+
+    n = 2000
+    rng = np.random.default_rng(3)
+    # half the corpus light (weight 1), half heavy (weight 1000)
+    w = np.where(np.arange(n) % 2 == 0, 1, 1000).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "n_chars": pa.array(w)})
+
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = (
+            weighted_priority_sample(ds, "doc_id", "n_chars", k=40)
+            .to_pandas()
+        )
+        outs.append(list(got["doc_id"]))
+    assert outs[0] == outs[1]
+
+    pri = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        / max(int(wt), 1)
+        for i, wt in enumerate(w)
+    }
+    want = [i for i, _ in sorted(pri.items(), key=lambda kv: (kv[1], kv[0]))][:40]
+    assert outs[0] == want
+    # heavy rows dominate the sample
+    heavy = sum(1 for i in outs[0] if w[i] == 1000)
+    assert heavy >= 35
+
+
+def test_pivot_counts(ray_session, tmp_path):
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(0, "click"), (0, "click"), (0, "view"), (1, "purchase"),
+            (1, "weird_type"), (2, "view")]
+    n = len(rows)
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([t0 + timedelta(seconds=i) for i in range(n)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array([e for _, e in rows]),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        queries()["events_pivot_by_type"](str(tmp_path))
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    assert got.loc[0, "n_click"] == 2 and got.loc[0, "n_view"] == 1
+    assert got.loc[1, "n_purchase"] == 1
+    # unknown type contributes to no declared pivot column
+    assert got.loc[1, ["n_click", "n_error", "n_signup", "n_view"]].sum() == 0
+    assert got.loc[2, "n_view"] == 1
+
+
+def test_moments_recover_variance_and_corr(ray_session):
+    """Variance / Pearson r derived from the integer moments match
+    numpy on the raw values."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    got = (
+        queries()["value_moments_by_type"]("/root/testdata/sf0.001")
+        .to_pandas().set_index("event_type")
+    )
+    import pandas as pd
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["c"] = np.round(ev["value"] * 100).astype("int64")
+    ev["h"] = ev["ts"].dt.hour.astype("int64")
+    for t, grp in ev.groupby("event_type"):
+        m = got.loc[t]
+        n = m["n"]
+        assert n == len(grp)
+        var_from_moments = (
+            m["sum_sq_cents"] / n - (m["sum_cents"] / n) ** 2
+        )
+        assert abs(var_from_moments - grp["c"].var(ddof=0)) < 1e-6 * max(
+            1.0, grp["c"].var(ddof=0)
+        )
+        cov = m["sum_cents_hour"] / n - (m["sum_cents"] / n) * (m["sum_hour"] / n)
+        want_cov = ((grp["c"] - grp["c"].mean()) * (grp["h"] - grp["h"].mean())).mean()
+        assert abs(cov - want_cov) < 1e-6 * max(1.0, abs(want_cov))
+
+
+def test_rollup_levels_consistent(ray_session):
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    got = queries()["doc_rollup_lang_source"]("/root/testdata/sf0.001").to_pandas()
+    fine = got[(got["lang"] != "ALL") & (got["source"] != "ALL")]
+    lvl1 = got[(got["lang"] != "ALL") & (got["source"] == "ALL")]
+    total = got[(got["lang"] == "ALL") & (got["source"] == "ALL")]
+    assert len(total) == 1
+    assert total["n_docs"].iloc[0] == fine["n_docs"].sum()
+    assert total["total_chars"].iloc[0] == fine["total_chars"].sum()
+    per_lang = fine.groupby("lang")["n_docs"].sum()
+    for lang, row in lvl1.set_index("lang").iterrows():
+        assert row["n_docs"] == per_lang[lang]
+
+
+def test_group_concat_sorted_distinct(ray_session, tmp_path):
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["x"] * 6),
+        "lang": pa.array(["en", "en", "en", "fr", "fr", "en"]),
+        "source": pa.array(["web", "books", "web", "web", "code", "arxiv"]),
+        "n_chars": pa.array([1] * 6, pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = (
+        queries()["sources_by_lang_concat"](str(tmp_path))
+        .to_pandas().set_index("lang")["sources"]
+    )
+    assert got["en"] == "arxiv,books,web"
+    assert got["fr"] == "code,web"
