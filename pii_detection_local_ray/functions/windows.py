@@ -124,3 +124,78 @@ def session_window(
         return out.reset_index(drop=True)
 
     return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def lag_in_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "lag",
+) -> ray.data.Dataset:
+    """LAG(val) OVER (PARTITION BY key ORDER BY order_cols): each row
+    gains the previous row's value within its ordered group (null for
+    the first row).  Hash-partition by the window key, one vectorized
+    lexsort + shift inside the group - same one-key-fits-one-group
+    assumption as session_window, stated there."""
+    import numpy as np
+    import pyarrow as pa
+
+    def lag_group(g: pa.Table) -> pa.Table:
+        keys = [
+            g[c].to_numpy(zero_copy_only=False) for c in reversed(order_cols)
+        ]
+        order = np.lexsort(keys)
+        sorted_t = g.take(pa.array(order))
+        vals = sorted_t[val_col]
+        arr = (
+            vals.combine_chunks()
+            if isinstance(vals, pa.ChunkedArray)
+            else vals
+        )
+        if isinstance(arr, pa.ChunkedArray):  # pyarrow < 15 returns CA
+            arr = arr.chunk(0) if arr.num_chunks else pa.nulls(0, arr.type)
+        n = len(arr)
+        shifted = pa.concat_arrays(
+            [pa.nulls(min(1, n), arr.type), arr.slice(0, max(n - 1, 0))]
+        )
+        return sorted_t.append_column(out_col, shifted)
+
+    return ds.groupby(key_col).map_groups(lag_group, batch_format="pyarrow")
+
+
+def argmax_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+) -> ray.data.Dataset:
+    """One row per group: the row with the max order_col (ties broken
+    by MIN tie_col, so the winner is unique and deterministic).  The
+    map side reduces each batch to one candidate row per group - the
+    argmax is an algebraic aggregate, so the exchange carries one row
+    per (group x block), never the corpus - and the final per-group
+    reduction applies the same rule to the few surviving candidates."""
+    import numpy as np
+    import pyarrow as pa
+
+    def best_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = df.sort_values(
+            [key_col, order_col, tie_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.groupby(key_col, sort=False).head(1), preserve_index=False
+        ).cast(t.schema)
+
+    return (
+        ds.map_batches(best_rows, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(best_rows, batch_format="pyarrow")
+    )

@@ -4711,3 +4711,77 @@ def sources_by_lang_concat(sf_dir: str):
     return pairs.groupby("lang").map_groups(
         concat_group, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# LAG window function: days since the customer's previous order
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_gap_days",
+    "SELECT o_orderkey, COALESCE(CAST(date_diff('day', prev_date, "
+    "o_orderdate) AS BIGINT), -1) AS gap_days FROM ("
+    "  SELECT o_orderkey, o_orderdate, LAG(o_orderdate) OVER ("
+    "    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    "  ) AS prev_date FROM orders)",
+)
+def order_gap_days(sf_dir: str):
+    """LAG window function: per order, calendar days since the same
+    customer's previous order (-1 for the first).  The generic
+    lag_in_group operator hash-partitions by customer and shifts inside
+    the ordered group; the day difference is computed on date-truncated
+    timestamps so it matches SQL date_diff('day') exactly (calendar
+    days, not 24 h buckets)."""
+    from ..functions.windows import lag_in_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lagged = lag_in_group(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+        "o_orderdate", out_col="prev_date",
+    )
+
+    def gap(b: pa.Table) -> pa.Table:
+        cur = pc.cast(
+            pc.floor_temporal(b["o_orderdate"], unit="day"), pa.date32()
+        )
+        prev = pc.cast(
+            pc.floor_temporal(b["prev_date"], unit="day"), pa.date32()
+        )
+        days = pc.subtract(
+            pc.cast(cur, pa.int32()), pc.cast(prev, pa.int32())
+        )
+        gap_days = pc.coalesce(
+            pc.cast(days, pa.int64()), pa.scalar(-1, pa.int64())
+        )
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "gap_days": gap_days}
+        )
+
+    return lagged.map_batches(gap, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# argmax per group: the longest document of each language
+# ---------------------------------------------------------------------------
+
+@register(
+    "longest_doc_per_lang",
+    "SELECT lang, doc_id, n_chars FROM ("
+    "  SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("
+    "    PARTITION BY lang ORDER BY n_chars DESC, doc_id"
+    "  ) AS rn FROM documents) WHERE rn = 1",
+)
+def longest_doc_per_lang(sf_dir: str):
+    """argmax/max_by per group: the single longest document of each
+    language (ties to the smallest doc_id).  Algebraic - each batch
+    ships one candidate per language, so the exchange is O(langs x
+    blocks) rows however large the corpus."""
+    from ..functions.windows import argmax_per_group
+
+    return argmax_per_group(
+        _docs(sf_dir, ["lang", "doc_id", "n_chars"]),
+        "lang", "n_chars", "doc_id",
+    ).select_columns(["lang", "doc_id", "n_chars"])

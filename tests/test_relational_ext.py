@@ -134,3 +134,42 @@ def test_group_concat_sorted_distinct(ray_session, tmp_path):
     )
     assert got["en"] == "arxiv,books,web"
     assert got["fr"] == "code,web"
+
+
+def test_lag_in_group_shift(ray_session):
+    import ray
+
+    from pii_detection_local_ray.functions.windows import lag_in_group
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "o": pa.array([3, 1, 2, 10, 5], pa.int64()),
+        "v": pa.array([30, 10, 20, 100, 50], pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = (
+        lag_in_group(ds, "k", ["o"], "v", out_col="prev")
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    assert list(got["prev"].fillna(-1).astype(int)) == [-1, 10, 20, -1, 50]
+
+
+def test_argmax_per_group_ties(ray_session):
+    import ray
+
+    from pii_detection_local_ray.functions.windows import argmax_per_group
+
+    tbl = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b"]),
+        "score": pa.array([5, 9, 9, 2, 2], pa.int64()),
+        "id": pa.array([7, 4, 3, 8, 1], pa.int64()),
+    })
+    # tie on max score -> the SMALLEST id wins, at any partitioning
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = (
+            argmax_per_group(ds, "g", "score", "id")
+            .to_pandas().set_index("g")
+        )
+        assert got.loc["a", "id"] == 3 and got.loc["a", "score"] == 9
+        assert got.loc["b", "id"] == 1
