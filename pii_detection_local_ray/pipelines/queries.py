@@ -4785,3 +4785,116 @@ def longest_doc_per_lang(sf_dir: str):
         _docs(sf_dir, ["lang", "doc_id", "n_chars"]),
         "lang", "n_chars", "doc_id",
     ).select_columns(["lang", "doc_id", "n_chars"])
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k frequent: top sources per language
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_sources_per_lang",
+    "SELECT lang, source, n_docs, rnk FROM ("
+    "  SELECT lang, source, n_docs, CAST(ROW_NUMBER() OVER ("
+    "    PARTITION BY lang ORDER BY n_docs DESC, source"
+    "  ) AS BIGINT) AS rnk FROM ("
+    "    SELECT lang, source, count(*) AS n_docs FROM documents "
+    "    GROUP BY lang, source)"
+    ") WHERE rnk <= 2",
+)
+def top_sources_per_lang(sf_dir: str):
+    """Grouped top-k frequent items: counts collapse first (batch
+    partials + one exchange on the composite key), then the per-group
+    rank runs over the dimension-bounded count table - the corpus is
+    never re-shuffled for the ranking step."""
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "n_docs"])
+
+    counts = (
+        _docs(sf_dir, ["lang", "source"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("n_docs", "descending"), ("source", "ascending")]
+        )
+        t = g.take(order[:2])
+        return t.append_column(
+            "rnk", pa.array(range(1, len(t) + 1), pa.int64())
+        )
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT over behavior-derived user sets
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_set_operations",
+    "WITH c AS (SELECT DISTINCT user_id FROM events "
+    "  WHERE event_type = 'click'), "
+    "p AS (SELECT DISTINCT user_id FROM events "
+    "  WHERE event_type = 'purchase') "
+    "SELECT * FROM ("
+    "  SELECT 'both' AS segment, count(*) AS n_users "
+    "  FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p) "
+    "  UNION ALL SELECT 'click_only', count(*) "
+    "  FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p) "
+    "  UNION ALL SELECT 'purchase_only', count(*) "
+    "  FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c))",
+)
+def user_set_operations(sf_dir: str):
+    """INTERSECT / EXCEPT without running separate set pipelines: one
+    pass computes per-user membership FLAGS (max of boolean partials -
+    an algebraic aggregate), and the three set cardinalities fall out of
+    one tiny flag-combination count.  This is the scale shape for set
+    algebra over derived sets: n set operations share one shuffle."""
+
+    def flag_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "c": pc.cast(pc.equal(b["event_type"], "click"), pa.int64()),
+                "p": pc.cast(
+                    pc.equal(b["event_type"], "purchase"), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by("user_id").aggregate([("c", "max"), ("p", "max")])
+        return g.rename_columns(["user_id", "c", "p"])
+
+    flags = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        .map_batches(flag_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("c", alias_name="c"), Max("p", alias_name="p"))
+    )
+
+    def seg_partial(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(bool)
+        p = b["p"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "segment": pa.array(
+                    ["both", "click_only", "purchase_only"], pa.string()
+                ),
+                "n": pa.array(
+                    [int((c & p).sum()), int((c & ~p).sum()),
+                     int((p & ~c).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        flags.map_batches(seg_partial, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )

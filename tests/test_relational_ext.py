@@ -173,3 +173,53 @@ def test_argmax_per_group_ties(ray_session):
         )
         assert got.loc["a", "id"] == 3 and got.loc["a", "score"] == 9
         assert got.loc["b", "id"] == 1
+
+
+def test_top_sources_per_lang_rank_ties(ray_session, tmp_path):
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    langs = ["en"] * 7 + ["fr"] * 1
+    srcs = ["web", "web", "web", "books", "books", "arxiv", "arxiv", "web"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(["x"] * 8),
+        "lang": pa.array(langs),
+        "source": pa.array(srcs),
+        "n_chars": pa.array([1] * 8, pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = (
+        queries()["top_sources_per_lang"](str(tmp_path))
+        .to_pandas().sort_values(["lang", "rnk"]).reset_index(drop=True)
+    )
+    en = got[got["lang"] == "en"]
+    assert list(en["source"]) == ["web", "arxiv"]  # tie 2-2 -> arxiv < books
+    assert list(en["n_docs"]) == [3, 2]
+    fr = got[got["lang"] == "fr"]
+    assert list(fr["source"]) == ["web"] and list(fr["rnk"]) == [1]
+
+
+def test_user_set_operations_segments(ray_session, tmp_path):
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(0, "click"), (0, "purchase"), (1, "click"), (2, "purchase"),
+            (3, "view"), (1, "click")]
+    n = len(rows)
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([t0 + timedelta(seconds=i) for i in range(n)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array([e for _, e in rows]),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        queries()["user_set_operations"](str(tmp_path))
+        .to_pandas().set_index("segment")["n_users"]
+    )
+    assert got["both"] == 1          # user 0
+    assert got["click_only"] == 1    # user 1 (dup clicks counted once)
+    assert got["purchase_only"] == 1 # user 2
