@@ -335,7 +335,10 @@ def hll_registers(
 
 
 def grouped_hll_registers(
-    ds: ray.data.Dataset, group_col: str, item_col: str
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Per-group HLL registers: distinct-count sketches keyed by a group
     column (e.g. distinct users per event type).  The map side first
@@ -371,9 +374,13 @@ def grouped_hll_registers(
             }
         )
 
+    # the exchange key space is groups x 256 registers - dimension-
+    # bounded, so a small fixed partition count is right at ANY corpus
+    # size (the default shuffle would spawn 64 aggregator actors for a
+    # few thousand rows: pure fixed overhead)
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([group_col, "bucket"])
+        .groupby([group_col, "bucket"], num_partitions=num_partitions)
         .aggregate(Max("max_rank", alias_name="max_rank"))
     )
 

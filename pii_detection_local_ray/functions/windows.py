@@ -169,6 +169,7 @@ def argmax_per_group(
     key_col: str,
     order_col: str,
     tie_col: str,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """One row per group: the row with the max order_col (ties broken
     by MIN tie_col, so the winner is unique and deterministic).  The
@@ -194,8 +195,10 @@ def argmax_per_group(
             df.groupby(key_col, sort=False).head(1), preserve_index=False
         ).cast(t.schema)
 
+    # num_partitions: pass a small count for dimension-bounded keys
+    # (the exchange only carries one candidate per group per block)
     return (
         ds.map_batches(best_rows, batch_format="pyarrow")
-        .groupby(key_col)
+        .groupby(key_col, num_partitions=num_partitions)
         .map_groups(best_rows, batch_format="pyarrow")
     )

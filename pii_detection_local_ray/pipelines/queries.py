@@ -4255,7 +4255,7 @@ def part_price_band_join(sf_dir: str):
             f"{sf_dir}/part.parquet", columns=["p_retailprice"]
         )
         .map_batches(band_partials, batch_format="pyarrow")
-        .groupby("band")
+        .groupby("band", num_partitions=4)
         .aggregate(
             Sum("n", alias_name="n_parts"),
             Sum("cents", alias_name="total_cents"),
@@ -4316,9 +4316,12 @@ def funnel_stages(sf_dir: str):
             )
             return g.rename_columns(["user_id", alias])
 
+        # 32 partitions: the exchange carries per-(block x user) Min
+        # partials; scale num_partitions with |users| / target partition
+        # size on a real cluster
         return pin_schema(
             ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("user_id")
+            .groupby("user_id", num_partitions=32)
             .aggregate(Min(alias, alias_name=alias)),
             _ts_schema(alias),
         )
@@ -4348,7 +4351,7 @@ def funnel_stages(sf_dir: str):
 
         return pin_schema(
             joined.map_batches(partial, batch_format="pyarrow")
-            .groupby("user_id")
+            .groupby("user_id", num_partitions=32)
             .aggregate(Min(alias, alias_name=alias)),
             _ts_schema(alias),
         )
@@ -4439,7 +4442,8 @@ def customer_order_counts(sf_dir: str):
             f"{sf_dir}/orders.parquet", columns=["o_custkey"]
         )
         .map_batches(count_partial, batch_format="pyarrow")
-        .groupby("o_custkey")
+        # keys bounded by the customer dimension; scale with |customer|
+        .groupby("o_custkey", num_partitions=32)
         .aggregate(Sum("n", alias_name="n")),
         pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())]),
     )
@@ -4473,7 +4477,7 @@ def customer_order_counts(sf_dir: str):
 
     return (
         joined.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("n_orders")
+        .groupby("n_orders", num_partitions=8)
         .aggregate(Sum("nc", alias_name="n_customers"))
     )
 
@@ -4608,7 +4612,7 @@ def value_moments_by_type(sf_dir: str):
              "sum_cents_hour"]
     return (
         ev.map_batches(moments_partial, batch_format="pyarrow")
-        .groupby("event_type")
+        .groupby("event_type", num_partitions=8)
         .aggregate(*[Sum(x, alias_name=x) for x in names])
     )
 
@@ -4640,15 +4644,28 @@ def doc_rollup_lang_source(sf_dir: str):
     fine = (
         _docs(sf_dir, ["lang", "source", "n_chars"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["lang", "source"])
+        .groupby(["lang", "source"], num_partitions=16)
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
             Sum("total_chars", alias_name="total_chars"),
         )
     )
-    ft = pa.concat_tables(
-        [ray.get(ref) for ref in fine.to_arrow_refs()]
-    ).combine_chunks()
+    schema = pa.schema(
+        [("lang", pa.string()), ("source", pa.string()),
+         ("n_docs", pa.int64()), ("total_chars", pa.int64())]
+    )
+    # the aggregate emits SCHEMA-LESS empty blocks for empty shuffle
+    # partitions - drop them and cast the rest before concatenating
+    tabs = [
+        t.select(schema.names).cast(schema)
+        for t in ray.get(fine.materialize().to_arrow_refs())
+        if t.num_columns
+    ]
+    ft = (
+        pa.concat_tables(tabs).combine_chunks()
+        if tabs
+        else schema.empty_table()
+    )
     by_lang = (
         ft.group_by("lang")
         .aggregate([("n_docs", "sum"), ("total_chars", "sum")])
@@ -4694,7 +4711,7 @@ def sources_by_lang_concat(sf_dir: str):
     pairs = (
         _docs(sf_dir, ["lang", "source"])
         .map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["lang", "source"])
+        .groupby(["lang", "source"], num_partitions=16)
         .aggregate(Count(alias_name="_n"))
     )
 
@@ -4708,7 +4725,7 @@ def sources_by_lang_concat(sf_dir: str):
             }
         )
 
-    return pairs.groupby("lang").map_groups(
+    return pairs.groupby("lang", num_partitions=8).map_groups(
         concat_group, batch_format="pyarrow"
     )
 
@@ -4783,7 +4800,7 @@ def longest_doc_per_lang(sf_dir: str):
 
     return argmax_per_group(
         _docs(sf_dir, ["lang", "doc_id", "n_chars"]),
-        "lang", "n_chars", "doc_id",
+        "lang", "n_chars", "doc_id", num_partitions=8,
     ).select_columns(["lang", "doc_id", "n_chars"])
 
 
@@ -4814,7 +4831,7 @@ def top_sources_per_lang(sf_dir: str):
     counts = (
         _docs(sf_dir, ["lang", "source"])
         .map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["lang", "source"])
+        .groupby(["lang", "source"], num_partitions=16)
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
 
@@ -4827,7 +4844,9 @@ def top_sources_per_lang(sf_dir: str):
             "rnk", pa.array(range(1, len(t) + 1), pa.int64())
         )
 
-    return counts.groupby("lang").map_groups(topk, batch_format="pyarrow")
+    return counts.groupby("lang", num_partitions=8).map_groups(
+        topk, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4895,6 +4914,61 @@ def user_set_operations(sf_dir: str):
 
     return (
         flags.map_batches(seg_partial, batch_format="pyarrow")
-        .groupby("segment")
+        .groupby("segment", num_partitions=4)
         .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON column extraction + aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "props_json_stats",
+    "SELECT event_type, count(k) AS n_with_k, "
+    "CAST(sum(k) AS BIGINT) AS sum_k, "
+    "CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k "
+    "FROM (SELECT event_type, "
+    "  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
+    "GROUP BY event_type",
+)
+def props_json_stats(sf_dir: str):
+    """Semi-structured column extraction: pull an integer field out of a
+    JSON string column and aggregate it per group, entirely inside the
+    batch pass.  The extraction is ONE vectorized RE2 kernel
+    (pc.extract_regex) over the Arrow string buffer - the fast path for
+    flat scalar keys; rows without the key surface as nulls and drop
+    out of the aggregates exactly as SQL json_extract does.  (A
+    general nested-JSON path would swap in a real parser behind the
+    same per-batch signature.)"""
+
+    def extract_partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "k": k,
+                "one": pc.cast(pc.is_valid(k), pa.int64()),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return g.rename_columns(
+            ["event_type", "n_with_k", "sum_k", "min_k", "max_k"]
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return (
+        ev.map_batches(extract_partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=8)
+        .aggregate(
+            Sum("n_with_k", alias_name="n_with_k"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
     )

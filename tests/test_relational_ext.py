@@ -223,3 +223,31 @@ def test_user_set_operations_segments(ray_session, tmp_path):
     assert got["both"] == 1          # user 0
     assert got["click_only"] == 1    # user 1 (dup clicks counted once)
     assert got["purchase_only"] == 1 # user 2
+
+
+def test_props_json_stats_missing_and_negative(ray_session, tmp_path):
+    """Rows without the key become nulls (count excludes them, like SQL
+    json_extract); negative and spaced values parse."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    t0 = datetime(2024, 1, 1)
+    props = ['{"k": 5}', '{"k":-3}', '{"x": 1}', '{"k":  10}', "{}"]
+    n = len(props)
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([t0 + timedelta(seconds=i) for i in range(n)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(props),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        queries()["props_json_stats"](str(tmp_path))
+        .to_pandas().set_index("event_type")
+    )
+    assert got.loc["click", "n_with_k"] == 3
+    assert got.loc["click", "sum_k"] == 12
+    assert got.loc["click", "min_k"] == -3
+    assert got.loc["click", "max_k"] == 10
