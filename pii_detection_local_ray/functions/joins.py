@@ -87,3 +87,69 @@ def hash_join(
         on=(on,),
         right_on=(right_on or on,),
     )
+
+
+def salted_join(
+    fact: ray.data.Dataset,
+    dim: ray.data.Dataset,
+    on: str,
+    right_on: str,
+    fact_spread_col: str,
+    n_salts: int = 8,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Skew-defusing hash join: a hot join key sends ALL its fact rows
+    to one reducer in a plain hash join; salting splits each key's rows
+    across n_salts reducers.
+
+      fact side: salt = spread_col % n_salts  (any per-row value that
+                 varies WITHIN a key - a row id - spreads the hot key;
+                 deriving salt from the join key itself would not)
+      dim side:  each row replicates n_salts times, once per salt value
+                 (the small side pays n_salts x its size - the classic
+                 replicate-broadcast trade)
+
+    then an ordinary equi-join on (key, salt).  Inner-join semantics
+    are unchanged: every (fact row, dim row) key match meets at exactly
+    one salt."""
+    import pyarrow.compute as pc
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        salt = pc.cast(
+            pc.bit_wise_and(
+                pc.cast(b[fact_spread_col], pa.int64()),
+                pa.scalar(n_salts - 1, pa.int64()),
+            )
+            if (n_salts & (n_salts - 1)) == 0
+            else pc.subtract(
+                pc.cast(b[fact_spread_col], pa.int64()),
+                pc.multiply(
+                    pc.divide(
+                        pc.cast(b[fact_spread_col], pa.int64()),
+                        pa.scalar(n_salts, pa.int64()),
+                    ),
+                    pa.scalar(n_salts, pa.int64()),
+                ),
+            ),
+            pa.int64(),
+        )
+        return b.append_column("_salt", salt)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        copies = [
+            b.append_column(
+                "_salt", pa.array([s] * len(b), pa.int64())
+            )
+            for s in range(n_salts)
+        ]
+        return pa.concat_tables(copies)
+
+    salted_fact = fact.map_batches(add_salt, batch_format="pyarrow")
+    salted_dim = dim.map_batches(replicate, batch_format="pyarrow")
+    return salted_fact.join(
+        salted_dim,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on, "_salt"),
+        right_on=(right_on, "_salt"),
+    )

@@ -4972,3 +4972,124 @@ def props_json_stats(sf_dir: str):
             Max("max_k", alias_name="max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-defusing salted join: order enrichment by customer segment
+# ---------------------------------------------------------------------------
+
+@register(
+    "salted_orders_segment",
+    "SELECT o.o_orderkey, c.c_mktsegment AS segment "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+)
+def salted_orders_segment(sf_dir: str):
+    """Row-level dimension enrichment through a SALTED hash join: a
+    mega-customer would otherwise pin all its orders on one reducer.
+    The salt comes from the order key (varies within a customer), the
+    customer side replicates n_salts times, and inner-join semantics
+    are untouched - the oracle is the plain JOIN.  (For pure aggregates
+    you would pre-aggregate instead, as repo_agg does; the salted join
+    is for when the JOINED ROWS are the output.)"""
+    from ..functions.joins import salted_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = salted_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        fact_spread_col="o_orderkey", n_salts=8, num_partitions=16,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "segment": b["c_mktsegment"],
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Data cleaning: grouped-median imputation of missing values
+# ---------------------------------------------------------------------------
+
+@register(
+    "impute_value_by_type",
+    # nulls planted deterministically (md5 first nibble == '0', ~1/16 of
+    # rows) so the imputation path is exercised on every engine alike
+    "WITH base AS (SELECT event_id, event_type, "
+    "  CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0' "
+    "  THEN NULL ELSE CAST(round(value * 100) AS BIGINT) END AS cents "
+    "  FROM events), "
+    "med AS (SELECT event_type, median(cents) AS m FROM base "
+    "  GROUP BY event_type) "
+    "SELECT b.event_id, b.event_type, "
+    "COALESCE(CAST(b.cents AS DOUBLE), med.m) AS cents_filled "
+    "FROM base b JOIN med ON b.event_type = med.event_type",
+)
+def impute_value_by_type(sf_dir: str):
+    """Missing-value imputation by group median, the data-cleaning
+    staple: per-group EXACT medians come from the mergeable (group,
+    value, count) histogram (domain-bounded exchange, one corpus pass),
+    the median map broadcasts, and the fill is one vectorized coalesce
+    per batch - a second streaming pass, no row ever leaves its block.
+    Median interpolation matches SQL quantile_cont(0.5) bit-for-bit
+    (integer midpoints are exact halves)."""
+    from ..functions.sketch import grouped_histogram_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def plant_nulls(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        null_mask = pa.array(
+            [
+                hashlib.md5(str(i).encode()).hexdigest()[0] == "0"
+                for i in b["event_id"].to_pylist()
+            ],
+            pa.bool_(),
+        )
+        cents = pc.if_else(null_mask, pa.scalar(None, pa.int64()), cents)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "cents": cents,
+            }
+        )
+
+    base = ev.map_batches(plant_nulls, batch_format="pyarrow").materialize()
+
+    med = grouped_histogram_quantiles(
+        base.map_batches(
+            lambda b: b.filter(pc.is_valid(b["cents"])),
+            batch_format="pyarrow",
+        ),
+        "event_type", "cents", [0.5],
+    )
+    med_map = {g: float(v[0]) for g, v in med.items()}
+    med_ref = ray.put(med_map)
+
+    def fill(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        meds = pa.array(
+            [m[t] for t in b["event_type"].to_pylist()], pa.float64()
+        )
+        filled = pc.coalesce(pc.cast(b["cents"], pa.float64()), meds)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "cents_filled": filled,
+            }
+        )
+
+    return base.map_batches(fill, batch_format="pyarrow")

@@ -251,3 +251,68 @@ def test_props_json_stats_missing_and_negative(ray_session, tmp_path):
     assert got.loc["click", "sum_k"] == 12
     assert got.loc["click", "min_k"] == -3
     assert got.loc["click", "max_k"] == 10
+
+
+def test_salted_join_matches_plain(ray_session, tmp_path):
+    """salted_join == plain hash join on a corpus with one mega-key,
+    and the salt actually spreads that key across partitions."""
+    import ray
+
+    from pii_detection_local_ray.functions.joins import hash_join, salted_join
+
+    n = 5000
+    # 80% of fact rows hit customer 7 (the hot key)
+    ck = np.where(np.arange(n) % 5 < 4, 7, np.arange(n) % 100)
+    fact = pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array(ck, pa.int64()),
+    })
+    dim = pa.table({
+        "c_custkey": pa.array(range(100), pa.int64()),
+        "c_mktsegment": pa.array([f"s{i % 5}" for i in range(100)]),
+    })
+    f = ray.data.from_arrow(fact).repartition(8)
+    d = ray.data.from_arrow(dim)
+    got = (
+        salted_join(f, d, on="o_custkey", right_on="c_custkey",
+                    fact_spread_col="o_orderkey", n_salts=8)
+        .to_pandas()[["o_orderkey", "c_mktsegment"]]
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    want = (
+        hash_join(ray.data.from_arrow(fact), ray.data.from_arrow(dim),
+                  on="o_custkey", right_on="c_custkey", num_partitions=4)
+        .to_pandas()[["o_orderkey", "c_mktsegment"]]
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert got.equals(want)
+    # the hot key's rows carry all n_salts distinct salts
+    salts = {i & 7 for i, c in zip(range(n), ck) if c == 7}
+    assert len(salts) == 8
+
+
+def test_impute_median_fill(ray_session):
+    """Imputed rows get their group's median of the observed values;
+    non-null rows pass through unchanged."""
+    import hashlib as _h
+
+    import pandas as pd
+
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    got = (
+        queries()["impute_value_by_type"]("/root/testdata/sf0.001")
+        .to_pandas()
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = np.round(ev["value"] * 100).astype("int64")
+    is_null = ev["event_id"].map(
+        lambda i: _h.md5(str(i).encode()).hexdigest()[0] == "0"
+    )
+    ev.loc[is_null, "cents"] = np.nan
+    med = ev.groupby("event_type")["cents"].median()
+    m = got.set_index("event_id")
+    for _, r in ev.iterrows():
+        want = med[r["event_type"]] if np.isnan(r["cents"]) else r["cents"]
+        assert m.loc[r["event_id"], "cents_filled"] == want
