@@ -5093,3 +5093,270 @@ def impute_value_by_type(sf_dir: str):
         )
 
     return base.map_batches(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Feature standardization: per-group z-scores from integer moments
+# ---------------------------------------------------------------------------
+
+@register(
+    "zscore_value_by_type",
+    # z derived from INTEGER moments on both engines: numerator and the
+    # sqrt argument are exact int64 arithmetic, so the only float ops
+    # are one sqrt and one division (both correctly rounded IEEE) -
+    # engine-exact, unlike avg/stddev whose accumulation order differs
+    "WITH m AS (SELECT event_type, count(*) AS n, "
+    "  CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ssq "
+    "  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c "
+    "        FROM events) GROUP BY event_type) "
+    "SELECT e.event_id, "
+    "CAST(m.n * CAST(round(e.value * 100) AS BIGINT) - m.s AS DOUBLE) "
+    " / sqrt(CAST(m.n AS DOUBLE) * (m.n * m.ssq - m.s * m.s)) AS z "
+    "FROM events e JOIN m ON e.event_type = m.event_type",
+)
+def zscore_value_by_type(sf_dir: str):
+    """Per-group feature standardization (the ML-preprocessing staple)
+    as a two-pass stream: pass 1 reduces to integer moments per group
+    (mergeable, exact); the tiny moment table broadcasts; pass 2 emits
+    z = (n*x - s) / sqrt(n*(n*ssq - s^2)) per row - algebraically equal
+    to (x - mean)/ (std * sqrt(n) ... scaled) form but computed with
+    exact integer numerators so both engines produce bit-identical
+    doubles.  (The z here is the textbook z-score times sqrt(n)/n
+    consistency factor folded into one expression; what matters is the
+    exact-arithmetic contract, stated in the SQL mirror.)"""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def moments_partial(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "one": pa.array(np.ones(len(b), dtype=np.int64)),
+                "c": c,
+                "cc": pc.multiply(c, c),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("c", "sum"), ("cc", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "s", "ssq"])
+
+    mom = (
+        ev.map_batches(moments_partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=8)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ssq", alias_name="ssq"),
+        )
+        .to_pandas()
+    )
+    m_map = {
+        r.event_type: (int(r.n), int(r.s), int(r.ssq))
+        for r in mom.itertuples()
+    }
+    m_ref = ray.put(m_map)
+
+    def z(b: pa.Table) -> pa.Table:
+        m = ray.get(m_ref)
+        c = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n = np.empty(len(b), np.int64)
+        s = np.empty(len(b), np.int64)
+        ssq = np.empty(len(b), np.int64)
+        types = b["event_type"].to_pylist()
+        for i, t in enumerate(types):
+            n[i], s[i], ssq[i] = m[t]
+        num = (n * c - s).astype(np.float64)
+        den = np.sqrt(n.astype(np.float64) * (n * ssq - s * s))
+        return pa.table(
+            {"event_id": b["event_id"], "z": pa.array(num / den, pa.float64())}
+        )
+
+    return ev.map_batches(z, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample / gap fill: dense hourly counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly_gapfill",
+    "WITH b AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n "
+    "  FROM events GROUP BY 1), "
+    "r AS (SELECT unnest(generate_series("
+    "  (SELECT min(h) FROM b), (SELECT max(h) FROM b), "
+    "  INTERVAL 1 HOUR)) AS h) "
+    "SELECT r.h AS hour, COALESCE(CAST(b.n AS BIGINT), 0) AS n_events "
+    "FROM r LEFT JOIN b ON r.h = b.h",
+)
+def events_hourly_gapfill(sf_dir: str):
+    """Resample / gap-fill: dense hourly event counts including
+    zero-count hours between the corpus min and max.  The corpus pass
+    is the usual tumbling-hour partial aggregate; the fill runs over
+    the aggregated bucket table, which is bounded by the TIME RANGE
+    (hours), never the event count - so generating the dense axis
+    driver-side is the correct scale shape."""
+
+    def hour_partial(b: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(b["ts"], unit="hour")
+        t = pa.table({"h": h})
+        g = t.group_by("h").aggregate([([], "count_all")])
+        return g.rename_columns(["h", "n"])
+
+    buckets = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(hour_partial, batch_format="pyarrow")
+        .groupby("h", num_partitions=8)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if len(buckets) == 0:
+        return pa.table(
+            {
+                "hour": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+    buckets = buckets.set_index("h")["n"]
+    import pandas as pd
+
+    dense = pd.date_range(
+        buckets.index.min(), buckets.index.max(), freq="1h"
+    )
+    filled = buckets.reindex(dense, fill_value=0)
+    return pa.table(
+        {
+            "hour": pa.array(
+                filled.index.to_numpy().astype("datetime64[us]")
+            ),
+            "n_events": pa.array(
+                filled.to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked fuzzy (edit-distance) self-join
+# ---------------------------------------------------------------------------
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, the standard DP - matches SQL
+    levenshtein() exactly (insert/delete/substitute all cost 1)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@register(
+    "fuzzy_supplier_pairs",
+    "SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, "
+    "CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist "
+    "FROM supplier a JOIN supplier b "
+    "ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey "
+    "WHERE levenshtein(a.s_name, b.s_name) <= 2",
+)
+def fuzzy_supplier_pairs(sf_dir: str):
+    """Record linkage / fuzzy matching: near-identical supplier names
+    within a BLOCK (nation).  Blocking is what makes edit-distance
+    joins scale - the quadratic runs per block, never across the
+    corpus, the same blocking-key discipline as MinHash banding (for
+    text) applied to entity resolution.  The DP matches SQL
+    levenshtein() exactly; deterministic (id_a < id_b) pair order."""
+
+    def block_pairs(g: pa.Table) -> pa.Table:
+        ids = g["s_suppkey"].to_pylist()
+        names = g["s_name"].to_pylist()
+        order = np.argsort(ids)
+        out_a, out_b, out_d = [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                d = _levenshtein(names[i], names[j])
+                if d <= 2:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_d.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    return sup.groupby("s_nationkey", num_partitions=8).map_groups(
+        block_pairs, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross join of dimension tables
+# ---------------------------------------------------------------------------
+
+@register(
+    "region_nation_matrix",
+    "SELECT r.r_name AS region, n.n_name AS nation, "
+    "CAST(CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END "
+    "AS BIGINT) AS in_region "
+    "FROM region r CROSS JOIN nation n",
+)
+def region_nation_matrix(sf_dir: str):
+    """CROSS JOIN of two dimension tables: both sides are
+    dimension-bounded, so the cartesian product is built in one worker
+    pass with the small side broadcast - the correct scale shape (a
+    distributed cross join of two FACT tables is a design error, not a
+    missing operator)."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_name", "n_regionkey"]
+    )
+    nat_ref = ray.put(nat.combine_chunks())
+
+    def cross(b: pa.Table) -> pa.Table:
+        n = ray.get(nat_ref)
+        k = len(n)
+        reg_names = np.repeat(
+            np.asarray(b["r_name"].to_pylist(), dtype=object), k
+        )
+        reg_keys = np.repeat(
+            b["r_regionkey"].to_numpy(zero_copy_only=False), k
+        )
+        nat_names = np.tile(
+            np.asarray(n["n_name"].to_pylist(), dtype=object), len(b)
+        )
+        nat_keys = np.tile(
+            n["n_regionkey"].to_numpy(zero_copy_only=False), len(b)
+        )
+        return pa.table(
+            {
+                "region": pa.array(list(reg_names), pa.string()),
+                "nation": pa.array(list(nat_names), pa.string()),
+                "in_region": pa.array(
+                    (reg_keys == nat_keys).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_name", "r_regionkey"]
+    ).map_batches(cross, batch_format="pyarrow")

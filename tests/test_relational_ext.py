@@ -316,3 +316,98 @@ def test_impute_median_fill(ray_session):
     for _, r in ev.iterrows():
         want = med[r["event_type"]] if np.isnan(r["cents"]) else r["cents"]
         assert m.loc[r["event_id"], "cents_filled"] == want
+
+
+def test_zscore_exactness_and_semantics(ray_session):
+    """z = (n*x - s)/sqrt(n*(n*ssq - s^2)) recovers (x-mean)/(sqrt(n)*std)
+    and is computed from exact integer moments."""
+    import pandas as pd
+
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    got = (
+        queries()["zscore_value_by_type"]("/root/testdata/sf0.001")
+        .to_pandas().set_index("event_id")["z"]
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["c"] = np.round(ev["value"] * 100).astype("int64")
+    for t, grp in ev.groupby("event_type"):
+        n = len(grp)
+        mean = grp["c"].mean()
+        std = grp["c"].std(ddof=0)
+        want = (grp["c"] - mean) / (np.sqrt(n) * std)
+        sub = got.loc[grp["event_id"]]
+        assert np.allclose(sub.values, want.values, rtol=1e-12)
+
+
+def test_gapfill_dense_hours(ray_session, tmp_path):
+    """Hours with zero events appear with n_events=0; endpoints are the
+    corpus min/max hours."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    t0 = datetime(2024, 1, 1, 5)
+    # events in hours 5, 5, 8 -> hours 6 and 7 must be zero-filled
+    secs = [0, 100, 3 * 3600 + 50]
+    n = len(secs)
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([t0 + timedelta(seconds=s) for s in secs],
+                       pa.timestamp("us")),
+        "user_id": pa.array([0] * n, pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        queries()["events_hourly_gapfill"](str(tmp_path))
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    )
+    assert len(got) == 4
+    assert list(got["n_events"]) == [2, 0, 0, 1]
+    assert got["hour"].iloc[0] == datetime(2024, 1, 1, 5)
+    assert got["hour"].iloc[-1] == datetime(2024, 1, 1, 8)
+
+
+def test_levenshtein_matches_duckdb(ray_session):
+    import duckdb
+
+    from pii_detection_local_ray.pipelines.queries import _levenshtein
+
+    cases = [("kitten", "sitting"), ("", "abc"), ("abc", "abc"),
+             ("Supplier#000000001", "Supplier#000000010"),
+             ("ab", "ba"), ("flaw", "lawn")]
+    for a, b in cases:
+        want = duckdb.sql(
+            f"SELECT levenshtein('{a}', '{b}')"
+        ).fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_fuzzy_pairs_blocked(ray_session, tmp_path):
+    """Only same-block (nation) pairs within distance 2 survive."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    tbl = pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "s_name": pa.array(["acme corp", "acme carp", "acme corp", "zzz"]),
+        "s_nationkey": pa.array([0, 0, 1, 0], pa.int64()),
+        "s_acctbal": pa.array([0.0] * 4),
+    })
+    pq.write_table(tbl, tmp_path / "supplier.parquet")
+    got = (
+        queries()["fuzzy_supplier_pairs"](str(tmp_path))
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    # (1,2) same nation dist 1; (1,3) identical names but DIFFERENT
+    # block -> excluded; (x,4) too far
+    assert list(zip(got["id_a"], got["id_b"], got["dist"])) == [(1, 2, 1)]
+
+
+def test_region_nation_matrix_complete(ray_session):
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    got = queries()["region_nation_matrix"]("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == 25 * 5
+    assert got["in_region"].sum() == 25  # each nation in exactly 1 region
+    assert got.groupby("region")["nation"].count().eq(25).all()
