@@ -5360,3 +5360,63 @@ def region_nation_matrix(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/region.parquet", columns=["r_name", "r_regionkey"]
     ).map_batches(cross, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Windowed stream-stream join: clicks within 1h before each purchase
+# ---------------------------------------------------------------------------
+
+@register(
+    "purchase_clicks_1h",
+    "SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h "
+    "FROM events p LEFT JOIN events c ON p.user_id = c.user_id "
+    "  AND c.event_type = 'click' "
+    "  AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts "
+    "WHERE p.event_type = 'purchase' GROUP BY p.event_id",
+)
+def purchase_clicks_1h(sf_dir: str):
+    """Time-bounded stream-stream join (the windowed join of streaming
+    engines): for every purchase, how many of the same user's clicks
+    fell in the hour leading up to it, interval (t-1h, t].  Co-partition
+    both sides by the join key in ONE shuffle (they share the events
+    read), then per group a SORTED click-timestamp array answers every
+    purchase with two binary searches - O((c+p) log c) per user, no
+    per-pair work, unlike the SQL oracle's quadratic theta-join."""
+    HOUR_US = 3_600_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        clicks = np.sort(ts[et == "click"])
+        pm = et == "purchase"
+        pts = ts[pm]
+        n = (
+            np.searchsorted(clicks, pts, side="right")
+            - np.searchsorted(clicks, pts - HOUR_US, side="right")
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(ids[pm], pa.int64()),
+                "n_clicks_1h": pa.array(n, pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(
+                b["event_type"],
+                value_set=pa.array(["click", "purchase"]),
+            )
+        )
+
+    return (
+        ev.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

@@ -411,3 +411,39 @@ def test_region_nation_matrix_complete(ray_session):
     assert len(got) == 25 * 5
     assert got["in_region"].sum() == 25  # each nation in exactly 1 region
     assert got.groupby("region")["nation"].count().eq(25).all()
+
+
+def test_purchase_clicks_1h_boundaries(ray_session, tmp_path):
+    """Interval is (t-1h, t]: a click exactly 1h before is OUT, a click
+    at the purchase instant is IN; other users' clicks never count."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    t0 = datetime(2024, 1, 1, 12)
+    rows = [
+        # user 0: purchase at 12:00 (event 0)
+        (0, 0, "purchase", 0),
+        (1, 0, "click", -3600),       # exactly 1h before -> excluded
+        (2, 0, "click", -3599),       # just inside
+        (3, 0, "click", 0),           # at the instant -> included
+        (4, 0, "click", 1),           # after -> excluded
+        (5, 1, "click", -10),         # other user -> excluded
+        # user 1: purchase with no clicks
+        (6, 1, "purchase", 7200),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([t0 + timedelta(seconds=r[3]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        queries()["purchase_clicks_1h"](str(tmp_path))
+        .to_pandas().set_index("event_id")["n_clicks_1h"]
+    )
+    assert got[0] == 2   # -3599 and 0
+    assert got[6] == 0
+    assert len(got) == 2
