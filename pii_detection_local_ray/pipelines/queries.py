@@ -5420,3 +5420,65 @@ def purchase_clicks_1h(sf_dir: str):
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort / retention analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_retention_cohorts",
+    "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort "
+    "  FROM events GROUP BY user_id), "
+    "a AS (SELECT DISTINCT e.user_id, f.cohort, "
+    "  date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS off "
+    "  FROM events e JOIN f ON e.user_id = f.user_id) "
+    "SELECT cohort AS cohort_day, CAST(off AS BIGINT) AS offset_days, "
+    "count(*) AS n_users FROM a GROUP BY cohort, off",
+)
+def user_retention_cohorts(sf_dir: str):
+    """Cohort retention (the product-analytics staple): users grouped
+    by first-active day, counted on each later active day.  One shuffle
+    co-partitions a user's events; the per-user pass emits its distinct
+    (cohort, offset) day pairs - at most the calendar span per user, so
+    the second exchange is tiny - and a small grouped count finishes.
+    The SQL oracle takes the join-then-DISTINCT route; both agree."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        days = (
+            g["ts"].cast(pa.timestamp("us")).cast(pa.date32())
+            .cast(pa.int32()).to_numpy(zero_copy_only=False)
+        )
+        cohort = int(days.min())
+        offs = np.unique(days - cohort)
+        # DATE surfaces as a midnight timestamp[us] through the driver's
+        # pandas export - emit the same type so dtypes compare equal
+        cohort_us = np.full(
+            len(offs), cohort * 86_400_000_000, np.int64
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(cohort_us).cast(pa.timestamp("us")),
+                "offset_days": pa.array(offs.astype(np.int64), pa.int64()),
+                "n": pa.array(np.ones(len(offs), np.int64), pa.int64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    def pin_us(b: pa.Table) -> pa.Table:
+        # the shuffle roundtrips the key through pandas and coarsens the
+        # all-midnight column to [s]; re-assert the driver-facing [us]
+        i = b.schema.get_field_index("cohort_day")
+        return b.set_column(
+            i, "cohort_day", b["cohort_day"].cast(pa.timestamp("us"))
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_day", "offset_days"], num_partitions=8)
+        .aggregate(Sum("n", alias_name="n_users"))
+        .map_batches(pin_us, batch_format="pyarrow")
+    )

@@ -447,3 +447,39 @@ def test_purchase_clicks_1h_boundaries(ray_session, tmp_path):
     assert got[0] == 2   # -3599 and 0
     assert got[6] == 0
     assert len(got) == 2
+
+
+def test_retention_cohorts_semantics(ray_session, tmp_path):
+    """Cohort = first active DAY; each later active day counts the user
+    once regardless of event count that day."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    d0 = datetime(2024, 3, 1, 23, 50)   # user 0 cohort = Mar 1
+    rows = [
+        (0, 0, d0),                               # day 0
+        (1, 0, d0 + timedelta(minutes=5)),        # Mar 1 23:55, still day 0
+        (2, 0, d0 + timedelta(minutes=20)),       # Mar 2 00:10 -> day 1
+        (3, 0, datetime(2024, 3, 4, 1)),          # day 3
+        (4, 1, datetime(2024, 3, 2, 8)),          # user 1 cohort = Mar 2
+        (5, 1, datetime(2024, 3, 2, 9)),          # same day, dedup
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        queries()["user_retention_cohorts"](str(tmp_path))
+        .to_pandas()
+        .set_index(["cohort_day", "offset_days"])["n_users"]
+    )
+    mar1, mar2 = datetime(2024, 3, 1), datetime(2024, 3, 2)
+    assert got[(mar1, 0)] == 1
+    assert got[(mar1, 1)] == 1
+    assert got[(mar1, 3)] == 1
+    assert got[(mar2, 0)] == 1
+    assert len(got) == 4
