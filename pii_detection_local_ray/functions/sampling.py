@@ -201,3 +201,40 @@ def weighted_priority_sample(
         batch_format="pyarrow",
     )
     return partials.sort(["priority", id_col]).limit(k)
+
+
+def grouped_priority_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    k: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """k-per-group uniform random sample, deterministic and
+    partition-invariant: within each group keep the k smallest md5(id)
+    priorities (ties impossible for distinct ids).  Map side reduces
+    each batch to <=k candidates PER GROUP, so the exchange carries
+    k x groups x blocks rows at most; the final per-group reduce
+    re-applies the same rule."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["_pri"] = [
+            hashlib.md5(str(i).encode()).hexdigest()
+            for i in df[id_col]
+        ]
+        df = df.sort_values([group_col, "_pri"], kind="mergesort")
+        df = df.groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(
+            df.drop(columns=["_pri"]), preserve_index=False
+        ).cast(batch.schema)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby(group_col, num_partitions=num_partitions)
+        .map_groups(local_topk, batch_format="pyarrow")
+    )

@@ -5482,3 +5482,68 @@ def user_retention_cohorts(sf_dir: str):
         .aggregate(Sum("n", alias_name="n_users"))
         .map_batches(pin_us, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-per-group uniform random sample (deterministic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_per_lang",
+    "SELECT lang, doc_id FROM ("
+    "  SELECT lang, doc_id, ROW_NUMBER() OVER ("
+    "    PARTITION BY lang "
+    "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+    "  ) AS rn FROM documents) WHERE rn <= 3",
+)
+def sample_per_lang(sf_dir: str):
+    """Uniform random k-per-group sample, partition-invariant: the md5
+    priority makes 'random' reproducible on any engine and any
+    partitioning (per_source_cap10 caps by FIRST-k id order; this is
+    the unbiased-random variant)."""
+    from ..functions.sampling import grouped_priority_sample
+
+    return grouped_priority_sample(
+        _docs(sf_dir, ["lang", "doc_id"]), "lang", "doc_id", k=3,
+        num_partitions=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+
+@register(
+    "distinct_users_per_type",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events "
+    "GROUP BY event_type",
+)
+def distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group - the two-exchange shape: batch
+    partials dedupe (group, item) locally, one shuffle on the composite
+    key finishes the dedup, and the per-group count is then a tiny
+    second aggregate.  The HLL variant (hll_users_by_type) is the
+    one-exchange approximate path; this is the exact path whose cost is
+    the true distinct cardinality."""
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n"])
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .aggregate(Sum("n", alias_name="n_users"))
+    )

@@ -483,3 +483,36 @@ def test_retention_cohorts_semantics(ray_session, tmp_path):
     assert got[(mar1, 3)] == 1
     assert got[(mar2, 0)] == 1
     assert len(got) == 4
+
+
+def test_grouped_priority_sample_partition_invariant(ray_session):
+    import ray
+
+    from pii_detection_local_ray.functions.sampling import (
+        grouped_priority_sample,
+    )
+
+    tbl = pa.table({
+        "g": pa.array(["a"] * 50 + ["b"] * 5),
+        "id": pa.array(range(55), pa.int64()),
+    })
+    outs = []
+    for parts in (1, 9):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = (
+            grouped_priority_sample(ds, "g", "id", k=3)
+            .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    # group smaller than k keeps everything... b has 5 > 3, so exactly 3
+    assert (outs[0].groupby("g")["id"].count() == 3).all()
+    # brute-force: 3 smallest md5 priorities per group
+    import hashlib as _h
+    df = tbl.to_pandas()
+    df["pri"] = df["id"].map(lambda i: _h.md5(str(i).encode()).hexdigest())
+    want = (
+        df.sort_values(["g", "pri"]).groupby("g").head(3)[["g", "id"]]
+        .sort_values(["g", "id"]).reset_index(drop=True)
+    )
+    assert outs[0].equals(want)
