@@ -5547,3 +5547,76 @@ def distinct_users_per_type(sf_dir: str):
         .groupby("event_type", num_partitions=4)
         .aggregate(Sum("n", alias_name="n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregate: per-label embedding centroid (element-wise)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_centroid_by_label",
+    # fixed-point micros via floor (floor has no rounding-tie mode
+    # difference between engines, unlike round); DuckDB lists index
+    # from 1, pos is emitted 0-based on both sides
+    "WITH dims AS (SELECT unnest(generate_series(1, ("
+    "  SELECT max(len(embedding)) FROM embeddings))) AS pos) "
+    "SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS pos, "
+    "count(*) AS n, "
+    "CAST(sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000) "
+    "  AS BIGINT)) "
+    "  AS BIGINT) AS sum_micros "
+    "FROM embeddings CROSS JOIN dims GROUP BY label, pos",
+)
+def embedding_centroid_by_label(sf_dir: str):
+    """Element-wise vector aggregate - the centroid computation every
+    embedding pipeline needs (semdedup's k-means uses it internally;
+    this exposes it as a first-class grouped operator).  Each batch
+    reduces to one (label, dim) partial matrix via a numpy matmul-free
+    groupby-add (np.add.at), so the exchange carries labels x dims
+    rows per block, never raw vectors; sums are int64 micros (exact
+    merge order-independence) and the mean is sum_micros / n / 1e6 for
+    the caller."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def centroid_partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_micros": pa.array([], pa.int64()),
+                }
+            )
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in
+             b["embedding"].to_pylist()]
+        )
+        micros = np.floor(mat * 1_000_000.0).astype(np.int64)
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), np.int64)
+        np.add.at(sums, inv, micros)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k, d = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(uniq, d).astype(np.int64), pa.int64()
+                ),
+                "pos": pa.array(np.tile(np.arange(d), k), pa.int64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+                "sum_micros": pa.array(sums.reshape(-1), pa.int64()),
+            }
+        )
+
+    return (
+        emb.map_batches(centroid_partial, batch_format="pyarrow")
+        .groupby(["label", "pos"], num_partitions=16)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_micros", alias_name="sum_micros"),
+        )
+    )

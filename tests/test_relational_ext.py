@@ -516,3 +516,24 @@ def test_grouped_priority_sample_partition_invariant(ray_session):
         .sort_values(["g", "id"]).reset_index(drop=True)
     )
     assert outs[0].equals(want)
+
+
+def test_embedding_centroid_matches_numpy(ray_session):
+    import pandas as pd
+
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    got = (
+        queries()["embedding_centroid_by_label"]("/root/testdata/sf0.001")
+        .to_pandas()
+    )
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for label, grp in emb.groupby("label"):
+        mat = np.stack(grp["embedding"].map(np.asarray).values).astype(np.float64)
+        micros = np.floor(mat * 1_000_000.0).astype(np.int64)
+        sub = got[got["label"] == label].sort_values("pos")
+        assert (sub["n"] == len(grp)).all()
+        assert (sub["sum_micros"].values == micros.sum(axis=0)).all()
+        # recovered centroid close to the float mean
+        cent = sub["sum_micros"].values / len(grp) / 1e6
+        assert np.allclose(cent, mat.mean(axis=0), atol=1e-6)
