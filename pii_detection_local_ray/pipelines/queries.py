@@ -5620,3 +5620,144 @@ def embedding_centroid_by_label(sf_dir: str):
             Sum("sum_micros", alias_name="sum_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping-set combinations in one pass
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_cube_lang_source",
+    "SELECT COALESCE(lang, 'ALL') AS lang, "
+    "COALESCE(source, 'ALL') AS source, count(*) AS n_docs "
+    "FROM documents GROUP BY CUBE(lang, source)",
+)
+def doc_cube_lang_source(sf_dir: str):
+    """GROUP BY CUBE: all four grouping sets - (lang, source), (lang),
+    (source), () - from ONE corpus pass.  Only the finest level touches
+    the data; every other set re-aggregates the dimension-bounded
+    finest table (same machinery as ROLLUP plus the (source) slice)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "n_docs"])
+
+    fine = (
+        _docs(sf_dir, ["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"], num_partitions=16)
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    schema = pa.schema(
+        [("lang", pa.string()), ("source", pa.string()),
+         ("n_docs", pa.int64())]
+    )
+    tabs = [
+        t.select(schema.names).cast(schema)
+        for t in ray.get(fine.materialize().to_arrow_refs())
+        if t.num_columns
+    ]
+    ft = (
+        pa.concat_tables(tabs).combine_chunks()
+        if tabs
+        else schema.empty_table()
+    )
+
+    def slice_level(keys: list[str]) -> pa.Table:
+        if keys:
+            g = ft.group_by(keys).aggregate([("n_docs", "sum")])
+            g = g.rename_columns(keys + ["n_docs"])
+        else:
+            g = pa.table({"n_docs": pa.array(
+                [pc.sum(ft["n_docs"]).as_py() or 0], pa.int64())})
+        for col in ("lang", "source"):
+            if col not in keys:
+                g = g.append_column(
+                    col, pa.array(["ALL"] * len(g), pa.string())
+                )
+        return g.select(["lang", "source", "n_docs"])
+
+    return pa.concat_tables(
+        [ft, slice_level(["lang"]), slice_level(["source"]),
+         slice_level([])]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear regression (least squares from exact moments)
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_hour_regression",
+    # slope/intercept from INTEGER moments: every sum is exact int64;
+    # the float expression trees match the Ray side op-for-op, so the
+    # correctly-rounded IEEE results are engine-identical
+    "WITH m AS (SELECT event_type, count(*) AS n, "
+    "  CAST(sum(h) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy, "
+    "  CAST(sum(h * h) AS BIGINT) AS sxx, "
+    "  CAST(sum(h * c) AS BIGINT) AS sxy "
+    "  FROM (SELECT event_type, "
+    "    CAST(round(value * 100) AS BIGINT) AS c, "
+    "    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h FROM events) "
+    "  GROUP BY event_type) "
+    "SELECT event_type, "
+    "CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope, "
+    "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) "
+    " / (n * sxx - sx * sx)) * sx) / n AS intercept "
+    "FROM m",
+)
+def value_hour_regression(sf_dir: str):
+    """Distributed least squares per group: one pass reduces to the
+    five integer moments (n, sum x, sum y, sum xx, sum xy); slope and
+    intercept are closed-form divisions of exact int64 numerators -
+    the scale shape for grouped regression (no second pass, no
+    gradient loop, no float accumulation order)."""
+
+    def m_partial(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        h = pc.cast(pc.hour(b["ts"]), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "one": pa.array(np.ones(len(b), dtype=np.int64)),
+                "sx": h,
+                "sy": c,
+                "sxx": pc.multiply(h, h),
+                "sxy": pc.multiply(h, c),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [(x, "sum") for x in ("one", "sx", "sy", "sxx", "sxy")]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sx", "sy", "sxx", "sxy"]
+        )
+
+    mom = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "value", "ts"],
+        )
+        .map_batches(m_partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=8)
+        .aggregate(
+            *[Sum(x, alias_name=x) for x in ("n", "sx", "sy", "sxx", "sxy")]
+        )
+        .to_pandas()
+    )
+    n = mom["n"].to_numpy(np.int64)
+    sx = mom["sx"].to_numpy(np.int64)
+    sy = mom["sy"].to_numpy(np.int64)
+    sxx = mom["sxx"].to_numpy(np.int64)
+    sxy = mom["sxy"].to_numpy(np.int64)
+    # mirror the SQL expression tree exactly: int64 numerators/denoms,
+    # ONE division for slope; intercept = (sy - slope*sx) / n
+    slope = (n * sxy - sx * sy).astype(np.float64) / (n * sxx - sx * sx)
+    intercept = (sy.astype(np.float64) - slope * sx) / n
+    return pa.table(
+        {
+            "event_type": pa.array(mom["event_type"], pa.string()),
+            "slope": pa.array(slope, pa.float64()),
+            "intercept": pa.array(intercept, pa.float64()),
+        }
+    )

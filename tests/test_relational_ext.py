@@ -537,3 +537,49 @@ def test_embedding_centroid_matches_numpy(ray_session):
         # recovered centroid close to the float mean
         cent = sub["sum_micros"].values / len(grp) / 1e6
         assert np.allclose(cent, mat.mean(axis=0), atol=1e-6)
+
+
+def test_cube_levels(ray_session):
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    got = queries()["doc_cube_lang_source"]("/root/testdata/sf0.001").to_pandas()
+    fine = got[(got["lang"] != "ALL") & (got["source"] != "ALL")]
+    by_lang = got[(got["lang"] != "ALL") & (got["source"] == "ALL")]
+    by_src = got[(got["lang"] == "ALL") & (got["source"] != "ALL")]
+    total = got[(got["lang"] == "ALL") & (got["source"] == "ALL")]
+    n = fine["n_docs"].sum()
+    assert total["n_docs"].iloc[0] == n
+    assert by_lang["n_docs"].sum() == n
+    assert by_src["n_docs"].sum() == n
+    # the (source) slice is what CUBE adds over ROLLUP
+    want_src = fine.groupby("source")["n_docs"].sum()
+    for src, row in by_src.set_index("source").iterrows():
+        assert row["n_docs"] == want_src[src]
+
+
+def test_regression_recovers_planted_line(ray_session, tmp_path):
+    """On y = 3x + 5 (exact cents), slope and intercept are recovered
+    exactly from the integer moments."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    t0 = datetime(2024, 1, 1)
+    hours = list(range(24)) * 3
+    rows = []
+    for i, h in enumerate(hours):
+        # value*100 = 300h + 500  ->  value = 3h + 5
+        rows.append((i, t0 + timedelta(hours=h, minutes=1), 3.0 * h + 5.0))
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([0] * len(rows), pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([r[2] for r in rows]),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        queries()["value_hour_regression"](str(tmp_path))
+        .to_pandas().set_index("event_type")
+    )
+    assert got.loc["click", "slope"] == 300.0     # cents per hour
+    assert got.loc["click", "intercept"] == 500.0
