@@ -1,0 +1,95 @@
+"""Property-based cross-checks for the window/group helpers added in
+round 3: lag_in_group vs pandas groupby.shift, argmax_per_group vs a
+pandas sort-and-head reference, on random corpora and random
+partitionings."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@st.composite
+def _keyed_frame(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    keys = draw(
+        st.lists(st.integers(0, 5), min_size=n, max_size=n)
+    )
+    order = draw(
+        st.lists(st.integers(0, 9), min_size=n, max_size=n)
+    )
+    vals = draw(
+        st.lists(st.integers(-1000, 1000), min_size=n, max_size=n)
+    )
+    parts = draw(st.integers(1, 5))
+    return keys, order, vals, parts
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_keyed_frame())
+@pytest.mark.usefixtures("ray_session")
+def test_lag_matches_pandas_shift(data):
+    import ray
+
+    from pii_detection_local_ray.functions.windows import lag_in_group
+
+    keys, order, vals, parts = data
+    n = len(keys)
+    # unique secondary sort key makes the reference order deterministic
+    tbl = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "o": pa.array(order, pa.int64()),
+        "rid": pa.array(range(n), pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(parts)
+    got = (
+        lag_in_group(ds, "k", ["o", "rid"], "v", out_col="prev")
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values(["k", "o", "rid"])
+    df["prev"] = df.groupby("k")["v"].shift(1)
+    want = df.sort_values("rid").reset_index(drop=True)
+    assert (
+        got["prev"].fillna(-10**9).astype(int).tolist()
+        == want["prev"].fillna(-10**9).astype(int).tolist()
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_keyed_frame())
+@pytest.mark.usefixtures("ray_session")
+def test_argmax_matches_pandas(data):
+    import ray
+
+    from pii_detection_local_ray.functions.windows import argmax_per_group
+
+    keys, order, vals, parts = data
+    n = len(keys)
+    tbl = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "score": pa.array(vals, pa.int64()),
+        "rid": pa.array(range(n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(parts)
+    got = (
+        argmax_per_group(ds, "k", "score", "rid")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        tbl.to_pandas()
+        .sort_values(["k", "score", "rid"], ascending=[True, False, True],
+                     kind="mergesort")
+        .groupby("k").head(1)
+        .sort_values("k").reset_index(drop=True)
+    )
+    assert got[["k", "score", "rid"]].equals(want[["k", "score", "rid"]])
