@@ -5761,3 +5761,55 @@ def value_hour_regression(sf_dir: str):
             "intercept": pa.array(intercept, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed distinct: exact distinct users per tumbling hour
+# ---------------------------------------------------------------------------
+
+@register(
+    "hourly_distinct_users",
+    "SELECT date_trunc('hour', ts) AS hour, "
+    "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+)
+def hourly_distinct_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT) - the standard streaming engagement
+    metric (hourly active users), exact: batch partials dedupe
+    (hour, user) locally, one composite-key exchange finishes the
+    dedup (bounded by hours x active users, the true cardinality), and
+    the per-hour count is a tiny second aggregate."""
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "hour": pc.floor_temporal(b["ts"], unit="hour"),
+                "user_id": b["user_id"],
+            }
+        )
+        return t.group_by(["hour", "user_id"]).aggregate([])
+
+    pairs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["hour", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("hour").aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "n"])
+
+    def pin_us(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("hour")
+        return b.set_column(
+            i, "hour", b["hour"].cast(pa.timestamp("us"))
+        )
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("hour", num_partitions=8)
+        .aggregate(Sum("n", alias_name="n_users"))
+        .map_batches(pin_us, batch_format="pyarrow")
+    )
