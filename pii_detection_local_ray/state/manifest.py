@@ -131,3 +131,20 @@ def read_output(out_dir: str | Path) -> "ray.data.Dataset":
         for f in d.glob("*.parquet")
     )
     return ray.data.read_parquet(files)
+
+
+def write_partitioned_by_key(
+    ds: "ray.data.Dataset",
+    out_dir: str | Path,
+    partition_cols: list[str],
+) -> Path:
+    """Hive-partitioned parquet sink: one directory per key value
+    (``out/lang=en/...``), the second resumable-output layout next to
+    run_resumable's per-input-shard manifests.  A failed run re-writes
+    only the key directories it owns, and downstream reads prune whole
+    directories with a key filter (ray.data.read_parquet picks the
+    partition columns back up from the paths)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ds.write_parquet(str(out_dir), partition_cols=partition_cols)
+    return out_dir

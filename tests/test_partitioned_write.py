@@ -1,0 +1,36 @@
+"""Key-partitioned parquet output: per-key directories, partition
+pruning on read-back, values preserved."""
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_write_partitioned_by_key(ray_session, tmp_path):
+    import ray
+
+    from pii_detection_local_ray.state.manifest import (
+        write_partitioned_by_key,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "lang": pa.array(["en", "fr", "de", "es"] * 25),
+        "n_chars": pa.array([i * 3 for i in range(100)], pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = write_partitioned_by_key(ds, tmp_path / "out", ["lang"])
+
+    # one directory per key value (the resumable / prunable layout)
+    dirs = sorted(p.name for p in Path(out).iterdir() if p.is_dir())
+    assert dirs == ["lang=de", "lang=en", "lang=es", "lang=fr"]
+
+    # a key-filtered read touches ONE directory and round-trips values
+    back = ray.data.read_parquet(str(Path(out) / "lang=fr")).to_pandas()
+    want = tbl.to_pandas().query("lang == 'fr'")
+    assert sorted(back["doc_id"]) == sorted(want["doc_id"])
+    assert back["n_chars"].sum() == want["n_chars"].sum()
+
+    # full read restores the partition column from the paths
+    full = ray.data.read_parquet(str(out)).to_pandas()
+    assert len(full) == 100 and set(full["lang"]) == {"en", "fr", "de", "es"}
