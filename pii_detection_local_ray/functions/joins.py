@@ -71,6 +71,26 @@ def pin_schema(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
     return ds.map_batches(pin, batch_format="pyarrow")
 
 
+def collect_with_schema(
+    ds: ray.data.Dataset, schema: pa.Schema
+) -> pa.Table:
+    """Collect a PROVABLY-BOUNDED Dataset (dimension-bounded aggregate
+    output) to one Arrow table: drop the schema-less empty blocks Ray's
+    hash aggregate emits for empty shuffle partitions and cast the rest
+    to the declared schema.  Callers own the boundedness argument -
+    this is for group-cardinality results, never fact rows."""
+    tabs = [
+        t.select(schema.names).cast(schema)
+        for t in ray.get(ds.materialize().to_arrow_refs())
+        if t.num_columns
+    ]
+    return (
+        pa.concat_tables(tabs).combine_chunks()
+        if tabs
+        else schema.empty_table()
+    )
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -115,25 +135,25 @@ def salted_join(
     import pyarrow.compute as pc
 
     def add_salt(b: pa.Table) -> pa.Table:
-        salt = pc.cast(
-            pc.bit_wise_and(
-                pc.cast(b[fact_spread_col], pa.int64()),
-                pa.scalar(n_salts - 1, pa.int64()),
-            )
-            if (n_salts & (n_salts - 1)) == 0
-            else pc.subtract(
-                pc.cast(b[fact_spread_col], pa.int64()),
-                pc.multiply(
-                    pc.divide(
-                        pc.cast(b[fact_spread_col], pa.int64()),
-                        pa.scalar(n_salts, pa.int64()),
-                    ),
-                    pa.scalar(n_salts, pa.int64()),
-                ),
-            ),
-            pa.int64(),
+        # nulls participate with salt 0 (a null spread value must not
+        # silently drop the fact row from an inner join on the key)
+        x = pc.coalesce(
+            pc.cast(b[fact_spread_col], pa.int64()),
+            pa.scalar(0, pa.int64()),
         )
-        return b.append_column("_salt", salt)
+        n = pa.scalar(n_salts, pa.int64())
+        if (n_salts & (n_salts - 1)) == 0:
+            # two's-complement mask: correct for negatives too
+            salt = pc.bit_wise_and(x, pa.scalar(n_salts - 1, pa.int64()))
+        else:
+            # Arrow integer divide truncates toward zero, so the plain
+            # remainder of a NEGATIVE spread value lands in (-n, 0) and
+            # would match no replicated dim salt - normalize into
+            # [0, n) with one more add+remainder (r+n is in (0, 2n))
+            r = pc.subtract(x, pc.multiply(pc.divide(x, n), n))
+            rp = pc.add(r, n)
+            salt = pc.subtract(rp, pc.multiply(pc.divide(rp, n), n))
+        return b.append_column("_salt", pc.cast(salt, pa.int64()))
 
     def replicate(b: pa.Table) -> pa.Table:
         copies = [

@@ -366,9 +366,14 @@ def grouped_hll_registers(
             if regs.get(key, 0) < r:
                 regs[key] = r
         keys = sorted(regs)
+        # type the group column from the INPUT schema: an empty batch
+        # would otherwise infer null type and break schema unification
         return pa.table(
             {
-                group_col: pa.array([k[0] for k in keys]),
+                group_col: pa.array(
+                    [k[0] for k in keys],
+                    type=batch.schema.field(group_col).type,
+                ),
                 "bucket": pa.array([k[1] for k in keys], pa.int64()),
                 "max_rank": pa.array([regs[k] for k in keys], pa.int64()),
             }

@@ -55,6 +55,19 @@ def oracle_sql() -> dict[str, str]:
     return dict(_SQL)
 
 
+def _pin_ts_us(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """Re-assert timestamp[us] on a shuffle-key column: the hash
+    exchange roundtrips blocks through pandas and coarsens all-midnight
+    timestamps to [s], which the driver's dtype-sensitive compare
+    rejects."""
+
+    def pin(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index(col)
+        return b.set_column(i, col, b[col].cast(pa.timestamp("us")))
+
+    return ds.map_batches(pin, batch_format="pyarrow")
+
+
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
@@ -4650,21 +4663,14 @@ def doc_rollup_lang_source(sf_dir: str):
             Sum("total_chars", alias_name="total_chars"),
         )
     )
-    schema = pa.schema(
-        [("lang", pa.string()), ("source", pa.string()),
-         ("n_docs", pa.int64()), ("total_chars", pa.int64())]
-    )
-    # the aggregate emits SCHEMA-LESS empty blocks for empty shuffle
-    # partitions - drop them and cast the rest before concatenating
-    tabs = [
-        t.select(schema.names).cast(schema)
-        for t in ray.get(fine.materialize().to_arrow_refs())
-        if t.num_columns
-    ]
-    ft = (
-        pa.concat_tables(tabs).combine_chunks()
-        if tabs
-        else schema.empty_table()
+    from ..functions.joins import collect_with_schema
+
+    ft = collect_with_schema(
+        fine,
+        pa.schema(
+            [("lang", pa.string()), ("source", pa.string()),
+             ("n_docs", pa.int64()), ("total_chars", pa.int64())]
+        ),
     )
     by_lang = (
         ft.group_by("lang")
@@ -4678,11 +4684,13 @@ def doc_rollup_lang_source(sf_dir: str):
         {
             "lang": pa.array(["ALL"], pa.string()),
             "source": pa.array(["ALL"], pa.string()),
+            # `or 0`: SQL's () grouping set yields count(*)=0 on an
+            # empty corpus; pc.sum of an empty column is null
             "n_docs": pa.array(
-                [pc.sum(ft["n_docs"]).as_py()], pa.int64()
+                [pc.sum(ft["n_docs"]).as_py() or 0], pa.int64()
             ),
             "total_chars": pa.array(
-                [pc.sum(ft["total_chars"]).as_py()], pa.int64()
+                [pc.sum(ft["total_chars"]).as_py() or 0], pa.int64()
             ),
         }
     )
@@ -5080,8 +5088,15 @@ def impute_value_by_type(sf_dir: str):
 
     def fill(b: pa.Table) -> pa.Table:
         m = ray.get(med_ref)
-        meds = pa.array(
-            [m[t] for t in b["event_type"].to_pylist()], pa.float64()
+        # vectorized lookup; a group whose every value was null has no
+        # median -> index_in yields null -> take yields null -> the row
+        # stays null, exactly the SQL mirror's NULL median COALESCE
+        keys = sorted(m)
+        idx = pc.index_in(
+            b["event_type"], value_set=pa.array(keys, pa.string())
+        )
+        meds = pc.take(
+            pa.array([m[k] for k in keys], pa.float64()), idx
         )
         filled = pc.coalesce(pc.cast(b["cents"], pa.float64()), meds)
         return pa.table(
@@ -5165,12 +5180,15 @@ def zscore_value_by_type(sf_dir: str):
         c = pc.cast(
             pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
         ).to_numpy(zero_copy_only=False)
-        n = np.empty(len(b), np.int64)
-        s = np.empty(len(b), np.int64)
-        ssq = np.empty(len(b), np.int64)
-        types = b["event_type"].to_pylist()
-        for i, t in enumerate(types):
-            n[i], s[i], ssq[i] = m[t]
+        # vectorized moment lookup: one index_in kernel + three takes
+        keys = sorted(m)
+        idx = pc.index_in(
+            b["event_type"], value_set=pa.array(keys, pa.string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_by = np.array([m[k][0] for k in keys], np.int64)
+        s_by = np.array([m[k][1] for k in keys], np.int64)
+        q_by = np.array([m[k][2] for k in keys], np.int64)
+        n, s, ssq = n_by[idx], s_by[idx], q_by[idx]
         num = (n * c - s).astype(np.float64)
         den = np.sqrt(n.astype(np.float64) * (n * ssq - s * s))
         return pa.table(
@@ -5467,20 +5485,12 @@ def user_retention_cohorts(sf_dir: str):
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
-    def pin_us(b: pa.Table) -> pa.Table:
-        # the shuffle roundtrips the key through pandas and coarsens the
-        # all-midnight column to [s]; re-assert the driver-facing [us]
-        i = b.schema.get_field_index("cohort_day")
-        return b.set_column(
-            i, "cohort_day", b["cohort_day"].cast(pa.timestamp("us"))
-        )
-
-    return (
+    return _pin_ts_us(
         ev.groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
         .groupby(["cohort_day", "offset_days"], num_partitions=8)
-        .aggregate(Sum("n", alias_name="n_users"))
-        .map_batches(pin_us, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n_users")),
+        "cohort_day",
     )
 
 
@@ -5648,19 +5658,14 @@ def doc_cube_lang_source(sf_dir: str):
         .groupby(["lang", "source"], num_partitions=16)
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
-    schema = pa.schema(
-        [("lang", pa.string()), ("source", pa.string()),
-         ("n_docs", pa.int64())]
-    )
-    tabs = [
-        t.select(schema.names).cast(schema)
-        for t in ray.get(fine.materialize().to_arrow_refs())
-        if t.num_columns
-    ]
-    ft = (
-        pa.concat_tables(tabs).combine_chunks()
-        if tabs
-        else schema.empty_table()
+    from ..functions.joins import collect_with_schema
+
+    ft = collect_with_schema(
+        fine,
+        pa.schema(
+            [("lang", pa.string()), ("source", pa.string()),
+             ("n_docs", pa.int64())]
+        ),
     )
 
     def slice_level(keys: list[str]) -> pa.Table:
@@ -5801,15 +5806,9 @@ def hourly_distinct_users(sf_dir: str):
         g = b.group_by("hour").aggregate([([], "count_all")])
         return g.rename_columns(["hour", "n"])
 
-    def pin_us(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("hour")
-        return b.set_column(
-            i, "hour", b["hour"].cast(pa.timestamp("us"))
-        )
-
-    return (
+    return _pin_ts_us(
         pairs.map_batches(count_partial, batch_format="pyarrow")
         .groupby("hour", num_partitions=8)
-        .aggregate(Sum("n", alias_name="n_users"))
-        .map_batches(pin_us, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n_users")),
+        "hour",
     )

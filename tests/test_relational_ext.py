@@ -583,3 +583,87 @@ def test_regression_recovers_planted_line(ray_session, tmp_path):
     )
     assert got.loc["click", "slope"] == 300.0     # cents per hour
     assert got.loc["click", "intercept"] == 500.0
+
+
+def test_salted_join_negative_spread_non_pow2(ray_session):
+    """Negative spread values with a non-power-of-two salt count must
+    NOT drop fact rows (Arrow remainder of a negative lands in (-n, 0)
+    without normalization)."""
+    import ray
+
+    from pii_detection_local_ray.functions.joins import hash_join, salted_join
+
+    fact = pa.table({
+        "rid": pa.array([-3, -10, -1, 0, 7, 13], pa.int64()),
+        "k": pa.array([1, 1, 2, 2, 1, 2], pa.int64()),
+    })
+    dim = pa.table({
+        "dk": pa.array([1, 2], pa.int64()),
+        "tag": pa.array(["a", "b"]),
+    })
+    got = (
+        salted_join(ray.data.from_arrow(fact), ray.data.from_arrow(dim),
+                    on="k", right_on="dk", fact_spread_col="rid",
+                    n_salts=6, num_partitions=2)
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    want = (
+        hash_join(ray.data.from_arrow(fact), ray.data.from_arrow(dim),
+                  on="k", right_on="dk", num_partitions=2)
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    assert len(got) == len(fact)
+    assert got[["rid", "tag"]].equals(want[["rid", "tag"]])
+
+
+def test_impute_group_with_all_nulls_stays_null(ray_session, tmp_path):
+    """A group whose every value is planted-null has no median: its
+    rows keep NULL (the SQL mirror's behavior), no KeyError."""
+    import hashlib as _h
+
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    # find an event_id whose md5 leading nibble is '0' (planted null)
+    null_id = next(
+        i for i in range(1000)
+        if _h.md5(str(i).encode()).hexdigest()[0] == "0"
+    )
+    ok_id = next(
+        i for i in range(1000)
+        if _h.md5(str(i).encode()).hexdigest()[0] != "0"
+    )
+    t0 = datetime(2024, 1, 1)
+    tbl = pa.table({
+        "event_id": pa.array([null_id, ok_id], pa.int64()),
+        "ts": pa.array([t0, t0], pa.timestamp("us")),
+        "user_id": pa.array([0, 0], pa.int64()),
+        # the all-null group is its own event_type
+        "event_type": pa.array(["ghost", "click"]),
+        "value": pa.array([7.0, 3.0]),
+        "props": pa.array(["{}", "{}"]),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        queries()["impute_value_by_type"](str(tmp_path))
+        .to_pandas().set_index("event_id")
+    )
+    assert np.isnan(got.loc[null_id, "cents_filled"])
+    assert got.loc[ok_id, "cents_filled"] == 300.0
+
+
+def test_grouped_hll_empty_block_schema(ray_session):
+    """Empty blocks must emit a correctly-typed (not null-typed) group
+    column so schema unification survives."""
+    import ray
+
+    from pii_detection_local_ray.functions.sketch import grouped_hll_registers
+
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * 4),
+        "user_id": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    # repartition far beyond the row count forces empty blocks
+    ds = ray.data.from_arrow(tbl).repartition(16)
+    got = grouped_hll_registers(ds, "event_type", "user_id").to_pandas()
+    assert set(got["event_type"]) == {"a"}
+    assert len(got) <= 4
