@@ -1,0 +1,131 @@
+"""Real media codecs implementable with the standard library alone.
+
+The container ships no PIL/libsndfile, but two ubiquitous UNCOMPRESSED
+public formats need neither: RIFF/WAVE PCM audio (stdlib ``wave``) and
+Windows BMP images (fixed struct headers).  ``decode_media`` dispatches
+on the payload magic - real WAV/BMP bytes decode for real; the
+deterministic FAKE* test formats still work; compressed codecs
+(JPEG/PNG/MP3/MP4) raise ``NotImplementedError`` with a clear message,
+as before (swap in PIL/libsndfile via the stage's ``decode_fn`` seam).
+
+Decoder contract (shared with stages in functions/multimodal.py):
+    payload: bytes -> (kind: str, array: np.ndarray[float32], meta: dict)
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+_PCM_DTYPES = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
+
+
+def decode_wav(payload: bytes) -> tuple[str, np.ndarray, dict]:
+    """RIFF/WAVE PCM decode via the stdlib wave module: 8/16/32-bit
+    integer PCM, any channel count (channels interleaved; callers get
+    the mono mean).  Float or compressed WAVs raise ValueError from
+    wave itself."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width not in _PCM_DTYPES:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    samples = np.frombuffer(raw, dtype=_PCM_DTYPES[width]).astype(np.float32)
+    if width == 1:  # 8-bit WAV is unsigned, centered at 128
+        samples -= 128.0
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    return "audio", samples, {
+        "sample_rate": sr, "n_samples": int(n), "n_channels": ch,
+    }
+
+
+def decode_bmp(payload: bytes) -> tuple[str, np.ndarray, dict]:
+    """Uncompressed BMP decode from the fixed BITMAPFILEHEADER +
+    BITMAPINFOHEADER structs: 24-bit BGR and 8-bit grayscale, rows
+    padded to 4 bytes, bottom-up (or top-down when height < 0).
+    Returns the flattened grayscale image (BGR averaged)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"compressed BMP (method {compression}) not supported"
+        )
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"BMP bit depth {bpp} not supported")
+    top_down = h < 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    rows = []
+    for r in range(h):
+        start = data_off + r * stride
+        row = np.frombuffer(
+            payload[start : start + w * bytes_pp], dtype=np.uint8
+        )
+        if bpp == 24:
+            row = row.reshape(w, 3).mean(axis=1)
+        rows.append(row.astype(np.float32))
+    img = np.stack(rows)
+    if not top_down:  # BMP stores bottom-up by default
+        img = img[::-1]
+    return "image", img.reshape(-1), {
+        "width": int(w), "height": int(h),
+        "channels": 3 if bpp == 24 else 1,
+    }
+
+
+def encode_bmp_gray(pixels: np.ndarray, width: int, height: int) -> bytes:
+    """Minimal 24-bit BMP writer (tests / fixtures): grayscale pixels
+    replicated into BGR, bottom-up, 4-byte row padding."""
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + img_size, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      img_size, 2835, 2835, 0, 0)
+    )
+    px = pixels.reshape(height, width).astype(np.uint8)
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = np.repeat(px[r], 3).tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    return header + bytes(body)
+
+
+def encode_wav_pcm16(
+    samples: np.ndarray, sample_rate: int, n_channels: int = 1
+) -> bytes:
+    """Minimal 16-bit PCM WAV writer (tests / fixtures)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_media(payload: bytes) -> tuple[str, np.ndarray, dict]:
+    """Magic-dispatching decoder: real WAV/BMP decode natively; the
+    deterministic FAKE* formats keep working; anything else raises the
+    stage's documented NotImplementedError."""
+    from .multimodal import _decode_fake
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return _decode_fake(payload)

@@ -6,8 +6,10 @@ decode / feature-extract / resize / frame-sample operators are actor-pool
 signature, output layout) is real and tested; the codec itself is STUBBED
 (this container ships no image/audio libraries): payloads use a tiny
 deterministic fake format, and feeding real JPEG/PNG/WAV bytes raises
-``NotImplementedError`` at the decode step - swap ``_decode_fake`` for
-PIL/libsndfile on a real cluster.
+``NotImplementedError`` at the decode step for COMPRESSED codecs only:
+functions/codecs.py decodes real RIFF/WAVE PCM and uncompressed BMP with
+the standard library, and the ``decode_fn`` seam swaps in PIL/libsndfile
+for JPEG/PNG/MP3 on a real cluster.
 
 Fake payload format (deterministic, self-describing):
   b"FAKEIMG1" + uint16 width + uint16 height + width*height uint8 pixels
@@ -84,7 +86,9 @@ class MediaFeatureBatch:
         # codec seam: a real deployment injects e.g. a PIL/libsndfile
         # decoder with the same (payload)->(kind, array, meta) contract
         # without touching the stage (VERDICT r2 item 8)
-        self.decode = decode_fn or _decode_fake
+        if decode_fn is None:
+            from .codecs import decode_media as decode_fn
+        self.decode = decode_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
@@ -123,7 +127,9 @@ class ImageResizeBatch:
 
     def __init__(self, width: int, height: int, payload_col: str = "payload",
                  decode_fn=None):
-        self.decode = decode_fn or _decode_fake
+        if decode_fn is None:
+            from .codecs import decode_media as decode_fn
+        self.decode = decode_fn
         self.width = width
         self.height = height
         self.payload_col = payload_col
@@ -184,7 +190,9 @@ class FrameSampleBatch:
                  decode_fn=None):
         self.every_k = every_k
         self.payload_col = payload_col
-        self.decode = decode_fn or _decode_fake
+        if decode_fn is None:
+            from .codecs import decode_media as decode_fn
+        self.decode = decode_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         carry_cols = [c for c in batch.schema.names if c != self.payload_col]
@@ -216,7 +224,9 @@ class AudioResampleBatch:
                  decode_fn=None):
         self.target_rate = target_rate
         self.payload_col = payload_col
-        self.decode = decode_fn or _decode_fake
+        if decode_fn is None:
+            from .codecs import decode_media as decode_fn
+        self.decode = decode_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -246,7 +256,9 @@ class MediaEmbedBatch:
                  decode_fn=None):
         self.dim = dim
         self.payload_col = payload_col
-        self.decode = decode_fn or _decode_fake
+        if decode_fn is None:
+            from .codecs import decode_media as decode_fn
+        self.decode = decode_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         embs = []

@@ -1,0 +1,88 @@
+"""Real stdlib media codecs: WAV PCM and uncompressed BMP decode
+through the same actor-pool stages that handle the fake formats."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pii_detection_local_ray.functions.codecs import (
+    decode_bmp,
+    decode_media,
+    decode_wav,
+    encode_bmp_gray,
+    encode_wav_pcm16,
+)
+
+
+def test_wav_roundtrip_mono():
+    t = np.arange(800)
+    samples = (1000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    payload = encode_wav_pcm16(samples, 8000)
+    kind, arr, meta = decode_wav(payload)
+    assert kind == "audio"
+    assert meta == {"sample_rate": 8000, "n_samples": 800, "n_channels": 1}
+    assert np.array_equal(arr, samples.astype(np.float32))
+
+
+def test_wav_stereo_mixdown():
+    left = np.full(100, 1000, np.int16)
+    right = np.full(100, -1000, np.int16)
+    inter = np.empty(200, np.int16)
+    inter[0::2], inter[1::2] = left, right
+    payload = encode_wav_pcm16(inter, 44100, n_channels=2)
+    kind, arr, meta = decode_wav(payload)
+    assert meta["n_channels"] == 2 and meta["n_samples"] == 100
+    assert np.allclose(arr, 0.0)  # L/R cancel in the mono mean
+
+
+def test_bmp_roundtrip_with_padding():
+    # width 3 -> 9-byte rows padded to 12: exercises the stride logic
+    px = np.arange(15, dtype=np.uint8).reshape(5, 3)
+    payload = encode_bmp_gray(px, 3, 5)
+    kind, arr, meta = decode_bmp(payload)
+    assert kind == "image"
+    assert meta == {"width": 3, "height": 5, "channels": 3}
+    assert np.array_equal(arr.reshape(5, 3), px.astype(np.float32))
+
+
+def test_decode_media_dispatch_and_stub_guard():
+    from pii_detection_local_ray.functions.multimodal import (
+        encode_fake_image,
+    )
+
+    wav = encode_wav_pcm16(np.zeros(4, np.int16), 8000)
+    assert decode_media(wav)[0] == "audio"
+    bmp = encode_bmp_gray(np.zeros(4, np.uint8), 2, 2)
+    assert decode_media(bmp)[0] == "image"
+    assert decode_media(encode_fake_image(2, 2, seed=1))[0] == "image"
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n....")  # compressed: still stubbed
+
+
+def test_real_wav_through_feature_stage(ray_session):
+    """Real WAV bytes flow through MediaFeatureBatch end to end with no
+    injected decoder."""
+    import ray
+
+    from pii_detection_local_ray.functions.multimodal import MediaFeatureBatch
+
+    payloads = [
+        encode_wav_pcm16(
+            np.full(50, v, np.int16), 16000
+        )
+        for v in (0, 100, -100)
+    ]
+    tbl = pa.table({
+        "media_id": pa.array(range(3), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(MediaFeatureBatch(), batch_size=2,
+                     batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert list(out["media_kind"]) == ["audio"] * 3
+    assert list(out["n_elements"]) == [50] * 3
+    assert list(out["feat_mean"]) == [0.0, 100.0, -100.0]
+    assert out["decode_error"].isna().all()
