@@ -144,11 +144,19 @@ class ImageResizeBatch:
             yi = (np.arange(self.height) * meta["height"] // self.height)
             xi = (np.arange(self.width) * meta["width"] // self.width)
             resized = img[yi][:, xi].astype(np.uint8)
-            out.append(
-                IMG_MAGIC
-                + struct.pack("<HH", self.width, self.height)
-                + resized.tobytes()
-            )
+            if p[:2] == b"BM":
+                # container-preserving: real BMP in -> real BMP out
+                from .codecs import encode_bmp_gray
+
+                out.append(
+                    encode_bmp_gray(resized, self.width, self.height)
+                )
+            else:
+                out.append(
+                    IMG_MAGIC
+                    + struct.pack("<HH", self.width, self.height)
+                    + resized.tobytes()
+                )
         return batch.append_column("resized", pa.array(out, pa.binary()))
 
 

@@ -86,3 +86,29 @@ def test_real_wav_through_feature_stage(ray_session):
     assert list(out["n_elements"]) == [50] * 3
     assert list(out["feat_mean"]) == [0.0, 100.0, -100.0]
     assert out["decode_error"].isna().all()
+
+
+def test_real_bmp_resize_roundtrip(ray_session):
+    """Real BMP in -> resized real BMP out (container preserved),
+    decodable with the new dimensions and correct nearest-neighbour
+    content."""
+    import ray
+
+    from pii_detection_local_ray.functions.multimodal import ImageResizeBatch
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    tbl = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([encode_bmp_gray(px, 8, 8)], pa.binary()),
+    })
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(ImageResizeBatch(4, 4), batch_format="pyarrow")
+        .to_pandas()
+    )
+    resized = out["resized"].iloc[0]
+    assert resized[:2] == b"BM"
+    kind, arr, meta = decode_bmp(resized)
+    assert (meta["width"], meta["height"]) == (4, 4)
+    want = px[::2][:, ::2].astype(np.float32)
+    assert np.array_equal(arr.reshape(4, 4), want)
