@@ -5812,3 +5812,65 @@ def hourly_distinct_users(sf_dir: str):
         .aggregate(Sum("n", alias_name="n_users")),
         "hour",
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 1000
+_CHUNK_STEP = 900  # 100-char overlap
+
+
+@register(
+    "chunk_documents",
+    # chunks start at 0, step, 2*step, ... while start < len(text);
+    # md5 of each chunk makes the oracle compare content-exact without
+    # shipping the text
+    f"WITH c AS (SELECT doc_id, text, len(text) AS L FROM documents), "
+    f"idx AS (SELECT doc_id, text, unnest(generate_series(0, "
+    f"  CAST(ceil(L / {_CHUNK_STEP}.0) AS BIGINT) - 1)) AS k FROM c) "
+    f"SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx, "
+    f"CAST(len(substr(text, CAST(k * {_CHUNK_STEP} + 1 AS BIGINT), "
+    f"  {_CHUNK_SIZE})) AS BIGINT) AS chunk_chars, "
+    f"md5(substr(text, CAST(k * {_CHUNK_STEP} + 1 AS BIGINT), "
+    f"  {_CHUNK_SIZE})) AS chunk_md5 "
+    f"FROM idx",
+)
+def chunk_documents(sf_dir: str):
+    """Overlapping document chunking - the context-window preparation
+    step of every LLM training pipeline (size 1000 chars, stride 900 =
+    100 overlap).  A row-count-changing flat map: each batch emits one
+    row per chunk with zero shuffle; chunk identity is (doc_id,
+    chunk_idx) and the md5 ties the oracle to the exact chunk text.
+    Character-based boundaries keep Python and SQL substr semantics
+    identical (both are code-point indexed)."""
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids, idxs, lens, digests = [], [], [], []
+        for did, text in zip(
+            b["doc_id"].to_pylist(), b["text"].to_pylist()
+        ):
+            t = text or ""
+            k = 0
+            for start in range(0, len(t), _CHUNK_STEP):
+                chunk = t[start : start + _CHUNK_SIZE]
+                ids.append(did)
+                idxs.append(k)
+                lens.append(len(chunk))
+                digests.append(
+                    hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                )
+                k += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "chunk_chars": pa.array(lens, pa.int64()),
+                "chunk_md5": pa.array(digests, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )

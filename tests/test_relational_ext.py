@@ -667,3 +667,38 @@ def test_grouped_hll_empty_block_schema(ray_session):
     got = grouped_hll_registers(ds, "event_type", "user_id").to_pandas()
     assert set(got["event_type"]) == {"a"}
     assert len(got) <= 4
+
+
+def test_chunking_overlap_and_boundaries(ray_session, tmp_path):
+    """Stride-900 chunks overlap by 100 chars; last chunk is short;
+    empty docs emit no chunks."""
+    import hashlib as _h
+
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    long = "".join(chr(97 + (i % 26)) for i in range(2350))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([long, "short", ""]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["web"] * 3),
+        "n_chars": pa.array([2350, 5, 0], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    got = (
+        queries()["chunk_documents"](str(tmp_path))
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = got[got["doc_id"] == 1]
+    # 2350 chars, stride 900 -> starts 0, 900, 1800 -> 3 chunks
+    assert list(d1["chunk_idx"]) == [0, 1, 2]
+    assert list(d1["chunk_chars"]) == [1000, 1000, 550]
+    assert d1["chunk_md5"].iloc[1] == _h.md5(
+        long[900:1900].encode()
+    ).hexdigest()
+    # consecutive chunks share the 100-char overlap region
+    assert long[900:1000] == long[900:1900][:100]
+    d2 = got[got["doc_id"] == 2]
+    assert list(d2["chunk_chars"]) == [5]
+    assert (got["doc_id"] != 3).all()   # empty doc -> no chunks
