@@ -169,6 +169,35 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run one registered analytics/pipeline query over a testdata-shaped
+    parquet directory and print it (table rows or a summary)."""
+    from .pipelines import queries as Q
+
+    reg = Q.queries()
+    if args.list or args.name is None:
+        for name in sorted(reg):
+            mark = "sql-oracled" if name in Q.oracle_sql() else "rows-only"
+            print(f"{name:36s} {mark}")
+        return 0
+    if args.name not in reg:
+        print(f"unknown query {args.name!r}; --list shows all", file=sys.stderr)
+        return 2
+    _ray_session()
+    res = reg[args.name](args.sf_dir)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if args.output:
+        df.to_parquet(args.output)
+        print(f"{len(df)} rows -> {args.output}")
+    else:
+        import pandas as pd
+
+        with pd.option_context("display.max_rows", args.max_rows,
+                               "display.width", 200):
+            print(df)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pii_detection_local_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -232,6 +261,18 @@ def main(argv=None) -> int:
     pv.add_argument("--port", type=int, default=8000)
     pv.add_argument("--batch-size", type=int, default=32)
     pv.set_defaults(fn=cmd_serve)
+
+    pq_ = sub.add_parser(
+        "query",
+        help="run a registered query (the full operator surface) over a "
+             "testdata-shaped parquet dir",
+    )
+    pq_.add_argument("name", nargs="?", default=None)
+    pq_.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq_.add_argument("--output", default=None, help="write result parquet here")
+    pq_.add_argument("--max-rows", type=int, default=50)
+    pq_.add_argument("--list", action="store_true", help="list registered queries")
+    pq_.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -42,3 +42,25 @@ def test_cli_gen_run_stats_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     assert stats["total_texts"] == 200
+
+
+def test_cli_query_list_and_run(tmp_path, capsys):
+    from pii_detection_local_ray.__main__ import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "doc_count_by_lang" in out and "sql-oracled" in out
+
+    assert main(["query", "nope_not_real"]) == 2
+
+    out_file = tmp_path / "res.parquet"
+    rc = main([
+        "query", "doc_count_by_lang",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--output", str(out_file),
+    ])
+    assert rc == 0
+    import pandas as pd
+
+    df = pd.read_parquet(out_file)
+    assert len(df) == 5 and "n_docs" in df.columns
