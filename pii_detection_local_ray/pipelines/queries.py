@@ -5874,3 +5874,67 @@ def chunk_documents(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         chunks, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming out-of-order accounting: late events vs the arrival watermark
+# ---------------------------------------------------------------------------
+
+@register(
+    "late_events_by_user",
+    # arrival order = event_id; an event is LATE if its event time is
+    # behind the running max event time of everything that arrived
+    # before it (the watermark a streaming engine would hold)
+    "SELECT user_id, count(*) AS n_events, "
+    "CAST(sum(CASE WHEN wm > ts THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_late, "
+    "CAST(COALESCE(max(CASE WHEN wm > ts THEN "
+    "  date_diff('microsecond', ts, wm) END), 0) AS BIGINT) "
+    "  AS max_lateness_us "
+    "FROM (SELECT user_id, ts, max(ts) OVER ("
+    "  PARTITION BY user_id ORDER BY event_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+    "FROM events) GROUP BY user_id",
+)
+def late_events_by_user(sf_dir: str):
+    """Streaming-semantics diagnostic: how out-of-order is each user's
+    event stream?  Arrival order is the event_id sequence; the running
+    max event time over prior arrivals is exactly the per-key watermark
+    a streaming engine would carry, and an event behind it would have
+    been 'late'.  One shuffle co-partitions the user's events; inside
+    the group a sort by arrival + np.maximum.accumulate gives the
+    watermark in one vectorized pass."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        t = ts[order]
+        # watermark BEFORE each arrival: shift the running max by one
+        run = np.maximum.accumulate(t)
+        wm = np.empty_like(t)
+        wm[0] = np.iinfo(np.int64).min
+        wm[1:] = run[:-1]
+        late = wm > t
+        lateness = np.where(late, wm - t, 0)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g["user_id"][0].as_py()], pa.int64()
+                ),
+                "n_events": pa.array([len(t)], pa.int64()),
+                "n_late": pa.array([int(late.sum())], pa.int64()),
+                "max_lateness_us": pa.array(
+                    [int(lateness.max()) if len(t) else 0], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts"],
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

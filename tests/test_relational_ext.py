@@ -702,3 +702,31 @@ def test_chunking_overlap_and_boundaries(ray_session, tmp_path):
     d2 = got[got["doc_id"] == 2]
     assert list(d2["chunk_chars"]) == [5]
     assert (got["doc_id"] != 3).all()   # empty doc -> no chunks
+
+
+def test_late_events_watermark_semantics(ray_session, tmp_path):
+    """An event is late iff its time is behind the max event time of
+    EARLIER ARRIVALS (event_id order); equality is on time."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    t0 = datetime(2024, 1, 1)
+    # arrival order: t=100, t=50 (late by 50s), t=100 (equal to wm,
+    # NOT late), t=200, t=150 (late by 50s)
+    secs = [100, 50, 100, 200, 150]
+    tbl = pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "ts": pa.array([t0 + timedelta(seconds=s) for s in secs],
+                       pa.timestamp("us")),
+        "user_id": pa.array([0] * 5, pa.int64()),
+        "event_type": pa.array(["click"] * 5),
+        "value": pa.array([1.0] * 5),
+        "props": pa.array(["{}"] * 5),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        queries()["late_events_by_user"](str(tmp_path))
+        .to_pandas().set_index("user_id")
+    )
+    assert got.loc[0, "n_events"] == 5
+    assert got.loc[0, "n_late"] == 2
+    assert got.loc[0, "max_lateness_us"] == 50_000_000
