@@ -5938,3 +5938,62 @@ def late_events_by_user(sf_dir: str):
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: event-type transition (Markov bigram) matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_transition_matrix",
+    "SELECT prev_type, event_type AS next_type, count(*) AS n "
+    "FROM (SELECT event_type, LAG(event_type) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+    "FROM events) WHERE prev_type IS NOT NULL "
+    "GROUP BY prev_type, next_type",
+)
+def event_transition_matrix(sf_dir: str):
+    """Sequence mining: the global first-order transition matrix over
+    per-user time-ordered event streams (the input to Markov-chain
+    behavior models and sequence-aware sampling).  One shuffle
+    co-partitions each user's events; the in-group pass is a lexsort +
+    one array shift emitting per-group (prev, next) COUNTS - so the
+    second exchange carries at most |types|^2 rows per group, and the
+    final aggregate is dimension-bounded."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, ts))
+        seq = et[order]
+        if len(seq) < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pairs = {}
+        for a, b in zip(seq[:-1], seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        keys = sorted(pairs)
+        return pa.table(
+            {
+                "prev_type": pa.array([k[0] for k in keys], pa.string()),
+                "next_type": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([pairs[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"], num_partitions=8)
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -730,3 +730,34 @@ def test_late_events_watermark_semantics(ray_session, tmp_path):
     assert got.loc[0, "n_events"] == 5
     assert got.loc[0, "n_late"] == 2
     assert got.loc[0, "max_lateness_us"] == 50_000_000
+
+
+def test_transition_matrix_ordered_bigrams(ray_session, tmp_path):
+    """Transitions follow (ts, event_id) order per user and never cross
+    users; single-event users contribute nothing."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    t0 = datetime(2024, 1, 1)
+    rows = [  # (user, secs, type) — user 0: view->click->view; user 1: purchase only
+        (0, 10, "view"), (0, 20, "click"), (0, 30, "view"),
+        (1, 5, "purchase"),
+        # user 2: tie on ts broken by event_id (click first, then view)
+        (2, 40, "click"), (2, 40, "view"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([t0 + timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = (
+        queries()["event_transition_matrix"](str(tmp_path))
+        .to_pandas().set_index(["prev_type", "next_type"])["n"]
+    )
+    assert got[("view", "click")] == 1
+    assert got[("click", "view")] == 2  # user 0 second hop + user 2 tie-break
+    assert got.sum() == 3  # user 1 contributes no transitions
