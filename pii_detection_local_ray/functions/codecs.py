@@ -48,9 +48,12 @@ def decode_wav(payload: bytes) -> tuple[str, np.ndarray, dict]:
 
 def decode_bmp(payload: bytes) -> tuple[str, np.ndarray, dict]:
     """Uncompressed BMP decode from the fixed BITMAPFILEHEADER +
-    BITMAPINFOHEADER structs: 24-bit BGR and 8-bit grayscale, rows
+    BITMAPINFOHEADER structs: 24-bit BGR and 8-bit palettized, rows
     padded to 4 bytes, bottom-up (or top-down when height < 0).
-    Returns the flattened grayscale image (BGR averaged)."""
+    Returns the flattened grayscale image (BGR averaged; 8-bit pixel
+    indices resolve through the color palette when one is present,
+    identity-gray otherwise).  Truncated payloads raise ValueError up
+    front instead of a confusing downstream shape error."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -67,6 +70,27 @@ def decode_bmp(payload: bytes) -> tuple[str, np.ndarray, dict]:
     h = abs(h)
     bytes_pp = bpp // 8
     stride = (w * bytes_pp + 3) & ~3
+    need = data_off + stride * h
+    # the last row legitimately omits its trailing pad bytes
+    if len(payload) < need - (stride - w * bytes_pp):
+        raise ValueError(
+            f"truncated BMP payload: {len(payload)} bytes, pixel data "
+            f"needs {need} (offset {data_off} + {h} rows x {stride})"
+        )
+    pal_gray = None
+    if bpp == 8:
+        # palette sits between the info header and the pixel data;
+        # entries are 4-byte BGRX.  colors_used==0 means "full" (256).
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        colors_used = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        n_pal = min(colors_used, max(0, (data_off - pal_off) // 4))
+        if n_pal:
+            pal = np.frombuffer(
+                payload[pal_off : pal_off + 4 * n_pal], dtype=np.uint8
+            ).reshape(n_pal, 4)
+            pal_gray = np.zeros(256, np.float32)
+            pal_gray[:n_pal] = pal[:, :3].mean(axis=1)
     rows = []
     for r in range(h):
         start = data_off + r * stride
@@ -75,6 +99,8 @@ def decode_bmp(payload: bytes) -> tuple[str, np.ndarray, dict]:
         )
         if bpp == 24:
             row = row.reshape(w, 3).mean(axis=1)
+        elif pal_gray is not None:
+            row = pal_gray[row]
         rows.append(row.astype(np.float32))
     img = np.stack(rows)
     if not top_down:  # BMP stores bottom-up by default

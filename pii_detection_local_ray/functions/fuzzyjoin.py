@@ -1,0 +1,196 @@
+"""Blocked fuzzy (edit-distance) self-join with deletion-neighborhood
+candidate generation.
+
+The round-3 version blocked on the coarse entity key alone (nation), so
+block size grew linearly with the corpus and the per-block pairing loop
+was O(block^2) - a quadratic scale-killer on a mega-block.  This module
+replaces the blocking key with the K-DELETION NEIGHBORHOOD of the name
+(reference semantics: src-independent, this mirrors FastSS / PassJoin
+style signature blocking from the approximate-string-join literature):
+
+  If levenshtein(s, t) <= k then s and t share at least one common
+  string reachable by deleting <= k characters from each.  Proof: fix an
+  optimal alignment with <= k edit operations; delete from s every
+  character consumed by a substitution or deletion, and from t every
+  character produced by a substitution or insertion.  Each side loses
+  <= k characters and the remainders are equal.
+
+So grouping records by (block_key, deletion_variant) yields a candidate
+set that is a SUPERSET of all true pairs; an exact Levenshtein pass then
+verifies.  Bucket sizes are bounded by the number of genuinely
+near-identical names (output-bounded), never by corpus size: the
+quadratic runs per variant bucket, and a bucket can only be large when
+the true result itself is large.
+
+Exchange cost per record: |D<=2(s)| = 1 + n + n(n-1)/2 variant rows of
+(id, name, bucket) - ~170 short rows for an 18-char name, constant per
+record, independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+import ray.data
+
+from .joins import pin_schema
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, the standard DP - matches SQL
+    levenshtein() exactly (insert/delete/substitute all cost 1)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def deletion_variants(s: str, k: int = 2) -> set[str]:
+    """All strings reachable from ``s`` by deleting at most ``k``
+    characters (k=0,1,2 supported; k<=2 is the edit-distance-2 blocking
+    contract above)."""
+    out = {s}
+    if k >= 1:
+        d1 = {s[:i] + s[i + 1:] for i in range(len(s))}
+        out |= d1
+        if k >= 2:
+            for v in d1:
+                out |= {v[:i] + v[i + 1:] for i in range(len(v))}
+    return out
+
+
+PAIR_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("dist", pa.int64())]
+)
+
+
+def fuzzy_self_join(
+    ds: ray.data.Dataset,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    max_dist: int = 2,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """All pairs (id_a < id_b) within the same ``block_col`` value whose
+    ``name_col`` values are within ``max_dist`` edits.  Returns
+    (id_a, id_b, dist) int64, schema-pinned (a legitimately empty result
+    keeps its columns - the Ray empty-partition pitfall).
+
+    Stages (all distributed, no driver-side fact state):
+      1. explode each record into its deletion-variant buckets
+         (<= ~170 rows/record, constant in corpus size)
+      2. groupby bucket -> emit candidate pairs per bucket (bounded by
+         true near-duplicate density, never corpus size)
+      3. groupby (id_a, id_b) -> distinct (a true pair surfaces in many
+         shared variant buckets)
+      4. exact Levenshtein verify + filter
+    """
+    if max_dist > 2:
+        raise ValueError("deletion-neighborhood blocking supports max_dist <= 2")
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        names = b[name_col].to_pylist()
+        blocks = b[block_col].to_pylist()
+        out_id, out_name, out_bucket = [], [], []
+        for i, nm, bk in zip(ids, names, blocks):
+            nm = nm or ""
+            for v in deletion_variants(nm, max_dist):
+                out_id.append(i)
+                out_name.append(nm)
+                # 64-bit bucket: block key in the high 32 bits, variant
+                # crc32 in the low 32 - one int64 shuffle key.  A crc
+                # collision only ADDS candidates (verified exactly later).
+                out_bucket.append(
+                    (int(bk) << 32) | zlib.crc32(v.encode("utf-8"))
+                )
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.int64()),
+                "name": pa.array(out_name, pa.string()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+            }
+        )
+
+    cand_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("name_a", pa.string()),
+            ("name_b", pa.string()),
+        ]
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g["id"].to_pylist()
+        names = g["name"].to_pylist()
+        order = sorted(range(len(ids)), key=lambda x: ids[x])
+        out_a, out_b, na, nb = [], [], [], []
+        for x in range(len(order)):
+            i = order[x]
+            for y in range(x + 1, len(order)):
+                j = order[y]
+                if ids[i] == ids[j]:
+                    continue  # same record via two variants
+                if abs(len(names[i]) - len(names[j])) > max_dist:
+                    continue  # cheap length prefilter
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                na.append(names[i])
+                nb.append(names[j])
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "name_a": pa.array(na, pa.string()),
+                "name_b": pa.array(nb, pa.string()),
+            }
+        )
+
+    def first_row(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    def verify(b: pa.Table) -> pa.Table:
+        out_a, out_b, out_d = [], [], []
+        for ia, ib, na, nb in zip(
+            b["id_a"].to_pylist(),
+            b["id_b"].to_pylist(),
+            b["name_a"].to_pylist(),
+            b["name_b"].to_pylist(),
+        ):
+            d = levenshtein(na, nb)
+            if d <= max_dist:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_d.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    cands = pin_schema(
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(bucket_pairs, batch_format="pyarrow"),
+        cand_schema,
+    )
+    distinct = pin_schema(
+        cands.groupby(["id_a", "id_b"], num_partitions=num_partitions)
+        .map_groups(first_row, batch_format="pyarrow"),
+        cand_schema,
+    )
+    return pin_schema(
+        distinct.map_batches(verify, batch_format="pyarrow"), PAIR_SCHEMA
+    )

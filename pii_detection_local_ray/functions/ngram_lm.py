@@ -191,17 +191,31 @@ def score_fixed_point(
     floor(1e6 * log10 P + 0.5) micros under the trained model, plus the
     number of scored events.  The ArpaModel parses once at the driver
     (through the real loader) and broadcasts via ray.put - scoring tasks
-    never touch the filesystem."""
+    never touch the filesystem.
+
+    Score-time vocabulary mapping mirrors train time: tokens absent
+    from the model's unigram vocabulary map to <unk> BEFORE lookup, so
+    a learned (ctx, <unk>) bigram is consulted and an unseen context
+    still carries its trained backoff weight (without the mapping, OOV
+    tokens would bypass both and silently diverge from
+    stupid-backoff/KenLM semantics when scoring outside the training
+    corpus or with max_vocab set)."""
     model = read_arpa(model_path)
-    ref = ray.put(model)
+    # vocab recovered from the parsed artifact; <s>/</s>/<unk> are
+    # structural, _tokenize can never emit them
+    vocab = {k[0] for k in model.tables[0]}
+    ref = ray.put((model, vocab))
 
     def score(batch: pa.Table) -> pa.Table:
-        m: ArpaModel = ray.get(ref)
+        m: ArpaModel
+        m, keep = ray.get(ref)
         ids = batch[id_col]
         fp = np.zeros(batch.num_rows, dtype=np.int64)
         n = np.zeros(batch.num_rows, dtype=np.int64)
         for i, text in enumerate(batch[text_col].to_pylist()):
-            toks = _tokenize(text or "")
+            toks = [
+                w if w in keep else UNK for w in _tokenize(text or "")
+            ]
             total = 0
             for ctx, w in _events(toks):
                 total += math.floor(1e6 * m.logprob((ctx,), w) + 0.5)

@@ -177,9 +177,14 @@ def weighted_priority_partial(
     the global merge is a tiny sort+limit."""
     ids = batch[id_col].to_pylist()
     w = batch[weight_col].to_pylist()
+    # GREATEST(weight, 1) on the RAW value, like the SQL mirror: for
+    # integral weights max(float(w), 1.0) == float(max(int(w), 1)) so
+    # the registered int64 use is unchanged, and non-integer weight
+    # columns now divide by the same double SQL does (int(wt) would
+    # truncate and diverge)
     pri = [
         int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
-        / max(int(wt or 0), 1)
+        / max(float(wt or 0.0), 1.0)
         for i, wt in zip(ids, w)
     ]
     t = batch.append_column("priority", pa.array(pri, pa.float64()))

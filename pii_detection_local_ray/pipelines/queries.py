@@ -72,6 +72,35 @@ def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _schema_safe(ds: ray.data.Dataset, schema: pa.Schema):
+    """Ray erases the schema of an ALL-empty Dataset (even when every
+    block carries typed columns), so a legitimately-empty query result
+    reaches the driver column-less and fails the schema compare.  For
+    queries whose result can be empty at small scale: materialize (the
+    result is output-bounded by construction - never a fact table), and
+    hand back the typed empty Arrow table when there are zero rows."""
+    ds = ds.materialize()
+    if ds.count() == 0:
+        return schema.empty_table()
+    return ds
+
+
+def _guard_int64_products(products, context: str) -> None:
+    """Integer-moment queries form products like n*ssq / s*s before the
+    final float division.  numpy int64 WRAPS silently on overflow (the
+    SQL oracle would raise on BIGINT overflow), so the two sides could
+    diverge without any error.  The moment tables are dimension-bounded,
+    so checking every product with exact Python ints is free; bound 2^62
+    leaves headroom for the one subtraction between two products."""
+    for p in products:
+        if abs(int(p)) >= (1 << 62):
+            raise ValueError(
+                f"{context}: moment product {int(p)} risks int64 overflow "
+                "(bound 2^62); rescale the value units or pre-shard the "
+                "corpus before the moment pass"
+            )
+
+
 # ---------------------------------------------------------------------------
 # G4-style grouped counts (reference: consolidate_pii_datasets.py:719-724)
 # ---------------------------------------------------------------------------
@@ -2255,16 +2284,16 @@ def top_orders_by_revenue(sf_dir: str, join_strategy: str = "hash"):
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    seg_keys = set(
+    seg_keys = (
         cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
-        .to_pylist()
+        .combine_chunks()
     )
     seg_ref = ray.put(seg_keys)
 
     def orders_filter(b: pa.Table) -> pa.Table:
         keys = ray.get(seg_ref)
         b = b.filter(pc.less(b["o_orderdate"], cutoff))
-        mask = pa.array([k in keys for k in b["o_custkey"].to_pylist()], pa.bool_())
+        mask = pc.is_in(b["o_custkey"], value_set=keys)
         return b.filter(mask).select(["o_orderkey"])
 
     ok = ray.data.read_parquet(
@@ -2306,14 +2335,12 @@ def top_orders_by_revenue(sf_dir: str, join_strategy: str = "hash"):
                 f"broadcast join guard: {n_ok} filtered orders exceeds "
                 "the 5M broadcast cap; use join_strategy='hash'"
             )
-        okeys = set(ok.to_pandas()["o_orderkey"])
+        okeys = pa.array(ok.to_pandas()["o_orderkey"], pa.int64())
         ok_ref = ray.put(okeys)
 
         def semi(b: pa.Table) -> pa.Table:
             keys = ray.get(ok_ref)
-            mask = pa.array(
-                [k in keys for k in b["orderkey"].to_pylist()], pa.bool_()
-            )
+            mask = pc.is_in(b["orderkey"], value_set=keys)
             return b.filter(mask)
 
         joined = li.map_batches(semi, batch_format="pyarrow")
@@ -4306,9 +4333,12 @@ def funnel_stages(sf_dir: str):
       stage k: events of type k hash-join the stage-k-1 table on user,
                keep ts strictly after the prior stage's ts, Min per user
 
-    Every intermediate is fact-bounded but lives in the object store
-    (materialize() for reuse across the two consumers - the next join
-    and the count), never on the driver; the driver sees three ints."""
+    Only the per-user stage tables (one row per user who reached the
+    stage) are materialize()d for reuse across the two consumers (the
+    next join and the count) - the raw fact table is NEVER pinned: each
+    stage re-scans the column-pruned parquet read, so the object store
+    holds user-bounded intermediates, not the event log.  The driver
+    sees three ints."""
     from ..functions.joins import hash_join, pin_schema
 
     def _ts_schema(col: str) -> pa.Schema:
@@ -4316,10 +4346,12 @@ def funnel_stages(sf_dir: str):
             [("user_id", pa.int64()), (col, pa.timestamp("us"))]
         )
 
+    # lazy + column-pruned: reused by three consumers, each re-executes
+    # the pruned scan (cheaper at scale than pinning the fact table)
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "event_type", "ts"],
-    ).materialize()
+    )
 
     def first_ts(ds, etype: str, alias: str):
         def partial(b: pa.Table) -> pa.Table:
@@ -4594,7 +4626,14 @@ def value_moments_by_type(sf_dir: str):
     variance and the value-vs-hour Pearson correlation all derive in
     closed form - the standard one-pass algebraic-aggregate shape for
     corr/var at scale (no second pass over the data, no float summation
-    order hazard; everything int64 until the caller divides)."""
+    order hazard; everything int64 until the caller divides).
+
+    int64 bound (documented, mirrors the SQL BIGINT contract): with
+    |value| <= 10^6 (cents |c| <= 10^8) and h <= 23, sum_sq_cents is
+    the widest moment at <= n * 10^16, safe int64 through n ~ 9 * 10^2
+    billion rows PER GROUP; queries that go on to form n*ssq-style
+    PRODUCTS of these sums must call _guard_int64_products (see
+    zscore_value_by_type / value_hour_regression)."""
 
     def moments_partial(b: pa.Table) -> pa.Table:
         c = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
@@ -5173,6 +5212,17 @@ def zscore_value_by_type(sf_dir: str):
         r.event_type: (int(r.n), int(r.s), int(r.ssq))
         for r in mom.itertuples()
     }
+    import math as _math
+
+    _guard_int64_products(
+        (
+            p
+            for n, s, ssq in m_map.values()
+            # |c| <= isqrt(ssq) per row, so n*isqrt(ssq) bounds |n*c|
+            for p in (n * ssq, s * s, n * _math.isqrt(ssq) + abs(s))
+        ),
+        "zscore_value_by_type",
+    )
     m_ref = ray.put(m_map)
 
     def z(b: pa.Table) -> pa.Table:
@@ -5264,20 +5314,11 @@ def events_hourly_gapfill(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _levenshtein(a: str, b: str) -> int:
-    """Unit-cost edit distance, the standard DP - matches SQL
-    levenshtein() exactly (insert/delete/substitute all cost 1)."""
-    if len(a) < len(b):
-        a, b = b, a
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[j - 1] + 1,
-                    prev[j - 1] + (ca != cb))
-            )
-        prev = cur
-    return prev[-1]
+    """Unit-cost edit distance - matches SQL levenshtein() exactly
+    (moved to functions/fuzzyjoin.py in r4; kept as an alias)."""
+    from ..functions.fuzzyjoin import levenshtein
+
+    return levenshtein(a, b)
 
 
 @register(
@@ -5290,39 +5331,26 @@ def _levenshtein(a: str, b: str) -> int:
 )
 def fuzzy_supplier_pairs(sf_dir: str):
     """Record linkage / fuzzy matching: near-identical supplier names
-    within a BLOCK (nation).  Blocking is what makes edit-distance
-    joins scale - the quadratic runs per block, never across the
-    corpus, the same blocking-key discipline as MinHash banding (for
-    text) applied to entity resolution.  The DP matches SQL
-    levenshtein() exactly; deterministic (id_a < id_b) pair order."""
-
-    def block_pairs(g: pa.Table) -> pa.Table:
-        ids = g["s_suppkey"].to_pylist()
-        names = g["s_name"].to_pylist()
-        order = np.argsort(ids)
-        out_a, out_b, out_d = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                d = _levenshtein(names[i], names[j])
-                if d <= 2:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_d.append(d)
-        return pa.table(
-            {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "dist": pa.array(out_d, pa.int64()),
-            }
-        )
+    within a BLOCK (nation).  r4: blocking key is the 2-deletion
+    neighborhood of the name compounded with the nation
+    (functions/fuzzyjoin.py) - bucket sizes are bounded by true
+    near-duplicate density, never corpus size, so the per-bucket
+    quadratic survives a mega-nation; the exact Levenshtein verify
+    keeps the result identical to SQL levenshtein().  Output is
+    schema-pinned so a legitimately-empty result (tiny corpora) keeps
+    its columns; deterministic (id_a < id_b) pair order."""
+    from ..functions.fuzzyjoin import PAIR_SCHEMA, fuzzy_self_join
 
     sup = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet",
         columns=["s_suppkey", "s_name", "s_nationkey"],
     )
-    return sup.groupby("s_nationkey", num_partitions=8).map_groups(
-        block_pairs, batch_format="pyarrow"
+    return _schema_safe(
+        fuzzy_self_join(
+            sup, id_col="s_suppkey", name_col="s_name",
+            block_col="s_nationkey", max_dist=2, num_partitions=8,
+        ),
+        PAIR_SCHEMA,
     )
 
 
@@ -5755,6 +5783,17 @@ def value_hour_regression(sf_dir: str):
     sy = mom["sy"].to_numpy(np.int64)
     sxx = mom["sxx"].to_numpy(np.int64)
     sxy = mom["sxy"].to_numpy(np.int64)
+    _guard_int64_products(
+        (
+            p
+            for r in mom.itertuples()
+            for p in (
+                int(r.n) * int(r.sxy), int(r.sx) * int(r.sy),
+                int(r.n) * int(r.sxx), int(r.sx) * int(r.sx),
+            )
+        ),
+        "value_hour_regression",
+    )
     # mirror the SQL expression tree exactly: int64 numerators/denoms,
     # ONE division for slope; intercept = (sy - slope*sx) / n
     slope = (n * sxy - sx * sy).astype(np.float64) / (n * sxx - sx * sx)

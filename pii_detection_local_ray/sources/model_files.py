@@ -325,5 +325,24 @@ def write_arpa(
             lines.append(row)
     lines += ["", "\\end\\", ""]
     p = Path(path)
-    p.write_text("\n".join(lines), encoding="utf-8")
+    # atomic publish: concurrent runs sharing an artifact path (e.g. two
+    # ngram_lm_train_score calls over the same sf_dir) must never read a
+    # partially written model - write to a unique temp name in the same
+    # directory, then os.replace (atomic on POSIX) into place
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        prefix=p.name + ".", suffix=".tmp", dir=str(p.parent or ".")
+    )
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+        os.replace(tmp, p)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return p

@@ -1,0 +1,151 @@
+"""Regression tests for the round-3 ADVICE.md findings fixed in round 4:
+OOV -> <unk> mapping at LM score time, int64 moment-product guards,
+GREATEST(weight,1) on the raw float weight, BMP palette + truncation
+validation, atomic ARPA artifact publish."""
+
+import math
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _ds(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        )
+    )
+
+
+def test_score_fixed_point_maps_oov_to_unk(ray_session, tmp_path):
+    """Scoring text outside the training vocabulary must consult the
+    learned (ctx, <unk>) bigram and the trained context backoff - not
+    silently bypass both (ADVICE r3 #1)."""
+    from pii_detection_local_ray.functions.ngram_lm import (
+        fit_stupid_backoff,
+        score_fixed_point,
+    )
+    from pii_detection_local_ray.sources.model_files import read_arpa
+
+    # max_vocab=2 keeps {aa, bb}; cc maps to <unk> at TRAIN time, so a
+    # real (aa, <unk>) bigram exists in the artifact
+    path = fit_stupid_backoff(
+        _ds(["aa bb", "aa bb", "aa cc"]), "text",
+        str(tmp_path / "lm.arpa"), min_count=1, max_vocab=2,
+    )
+    m = read_arpa(path)
+    assert ("aa", "<unk>") in m.tables[1]
+
+    # score a doc containing the OOV token "dd" (never seen at all)
+    got = (
+        score_fixed_point(_ds(["aa dd"]), path, "text", "doc_id")
+        .to_pandas()
+    )
+    want = sum(
+        math.floor(1e6 * m.logprob((ctx,), w) + 0.5)
+        for ctx, w in [("<s>", "aa"), ("aa", "<unk>"), ("<unk>", "</s>")]
+    )
+    assert int(got["lp_fp"].iloc[0]) == want
+    # the (aa, <unk>) bigram hit differs from the backoff path the old
+    # code took - assert they actually differ so the test has teeth
+    bo_path = m.tables[0][("aa",)][1] + m.logprob((), "<unk>")
+    assert m.logprob(("aa",), "<unk>") != bo_path
+
+
+def test_guard_int64_products_raises():
+    from pii_detection_local_ray.pipelines.queries import (
+        _guard_int64_products,
+    )
+
+    _guard_int64_products([1, -(1 << 61)], "ok")
+    with pytest.raises(ValueError, match="overflow"):
+        _guard_int64_products([1 << 62], "boom")
+    with pytest.raises(ValueError, match="overflow"):
+        _guard_int64_products([-(1 << 62) - 5], "boom")
+
+
+def test_weighted_priority_uses_raw_float_weight():
+    from pii_detection_local_ray.functions.sampling import (
+        weighted_priority_partial,
+    )
+    import hashlib
+
+    b = pa.table(
+        {
+            "id": pa.array([7, 8], pa.int64()),
+            "w": pa.array([2.5, 0.2], pa.float64()),
+        }
+    )
+    out = weighted_priority_partial(b, "id", "w", k=2).to_pandas()
+    pri = dict(zip(out["id"], out["priority"]))
+    u7 = int(hashlib.md5(b"7").hexdigest()[:13], 16)
+    u8 = int(hashlib.md5(b"8").hexdigest()[:13], 16)
+    assert pri[7] == u7 / 2.5  # raw weight, not int(2.5) == 2
+    assert pri[8] == u8 / 1.0  # GREATEST(0.2, 1)
+
+
+def _bmp8(width, height, pixels, palette):
+    """Minimal 8-bit palettized BMP: BITMAPFILEHEADER + 40-byte info
+    header + BGRX palette + padded rows (bottom-up)."""
+    stride = (width + 3) & ~3
+    pal = b"".join(struct.pack("<BBBB", b, g, r, 0) for (b, g, r) in palette)
+    data_off = 14 + 40 + len(pal)
+    body = bytearray()
+    px = np.asarray(pixels, np.uint8).reshape(height, width)
+    for r in range(height - 1, -1, -1):
+        row = px[r].tobytes()
+        body += row + b"\x00" * (stride - width)
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(body),
+            2835, 2835, len(palette), 0,
+        )
+    )
+    return bytes(hdr) + pal + bytes(body)
+
+
+def test_decode_bmp_8bit_palette():
+    from pii_detection_local_ray.functions.codecs import decode_bmp
+
+    # palette: index 0 -> pure blue (BGR 255,0,0 -> gray 85),
+    #          index 1 -> white (gray 255)
+    payload = _bmp8(2, 1, [0, 1], [(255, 0, 0), (255, 255, 255)])
+    kind, arr, meta = decode_bmp(payload)
+    assert kind == "image"
+    assert arr.tolist() == [85.0, 255.0]  # palette applied, not raw index
+
+
+def test_decode_bmp_truncated_raises():
+    from pii_detection_local_ray.functions.codecs import (
+        decode_bmp,
+        encode_bmp_gray,
+    )
+
+    good = encode_bmp_gray(np.zeros(16, np.uint8), 4, 4)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[: len(good) - 8])
+
+
+def test_write_arpa_atomic_publish(tmp_path):
+    from pii_detection_local_ray.sources.model_files import (
+        read_arpa,
+        write_arpa,
+    )
+
+    p = tmp_path / "m.arpa"
+    write_arpa(p, [{("a",): (-0.5, 0.0)}])
+    # no temp droppings, artifact parses
+    assert [f.name for f in tmp_path.iterdir()] == ["m.arpa"]
+    assert read_arpa(p).tables[0][("a",)][0] == -0.5
+    # overwrite in place (the concurrent-run scenario) still parses
+    write_arpa(p, [{("b",): (-0.25, 0.0)}])
+    assert ("b",) in read_arpa(p).tables[0]
+    assert [f.name for f in tmp_path.iterdir()] == ["m.arpa"]

@@ -1,0 +1,149 @@
+"""Deletion-neighborhood fuzzy self-join (functions/fuzzyjoin.py):
+completeness of the candidate generator, parity with the brute-force
+O(n^2) reference, the mega-block stress the round-3 verdict asked for,
+and the empty-result schema pin (the sf0.001 driver bug)."""
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.fuzzyjoin import (
+    PAIR_SCHEMA,
+    deletion_variants,
+    fuzzy_self_join,
+    levenshtein,
+)
+
+
+def _brute_pairs(ids, names, blocks, max_dist=2):
+    out = []
+    order = sorted(range(len(ids)), key=lambda x: ids[x])
+    for x in range(len(order)):
+        for y in range(x + 1, len(order)):
+            i, j = order[x], order[y]
+            if blocks[i] != blocks[j]:
+                continue
+            d = levenshtein(names[i], names[j])
+            if d <= max_dist:
+                out.append((ids[i], ids[j], d))
+    return sorted(out)
+
+
+def _run(ids, names, blocks, max_dist=2):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "name": pa.array(names, pa.string()),
+                "block": pa.array(blocks, pa.int64()),
+            }
+        )
+    )
+    got = fuzzy_self_join(
+        ds, "id", "name", "block", max_dist=max_dist, num_partitions=4
+    ).to_pandas()
+    return sorted(zip(got["id_a"], got["id_b"], got["dist"]))
+
+
+def test_deletion_variants_counts():
+    s = "abcdef"
+    v = deletion_variants(s, 2)
+    assert s in v
+    # all 1-deletions present
+    for i in range(len(s)):
+        assert s[:i] + s[i + 1:] in v
+    # 2-deletion example
+    assert "cdef" in v
+    assert deletion_variants("", 2) == {""}
+    assert deletion_variants("a", 2) == {"a", ""}
+
+
+def test_deletion_neighborhood_complete_for_dist2():
+    """Candidate-generator completeness: every pair within edit distance
+    2 shares at least one common <=2-deletion variant (the pigeonhole
+    argument the blocking relies on), probed over random edit pairs."""
+    rng = random.Random(7)
+    alphabet = "abcdefgh"
+    for _ in range(300):
+        n = rng.randint(2, 14)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        t = list(s)
+        for _ in range(rng.randint(0, 2)):
+            op = rng.choice(["sub", "ins", "del"])
+            if op == "sub" and t:
+                t[rng.randrange(len(t))] = rng.choice(alphabet)
+            elif op == "ins":
+                t.insert(rng.randrange(len(t) + 1), rng.choice(alphabet))
+            elif op == "del" and t:
+                del t[rng.randrange(len(t))]
+        t = "".join(t)
+        if levenshtein(s, t) <= 2:
+            assert deletion_variants(s, 2) & deletion_variants(t, 2), (s, t)
+
+
+def test_parity_with_brute_force_random(ray_session):
+    rng = random.Random(42)
+    base = ["acme corp", "globex inc", "initech llc", "umbrella co"]
+    ids, names, blocks = [], [], []
+    for i in range(120):
+        s = list(rng.choice(base))
+        for _ in range(rng.randint(0, 3)):  # up to 3 edits: some pairs out
+            s[rng.randrange(len(s))] = rng.choice("abcdefghij ")
+        ids.append(i)
+        names.append("".join(s))
+        blocks.append(rng.randint(0, 2))
+    want = _brute_pairs(ids, names, blocks)
+    assert want, "fixture should produce at least one pair"
+    assert _run(ids, names, blocks) == want
+
+
+def test_mega_block_stress_parity(ray_session):
+    """One single block holding every record (the shape that killed the
+    nation-only blocking): deletion-variant buckets keep pair
+    enumeration output-bounded and the result stays exact."""
+    rng = random.Random(9)
+    n = 1200
+    ids = list(range(n))
+    # mostly-distinct names (few candidate collisions) + a planted
+    # near-duplicate family of 12
+    names = [f"Supplier#{rng.randrange(10**9):09d}x{i:05d}" for i in ids]
+    for j in range(12):
+        names[j] = "Supplier#000000001" + ("" if j % 3 == 0 else str(j % 3))
+    blocks = [0] * n
+    want = _brute_pairs(ids, names, blocks)
+    assert len(want) >= 12 * 11 // 4  # planted family pairs survive
+    assert _run(ids, names, blocks) == want
+
+
+def test_empty_result_keeps_schema(ray_session, tmp_path):
+    """The r3 driver bug: a legitimately-empty result must keep its
+    (id_a, id_b, dist) columns, at any corpus size including one where
+    EVERY group emits zero rows."""
+    from pii_detection_local_ray.pipelines.queries import queries
+
+    tbl = pa.table(
+        {
+            "s_suppkey": pa.array([1, 2], pa.int64()),
+            "s_name": pa.array(["alpha beta gamma", "zzzzzzzzzz"]),
+            "s_nationkey": pa.array([0, 0], pa.int64()),
+            "s_acctbal": pa.array([0.0, 0.0]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "supplier.parquet")
+    got = queries()["fuzzy_supplier_pairs"](str(tmp_path))
+    t = got.to_pandas()
+    assert len(t) == 0
+    assert list(t.columns) == ["id_a", "id_b", "dist"]
+
+
+def test_max_dist_guard():
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([1], pa.int64()),
+                  "name": pa.array(["a"]),
+                  "block": pa.array([0], pa.int64())})
+    )
+    with pytest.raises(ValueError):
+        fuzzy_self_join(ds, "id", "name", "block", max_dist=3)
