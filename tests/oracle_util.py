@@ -1,0 +1,68 @@
+"""Shared driver-mimic oracle comparison for CI sweeps (the standalone
+sweep lives in tools/check_queries.py; this is the same TYPE-SENSITIVE
+contract: dtypes must match exactly, values exactly, no coercion)."""
+
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by stringified values; dtypes kept."""
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
+        df = df.iloc[np.argsort(key.values, kind="stable")]
+    return df.reset_index(drop=True)
+
+
+def to_frame(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return pd.DataFrame(res)
+
+
+def compare_with_oracle(res_df: pd.DataFrame, want_df: pd.DataFrame) -> list:
+    """Returns a list of mismatch descriptions (empty == driver-green)."""
+    a, b = norm(res_df), norm(want_df)
+    if list(a.columns) != list(b.columns):
+        return [f"SCHEMA ray={list(a.columns)} sql={list(b.columns)}"]
+    if len(a) != len(b):
+        return [f"ROWS {len(a)} vs {len(b)}"]
+    problems = []
+    for c in a.columns:
+        if str(a[c].dtype) != str(b[c].dtype):
+            problems.append(f"TYPE {c}: ray={a[c].dtype} sql={b[c].dtype}")
+            continue
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if a[c].dtype.kind == "f":
+            same = (av == bv) | (np.isnan(av) & np.isnan(bv))
+        else:
+            same = np.array(
+                [x == y or (x is None and y is None) for x, y in zip(av, bv)]
+            )
+        if not same.all():
+            i = int(np.argmin(same))
+            problems.append(
+                f"VALUES {c}: {int((~same).sum())} mismatches "
+                f"e.g. row{i}: {av[i]!r} vs {bv[i]!r}"
+            )
+    return problems

@@ -1,26 +1,22 @@
-"""Every oracled query must be run-to-run deterministic in one session.
+"""Every oracled query must be run-to-run deterministic in one session
+AND driver-green against its DuckDB oracle at sf0.001.
 
-This is tools/check_determinism.py wired into CI (VERDICT r2 item 10):
-the harness caught a real round-2 bug (region_nation_revenue zipping
-columns from two executions of one lazy Dataset, misaligning rows
-nondeterministically) that single-shot oracle comparison cannot see.
-Runs at sf0.001; each oracled query executes twice and the normalized
-frames must be identical.
+This is tools/check_queries.py wired into CI (VERDICT r2 item 10 +
+r3 item 2): the determinism half caught a real round-2 bug
+(region_nation_revenue zipping columns from two executions of one lazy
+Dataset, misaligning rows nondeterministically); the oracle half caught
+the round-3 fuzzy_supplier_pairs empty-schema bug that only manifests
+at sf0.001.  Each oracled query executes twice; the normalized frames
+must be identical AND the first must match the DuckDB oracle with the
+driver's type-sensitive compare.
 """
 
-import numpy as np
 import pandas as pd
 import pytest
 
+from oracle_util import compare_with_oracle, duck_con, norm, to_frame
+
 SF = "/root/testdata/sf0.001"
-
-
-def _norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    if len(df):
-        key = df.astype(str).apply(lambda r: "\x00".join(r.values), axis=1)
-        df = df.iloc[np.argsort(key.values, kind="stable")]
-    return df.reset_index(drop=True)
 
 
 def _oracled_names():
@@ -29,13 +25,21 @@ def _oracled_names():
     return sorted(q.oracle_sql())
 
 
+@pytest.fixture(scope="module")
+def oracle():
+    con = duck_con(SF)
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", _oracled_names())
-def test_query_is_deterministic(ray_session, name):
+def test_query_is_deterministic_and_oracle_exact(ray_session, oracle, name):
     from pii_detection_local_ray.pipelines import queries as q
 
     fn = q.queries()[name]
-    a = fn(SF)
-    a = a.to_pandas() if hasattr(a, "to_pandas") else pd.DataFrame(a)
-    b = fn(SF)
-    b = b.to_pandas() if hasattr(b, "to_pandas") else pd.DataFrame(b)
-    assert _norm(a).equals(_norm(b)), f"{name} is run-order nondeterministic"
+    a = to_frame(fn(SF))
+    b = to_frame(fn(SF))
+    assert norm(a).equals(norm(b)), f"{name} is run-order nondeterministic"
+    want = oracle.sql(q.oracle_sql()[name]).df()
+    problems = compare_with_oracle(a, want)
+    assert not problems, f"{name}: {problems}"

@@ -1,0 +1,32 @@
+"""Full-registry oracle sweep at sf0.01 — the DRIVER's scale (VERDICT r3
+item 2: sweep all queries at BOTH sf0.001 and sf0.01 in CI; the sf0.001
+per-query sweep lives in test_determinism.py).  One test, every
+registered query, type-sensitive DuckDB compare; rows-only queries
+assert non-vacuous output."""
+
+from oracle_util import compare_with_oracle, duck_con, to_frame
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_all_queries_driver_green_at_sf0_01(ray_session):
+    from pii_detection_local_ray.pipelines import queries as q
+
+    con = duck_con(SF)
+    qs, sqls = q.queries(), q.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        try:
+            res = to_frame(fn(SF))
+        except Exception as exc:  # noqa: BLE001 - collect, don't abort
+            failures.append(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            continue
+        if name not in sqls:
+            if len(res) == 0:
+                failures.append(f"{name}: rows-only query returned 0 rows")
+            continue
+        problems = compare_with_oracle(res, con.sql(sqls[name]).df())
+        if problems:
+            failures.append(f"{name}: {problems}")
+    con.close()
+    assert not failures, "\n".join(failures)

@@ -14,6 +14,7 @@ ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ER
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 
+import time
 import duckdb, pandas as pd, numpy as np
 import __ray_entry__ as E
 
@@ -32,18 +33,21 @@ def norm(df):
     return df.reset_index(drop=True)
 
 fails = []
+timings = {}
 for name, fn in qs.items():
     if only and name not in only:
         continue
+    t0 = time.perf_counter()
     try:
         res = fn(sf_dir)
         if hasattr(res, "to_pandas"): res = res.to_pandas()
         elif not isinstance(res, pd.DataFrame): res = pd.DataFrame(res)
+        timings[name] = round(time.perf_counter() - t0, 2)
         if name not in sqls:
             status = f"rows-only: {len(res)} rows"
             if len(res) == 0:
                 fails.append(name); status += "  ** VACUOUS (0 rows) **"
-            print(f"{name:28s} {status}")
+            print(f"{name:28s} {status}  [{timings[name]}s]")
             continue
         want = con.sql(sqls[name]).df()
         a, b = norm(res), norm(want)
@@ -65,10 +69,14 @@ for name, fn in qs.items():
             if not same.all():
                 i = int(np.argmin(same))
                 print(f"{name:28s} col {c}: {int((~same).sum())} mismatches e.g. row{i}: {av[i]!r} vs {bv[i]!r}"); eq = False
-        if eq: print(f"{name:28s} OK ({len(a)} rows)")
+        if eq: print(f"{name:28s} OK ({len(a)} rows)  [{timings[name]}s]")
         else: fails.append(name)
     except Exception as e:
         fails.append(name)
         print(f"{name:28s} ERROR {type(e).__name__}: {str(e)[:160]}")
 print("\nFAILED:", fails if fails else "none")
+if timings:
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    print("slowest:", ", ".join(f"{k}={v}s" for k, v in slow))
+    print(f"total_query_wall: {round(sum(timings.values()), 1)}s over {len(timings)} queries")
 ray.shutdown()
