@@ -118,8 +118,10 @@ def run_bench() -> dict:
         ds.write_parquet(out_dir)
         return time.perf_counter() - t
 
-    # best-of-N (default 2): single runs on a shared box are noisy
-    n_repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
+    # best-of-N (default 3): single runs on a shared box are noisy - the
+    # 40k headline is a ~1.5 s job where one scheduler hiccup costs 30%
+    # (the round-3 driver shot read 2.71 s where best-of-3 reads 1.39 s)
+    n_repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))
     headline = min(timed_run() for _ in range(n_repeats))
 
     # repo aggregate over the written output (salted two-phase groupby)

@@ -1,0 +1,128 @@
+"""Document-level word co-occurrence PMI (pointwise mutual information,
+Church & Hanks 1990) over a capped high-frequency vocabulary - the
+classic corpus-linguistics association signal (collocation mining /
+phrase detection, the word2vec-era preprocessing step).
+
+PMI(x, y) = log( P(x, y) / (P(x) P(y)) )  with doc-level probabilities
+          = log( (c_xy * N) / (c_x * c_y) )  - everything integer until
+            ONE float division + one libm log, mirrored op-for-op by
+            the SQL oracle (ln(CAST(c_xy*N AS DOUBLE)/CAST(c_x*c_y AS
+            DOUBLE))), so both engines emit identical doubles.
+
+Distributed shape (all exchanges bounded):
+  1. doc-frequency pass: per-block Counter over per-doc DISTINCT word
+     sets -> groupby(word) sum -> distributed sort+limit to the top-F
+     vocabulary (F default 64; the only unbounded-domain exchange
+     carries one row per distinct word per block, the map-side-combined
+     df partials).
+  2. top-F vocabulary broadcasts once via ray.put.
+  3. pair pass: per doc, combinations of the kept words present ->
+     per-block Counter -> groupby(w1, w2) sum.  The pair domain is
+     <= F*(F-1)/2 (~2k rows at F=64) REGARDLESS of corpus size, so the
+     final table is driver-safe by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from itertools import combinations
+
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .dsir import _tokenize
+
+
+def _doc_words(text: str) -> set:
+    return set(_tokenize(text or ""))
+
+
+def top_df_words(
+    ds: ray.data.Dataset, text_col: str, top: int
+) -> list[tuple[str, int]]:
+    """Top-``top`` words by document frequency (ties broken
+    lexicographically), via map-side combined df partials and a
+    distributed sort+limit - the driver sees ``top`` rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for text in b[text_col].to_pylist():
+            cnt.update(_doc_words(text))
+        return pa.table(
+            {
+                "w": pa.array(list(cnt.keys()), pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .sort(["c", "w"], descending=[True, False])
+        .limit(top)
+        .take_all()
+    )
+    return [(r["w"], int(r["c"])) for r in rows]
+
+
+def pmi_top_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    top_vocab: int = 64,
+    top_k: int = 25,
+) -> pa.Table:
+    """(w1, w2, n_pair, pmi) for the ``top_k`` highest-PMI co-occurring
+    pairs (w1 < w2) among the ``top_vocab`` highest-df words."""
+    n_docs = ds.count()
+    vocab = top_df_words(ds, text_col, top_vocab)
+    df = dict(vocab)
+    keep_ref = ray.put(set(df))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        cnt: Counter = Counter()
+        for text in b[text_col].to_pylist():
+            present = sorted(_doc_words(text) & keep)
+            cnt.update(combinations(present, 2))
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in cnt], pa.string()),
+                "w2": pa.array([k[1] for k in cnt], pa.string()),
+                "n_pair": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"], num_partitions=8)
+        .aggregate(Sum("n_pair", alias_name="n_pair"))
+        .take_all()  # <= top_vocab^2 / 2 rows by construction
+    )
+    scored = []
+    for r in pairs:
+        c_xy, c_x, c_y = int(r["n_pair"]), df[r["w1"]], df[r["w2"]]
+        num, den = c_xy * n_docs, c_x * c_y
+        if num >= (1 << 53) or den >= (1 << 53):
+            raise ValueError(
+                "pmi numerator/denominator exceeds exact-double range "
+                "(2^53); rescale or shard the corpus"
+            )
+        # float() each side separately, then one IEEE division + libm
+        # log - the identical op sequence the SQL mirror performs
+        scored.append(
+            (r["w1"], r["w2"], c_xy, math.log(float(num) / float(den)))
+        )
+    scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+    scored = scored[:top_k]
+    return pa.table(
+        {
+            "w1": pa.array([t[0] for t in scored], pa.string()),
+            "w2": pa.array([t[1] for t in scored], pa.string()),
+            "n_pair": pa.array([t[2] for t in scored], pa.int64()),
+            "pmi": pa.array([t[3] for t in scored], pa.float64()),
+        }
+    )

@@ -6104,3 +6104,163 @@ def event_transition_matrix(sf_dir: str):
         .groupby(["prev_type", "next_type"], num_partitions=8)
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: winnowing fingerprints, triangle count, PMI pairs,
+# per-window top-k
+# ---------------------------------------------------------------------------
+
+_WINNOW_SQL = (
+    # exact SQL mirror of functions/winnow.py (k=8, w=4): md5-prefix
+    # gram hashes, combined (hash, rightmost-position) key, window-min
+    # selection, fingerprint = key >> 20.  Docs shorter than w grams
+    # keep the single partial window (GREATEST(.., 1)).
+    "WITH pos AS (SELECT doc_id, lower(text) AS t FROM documents), "
+    "grams AS (SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS p, t "
+    "  FROM pos WHERE len(t) >= 8), "
+    "hashed AS (SELECT doc_id, p, CAST(CONCAT('0x', "
+    "  substr(md5(substr(t, p, 8)), 1, 8)) AS BIGINT) AS h FROM grams), "
+    "keyed AS (SELECT doc_id, p, h * 1048576 + (1048575 - (p - 1)) AS key "
+    "  FROM hashed), "
+    "wmins AS (SELECT doc_id, p, "
+    "  MIN(key) OVER (PARTITION BY doc_id ORDER BY p "
+    "    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin, "
+    "  COUNT(*) OVER (PARTITION BY doc_id) AS n_pos FROM keyed) "
+    "SELECT DISTINCT doc_id, CAST(wmin // 1048576 AS BIGINT) AS fp "
+    "FROM wmins WHERE p <= GREATEST(n_pos - 3, 1)"
+)
+
+
+@register("winnow_fingerprints", _WINNOW_SQL)
+def winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    code-plagiarism algorithm; functions/winnow.py): char-8-gram md5
+    hashes, window-4 min selection with the combined rightmost-tie key,
+    ~2/(w+1) of the gram stream selected.  Stateless zero-shuffle
+    map_batches; pure-integer output so the oracle compare is exact."""
+    from ..functions.winnow import fingerprint_docs
+
+    return fingerprint_docs(
+        _docs(sf_dir, ["doc_id", "text"]), "text", "doc_id", k=8, w=4
+    )
+
+
+_TRIANGLE_SQL = (
+    # planted 20-node graph: undirected edges {doc_id % 20, (doc_id*3+7) % 20}
+    # (distinct, loops dropped); triangles via the ordered 3-way self-join
+    "WITH raw AS (SELECT doc_id % 20 AS a, (doc_id * 3 + 7) % 20 AS b "
+    "  FROM documents), "
+    "e AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi "
+    "  FROM raw WHERE a <> b) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+    "FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi "
+    "JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi"
+)
+
+
+@register("host_triangle_count", _TRIANGLE_SQL)
+def host_triangle_count(sf_dir: str):
+    """Distributed triangle counting (Suri & Vassilvitskii 2011;
+    functions/graph.py) over a planted 20-host link graph: orient each
+    undirected edge low->high, build wedges with one self hash-join on
+    the shared low endpoint, close them with a second join - each
+    triangle counted exactly once, both exchanges carrying int64 pairs.
+    The graph-motif operator alongside PageRank and connected
+    components."""
+    from ..functions.graph import triangle_count
+
+    def plant_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(ids % 20, pa.int64()),
+                "dst": pa.array((ids * 3 + 7) % 20, pa.int64()),
+            }
+        )
+
+    edges = _docs(sf_dir, ["doc_id"]).map_batches(
+        plant_edges, batch_format="pyarrow"
+    )
+    return triangle_count(edges, num_partitions=8)
+
+
+_PMI_SQL = (
+    # exact mirror of functions/cooccur.py: doc-level distinct words,
+    # top-64 df vocabulary (ties lexicographic), pair doc-cooccurrence,
+    # pmi = ln(CAST(c_xy*N AS DOUBLE) / CAST(c_x*c_y AS DOUBLE))
+    "WITH dw AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, "
+    "  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "  x -> len(x) > 0)) AS w FROM documents)), "
+    "df AS (SELECT w, count(*) AS c FROM dw GROUP BY w), "
+    "keep AS (SELECT w, c FROM df ORDER BY c DESC, w LIMIT 64), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c_xy "
+    "  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w "
+    "  JOIN keep ka ON ka.w = a.w JOIN keep kb ON kb.w = b.w "
+    "  GROUP BY a.w, b.w) "
+    "SELECT w1, w2, CAST(c_xy AS BIGINT) AS n_pair, "
+    "ln(CAST(c_xy * (SELECT n_docs FROM n) AS DOUBLE) "
+    "  / CAST(ka.c * kb.c AS DOUBLE)) AS pmi "
+    "FROM pairs JOIN keep ka ON ka.w = w1 JOIN keep kb ON kb.w = w2 "
+    "ORDER BY pmi DESC, w1, w2 LIMIT 25"
+)
+
+
+@register("pmi_top_pairs", _PMI_SQL)
+def pmi_top_pairs(sf_dir: str):
+    """Doc-level co-occurrence PMI over the top-64-df vocabulary
+    (functions/cooccur.py): df pass with map-side combiners +
+    distributed sort/limit, one vocabulary broadcast, pair pass whose
+    exchange is capped at vocab^2/2 rows regardless of corpus size -
+    the collocation-mining operator of the text-analysis suite."""
+    from ..functions.cooccur import pmi_top_pairs as _pmi
+
+    return _pmi(_docs(sf_dir, ["text"]), "text", top_vocab=64, top_k=25)
+
+
+_HOURLY_TOPK_SQL = (
+    "WITH b AS (SELECT date_trunc('hour', ts) AS hour, event_type, "
+    "  count(*) AS n FROM events GROUP BY 1, 2), "
+    "r AS (SELECT hour, event_type, n, row_number() OVER ("
+    "  PARTITION BY hour ORDER BY n DESC, event_type) AS rk FROM b) "
+    "SELECT hour, event_type, CAST(n AS BIGINT) AS n, "
+    "CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3"
+)
+
+
+@register("hourly_top_event_types", _HOURLY_TOPK_SQL)
+def hourly_top_event_types(sf_dir: str):
+    """Per-window top-k (top-3 event types per tumbling hour): block
+    partials pre-collapse to (hour, type) counts, one composite-key
+    exchange finishes the aggregate, and the rank runs per hour group
+    over the type-bounded rows - the windowed-leaderboard shape
+    (trending topics per hour) with a deterministic (count desc, type)
+    tie-break."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(b["ts"], unit="hour")
+        t = pa.table({"hour": h, "event_type": b["event_type"]})
+        g = t.group_by(["hour", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "event_type", "n"])
+
+    def rank3(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("n", "descending"), ("event_type", "ascending")],
+        )
+        g = g.take(order[:3])
+        return g.append_column(
+            "rk", pa.array(range(1, len(g) + 1), pa.int64())
+        )
+
+    counts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["hour", "event_type"], num_partitions=8)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    ranked = counts.groupby("hour").map_groups(rank3, batch_format="pyarrow")
+    return _pin_ts_us(ranked, "hour")

@@ -1,0 +1,50 @@
+"""PMI co-occurrence (functions/cooccur.py): hand-checked counts and
+PMI values on a planted corpus, vocabulary-cap behavior, and the
+bounded-pair-domain contract."""
+
+import math
+
+import pyarrow as pa
+import ray.data
+
+from pii_detection_local_ray.functions.cooccur import (
+    pmi_top_pairs,
+    top_df_words,
+)
+
+
+def _docs_ds(texts):
+    return ray.data.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+
+
+def test_top_df_words_order_and_ties(ray_session):
+    ds = _docs_ds(["a b", "a b", "a c", "zz c"])
+    got = top_df_words(ds, "text", 3)
+    # df: a=3, b=2, c=2, zz=1; tie b/c broken lexicographically
+    assert got == [("a", 3), ("b", 2), ("c", 2)]
+
+
+def test_pmi_hand_checked(ray_session):
+    # 4 docs: {x,y} twice, {x} once, {y} once -> c_x=3, c_y=3, c_xy=2, N=4
+    ds = _docs_ds(["x y", "y x", "x only1", "y only2"])
+    out = pmi_top_pairs(ds, "text", top_vocab=4, top_k=10).to_pandas()
+    row = out[(out["w1"] == "x") & (out["w2"] == "y")].iloc[0]
+    assert int(row["n_pair"]) == 2
+    assert row["pmi"] == math.log(float(2 * 4) / float(3 * 3))
+
+
+def test_vocab_cap_excludes_rare_words(ray_session):
+    # "rare" occurs once and is cut by top_vocab=2; no pair with it
+    ds = _docs_ds(["a b rare", "a b", "a b"])
+    out = pmi_top_pairs(ds, "text", top_vocab=2, top_k=10).to_pandas()
+    assert set(out["w1"]) | set(out["w2"]) <= {"a", "b"}
+    assert len(out) == 1 and int(out["n_pair"].iloc[0]) == 3
+
+
+def test_pair_order_deterministic(ray_session):
+    ds = _docs_ds(["a b c", "a b c", "b c"])
+    a = pmi_top_pairs(ds, "text").to_pandas()
+    b = pmi_top_pairs(ds, "text").to_pandas()
+    assert a.equals(b)
+    # w1 < w2 everywhere
+    assert (a["w1"] < a["w2"]).all()

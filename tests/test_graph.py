@@ -1,0 +1,74 @@
+"""Triangle counting (functions/graph.py): known motifs, brute-force
+parity on random graphs, and driver-path vs forced-distributed parity
+(the hybrid convention shared with pagerank/connected components)."""
+
+import itertools
+import random
+
+import pyarrow as pa
+import ray.data
+
+from pii_detection_local_ray.functions.graph import (
+    orient_edges,
+    triangle_count,
+)
+
+
+def _edges_ds(pairs):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+
+
+def _brute(pairs):
+    eset = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = sorted({x for e in eset for x in e})
+    return sum(
+        1
+        for u, v, w in itertools.combinations(nodes, 3)
+        if (u, v) in eset and (u, w) in eset and (v, w) in eset
+    )
+
+
+def test_known_motifs(ray_session):
+    # one triangle + a pendant edge; duplicate/reversed edges + loop
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 3), (3, 3), (1, 0)]
+    got = triangle_count(_edges_ds(pairs))
+    assert got["n_triangles"].to_pylist() == [1]
+    # K4 has 4 triangles
+    k4 = list(itertools.combinations(range(4), 2))
+    assert triangle_count(_edges_ds(k4))["n_triangles"].to_pylist() == [4]
+
+
+def test_random_parity_with_bruteforce(ray_session):
+    rng = random.Random(5)
+    pairs = [(rng.randrange(12), rng.randrange(12)) for _ in range(60)]
+    want = _brute(pairs)
+    assert want > 0
+    got = triangle_count(_edges_ds(pairs))["n_triangles"].to_pylist()
+    assert got == [want]
+
+
+def test_distributed_path_parity(ray_session):
+    """driver_threshold=0 forces the two-join distributed path; result
+    must equal the driver enumeration."""
+    rng = random.Random(7)
+    pairs = [(rng.randrange(10), rng.randrange(10)) for _ in range(45)]
+    want = _brute(pairs)
+    dist = triangle_count(_edges_ds(pairs), driver_threshold=0)
+    assert dist["n_triangles"].to_pylist() == [want]
+
+
+def test_orient_edges_distinct_loopless(ray_session):
+    out = orient_edges(_edges_ds([(2, 1), (1, 2), (3, 3), (1, 2)])).to_pandas()
+    assert sorted(zip(out["lo"], out["hi"])) == [(1, 2)]
+
+
+def test_empty_graph(ray_session):
+    got = triangle_count(_edges_ds([(1, 1)]))  # only a loop
+    assert got["n_triangles"].to_pylist() == [0]

@@ -1,0 +1,77 @@
+"""Winnowing fingerprints (functions/winnow.py): selection density, the
+locality guarantee (shared substring >= k+w-1 -> shared fingerprint),
+brute-force window-min parity, and short-document edge cases."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.winnow import (
+    fingerprint_docs,
+    gram_hashes,
+    winnow_keys,
+)
+
+K, W = 8, 4
+
+
+def _brute_winnow(h: np.ndarray, w: int) -> set:
+    n = len(h)
+    key = h * (1 << 20) + ((1 << 20) - 1 - np.arange(n, dtype=np.int64))
+    if n == 0:
+        return set()
+    if n < w:
+        return {int(key.min()) >> 20}
+    out = set()
+    for q in range(n - w + 1):
+        out.add(int(key[q : q + w].min()) >> 20)
+    return out
+
+
+def test_winnow_matches_bruteforce_random():
+    rng = np.random.default_rng(3)
+    for n in [1, 2, 3, 4, 5, 9, 40, 300]:
+        h = rng.integers(0, 1 << 32, n).astype(np.int64)
+        got = set(winnow_keys(h, W).tolist())
+        assert got == _brute_winnow(h, W), n
+
+
+def test_locality_guarantee():
+    """Any shared substring of length >= k + w - 1 yields at least one
+    shared fingerprint (the paper's correctness property)."""
+    shared = "def common_helper(x):"  # len 21 >= 8 + 4 - 1
+    a = "AAA" + shared + "ZZZQQ"
+    b = "bbbbbbbb" + shared + "yy"
+    fa = set(winnow_keys(gram_hashes(a.lower(), K), W).tolist())
+    fb = set(winnow_keys(gram_hashes(b.lower(), K), W).tolist())
+    assert fa & fb
+
+
+def test_density_roughly_two_over_w_plus_one():
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 1 << 32, 5000).astype(np.int64)
+    sel = len(winnow_keys(h, W))
+    # expected density 2/(w+1) = 0.4; allow generous slack
+    assert 0.25 * 5000 < sel < 0.55 * 5000
+
+
+def test_short_and_empty_docs(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                # len < k -> no grams; len in [k, k+w-2] -> partial window
+                "text": pa.array(["tiny", "exactly8", "x" * 40]),
+            }
+        )
+    )
+    got = fingerprint_docs(ds, "text", "doc_id", k=K, w=W).to_pandas()
+    assert 0 not in set(got["doc_id"])  # no grams, no rows
+    assert (got[got["doc_id"] == 1].shape[0]) == 1  # one partial-window min
+    assert (got[got["doc_id"] == 2].shape[0]) == 1  # all grams identical
+
+
+def test_position_cap_guard():
+    with pytest.raises(ValueError, match="2\\^20"):
+        winnow_keys(np.zeros(1 << 20, np.int64), W)
