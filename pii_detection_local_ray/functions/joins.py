@@ -173,3 +173,96 @@ def salted_join(
         on=(on, "_salt"),
         right_on=(right_on, "_salt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated semi join: prune the fact-side shuffle with a broadcast
+# membership sketch, then verify exactly
+# ---------------------------------------------------------------------------
+
+BLOOM_JOIN_M = 1 << 16  # bits; ~1e-3 fp at ~3k keys, scale m with |keys|
+BLOOM_JOIN_K = 4
+
+
+def _bloom_join_idx(s: str, m: int) -> list[int]:
+    """BLOOM_JOIN_K bit indices from one md5 (hex chars [5j, 5j+5) = 20
+    bits each, mod m) - reproducible by any engine, same scheme family
+    as functions/sketch.bloom_bits_for over a wider modulus."""
+    import hashlib
+
+    hx = hashlib.md5(s.encode()).hexdigest()
+    return [int(hx[5 * j : 5 * j + 5], 16) % m for j in range(BLOOM_JOIN_K)]
+
+
+def bloom_semi_join(
+    fact: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    m: int = BLOOM_JOIN_M,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """EXACT semi join (fact rows whose ``on`` value appears in
+    ``keys[right_on]``) with a Bloom pre-filter: the keys side reduces
+    to <= m set-bit rows (per-block partials, groupby-distinct merge),
+    broadcasts once as a numpy bool array (m bits ~ m/8 KB), and the
+    fact scan drops definitely-absent rows BEFORE the join shuffle - at
+    a selective filter this prunes the all-to-all to ~the matching rows
+    (+ the (n_set/m)^k false-positive sliver).  Survivors are verified
+    by a hash join, so false positives never reach the output: the
+    Bloom only routes work, exactly like snapshot_delta's anti gate.
+
+    Scale note: m is a knob - size it to ~16x the expected distinct key
+    count; the broadcast stays KB-scale while the shuffle saving is the
+    full non-matching fact volume."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    right_on = right_on or on
+
+    def bits_partial(b: pa.Table) -> pa.Table:
+        bits: set[int] = set()
+        for v in b[right_on].to_pylist():
+            bits.update(_bloom_join_idx(str(v), m))
+        return pa.table({"bit": pa.array(sorted(bits), pa.int64())})
+
+    keyset = keys.select_columns([right_on]).materialize()
+    bit_rows = (
+        keyset.map_batches(bits_partial, batch_format="pyarrow")
+        .groupby("bit")
+        .count()
+        .take_all()
+    )
+    arr = np.zeros(m, dtype=bool)
+    arr[[r["bit"] for r in bit_rows]] = True
+    ref = ray.put(arr)
+
+    def gate(b: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        mask = np.fromiter(
+            (
+                all(bs[i] for i in _bloom_join_idx(str(v), m))
+                for v in b[on].to_pylist()
+            ),
+            bool,
+            count=len(b),
+        )
+        return b.filter(pa.array(mask))
+
+    survivors = fact.map_batches(gate, batch_format="pyarrow")
+
+    # exact verify: inner join against the DISTINCT key set (distinct so
+    # the semi never duplicates fact rows)
+    distinct_keys = keyset.groupby(right_on).count().select_columns([right_on])
+    if right_on == on:
+        distinct_keys = distinct_keys.rename_columns({right_on: "_semi_key"})
+        out = hash_join(
+            survivors, distinct_keys, on=on, right_on="_semi_key",
+            num_partitions=num_partitions,
+        )
+    else:
+        out = hash_join(
+            survivors, distinct_keys, on=on, right_on=right_on,
+            num_partitions=num_partitions,
+        )
+    return out.select_columns(fact.schema().names)

@@ -103,3 +103,66 @@ def fingerprint_docs(
         )
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def shared_fingerprint_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 5,
+    min_shared: int = 2,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(id_a, id_b, n_shared) near-duplicate candidate pairs: documents
+    sharing >= ``min_shared`` winnowed fingerprints - the full MOSS
+    match step on top of ``fingerprint_docs``.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents BEFORE pair generation (MOSS's ignore-common-code rule,
+    the same idf discipline as tf-idf max_df pruning): a boilerplate
+    gram shared by the whole corpus would otherwise emit O(corpus^2)
+    pairs from one bucket.  After the prune, each bucket emits at most
+    max_df*(max_df-1)/2 pairs, so the pair exchange is bounded by
+    #fingerprints x max_df^2/2 - linear in the corpus, never quadratic.
+    The prune is part of the operator's CONTRACT (mirrored by the SQL
+    oracle), not a silent cap."""
+    from ray.data.aggregate import Sum
+
+    fps = fingerprint_docs(ds, text_col, id_col, k=k, w=w)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        if 2 <= len(g) <= max_df:
+            ids = sorted(g[id_col].to_pylist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "one": pa.array([1] * len(out_a), pa.int64()),
+            }
+        )
+
+    pairs = (
+        fps.groupby("fp", num_partitions=num_partitions)
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"], num_partitions=num_partitions)
+        .aggregate(Sum("one", alias_name="n_shared"))
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if b.num_columns == 0:
+            return b
+        return b.filter(
+            pc.greater_equal(b["n_shared"], pa.scalar(min_shared, pa.int64()))
+        )
+
+    return pairs.map_batches(keep, batch_format="pyarrow")

@@ -6264,3 +6264,99 @@ def hourly_top_event_types(sf_dir: str):
     )
     ranked = counts.groupby("hour").map_groups(rank3, batch_format="pyarrow")
     return _pin_ts_us(ranked, "hour")
+
+
+_WINNOW_NEARDUP_SQL = (
+    "WITH fps AS (" + _WINNOW_SQL + "), "
+    "keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 5), "
+    "f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2 HAVING count(*) >= 2"
+)
+
+
+@register("winnow_near_dups", _WINNOW_NEARDUP_SQL)
+def winnow_near_dups(sf_dir: str):
+    """Full MOSS match step (functions/winnow.shared_fingerprint_pairs):
+    pairs of documents sharing >= 2 winnowed fingerprints, after
+    dropping fingerprints present in > 5 documents (the ignore-common-
+    code rule, part of the operator contract and mirrored by the
+    oracle).  The pair exchange is bounded at max_df^2/2 per fingerprint
+    bucket - linear in the corpus - completing the code-near-dup path
+    alongside MinHash/SimHash."""
+    from ..functions.winnow import shared_fingerprint_pairs
+
+    pairs_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("n_shared", pa.int64())]
+    )
+    return _schema_safe(
+        shared_fingerprint_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), "text", "doc_id",
+            k=8, w=4, max_df=5, min_shared=2,
+        ),
+        pairs_schema,
+    )
+
+
+_BLOOM_SEMI_SQL = (
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "  AS revenue_cents "
+    "FROM lineitem WHERE l_orderkey IN "
+    "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
+    "GROUP BY l_returnflag"
+)
+
+
+@register("bloom_semi_lineitem", _BLOOM_SEMI_SQL)
+def bloom_semi_lineitem(sf_dir: str):
+    """Bloom-gated EXACT semi join (functions/joins.bloom_semi_join):
+    urgent-order keys reduce to a <= 2^16-bit membership sketch
+    broadcast once; the lineitem scan drops definitely-non-matching
+    rows BEFORE the join shuffle (at a selective filter the all-to-all
+    carries ~matching rows only), and a hash join on the survivors
+    removes the false-positive sliver - the shuffle-pruning join
+    optimization of web-scale engines, exact by construction."""
+    from ..functions.joins import bloom_semi_join
+
+    keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    ).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    ).select_columns(["o_orderkey"])
+
+    fact = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
+    )
+    semi = bloom_semi_join(
+        fact, keys, on="l_orderkey", right_on="o_orderkey",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "one": pa.array(np.ones(len(b), dtype=np.int64)),
+                "cents": cents,
+            }
+        )
+        g = t.group_by("l_returnflag").aggregate(
+            [("one", "sum"), ("cents", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "n_items", "revenue_cents"])
+
+    return (
+        semi.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag", num_partitions=4)
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )

@@ -147,3 +147,32 @@ def test_max_dist_guard():
     )
     with pytest.raises(ValueError):
         fuzzy_self_join(ds, "id", "name", "block", max_dist=3)
+
+
+def test_bloom_semi_join_exact(ray_session):
+    """Bloom gate + hash-join verify == exact semi join, including a
+    forced false positive regime (tiny m saturates the filter)."""
+    import pandas as pd
+
+    from pii_detection_local_ray.functions.joins import bloom_semi_join
+
+    fact = pa.table(
+        {
+            "k": pa.array(list(range(200)), pa.int64()),
+            "v": pa.array([f"row{i}" for i in range(200)], pa.string()),
+        }
+    )
+    keys = pa.table({"kk": pa.array([3, 7, 7, 150, 999], pa.int64())})
+    want = sorted([3, 7, 150])
+    for m in (1 << 16, 8):  # realistic, and saturated (all-pass gate)
+        got = bloom_semi_join(
+            ray.data.from_arrow(fact),
+            ray.data.from_arrow(keys),
+            on="k",
+            right_on="kk",
+            m=m,
+        ).to_pandas()
+        assert sorted(got["k"]) == want, m
+        assert list(got.columns) == ["k", "v"]
+        # duplicate keys in the key set must not duplicate fact rows
+        assert got["k"].is_unique

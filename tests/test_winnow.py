@@ -75,3 +75,54 @@ def test_short_and_empty_docs(ray_session):
 def test_position_cap_guard():
     with pytest.raises(ValueError, match="2\\^20"):
         winnow_keys(np.zeros(1 << 20, np.int64), W)
+
+
+def test_shared_fingerprint_pairs_planted(ray_session):
+    """Two near-identical docs share fingerprints; an unrelated doc
+    pairs with neither; a boilerplate gram in EVERY doc is df-pruned."""
+    from pii_detection_local_ray.functions.winnow import (
+        shared_fingerprint_pairs,
+    )
+
+    boiler = "#!/usr/bin/env python\n"  # in all docs -> df-pruned
+    body = "def compute_total(items):\n    return sum(i.price for i in items)"
+    docs = [
+        boiler + body,
+        boiler + body + "  # reviewed",
+        boiler + "class Unrelated:\n    zzz = 'qqqq hjkl vbnm'",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    )
+    got = shared_fingerprint_pairs(
+        ds, "text", "doc_id", k=8, w=4, max_df=2, min_shared=2
+    ).to_pandas()
+    assert sorted(zip(got["id_a"], got["id_b"])) == [(0, 1)]
+    assert int(got["n_shared"].iloc[0]) >= 2
+
+
+def test_shared_fingerprint_pairs_df_prune_bounds(ray_session):
+    """A gram present in every doc must emit NO pairs once df > max_df
+    (the quadratic-bucket guard)."""
+    from pii_detection_local_ray.functions.winnow import (
+        shared_fingerprint_pairs,
+    )
+
+    same = "identical boilerplate line shared by absolutely every doc"
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "text": pa.array([same] * 10, pa.string()),
+            }
+        )
+    )
+    got = shared_fingerprint_pairs(
+        ds, "text", "doc_id", k=8, w=4, max_df=5, min_shared=1
+    ).to_pandas()
+    assert len(got) == 0  # every bucket has df=10 > 5 -> pruned
