@@ -1,0 +1,93 @@
+"""Distributed MERGE / upsert (the lakehouse CDC-apply operator: apply a
+change-set of insert/update/delete ops to a keyed snapshot - Delta Lake
+/ Iceberg MERGE INTO semantics, here as one keyed exchange).
+
+Semantics (unique keys on both sides - the snapshot contract):
+    op 'D'  key dropped from the output
+    op 'U'  payload replaced by the delta's payload
+    op 'I'  row added (key absent from the base)
+    no op   base row passes through unchanged
+
+Distributed shape: ONE full-outer hash join on the key (both sides
+shuffled once), then a stateless vectorized resolve per block - no
+driver state, no second pass.  The delta side is usually a small
+fraction of the snapshot, which is exactly when a hash join beats
+rewriting the snapshot: only matching partitions carry delta rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .joins import hash_join, pin_schema
+
+
+def upsert_merge(
+    base: ray.data.Dataset,
+    deltas: ray.data.Dataset,
+    key_col: str,
+    payload_cols: list[str],
+    op_col: str = "op",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Apply ``deltas`` (key, op, payload...) to ``base`` (key,
+    payload...).  Delta payload columns must be named
+    ``<payload_col>_new``; returns the merged snapshot with the base
+    schema."""
+    base_schema = pa.schema(
+        [(key_col, pa.int64())]
+        + [(c, base.schema().base_schema.field(c).type) for c in payload_cols]
+    )
+
+    # pin the delta schema: an empty change-set (or an empty shuffle
+    # partition) otherwise reaches the join as schema-less blocks and
+    # Arrow key resolution fails on the missing key column
+    delta_schema = pa.schema(
+        [("_dk", pa.int64()), (op_col, pa.string())]
+        + [
+            (f"{c}_new", base.schema().base_schema.field(c).type)
+            for c in payload_cols
+        ]
+    )
+    renamed = pin_schema(
+        deltas.rename_columns({key_col: "_dk"}), delta_schema
+    ).materialize()
+    # an ALL-empty change-set cannot go through the join (Ray builds
+    # empty shuffle partitions schema-less and Arrow key resolution
+    # fails); a no-op merge is the base snapshot - return it directly.
+    # The materialize is the change-set, a small fraction of the
+    # snapshot by the CDC contract, and the join consumes it next.
+    if renamed.count() == 0:
+        return pin_schema(
+            base.select_columns([key_col] + payload_cols), base_schema
+        )
+    joined = hash_join(
+        base,
+        renamed,
+        on=key_col,
+        right_on="_dk",
+        join_type="full_outer",
+        num_partitions=num_partitions,
+    )
+
+    def resolve(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0:
+            return base_schema.empty_table()
+        # Ray's outer join coalesces the right key into the left key
+        # column, so b[key_col] is non-null on insert rows too
+        keep = pc.fill_null(pc.not_equal(b[op_col], "D"), True)
+        b = b.filter(keep)
+        op = b[op_col]
+        take_delta = pc.fill_null(
+            pc.or_(pc.equal(op, "U"), pc.equal(op, "I")), False
+        )
+        cols = {key_col: pc.cast(b[key_col], pa.int64())}
+        for c in payload_cols:
+            cols[c] = pc.if_else(take_delta, b[f"{c}_new"], b[c])
+        return pa.table(cols).cast(base_schema)
+
+    return pin_schema(
+        joined.map_batches(resolve, batch_format="pyarrow"), base_schema
+    )

@@ -6360,3 +6360,80 @@ def bloom_semi_lineitem(sf_dir: str):
             Sum("revenue_cents", alias_name="revenue_cents"),
         )
     )
+
+
+_MERGE_SQL = (
+    # planted change-set: delete doc_id%11==0, else update doc_id%7==0
+    # (text +=' [rev2]', n_chars+=7), insert doc_id+1000000 for %13==0
+    "WITH d AS ("
+    "SELECT doc_id AS k, "
+    "  CASE WHEN doc_id % 11 = 0 THEN 'D' ELSE 'U' END AS op, "
+    "  text || ' [rev2]' AS text_new, lang AS lang_new, "
+    "  source AS source_new, n_chars + 7 AS n_chars_new "
+    "FROM documents WHERE doc_id % 11 = 0 OR doc_id % 7 = 0 "
+    "UNION ALL "
+    "SELECT doc_id + 1000000, 'I', "
+    "  'inserted doc ' || CAST(doc_id AS VARCHAR), 'en', 'cdc', "
+    "  CAST(13 + len(CAST(doc_id AS VARCHAR)) AS BIGINT) "
+    "FROM documents WHERE doc_id % 13 = 0) "
+    "SELECT COALESCE(b.doc_id, d.k) AS doc_id, "
+    "CASE WHEN d.op IN ('U','I') THEN d.text_new ELSE b.text END AS text, "
+    "CASE WHEN d.op IN ('U','I') THEN d.lang_new ELSE b.lang END AS lang, "
+    "CASE WHEN d.op IN ('U','I') THEN d.source_new ELSE b.source END "
+    "  AS source, "
+    "CAST(CASE WHEN d.op IN ('U','I') THEN d.n_chars_new "
+    "  ELSE b.n_chars END AS BIGINT) AS n_chars "
+    "FROM documents b FULL OUTER JOIN d ON b.doc_id = d.k "
+    "WHERE d.op IS NULL OR d.op <> 'D'"
+)
+
+
+@register("merge_upsert_docs", _MERGE_SQL)
+def merge_upsert_docs(sf_dir: str):
+    """Lakehouse MERGE INTO / CDC apply (functions/mergeop.upsert_merge):
+    a planted insert/update/delete change-set applies to the documents
+    snapshot through ONE full-outer hash join on the key plus a
+    stateless vectorized resolve - the incremental-snapshot maintenance
+    operator complementing snapshot_delta_docs (which DETECTS changes;
+    this APPLIES them)."""
+    from ..functions.mergeop import upsert_merge
+
+    payload = ["text", "lang", "source", "n_chars"]
+
+    def plant_deltas(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        langs = b["lang"].to_pylist()
+        srcs = b["source"].to_pylist()
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        k, op, tn, ln, sn, nn = [], [], [], [], [], []
+        for i in range(len(ids)):
+            d = int(ids[i])
+            if d % 11 == 0:
+                k.append(d); op.append("D")
+                tn.append(None); ln.append(None); sn.append(None)
+                nn.append(None)
+            elif d % 7 == 0:
+                k.append(d); op.append("U")
+                tn.append(texts[i] + " [rev2]"); ln.append(langs[i])
+                sn.append(srcs[i]); nn.append(int(nch[i]) + 7)
+            if d % 13 == 0:
+                k.append(d + 1000000); op.append("I")
+                tn.append(f"inserted doc {d}"); ln.append("en")
+                sn.append("cdc"); nn.append(13 + len(str(d)))
+        return pa.table(
+            {
+                "doc_id": pa.array(k, pa.int64()),
+                "op": pa.array(op, pa.string()),
+                "text_new": pa.array(tn, pa.string()),
+                "lang_new": pa.array(ln, pa.string()),
+                "source_new": pa.array(sn, pa.string()),
+                "n_chars_new": pa.array(nn, pa.int64()),
+            }
+        )
+
+    base = _docs(sf_dir, ["doc_id"] + payload)
+    deltas = _docs(sf_dir, ["doc_id"] + payload).map_batches(
+        plant_deltas, batch_format="pyarrow"
+    )
+    return upsert_merge(base, deltas, "doc_id", payload, num_partitions=8)

@@ -72,3 +72,76 @@ def test_orient_edges_distinct_loopless(ray_session):
 def test_empty_graph(ray_session):
     got = triangle_count(_edges_ds([(1, 1)]))  # only a loop
     assert got["n_triangles"].to_pylist() == [0]
+
+
+def test_upsert_merge_semantics(ray_session):
+    """MERGE contract: D drops, U replaces payload, I adds, untouched
+    rows pass through byte-identical; output keyed uniquely."""
+    import pyarrow as pa
+
+    from pii_detection_local_ray.functions.mergeop import upsert_merge
+
+    base = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["a", "b", "c", "d"]),
+                "n_chars": pa.array([1, 1, 1, 1], pa.int64()),
+            }
+        )
+    )
+    deltas = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2, 3, 9], pa.int64()),
+                "op": pa.array(["U", "D", "I"]),
+                "text_new": pa.array(["B2", None, "new9"]),
+                "n_chars_new": pa.array([2, None, 4], pa.int64()),
+            }
+        )
+    )
+    got = (
+        upsert_merge(base, deltas, "doc_id", ["text", "n_chars"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [1, 2, 4, 9]
+    assert list(got["text"]) == ["a", "B2", "d", "new9"]
+    assert list(got["n_chars"]) == [1, 2, 1, 4]
+
+
+def test_upsert_merge_empty_deltas(ray_session):
+    """An empty change-set returns the base snapshot unchanged (and the
+    empty delta side must not crash the outer join)."""
+    import pyarrow as pa
+
+    from pii_detection_local_ray.functions.mergeop import upsert_merge
+
+    base = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a", "b"]),
+                "n_chars": pa.array([1, 1], pa.int64()),
+            }
+        )
+    )
+    deltas = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "op": pa.array([], pa.string()),
+                "text_new": pa.array([], pa.string()),
+                "n_chars_new": pa.array([], pa.int64()),
+            }
+        )
+    )
+    got = (
+        upsert_merge(base, deltas, "doc_id", ["text", "n_chars"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [1, 2]
+    assert list(got["text"]) == ["a", "b"]
