@@ -180,18 +180,44 @@ def salted_join(
 # membership sketch, then verify exactly
 # ---------------------------------------------------------------------------
 
-BLOOM_JOIN_M = 1 << 16  # bits; ~1e-3 fp at ~3k keys, scale m with |keys|
+BLOOM_JOIN_M = 1 << 20  # bits (128 KB packed); fp ~ (4n/m)^4 - size m ~ 16-32x |keys|
 BLOOM_JOIN_K = 4
 
 
 def _bloom_join_idx(s: str, m: int) -> list[int]:
     """BLOOM_JOIN_K bit indices from one md5 (hex chars [5j, 5j+5) = 20
-    bits each, mod m) - reproducible by any engine, same scheme family
-    as functions/sketch.bloom_bits_for over a wider modulus."""
+    bits each, mod m) - the string-key fallback path."""
     import hashlib
 
     hx = hashlib.md5(s.encode()).hexdigest()
     return [int(hx[5 * j : 5 * j + 5], 16) % m for j in range(BLOOM_JOIN_K)]
+
+
+def _bloom_join_idx_vec(vals, m: int):
+    """(n, BLOOM_JOIN_K) bit indices for an int64 numpy array in one
+    vectorized pass: splitmix64 finalizer (Steele et al. 2014), then
+    BLOOM_JOIN_K disjoint 16-bit slices of the mixed word mod m.  The
+    Bloom hash only ROUTES work (the hash join verifies exactly), so it
+    needs speed + spread, not oracle reproducibility - a fact-side
+    Python md5 loop here would dominate the whole gate.  Build and probe
+    use the same function, so any m is CORRECT; m > 2^16 merely wastes
+    the bits above 65535 (16-bit slices)."""
+    import numpy as np
+
+    x = vals.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    # four 20-bit windows at offsets 0/15/30/44 of the mixed word
+    # (overlapping is fine post-mix); build and probe share this exact
+    # function, so routing stays consistent for any m
+    return np.stack(
+        [
+            ((x >> np.uint64(o)) & np.uint64(0xFFFFF)).astype(np.int64) % m
+            for o in (0, 15, 30, 44)
+        ],
+        axis=1,
+    )
 
 
 def bloom_semi_join(
@@ -220,40 +246,64 @@ def bloom_semi_join(
 
     right_on = right_on or on
 
+    def _is_int(col: pa.ChunkedArray) -> bool:
+        return pa.types.is_integer(col.type)
+
     def bits_partial(b: pa.Table) -> pa.Table:
-        bits: set[int] = set()
-        for v in b[right_on].to_pylist():
-            bits.update(_bloom_join_idx(str(v), m))
-        return pa.table({"bit": pa.array(sorted(bits), pa.int64())})
+        # ONE packed-bitmap row per block (m/8 bytes): the build needs no
+        # shuffle at all - the driver ORs #blocks bitmaps, each bounded
+        # by m regardless of block size
+        col = b[right_on]
+        bits = np.zeros(m, dtype=bool)
+        if _is_int(col):
+            idx = _bloom_join_idx_vec(
+                col.combine_chunks().to_numpy(zero_copy_only=False), m
+            )
+            bits[idx.reshape(-1)] = True
+        else:
+            for v in col.to_pylist():
+                bits[_bloom_join_idx(str(v), m)] = True
+        return pa.table({"packed": pa.array([np.packbits(bits).tobytes()])})
 
     keyset = keys.select_columns([right_on]).materialize()
-    bit_rows = (
-        keyset.map_batches(bits_partial, batch_format="pyarrow")
-        .groupby("bit")
-        .count()
-        .take_all()
-    )
+    packed = keyset.map_batches(
+        bits_partial, batch_format="pyarrow"
+    ).take_all()
     arr = np.zeros(m, dtype=bool)
-    arr[[r["bit"] for r in bit_rows]] = True
+    for r in packed:
+        arr |= np.unpackbits(
+            np.frombuffer(r["packed"], dtype=np.uint8)
+        ).astype(bool)[:m]
     ref = ray.put(arr)
 
     def gate(b: pa.Table) -> pa.Table:
         bs = ray.get(ref)
-        mask = np.fromiter(
-            (
-                all(bs[i] for i in _bloom_join_idx(str(v), m))
-                for v in b[on].to_pylist()
-            ),
-            bool,
-            count=len(b),
-        )
+        col = b[on]
+        if _is_int(col):
+            idx = _bloom_join_idx_vec(
+                col.combine_chunks().to_numpy(zero_copy_only=False), m
+            )
+            mask = bs[idx].all(axis=1)  # vectorized K-probe
+        else:
+            mask = np.fromiter(
+                (
+                    all(bs[i] for i in _bloom_join_idx(str(v), m))
+                    for v in col.to_pylist()
+                ),
+                bool,
+                count=len(b),
+            )
         return b.filter(pa.array(mask))
 
     survivors = fact.map_batches(gate, batch_format="pyarrow")
 
     # exact verify: inner join against the DISTINCT key set (distinct so
     # the semi never duplicates fact rows)
-    distinct_keys = keyset.groupby(right_on).count().select_columns([right_on])
+    distinct_keys = (
+        keyset.groupby(right_on, num_partitions=num_partitions)
+        .count()
+        .select_columns([right_on])
+    )
     if right_on == on:
         distinct_keys = distinct_keys.rename_columns({right_on: "_semi_key"})
         out = hash_join(
