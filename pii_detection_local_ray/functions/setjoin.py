@@ -1,0 +1,260 @@
+"""Exact set-similarity join via prefix filtering (AllPairs / PPJoin,
+Bayardo et al. WWW'07; Xiao et al. WWW'08) over per-document token sets.
+
+MinHash+LSH (functions/dedup.py) is probabilistic candidate generation;
+this operator is the EXACT counterpart: every pair with token-set
+Jaccard >= t is guaranteed to surface.  The prefix-filter lemma: under
+any global total order on tokens, if J(a, b) >= t then the two docs'
+prefixes - the first |s| - ceil(t*|s|) + 1 tokens of each - share at
+least one token (the smallest common token lands in both prefixes,
+because each suffix has only ceil(t*|s|) - 1 slots < |a intersect b|).
+Ordering tokens by ascending document frequency makes those prefixes
+the RAREST tokens, so candidate buckets stay small.
+
+Distributed shape (all exchanges bounded):
+  1. explode distinct per-doc tokens        (doc_id, tok)
+  2. token df: partial counts + groupby     one row per vocab term
+  3. toks JOIN df on tok                    the one fact-sized exchange
+  4. per-doc regroup: sort by (df, tok),
+     emit prefix postings + full sets       prefix rows ~ half the toks
+  5. candidates: groupby(prefix tok),
+     per-bucket pair emission with the
+     PPJoin size filter (t*|a| <= |b|)
+     and a LOUD max_bucket guard            (id_a, id_b) pairs
+  6. exact verify: intersect the two token
+     sets per candidate (broadcast <= limit,
+     else two bounded hash joins)           ix, un, keep 2*ix >= un(t=1/2)
+
+Thresholds other than 1/2 use the exact integer test ix * q >= un * p
+for t = p/q.  No reference analogue (LLM pipeline brief).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from .joins import hash_join, pin_schema
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+_PAIRS_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("ix", pa.int64()),
+    ("un", pa.int64()),
+])
+
+
+def doc_token_sets(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_w: int = 3,
+) -> ray.data.Dataset:
+    """(id, tok) rows: DISTINCT word ``shingle_w``-gram shingles per doc
+    over the lowercased [a-z0-9]+ word stream.  Word n-grams keep the
+    token universe discriminative even on flat (non-Zipf) vocabularies,
+    where single words would put a constant corpus fraction in every
+    posting bucket.  Docs with fewer than shingle_w words contribute no
+    rows (and so never pair - mirrored by the SQL oracle)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            w = _WORD_RE.findall((t or "").lower())
+            grams = {
+                " ".join(w[j : j + shingle_w])
+                for j in range(len(w) - shingle_w + 1)
+            }
+            for gm in grams:
+                ids.append(i)
+                toks.append(gm)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "tok": pa.array(toks, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def ppjoin_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_p: int = 1,
+    threshold_q: int = 2,
+    shingle_w: int = 3,
+    max_bucket: int = 5_000,
+    broadcast_limit: int = 200_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """All pairs with token-set Jaccard >= threshold_p/threshold_q,
+    exact.  Returns (id_a, id_b, ix, un) with id_a < id_b."""
+    t = threshold_p / threshold_q
+    toks = doc_token_sets(ds, id_col, text_col, shingle_w)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["tok"]).group_by("tok").aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "n"])
+
+    from ray.data.aggregate import Sum
+
+    df = pin_schema(
+        toks.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="df")),
+        pa.schema([("tok", pa.string()), ("df", pa.int64())]),
+    ).materialize()
+    # join partitions sized to the key count: a join partition that
+    # receives zero rows on BOTH sides finalizes as a schema-less table
+    # and breaks Arrow key resolution (repo-wide convention, joins.py)
+    n_vocab = df.count()
+    if n_vocab == 0:
+        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
+    join_parts = max(1, min(num_partitions, n_vocab // 64))
+
+    toksdf = hash_join(toks, df, on="tok", num_partitions=join_parts)
+
+    def prefix_of_doc(g: pa.Table) -> pa.Table:
+        dfs = g["df"].to_numpy(zero_copy_only=False)
+        words = np.array(g["tok"].to_pylist())
+        order = np.lexsort((words, dfs))
+        sz = len(order)
+        p = sz - math.ceil(t * sz) + 1
+        pref = order[:p]
+        return pa.table({
+            "tok": pa.array(words[pref]),
+            "doc_id": pa.array(
+                np.full(p, g["doc_id"][0].as_py(), dtype=np.int64)
+            ),
+            "sz": pa.array(np.full(p, sz, dtype=np.int64)),
+        })
+
+    postings = toksdf.groupby("doc_id").map_groups(
+        prefix_of_doc, batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sz = g["sz"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n > max_bucket:
+            raise ValueError(
+                f"prefix bucket for token {g['tok'][0].as_py()!r} has {n} "
+                f"docs > max_bucket={max_bucket}: the token is no longer "
+                "discriminative - raise min_len or max_bucket explicitly"
+            )
+        if n < 2:
+            return pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            })
+        o = np.argsort(ids, kind="stable")
+        ids, sz = ids[o], sz[o]
+        ia, ib = np.triu_indices(n, k=1)
+        # PPJoin size filter: J >= t forces t*max(sa,sb) <= min(sa,sb)
+        lo = np.minimum(sz[ia], sz[ib])
+        hi = np.maximum(sz[ia], sz[ib])
+        keep = lo * threshold_q >= hi * threshold_p
+        return pa.table({
+            "id_a": pa.array(ids[ia[keep]], pa.int64()),
+            "id_b": pa.array(ids[ib[keep]], pa.int64()),
+        })
+
+    cand = (
+        postings.groupby("tok")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_shared"))
+        .drop_columns(["_shared"])
+    )
+    cand = pin_schema(
+        cand, pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    ).materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
+
+    def verify_tbl(a_ids, b_ids, sets_a, sets_b) -> pa.Table:
+        ix = np.empty(len(a_ids), dtype=np.int64)
+        un = np.empty(len(a_ids), dtype=np.int64)
+        for j, (sa, sb) in enumerate(zip(sets_a, sets_b)):
+            i = len(sa & sb)
+            ix[j] = i
+            un[j] = len(sa) + len(sb) - i
+        keep = ix * threshold_q >= un * threshold_p
+        return pa.table({
+            "id_a": pa.array(np.asarray(a_ids)[keep], pa.int64()),
+            "id_b": pa.array(np.asarray(b_ids)[keep], pa.int64()),
+            "ix": pa.array(ix[keep]),
+            "un": pa.array(un[keep]),
+        })
+
+    if n_pairs <= broadcast_limit:
+        rows = cand.take_all()
+        want = {r["id_a"] for r in rows} | {r["id_b"] for r in rows}
+        want_ref = ray.put(want)
+
+        def grab(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            w = ray.get(want_ref)
+            return b.filter(
+                pc.is_in(b["doc_id"], value_set=pa.array(list(w), pa.int64()))
+            )
+
+        sets: dict = {}
+        for r in toks.map_batches(grab, batch_format="pyarrow").take_all():
+            sets.setdefault(r["doc_id"], set()).add(r["tok"])
+        sets_ref = ray.put(sets)
+
+        def score(b: pa.Table) -> pa.Table:
+            lk = ray.get(sets_ref)
+            a = b["id_a"].to_pylist()
+            c = b["id_b"].to_pylist()
+            return verify_tbl(
+                a, c, [lk[x] for x in a], [lk[y] for y in c]
+            )
+
+        return cand.map_batches(score, batch_format="pyarrow")
+
+    # hash-join fallback: gather each doc's tokens as one list row (the
+    # doc-set table is bounded by the candidate id set after the semi
+    # filter below), then two bounded joins attach both sides.
+    def set_of_doc(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
+            "toks": pa.array([g["tok"].to_pylist()], pa.list_(pa.string())),
+        })
+
+    docsets = toks.groupby("doc_id").map_groups(
+        set_of_doc, batch_format="pyarrow"
+    )
+    sa = docsets.map_batches(
+        lambda b: b.rename_columns(["id_a", "toks_a"]), batch_format="pyarrow"
+    )
+    sb = docsets.map_batches(
+        lambda b: b.rename_columns(["id_b", "toks_b"]), batch_format="pyarrow"
+    )
+    pair_parts = max(1, min(num_partitions, n_pairs // 64))
+    joined = hash_join(
+        hash_join(cand, sa, on="id_a", num_partitions=pair_parts),
+        sb, on="id_b", num_partitions=pair_parts,
+    )
+
+    def score_joined(b: pa.Table) -> pa.Table:
+        return verify_tbl(
+            b["id_a"].to_pylist(),
+            b["id_b"].to_pylist(),
+            [set(x) for x in b["toks_a"].to_pylist()],
+            [set(x) for x in b["toks_b"].to_pylist()],
+        )
+
+    return joined.map_batches(score_joined, batch_format="pyarrow")

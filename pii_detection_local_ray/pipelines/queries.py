@@ -6437,3 +6437,425 @@ def merge_upsert_docs(sf_dir: str):
         plant_deltas, batch_format="pyarrow"
     )
     return upsert_merge(base, deltas, "doc_id", payload, num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# License/boilerplate header detection (north-star heuristic: the
+# QualityBatch license-marker rule surfaced as a per-source report;
+# reference src/consolidate_pii_datasets.py per-source counting shape)
+# ---------------------------------------------------------------------------
+
+_LICENSE_MARKERS = [
+    "apache license",
+    "mit license",
+    "gnu general public license",
+    "bsd license",
+    "mozilla public license",
+    "copyright (c)",
+    "all rights reserved",
+    "spdx-license-identifier",
+]
+
+
+@register(
+    "license_header_docs",
+    "SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN "
+    + " OR ".join(f"contains(head, '{m}')" for m in _LICENSE_MARKERS)
+    + " THEN 1 ELSE 0 END) AS BIGINT) AS n_license "
+    "FROM (SELECT source, lower(substr(text, 1, 400)) AS head "
+    "FROM documents) GROUP BY source",
+)
+def license_header_docs(sf_dir: str):
+    """License/boilerplate-header detection per source: marker substring
+    scan over the first 400 chars (headers live at the top of a file -
+    bounding the scan keeps the kernel O(1) per doc regardless of doc
+    size).  Stateless vectorized map_batches (slice + lower + one
+    match_substring per marker, OR-folded) with per-batch partial
+    counts, so the shuffle carries O(sources) rows per block."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        head = pc.utf8_lower(pc.utf8_slice_codeunits(b["text"], 0, 400))
+        hit = None
+        for mk in _LICENSE_MARKERS:
+            m = pc.match_substring(head, mk)
+            hit = m if hit is None else pc.or_(hit, m)
+        t = pa.table(
+            {"source": b["source"], "lic": pc.cast(hit, pa.int64())}
+        )
+        g = t.group_by("source").aggregate([("lic", "sum"), ([], "count_all")])
+        return g.rename_columns(["source", "nl", "nd"])
+
+    return (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=8)
+        .aggregate(
+            Sum("nd", alias_name="n_docs"), Sum("nl", alias_name="n_license")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decorrelated correlated subquery: orders above their customer's average
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_above_customer_avg",
+    "WITH price AS (SELECT o_custkey, "
+    "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+    "c AS (SELECT o_custkey, count(*) AS cnt, "
+    "  CAST(sum(cents) AS BIGINT) AS sum_cents FROM price GROUP BY o_custkey) "
+    "SELECT p.o_custkey, count(*) AS n_above "
+    "FROM price p JOIN c USING (o_custkey) "
+    "WHERE p.cents * c.cnt > c.sum_cents GROUP BY p.o_custkey",
+)
+def orders_above_customer_avg(sf_dir: str):
+    """Correlated-subquery decorrelation (WHERE price > AVG(price) of the
+    same customer): the textbook rewrite - aggregate once per key, join
+    back, filter.  The avg compare is integer-exact (cents * cnt >
+    sum_cents avoids float division on both sides); multiply_checked
+    raises on int64 overflow exactly where DuckDB's BIGINT would.  The
+    join's build side is the per-customer aggregate (dimension-bounded),
+    the fact side streams through the hash exchange."""
+    from ..functions.joins import hash_join, pin_schema
+
+    def cents_tbl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+            ),
+        })
+
+    price = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(cents_tbl, batch_format="pyarrow")
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("o_custkey").aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["o_custkey", "s", "n"])
+
+    stats = pin_schema(
+        price.map_batches(agg_partial, batch_format="pyarrow")
+        .groupby("o_custkey", num_partitions=16)
+        .aggregate(Sum("s", alias_name="sum_cents"), Sum("n", alias_name="cnt"))
+        .map_batches(
+            lambda b: b.rename_columns(
+                ["custkey_r", "sum_cents", "cnt"]
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([
+            ("custkey_r", pa.int64()),
+            ("sum_cents", pa.int64()),
+            ("cnt", pa.int64()),
+        ]),
+    )
+
+    joined = hash_join(
+        price, stats, on="o_custkey", right_on="custkey_r",
+        join_type="inner", num_partitions=16,
+    )
+
+    def above_partial(b: pa.Table) -> pa.Table:
+        lhs = pc.multiply_checked(b["cents"], b["cnt"])
+        kept = b.filter(pc.greater(lhs, b["sum_cents"]))
+        g = (
+            kept.select(["o_custkey"])
+            .group_by("o_custkey")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["o_custkey", "na"])
+
+    return (
+        joined.map_batches(above_partial, batch_format="pyarrow")
+        .groupby("o_custkey", num_partitions=16)
+        .aggregate(Sum("na", alias_name="n_above"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode (most frequent value per key) with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+@register(
+    "mode_event_per_user",
+    "SELECT user_id, event_type AS mode_event, cnt FROM ("
+    "  SELECT user_id, event_type, count(*) AS cnt, "
+    "    row_number() OVER (PARTITION BY user_id "
+    "      ORDER BY count(*) DESC, event_type) AS rn "
+    "  FROM events GROUP BY user_id, event_type"
+    ") WHERE rn = 1",
+)
+def mode_event_per_user(sf_dir: str):
+    """Grouped MODE(): per-batch (user, type) partial counts collapse the
+    fact stream before the exchange, a two-key groupby sums them, then a
+    per-user argmax (count desc, lexical type asc tie-break) picks the
+    mode.  The second groupby runs over the collapsed counts table
+    (|users| x |types| worst case), never raw events."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    counts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"], num_partitions=16)
+        .aggregate(Sum("n", alias_name="cnt"))
+    )
+
+    def pick_mode(g: pa.Table) -> pa.Table:
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        types = np.array(g["event_type"].to_pylist())
+        order = np.lexsort((types, -cnt))
+        i = int(order[0])
+        return pa.table({
+            "user_id": g["user_id"].slice(i, 1),
+            "mode_event": pa.array([str(types[i])], pa.string()),
+            "cnt": pa.array([int(cnt[i])], pa.int64()),
+        })
+
+    return counts.groupby("user_id").map_groups(
+        pick_mode, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-level C4 cleaning (Raffel et al. 2020 line rules: terminal
+# punctuation, >=5 words, no code/boilerplate markers) - the doc-level
+# C4 filter's sibling, applied per line with the cleaned text hashed so
+# the oracle checks the actual reconstruction, not just counts.
+# ---------------------------------------------------------------------------
+
+_C4_LINE_SQL = (
+    "len(string_split(trim(l, ' '), ' ')) >= 5"
+    " AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'"
+    "   OR l LIKE '%\"' OR l LIKE '%''')"
+    " AND NOT contains(lower(l), 'javascript')"
+    " AND NOT contains(lower(l), 'lorem ipsum')"
+    " AND NOT contains(lower(l), 'cookie')"
+    " AND NOT contains(l, '{')"
+)
+
+
+# The synthetic docs are single-line with no terminal punctuation, so
+# both sides plant the same deterministic multi-line structure: the raw
+# text line (dropped: no punctuation), a doc_id-keyed keeper, a cookie
+# line, a too-short line, and a keeper carrying the doc's first 40 chars
+# (so clean_md5 actually depends on corpus content).
+_C4_PLANT_SQL = (
+    "text || chr(10) || 'Document ' || CAST(doc_id AS VARCHAR)"
+    " || ' keeps this long line.' || chr(10)"
+    " || 'cookie banner boilerplate to drop here.' || chr(10)"
+    " || 'too short.' || chr(10)"
+    " || substr(text, 1, 40) || ' tail words appended to qualify.'"
+)
+
+
+@register(
+    "c4_line_filter_docs",
+    "SELECT doc_id, "
+    "CAST(len(string_split(t2, chr(10))) AS BIGINT) AS n_lines, "
+    "CAST(len(kept) AS BIGINT) AS n_kept, "
+    "md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5, "
+    "CAST(length(coalesce(array_to_string(kept, chr(10)), '')) AS BIGINT)"
+    " AS clean_chars "
+    "FROM (SELECT doc_id, t2, list_filter(string_split(t2, chr(10)), "
+    f"l -> {_C4_LINE_SQL}) AS kept "
+    f"FROM (SELECT doc_id, {_C4_PLANT_SQL} AS t2 FROM documents))",
+)
+def c4_line_filter_docs(sf_dir: str):
+    """C4's LINE-level cleaning pass: keep lines with >=5 words ending in
+    terminal punctuation and free of code/boilerplate markers, rebuild
+    the doc, return count + md5 evidence of the exact reconstruction.
+    Zero-shuffle: one stateless map_batches where every per-line
+    predicate is an Arrow kernel over the flattened line array (split ->
+    list_flatten -> vectorized masks); only the final per-doc string
+    join and md5 touch Python, which the digest inherently requires."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        t2 = [
+            f"{t}\nDocument {d} keeps this long line.\n"
+            "cookie banner boilerplate to drop here.\ntoo short.\n"
+            f"{t[:40]} tail words appended to qualify."
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(t2, pa.string())})
+
+    def clean(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b["text"], pattern="\n")
+        flat = pc.list_flatten(lists)
+        nlines = (
+            pc.list_value_length(lists)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        trimmed = pc.utf8_trim(flat, " ")
+        ok = pc.greater_equal(pc.add(pc.count_substring(trimmed, " "), 1), 5)
+        ends = None
+        for p in (".", "!", "?", '"', "'"):
+            e = pc.ends_with(flat, pattern=p)
+            ends = e if ends is None else pc.or_(ends, e)
+        ok = pc.and_(ok, ends)
+        low = pc.utf8_lower(flat)
+        for bad in ("javascript", "lorem ipsum", "cookie"):
+            ok = pc.and_(ok, pc.invert(pc.match_substring(low, bad)))
+        ok = pc.and_(ok, pc.invert(pc.match_substring(flat, "{")))
+        mask = ok.to_numpy(zero_copy_only=False)
+        lines = flat.to_pylist()
+        md5s, n_kept, n_chars = [], [], []
+        pos = 0
+        for n in nlines:
+            kept = [lines[pos + j] for j in range(n) if mask[pos + j]]
+            cleaned = "\n".join(kept)
+            n_kept.append(len(kept))
+            md5s.append(hashlib.md5(cleaned.encode("utf-8")).hexdigest())
+            n_chars.append(len(cleaned))
+            pos += n
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_lines": pa.array(nlines),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "clean_md5": pa.array(md5s, pa.string()),
+            "clean_chars": pa.array(n_chars, pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(clean, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE window over a LOW-cardinality partition key - distributed exact
+# rank via the two-level scan (functions/ranks.py), never a per-group sort
+# ---------------------------------------------------------------------------
+
+@register(
+    "ntile_value_quartiles",
+    "SELECT event_type, q, count(*) AS n, "
+    "CAST(sum(cents) AS BIGINT) AS sum_cents FROM ("
+    "  SELECT event_type, cents, ntile(4) OVER ("
+    "    PARTITION BY event_type ORDER BY cents, event_id) AS q "
+    "  FROM (SELECT event_type, event_id, "
+    "    CAST(round(value * 100) AS BIGINT) AS cents FROM events)"
+    ") GROUP BY event_type, q",
+)
+def ntile_value_quartiles(sf_dir: str):
+    """NTILE(4) partitioned by event_type: the partition key is
+    low-cardinality, so a per-group map_groups sort would materialize a
+    fifth of the corpus per group.  functions/ranks.ntile_over_groups
+    computes the exact global rank with the two-level value-bucketed
+    scan instead (one bucket-count exchange + broadcast offsets), then
+    per-batch partials collapse to the (type, quartile) report."""
+    from ..functions.ranks import ntile_over_groups
+
+    def cents_tbl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    ).map_batches(cents_tbl, batch_format="pyarrow")
+
+    ranked = ntile_over_groups(
+        ev, group_col="event_type", order_col="cents", tie_col="event_id", k=4
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["event_type", "q", "cents"])
+            .group_by(["event_type", "q"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "q", "s", "c"])
+
+    return (
+        ranked.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "q"], num_partitions=8)
+        .aggregate(Sum("c", alias_name="n"), Sum("s", alias_name="sum_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (AllPairs/PPJoin) -
+# functions/setjoin.py; the deterministic counterpart of MinHash+LSH
+# ---------------------------------------------------------------------------
+
+@register(
+    "setjoin_near_dups",
+    # brute-force oracle: distinct word-trigram shingles per doc over
+    # the planted corpus, exact pair intersections, integer threshold
+    # test 2*ix >= un  <=>  Jaccard >= 1/2
+    "WITH allv AS ("
+    "  SELECT doc_id, text FROM documents"
+    "  UNION ALL"
+    "  SELECT doc_id + 1000000 AS doc_id,"
+    "    substr(text, 1, length(text) * 4 // 5) AS text"
+    "  FROM documents WHERE doc_id % 25 = 0"
+    "), toks AS ("
+    "  SELECT DISTINCT doc_id, tok FROM ("
+    "    SELECT doc_id, unnest(list_transform("
+    "      generate_series(1, len(w) - 2),"
+    "      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok"
+    "    FROM (SELECT doc_id, list_filter(regexp_split_to_array("
+    "      lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w FROM allv))"
+    "), sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),"
+    "inter AS ("
+    "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix"
+    "  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id"
+    "  GROUP BY 1, 2) "
+    "SELECT id_a, id_b, ix, sa.sz + sb.sz - ix AS un "
+    "FROM inter "
+    "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+    "WHERE 2 * ix >= sa.sz + sb.sz - ix",
+)
+def setjoin_near_dups(sf_dir: str):
+    """EXACT Jaccard >= 0.5 set-similarity self-join (prefix filtering,
+    functions/setjoin.ppjoin_pairs): guaranteed-complete near-dup pairs,
+    the deterministic sibling of minhash_near_dups.  Same 80%-prefix
+    planting as jaccard_near_dups so the answer set is non-trivial."""
+    from ..functions.setjoin import ppjoin_pairs
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        dup = b.filter(pa.array(ids % 25 == 0))
+        texts = dup["text"].to_pylist()
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(dup["doc_id"], 1_000_000),
+        )
+        dup = dup.set_column(
+            dup.schema.get_field_index("text"), "text",
+            pa.array([t[: len(t) * 4 // 5] for t in texts], pa.string()),
+        )
+        return pa.concat_tables([b, dup])
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    pairs = ppjoin_pairs(planted, threshold_p=1, threshold_q=2, shingle_w=3)
+    return _schema_safe(
+        pairs,
+        pa.schema([
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("ix", pa.int64()),
+            ("un", pa.int64()),
+        ]),
+    )

@@ -1,0 +1,51 @@
+"""ntile_over_groups: exact vs DuckDB's ntile() window on random data
+with ties, across block layouts (partition-count invariance)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.ranks import (
+    _ntile_of_rank,
+    ntile_over_groups,
+)
+
+
+def test_ntile_of_rank_ansi_sizes():
+    # n=10, k=4 -> tile sizes 3,3,2,2
+    q = _ntile_of_rank(np.arange(1, 11), 10, 4)
+    assert list(q) == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # n < k: one row per tile, tiles 1..n
+    assert list(_ntile_of_rank(np.arange(1, 4), 3, 4)) == [1, 2, 3]
+    # exact multiple
+    assert list(_ntile_of_rank(np.arange(1, 9), 8, 4)) == [1, 1, 2, 2, 3, 3, 4, 4]
+
+
+@pytest.mark.parametrize("nblocks", [1, 3, 8])
+@pytest.mark.parametrize("seed", [0, 7])
+def test_ntile_matches_duckdb(ray_session, nblocks, seed):
+    rng = np.random.RandomState(seed)
+    n = 500
+    tbl = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], size=n)),
+        "v": pa.array(rng.randint(0, 40, size=n), pa.int64()),  # heavy ties
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(nblocks)
+    got = (
+        ntile_over_groups(ds, "g", "v", "id", k=4, target_buckets=8)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT id, ntile(4) OVER (PARTITION BY g ORDER BY v, id) AS q "
+            "FROM tbl ORDER BY id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert list(got["q"]) == list(want["q"])

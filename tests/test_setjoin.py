@@ -1,0 +1,85 @@
+"""ppjoin_pairs: the prefix filter must be COMPLETE (every pair with
+Jaccard >= t surfaces) and the verify exact, vs a brute-force reference
+over random corpora with planted near-dups, across block layouts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.setjoin import (
+    _WORD_RE,
+    doc_token_sets,
+    ppjoin_pairs,
+)
+
+
+def _brute_pairs(docs: dict, w: int = 3, p: int = 1, q: int = 2):
+    sets = {}
+    for i, t in docs.items():
+        ws = _WORD_RE.findall(t.lower())
+        s = {" ".join(ws[j : j + w]) for j in range(len(ws) - w + 1)}
+        if s:
+            sets[i] = s
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ix = len(sets[a] & sets[b])
+            un = len(sets[a] | sets[b])
+            if ix * q >= un * p:
+                out.add((a, b, ix, un))
+    return out
+
+
+def _mk_corpus(seed: int, n: int = 60) -> dict:
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{k}" for k in range(25)]
+    docs = {}
+    for i in range(n):
+        words = rng.choice(vocab, size=rng.randint(10, 40))
+        docs[i] = " ".join(words)
+    # planted 75%-prefix truncations: guaranteed above-threshold pairs
+    for i in range(0, n, 10):
+        t = docs[i]
+        docs[1000 + i] = t[: len(t) * 3 // 4]
+    return docs
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+@pytest.mark.parametrize("seed", [0, 3, 11])
+def test_ppjoin_complete_and_exact(ray_session, nblocks, seed):
+    docs = _mk_corpus(seed)
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(nblocks)
+    got = {
+        (r["id_a"], r["id_b"], r["ix"], r["un"])
+        for r in ppjoin_pairs(ds).take_all()
+    }
+    want = _brute_pairs(docs)
+    assert got == want
+    assert len(want) >= 6  # the planting actually produced pairs
+
+
+def test_ppjoin_empty_corpus_returns_typed_empty(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["ab"], pa.string())})
+    )
+    out = ppjoin_pairs(ds)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"id_a", "id_b", "ix", "un"}
+
+
+def test_token_sets_distinct_per_doc(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["a b c a b c a b c"], pa.string())})
+    )
+    rows = doc_token_sets(ds).take_all()
+    toks = sorted(r["tok"] for r in rows)
+    assert toks == ["a b c", "b c a", "c a b"]
