@@ -141,3 +141,156 @@ def triangle_count(
     sums = joined.map_batches(count_partial, batch_format="pyarrow").sum("n")
     total = int(sums) if sums is not None else 0
     return pa.table({"n_triangles": pa.array([total], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg 1999) hub/authority scores - integer fixed-point with
+# per-round max-normalization, the link-analysis sibling of
+# functions/pagerank.py and the same hybrid driver/distributed shape.
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 10**8
+
+
+def hits_fixed(
+    edges: ray.data.Dataset,
+    iters: int = 2,
+    driver_threshold: int = 100_000,
+) -> ray.data.Dataset:
+    """(node, hub_fixed, auth_fixed) after ``iters`` integer HITS rounds.
+
+    Pure int64 arithmetic, mirrored by an unrolled SQL recursion:
+
+        h0[u]  = SCALE
+        ak[v]  = sum over u->v of h{k-1}[u], then ak = ak*SCALE // max(ak)
+        hk[u]  = sum over u->v of ak[v],     then hk = hk*SCALE // max(hk)
+
+    Max-normalization (not L2) keeps everything integral; scores are
+    ORDER-correct, which is what a quality gate consumes.  The raw sum
+    times SCALE must stay inside int64 - the guard raises at 2^62
+    (max in-degree ~4.6e10/SCALE); rescale SCALE down for denser graphs.
+
+    Hybrid like pagerank_fixed: graphs under ``driver_threshold`` edges
+    run the identical recurrence in numpy on the driver; beyond it each
+    half-round is one hash-join of the score table onto the edge list
+    plus one groupby sum and a max aggregate - O(E) exchange rows."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Sum
+
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "hub_fixed": pa.array([], pa.int64()),
+            "auth_fixed": pa.array([], pa.int64()),
+        }))
+
+    def _norm_guard(mx: int) -> None:
+        if mx * HITS_SCALE >= (1 << 62):
+            raise ValueError(
+                f"HITS sum {mx} * SCALE risks int64 overflow; lower "
+                "HITS_SCALE for this graph density"
+            )
+
+    if n_edges <= driver_threshold:
+        rows = edges.take_all()
+        src = np.array([r["src"] for r in rows], dtype=np.int64)
+        dst = np.array([r["dst"] for r in rows], dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        si, di = inv[: len(src)], inv[len(src):]
+        h = np.full(len(nodes), HITS_SCALE, dtype=np.int64)
+        a = np.zeros(len(nodes), dtype=np.int64)
+        for _ in range(iters):
+            a = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(a, di, h[si])
+            _norm_guard(int(a.max()))
+            a = (a * HITS_SCALE) // max(int(a.max()), 1)
+            h = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(h, si, a[di])
+            _norm_guard(int(h.max()))
+            h = (h * HITS_SCALE) // max(int(h.max()), 1)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "hub_fixed": pa.array(h, pa.int64()),
+            "auth_fixed": pa.array(a, pa.int64()),
+        }))
+
+    n_parts = max(1, min(8, n_edges // 64))
+
+    nodes = (
+        edges.map_batches(
+            lambda b: pa.table({"node": b["src"]}), batch_format="pyarrow"
+        )
+        .union(
+            edges.map_batches(
+                lambda b: pa.table({"node": b["dst"]}), batch_format="pyarrow"
+            )
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["node"])
+        .materialize()
+    )
+
+    def const_scores(val: int):
+        def mk(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["node"],
+                "s": pa.array([val] * b.num_rows, pa.int64()),
+            })
+        return mk
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"],
+            "inc": pa.array([0] * b.num_rows, pa.int64()),
+        })
+
+    def half_round(scores, join_key: str, emit_key: str):
+        """sum scores over edges (scores joined on join_key, emitted at
+        emit_key), normalized to max = SCALE."""
+        joined = edges.join(
+            scores.rename_columns({"node": join_key, "s": "sv"}),
+            join_type="inner", num_partitions=n_parts,
+            on=(join_key,), right_on=(join_key,),
+        )
+        raw = (
+            joined.map_batches(
+                lambda b: pa.table({"node": b[emit_key], "inc": b["sv"]}),
+                batch_format="pyarrow",
+            )
+            .union(nodes.map_batches(zeros, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Sum("inc", alias_name="s"))
+            .materialize()
+        )
+        mx = int(raw.aggregate(Max("s"))["max(s)"])
+        _norm_guard(mx)
+        mx = max(mx, 1)
+        return raw.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "s": pc.cast(
+                    pc.divide(pc.multiply_checked(b["s"], HITS_SCALE), mx),
+                    pa.int64(),
+                ),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+
+    h = nodes.map_batches(
+        const_scores(HITS_SCALE), batch_format="pyarrow"
+    ).materialize()
+    a = None
+    for _ in range(iters):
+        a = half_round(h, join_key="src", emit_key="dst")
+        h = half_round(a, join_key="dst", emit_key="src")
+
+    merged = hash_join(
+        h.rename_columns({"s": "hub_fixed"}),
+        a.rename_columns({"node": "node_r", "s": "auth_fixed"}),
+        on="node", right_on="node_r",
+        num_partitions=max(1, min(8, nodes.count() // 64)),
+    )
+    return merged.select_columns(["node", "hub_fixed", "auth_fixed"])

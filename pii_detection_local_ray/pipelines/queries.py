@@ -19,6 +19,7 @@ import re
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -6859,3 +6860,188 @@ def setjoin_near_dups(sf_dir: str):
             ("un", pa.int64()),
         ]),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hub/authority link analysis (functions/graph.hits_fixed) - the
+# iterative-graph sibling of host_pagerank, same planted 20-host graph
+# ---------------------------------------------------------------------------
+
+def _hits_sql() -> str:
+    from ..functions.graph import HITS_SCALE as S
+
+    parts = [
+        "WITH e AS (SELECT DISTINCT doc_id % 20 AS src, "
+        "(doc_id // 20) % 20 AS dst FROM documents), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+        f"h0 AS (SELECT node, CAST({S} AS BIGINT) AS s FROM nodes)"
+    ]
+    for k in (1, 2):
+        p = k - 1
+        parts.append(
+            f", ra{k} AS (SELECT e.dst AS node, SUM(h{p}.s) AS s FROM e "
+            f"JOIN h{p} ON h{p}.node = e.src GROUP BY e.dst)"
+            f", ma{k} AS (SELECT max(s) AS m FROM ra{k})"
+            f", a{k} AS (SELECT n.node, CAST((coalesce(ra{k}.s, 0) * {S}) "
+            f"// ma{k}.m AS BIGINT) AS s FROM nodes n "
+            f"LEFT JOIN ra{k} ON ra{k}.node = n.node CROSS JOIN ma{k})"
+            f", rh{k} AS (SELECT e.src AS node, SUM(a{k}.s) AS s FROM e "
+            f"JOIN a{k} ON a{k}.node = e.dst GROUP BY e.src)"
+            f", mh{k} AS (SELECT max(s) AS m FROM rh{k})"
+            f", h{k} AS (SELECT n.node, CAST((coalesce(rh{k}.s, 0) * {S}) "
+            f"// mh{k}.m AS BIGINT) AS s FROM nodes n "
+            f"LEFT JOIN rh{k} ON rh{k}.node = n.node CROSS JOIN mh{k})"
+        )
+    parts.append(
+        " SELECT h2.node, h2.s AS hub_fixed, a2.s AS auth_fixed "
+        "FROM h2 JOIN a2 ON a2.node = h2.node"
+    )
+    return "".join(parts)
+
+
+@register("host_hits_scores", _hits_sql())
+def host_hits_scores(sf_dir: str):
+    """Integer fixed-point HITS (Kleinberg hubs/authorities,
+    functions/graph.hits_fixed) over the same planted 20-host link graph
+    as host_pagerank, hash-exact against the unrolled pure-integer SQL
+    recursion with per-round max-normalization."""
+    from ..functions.graph import hits_fixed
+
+    def plant_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(ids % 20, pa.int64()),
+            "dst": pa.array((ids // 20) % 20, pa.int64()),
+        })
+
+    edges = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant_edges, batch_format="pyarrow")
+        # 20x20 key space: size the exchange to the dimension
+        .groupby(["src", "dst"], num_partitions=8)
+        .count()
+        .select_columns(["src", "dst"])
+    )
+    return hits_fixed(edges, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period analytics: month-over-month revenue growth
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_mom_growth",
+    "SELECT ym, rev_cents, prev_cents, "
+    "CAST(rev_cents - prev_cents AS DOUBLE) / prev_cents AS growth FROM ("
+    "  SELECT ym, rev_cents, lag(rev_cents) OVER (ORDER BY ym) AS prev_cents "
+    "  FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) * 100 "
+    "      + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym, "
+    "    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "      AS rev_cents FROM orders GROUP BY ym)"
+    ") WHERE prev_cents IS NOT NULL",
+)
+def orders_mom_growth(sf_dir: str):
+    """Month-over-month revenue growth: the fact stream collapses to a
+    month dimension (per-batch partials + one small groupby), then the
+    LAG + ratio run over the dimension-bounded month table - the growth
+    double is a single exact division of int64 cents on both sides."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = pc.year(b["o_orderdate"])
+        m = pc.month(b["o_orderdate"])
+        t = pa.table({
+            "ym": pc.cast(
+                pc.add(pc.multiply(pc.cast(y, pa.int64()), 100), m), pa.int64()
+            ),
+            "cents": pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+            ),
+        })
+        g = t.group_by("ym").aggregate([("cents", "sum")])
+        return g.rename_columns(["ym", "c"])
+
+    months = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ym", num_partitions=8)
+        .aggregate(Sum("c", alias_name="rev_cents"))
+        .take_all()  # dimension-bounded: one row per month
+    )
+    months.sort(key=lambda r: r["ym"])
+    ym = np.array([r["ym"] for r in months], dtype=np.int64)
+    rev = np.array([r["rev_cents"] for r in months], dtype=np.int64)
+    if len(ym) < 2:
+        return pa.table({
+            "ym": pa.array([], pa.int64()),
+            "rev_cents": pa.array([], pa.int64()),
+            "prev_cents": pa.array([], pa.int64()),
+            "growth": pa.array([], pa.float64()),
+        })
+    return pa.table({
+        "ym": pa.array(ym[1:]),
+        "rev_cents": pa.array(rev[1:]),
+        "prev_cents": pa.array(rev[:-1]),
+        "growth": pa.array(
+            (rev[1:] - rev[:-1]).astype(np.float64) / rev[:-1], pa.float64()
+        ),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: market-segment share of total revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "segment_revenue_share",
+    "WITH seg AS (SELECT c.c_mktsegment AS segment, "
+    "  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "    AS seg_cents "
+    "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "  GROUP BY c.c_mktsegment) "
+    "SELECT segment, seg_cents, "
+    "CAST(seg_cents AS DOUBLE) / (SELECT sum(seg_cents) FROM seg) AS share "
+    "FROM seg",
+)
+def segment_revenue_share(sf_dir: str):
+    """Ratio-to-report window (share of total): customer dimension
+    broadcast once onto the orders scan (functions/joins lookup pattern),
+    per-batch partial sums, one segment-bounded groupby; the share is a
+    single exact double division of int64 totals computed AFTER the
+    combine, never a float running sum."""
+    from ..functions.joins import broadcast_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    with_seg = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "segment": b["c_mktsegment"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+            ),
+        })
+        g = t.group_by("segment").aggregate([("cents", "sum")])
+        return g.rename_columns(["segment", "c"])
+
+    seg = (
+        with_seg.map_batches(partial, batch_format="pyarrow")
+        .groupby("segment", num_partitions=4)
+        .aggregate(Sum("c", alias_name="seg_cents"))
+        .take_all()  # segment-bounded (5 rows)
+    )
+    total = sum(int(r["seg_cents"]) for r in seg)
+    return pa.table({
+        "segment": pa.array([r["segment"] for r in seg], pa.string()),
+        "seg_cents": pa.array([int(r["seg_cents"]) for r in seg], pa.int64()),
+        "share": pa.array(
+            [int(r["seg_cents"]) / total for r in seg], pa.float64()
+        ),
+    })

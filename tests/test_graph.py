@@ -145,3 +145,46 @@ def test_upsert_merge_empty_deltas(ray_session):
     )
     assert list(got["doc_id"]) == [1, 2]
     assert list(got["text"]) == ["a", "b"]
+
+
+def test_hits_distributed_matches_driver_path(ray_session):
+    """hits_fixed: the join+groupby rounds must be bit-identical to the
+    numpy driver recurrence on the same random graph."""
+    import numpy as np
+
+    from pii_detection_local_ray.functions.graph import hits_fixed
+
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 30, size=200).astype(np.int64)
+    dst = rng.randint(0, 30, size=200).astype(np.int64)
+    # distinct edges, as the contract requires
+    import pandas as pd
+
+    e = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    dse = ray.data.from_arrow(
+        pa.table({"src": pa.array(e["src"].to_numpy()),
+                  "dst": pa.array(e["dst"].to_numpy())})
+    ).repartition(4)
+
+    drv = {
+        r["node"]: (r["hub_fixed"], r["auth_fixed"])
+        for r in hits_fixed(dse, iters=2, driver_threshold=10**9).take_all()
+    }
+    dist = {
+        r["node"]: (r["hub_fixed"], r["auth_fixed"])
+        for r in hits_fixed(dse, iters=2, driver_threshold=0).take_all()
+    }
+    assert drv == dist
+    assert len(drv) == 30
+
+
+def test_hits_empty_graph(ray_session):
+    from pii_detection_local_ray.functions.graph import hits_fixed
+
+    dse = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    )
+    out = hits_fixed(dse)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "hub_fixed", "auth_fixed"}
