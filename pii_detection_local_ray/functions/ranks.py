@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _ntile_of_rank(ranks: np.ndarray, n: int, k: int) -> np.ndarray:
@@ -64,7 +64,7 @@ def ntile_over_groups(
     registry carries money as exact cents for this reason); ``tie_col``
     must be unique within a group for a deterministic total order."""
     stats = (
-        ds.groupby(group_col)
+        ds.groupby(group_col, num_partitions=4)
         .aggregate(
             Min(order_col, alias_name="lo"),
             Max(order_col, alias_name="hi"),
@@ -94,7 +94,7 @@ def ntile_over_groups(
     t = ds.map_batches(add_bucket, batch_format="pyarrow")
 
     counts = (
-        t.groupby([group_col, "bucket"])
+        t.groupby([group_col, "bucket"], num_partitions=8)
         .aggregate(Count(alias_name="bn"))
         .take_all()
     )
@@ -124,6 +124,132 @@ def ntile_over_groups(
         out = g.drop_columns(["bucket"])
         return out.append_column("q", pa.array(_ntile_of_rank(ranks, n, k)))
 
-    return t.groupby([group_col, "bucket"]).map_groups(
+    return t.groupby([group_col, "bucket"], num_partitions=16).map_groups(
+        rank_bucket, batch_format="pyarrow"
+    )
+
+
+def rank_windows_over_groups(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    target_buckets: int = 64,
+    max_buckets: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Adds RANK / DENSE_RANK / PERCENT_RANK columns (``rnk``, ``drnk``,
+    ``prank``) for the window PARTITION BY group_col ORDER BY order_col,
+    with ANSI tie semantics (ties share the min rank; percent_rank =
+    (rank-1)/(n-1), 0.0 for a single-row partition).
+
+    Same two-level scan as ntile_over_groups, with a second
+    dimension-bounded exchange counting DISTINCT order values per
+    bucket so dense ranks get exact cross-bucket offsets.  Equal values
+    always land in the same bucket (bucket is a function of the value),
+    so tie groups never straddle a bucket boundary."""
+    stats = (
+        ds.groupby(group_col, num_partitions=4)
+        .aggregate(
+            Min(order_col, alias_name="lo"),
+            Max(order_col, alias_name="hi"),
+            Count(alias_name="n"),
+        )
+        .take_all()
+    )
+    widths: dict = {}
+    totals: dict = {}
+    for r in stats:
+        g = r[group_col]
+        lo, hi, n = int(r["lo"]), int(r["hi"]), int(r["n"])
+        widths[g] = (lo, max(1, (hi - lo + 1) // target_buckets))
+        totals[g] = n
+    widths_ref = ray.put(widths)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        w = ray.get(widths_ref)
+        groups = b[group_col].to_pylist()
+        vals = b[order_col].to_numpy(zero_copy_only=False)
+        bk = np.empty(len(groups), dtype=np.int64)
+        for i, g in enumerate(groups):
+            lo, width = w[g]
+            bk[i] = (vals[i] - lo) // width
+        return b.append_column("bucket", pa.array(bk))
+
+    t = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    rows = (
+        t.groupby([group_col, "bucket"], num_partitions=8)
+        .aggregate(Count(alias_name="bn"))
+        .take_all()
+    )
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"{len(rows)} scan buckets exceeds max_buckets={max_buckets}"
+        )
+
+    # distinct order values per bucket: batch-local dedup partials, one
+    # exchange over distinct (group, bucket, value) triples, then a
+    # bucket-bounded count
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select([group_col, "bucket", order_col])
+            .group_by([group_col, "bucket", order_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.select([group_col, "bucket", order_col])
+
+    dvals = (
+        t.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby([group_col, "bucket", order_col], num_partitions=16)
+        .count()
+        .map_batches(
+            lambda b: (
+                b.select([group_col, "bucket"])
+                .group_by([group_col, "bucket"])
+                .aggregate([([], "count_all")])
+                .rename_columns([group_col, "bucket", "dv"])
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby([group_col, "bucket"], num_partitions=8)
+        .aggregate(Sum("dv", alias_name="dv"))
+        .take_all()
+    )
+
+    row_off: dict = {}
+    acc_r: dict = {}
+    for r in sorted(rows, key=lambda r: (str(r[group_col]), r["bucket"])):
+        g = r[group_col]
+        row_off[(g, int(r["bucket"]))] = acc_r.get(g, 0)
+        acc_r[g] = acc_r.get(g, 0) + int(r["bn"])
+    dv_off: dict = {}
+    acc_d: dict = {}
+    for r in sorted(dvals, key=lambda r: (str(r[group_col]), r["bucket"])):
+        g = r[group_col]
+        dv_off[(g, int(r["bucket"]))] = acc_d.get(g, 0)
+        acc_d[g] = acc_d.get(g, 0) + int(r["dv"])
+    row_ref = ray.put(row_off)
+    dv_ref = ray.put(dv_off)
+    tot_ref = ray.put(totals)
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        key = g[group_col][0].as_py()
+        bk = int(g["bucket"][0].as_py())
+        r_off = ray.get(row_ref)[(key, bk)]
+        d_off = ray.get(dv_ref)[(key, bk)]
+        n = ray.get(tot_ref)[key]
+        vals = g[order_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        counts = np.bincount(inv)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        rnk = r_off + starts[inv] + 1
+        drnk = d_off + inv + 1
+        denom = max(n - 1, 1)
+        prank = (rnk - 1).astype(np.float64) / denom
+        out = g.drop_columns(["bucket"])
+        out = out.append_column("rnk", pa.array(rnk, pa.int64()))
+        out = out.append_column("drnk", pa.array(drnk, pa.int64()))
+        return out.append_column("prank", pa.array(prank, pa.float64()))
+
+    return t.groupby([group_col, "bucket"], num_partitions=16).map_groups(
         rank_bucket, batch_format="pyarrow"
     )

@@ -7045,3 +7045,47 @@ def segment_revenue_share(sf_dir: str):
             [int(r["seg_cents"]) / total for r in seg], pa.float64()
         ),
     })
+
+
+# ---------------------------------------------------------------------------
+# RANK / DENSE_RANK / PERCENT_RANK over a low-cardinality window key
+# (functions/ranks.rank_windows_over_groups) - ANSI tie semantics
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_rank_windows",
+    "SELECT event_type, event_id, cents, rnk, drnk, prank FROM ("
+    "  SELECT event_type, event_id, cents, "
+    "    rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+    "    percent_rank() OVER w AS prank "
+    "  FROM (SELECT event_type, event_id, "
+    "    CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+    "  WINDOW w AS (PARTITION BY event_type ORDER BY cents)"
+    ") WHERE rnk <= 20",
+)
+def value_rank_windows(sf_dir: str):
+    """RANK (ties share min rank), DENSE_RANK and PERCENT_RANK over
+    PARTITION BY event_type ORDER BY cents, via the two-level scan plus
+    a distinct-values-per-bucket exchange (functions/ranks.py) - no
+    per-group materialization despite the 5-value partition key.  Top-20
+    ranks per type keep the driver result bounded."""
+    from ..functions.ranks import rank_windows_over_groups
+
+    def cents_tbl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    ).map_batches(cents_tbl, batch_format="pyarrow")
+
+    ranked = rank_windows_over_groups(
+        ev, group_col="event_type", order_col="cents"
+    )
+    return ranked.map_batches(
+        lambda b: b.filter(pc.less_equal(b["rnk"], 20)),
+        batch_format="pyarrow",
+    )

@@ -49,3 +49,36 @@ def test_ntile_matches_duckdb(ray_session, nblocks, seed):
         .reset_index(drop=True)
     )
     assert list(got["q"]) == list(want["q"])
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+@pytest.mark.parametrize("seed", [1, 9])
+def test_rank_windows_match_duckdb(ray_session, nblocks, seed):
+    from pii_detection_local_ray.functions.ranks import rank_windows_over_groups
+
+    rng = np.random.RandomState(seed)
+    n = 400
+    tbl = pa.table({
+        "g": pa.array(rng.choice(["x", "y"], size=n)),
+        "v": pa.array(rng.randint(0, 25, size=n), pa.int64()),  # heavy ties
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(nblocks)
+    got = (
+        rank_windows_over_groups(ds, "g", "v", target_buckets=6)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT id, rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+            "percent_rank() OVER w AS prank FROM tbl "
+            "WINDOW w AS (PARTITION BY g ORDER BY v) ORDER BY id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert list(got["rnk"]) == list(want["rnk"])
+    assert list(got["drnk"]) == list(want["drnk"])
+    assert list(got["prank"]) == list(want["prank"])
