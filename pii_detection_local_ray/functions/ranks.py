@@ -253,3 +253,115 @@ def rank_windows_over_groups(
     return t.groupby([group_col, "bucket"], num_partitions=16).map_groups(
         rank_bucket, batch_format="pyarrow"
     )
+
+
+def row_number_over_groups(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    target_buckets: int = 64,
+    max_buckets: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Adds an int64 ``rn`` column = row_number() OVER (PARTITION BY
+    group_col ORDER BY order_col, tie_col) - the raw global-rank
+    primitive behind ntile_over_groups, exposed for exact distributed
+    selection (k-th element / median / MAD) without a per-group sort."""
+    stats = (
+        ds.groupby(group_col, num_partitions=4)
+        .aggregate(Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi"))
+        .take_all()
+    )
+    widths = {
+        r[group_col]: (
+            int(r["lo"]),
+            max(1, (int(r["hi"]) - int(r["lo"]) + 1) // target_buckets),
+        )
+        for r in stats
+    }
+    widths_ref = ray.put(widths)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        w = ray.get(widths_ref)
+        groups = b[group_col].to_pylist()
+        vals = b[order_col].to_numpy(zero_copy_only=False)
+        bk = np.empty(len(groups), dtype=np.int64)
+        for i, g in enumerate(groups):
+            lo, width = w[g]
+            bk[i] = (vals[i] - lo) // width
+        return b.append_column("bucket", pa.array(bk))
+
+    t = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    counts = (
+        t.groupby([group_col, "bucket"], num_partitions=8)
+        .aggregate(Count(alias_name="bn"))
+        .take_all()
+    )
+    if len(counts) > max_buckets:
+        raise ValueError(
+            f"{len(counts)} scan buckets exceeds max_buckets={max_buckets}"
+        )
+    offsets: dict = {}
+    acc: dict = {}
+    for r in sorted(counts, key=lambda r: (str(r[group_col]), r["bucket"])):
+        g = r[group_col]
+        offsets[(g, int(r["bucket"]))] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + int(r["bn"])
+    offsets_ref = ray.put(offsets)
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        key = g[group_col][0].as_py()
+        off = ray.get(offsets_ref)[(key, int(g["bucket"][0].as_py()))]
+        vals = g[order_col].to_numpy(zero_copy_only=False)
+        ties = g[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ties, vals))
+        rn = np.empty(len(order), dtype=np.int64)
+        rn[order] = off + 1 + np.arange(len(order), dtype=np.int64)
+        out = g.drop_columns(["bucket"])
+        return out.append_column("rn", pa.array(rn, pa.int64()))
+
+    return t.groupby([group_col, "bucket"], num_partitions=16).map_groups(
+        rank_bucket, batch_format="pyarrow"
+    )
+
+
+def grouped_median_exact(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    totals: dict,
+) -> dict:
+    """Exact per-group (v_lo, v_hi) at ranks (n+1)//2 and (n+2)//2 -
+    median = (v_lo + v_hi) / 2.  Selection via row_number_over_groups +
+    a rank filter, so only ~2 rows per group ever reach the driver."""
+    want = {
+        g: ((n + 1) // 2, (n + 2) // 2) for g, n in totals.items()
+    }
+    want_ref = ray.put(want)
+    rn = row_number_over_groups(ds, group_col, order_col, tie_col)
+
+    def pick(b: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        groups = b[group_col].to_pylist()
+        r = b["rn"].to_numpy(zero_copy_only=False)
+        mask = np.array(
+            [r[i] in w[groups[i]] for i in range(len(groups))], dtype=bool
+        )
+        return b.filter(pa.array(mask))
+
+    out: dict = {}
+    for row in rn.map_batches(pick, batch_format="pyarrow").take_all():
+        g = row[group_col]
+        k1, k2 = want[g]
+        v = int(row[order_col])
+        lo, hi = out.get(g, (None, None))
+        if row["rn"] == k1:
+            lo = v
+        if row["rn"] == k2:
+            hi = v
+        out[g] = (lo, hi)
+    return {
+        g: (lo, hi if hi is not None else lo) for g, (lo, hi) in out.items()
+    }

@@ -7089,3 +7089,91 @@ def value_rank_windows(sf_dir: str):
         lambda b: b.filter(pc.less_equal(b["rnk"], 20)),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: exact distributed median + MAD per group via
+# rank-filtered selection (functions/ranks.row_number_over_groups) -
+# two scan passes, ~2 rows per group to the driver, no per-group sort
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_median_mad_by_type",
+    # explicit (v1+v2)/2 median so both sides share one float division;
+    # the MAD pass carries |2*cents - (v1+v2)| as exact int64 (dev2),
+    # so mad = median(dev2)/2 = (d1+d2)/4 in a single division
+    "WITH c AS (SELECT event_type, event_id, "
+    "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "n AS (SELECT event_type, count(*) AS cnt FROM c GROUP BY event_type), "
+    "r AS (SELECT event_type, cents, row_number() OVER ("
+    "  PARTITION BY event_type ORDER BY cents, event_id) AS rn FROM c), "
+    "m AS (SELECT r.event_type, "
+    "  max(CASE WHEN rn = (cnt + 1) // 2 THEN cents END) AS v1, "
+    "  max(CASE WHEN rn = (cnt + 2) // 2 THEN cents END) AS v2 "
+    "  FROM r JOIN n USING (event_type) GROUP BY r.event_type), "
+    "d AS (SELECT c.event_type, abs(2 * c.cents - (m.v1 + m.v2)) AS dev2, "
+    "  row_number() OVER (PARTITION BY c.event_type "
+    "    ORDER BY abs(2 * c.cents - (m.v1 + m.v2)), c.event_id) AS rn "
+    "  FROM c JOIN m USING (event_type)), "
+    "md AS (SELECT d.event_type, "
+    "  max(CASE WHEN rn = (cnt + 1) // 2 THEN dev2 END) AS d1, "
+    "  max(CASE WHEN rn = (cnt + 2) // 2 THEN dev2 END) AS d2 "
+    "  FROM d JOIN n USING (event_type) GROUP BY d.event_type) "
+    "SELECT n.event_type, CAST(cnt AS BIGINT) AS n, "
+    "(m.v1 + m.v2) / 2.0 AS med_cents, (md.d1 + md.d2) / 4.0 AS mad_cents "
+    "FROM n JOIN m USING (event_type) JOIN md USING (event_type)",
+)
+def value_median_mad_by_type(sf_dir: str):
+    """Median + MAD (median absolute deviation) per event type, exact
+    and distributed: each pass ranks rows with the two-level scan and
+    filters the two middle ranks, so the driver sees 2 rows per group
+    and no group is ever sorted in one place.  All intermediate values
+    are int64 (deviations carried as |2v - (v1+v2)|); each output stat
+    is a single float division, identical on both sides."""
+    from ..functions.ranks import grouped_median_exact
+
+    def cents_tbl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    ).map_batches(cents_tbl, batch_format="pyarrow").materialize()
+
+    totals = {
+        r["event_type"]: int(r["n"])
+        for r in ev.groupby("event_type", num_partitions=4)
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+    meds = grouped_median_exact(ev, "event_type", "cents", "event_id", totals)
+    meds_ref = ray.put(meds)
+
+    def dev_tbl(b: pa.Table) -> pa.Table:
+        m = ray.get(meds_ref)
+        groups = b["event_type"].to_pylist()
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        s = np.array([sum(m[g]) for g in groups], dtype=np.int64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "dev2": pa.array(np.abs(2 * cents - s), pa.int64()),
+        })
+
+    devs = ev.map_batches(dev_tbl, batch_format="pyarrow")
+    mads = grouped_median_exact(devs, "event_type", "dev2", "event_id", totals)
+
+    keys = sorted(totals)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n": pa.array([totals[g] for g in keys], pa.int64()),
+        "med_cents": pa.array(
+            [sum(meds[g]) / 2.0 for g in keys], pa.float64()
+        ),
+        "mad_cents": pa.array(
+            [sum(mads[g]) / 4.0 for g in keys], pa.float64()
+        ),
+    })

@@ -82,3 +82,41 @@ def test_rank_windows_match_duckdb(ray_session, nblocks, seed):
     assert list(got["rnk"]) == list(want["rnk"])
     assert list(got["drnk"]) == list(want["drnk"])
     assert list(got["prank"]) == list(want["prank"])
+
+
+@pytest.mark.parametrize("seed", [2, 8])
+def test_row_number_and_median_selection(ray_session, seed):
+    from pii_detection_local_ray.functions.ranks import (
+        grouped_median_exact,
+        row_number_over_groups,
+    )
+
+    rng = np.random.RandomState(seed)
+    n = 301  # odd per-group counts likely
+    tbl = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], size=n)),
+        "v": pa.array(rng.randint(0, 50, size=n), pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = (
+        row_number_over_groups(ds, "g", "v", "id", target_buckets=7)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT id, row_number() OVER (PARTITION BY g ORDER BY v, id)"
+            " AS rn FROM tbl ORDER BY id"
+        ).df().reset_index(drop=True)
+    )
+    assert list(got["rn"]) == list(want["rn"])
+
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    totals = df.groupby("g").size().to_dict()
+    meds = grouped_median_exact(ds, "g", "v", "id", totals)
+    for g, sub in df.groupby("g"):
+        assert sum(meds[g]) / 2.0 == float(sub["v"].median())
