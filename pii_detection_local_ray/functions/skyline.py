@@ -1,0 +1,93 @@
+"""Distributed 2-D skyline (Pareto-optimal set, maximize both axes).
+
+The skyline operator of Borzsony/Kossmann/Stocker (ICDE'01) in its
+MapReduce decomposition: dominance is transitive and global, so
+DROPPING locally-dominated points is always sound - skyline(S) =
+skyline(union of per-block skylines).  Each block therefore runs a
+local skyline as a map-side combiner (the exchange carries only block
+fronts, typically O(log block) points for correlated data), and the
+final exact pass runs over that bounded candidate set.
+
+Dominance here is the standard strict form mirrored by the SQL oracle:
+q dominates p iff q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y);
+duplicate points do NOT dominate each other (both survive).
+
+``max_candidates`` keeps the failure loud if the data is anti-correlated
+enough that block fronts stop being small (the known skyline worst
+case) - raise it explicitly or pre-bucket one axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _local_skyline(ids: np.ndarray, x: np.ndarray, y: np.ndarray):
+    """Indices of non-dominated points (strict dominance, dup-safe)."""
+    n = len(ids)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    order = np.lexsort((-y, -x))  # x desc, then y desc
+    xs, ys = x[order], y[order]
+    keep = np.zeros(n, dtype=bool)
+    best_prev = -np.inf  # max y among points with STRICTLY greater x
+    i = 0
+    while i < n:
+        j = i
+        while j < n and xs[j] == xs[i]:
+            j += 1
+        grp_max = ys[i]  # y desc within the x-tie group
+        for k in range(i, j):
+            # dominated by a strictly-greater-x point with y >= mine,
+            # or by a same-x point with y strictly greater
+            if best_prev >= ys[k] or ys[k] < grp_max:
+                continue
+            keep[k] = True
+        best_prev = max(best_prev, grp_max)
+        i = j
+    return order[keep]
+
+
+def skyline_2d(
+    ds: ray.data.Dataset,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    max_candidates: int = 500_000,
+) -> pa.Table:
+    """Exact skyline of (x, y) maximization.  Returns an Arrow table
+    (id, x, y) - output-bounded by construction."""
+
+    def combiner(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        x = b[x_col].to_numpy(zero_copy_only=False)
+        y = b[y_col].to_numpy(zero_copy_only=False)
+        idx = _local_skyline(ids, x, y)
+        return pa.table({
+            id_col: pa.array(ids[idx], pa.int64()),
+            x_col: pa.array(x[idx], pa.int64()),
+            y_col: pa.array(y[idx], pa.int64()),
+        })
+
+    cand = ds.map_batches(combiner, batch_format="pyarrow").materialize()
+    n = cand.count()
+    if n > max_candidates:
+        raise ValueError(
+            f"{n} skyline candidates exceed max_candidates="
+            f"{max_candidates}: anti-correlated axes - pre-bucket one "
+            "axis or raise the cap explicitly"
+        )
+    rows = cand.take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    x = np.array([r[x_col] for r in rows], dtype=np.int64)
+    y = np.array([r[y_col] for r in rows], dtype=np.int64)
+    idx = _local_skyline(ids, x, y)
+    o = np.argsort(ids[idx])
+    idx = idx[o]
+    return pa.table({
+        id_col: pa.array(ids[idx], pa.int64()),
+        x_col: pa.array(x[idx], pa.int64()),
+        y_col: pa.array(y[idx], pa.int64()),
+    })

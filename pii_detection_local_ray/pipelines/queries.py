@@ -26,6 +26,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import REGEX_BANK
 from ..functions import dedup as fdedup
+from ..functions.setjoin import _WORD_RE as _SETJOIN_WORD_RE
 from ..functions import simsearch as fsim
 from ..functions import text as ftext
 from ..stages.langid import LangIdBatch
@@ -7177,3 +7178,168 @@ def value_median_mad_by_type(sf_dir: str):
             [sum(mads[g]) / 4.0 for g in keys], pa.float64()
         ),
     })
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline over (length, vocabulary) - functions/skyline.py
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_skyline",
+    "WITH m AS (SELECT doc_id, n_chars AS x, "
+    "  CAST(len(list_distinct(list_filter(regexp_split_to_array("
+    "    lower(text), '[^a-z0-9]+'), w -> len(w) > 0))) AS BIGINT) AS y "
+    "  FROM documents) "
+    "SELECT a.doc_id, a.x, a.y FROM m a WHERE NOT EXISTS ("
+    "  SELECT 1 FROM m b WHERE b.x >= a.x AND b.y >= a.y "
+    "  AND (b.x > a.x OR b.y > a.y))",
+)
+def doc_skyline(sf_dir: str):
+    """Pareto-optimal documents maximizing (n_chars, distinct-word
+    count): the skyline operator with its map-side combiner (dominated
+    points drop inside each block, the exchange carries block fronts
+    only - functions/skyline.skyline_2d), exact vs the NOT EXISTS
+    dominance oracle."""
+    from ..functions.skyline import skyline_2d
+
+    def metrics(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        y = np.array(
+            [len(set(_SETJOIN_WORD_RE.findall((t or "").lower())))
+             for t in texts],
+            dtype=np.int64,
+        )
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "x": b["n_chars"].cast(pa.int64()),
+            "y": pa.array(y),
+        })
+
+    m = _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        metrics, batch_format="pyarrow"
+    )
+    return skyline_2d(m, "doc_id", "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Secrets-in-code heuristic: key-shaped long tokens (truffleHog class)
+# ---------------------------------------------------------------------------
+
+@register(
+    "keylike_tokens_docs",
+    # planted: docs with doc_id % 9 == 0 carry one key-shaped token
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN "
+    "  text || ' K' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 24) "
+    "  ELSE text END AS t2 FROM documents) "
+    "SELECT doc_id, CAST(len(list_filter(string_split_regex(t2, '\\s+'), "
+    "  t -> len(t) >= 20 AND regexp_matches(t, '[A-Za-z]') "
+    "  AND regexp_matches(t, '[0-9]'))) AS BIGINT) AS n_keylike FROM p",
+)
+def keylike_tokens_docs(sf_dir: str):
+    """Key-shaped-token scan (the entropy-free truffleHog heuristic the
+    reference's API-key regex bank approximates, src/config label bank):
+    whitespace tokens >= 20 chars mixing letters and digits.  Stateless
+    vectorized pass: split -> flatten -> three Arrow predicate kernels ->
+    per-doc count via reduceat; planted md5-hex keys on doc_id % 9."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        t2 = [
+            f"{t} K{hashlib.md5(str(d).encode()).hexdigest()[:24]}"
+            if d % 9 == 0 else t
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b["doc_id"], "t2": pa.array(t2, pa.string())})
+
+    def count_keys(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(b["t2"], pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        nl = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ok = pc.and_(
+            pc.greater_equal(pc.utf8_length(flat), 20),
+            pc.and_(
+                pc.match_substring_regex(flat, "[A-Za-z]"),
+                pc.match_substring_regex(flat, "[0-9]"),
+            ),
+        ).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(nl)[:-1])).astype(np.int64)
+        counts = np.zeros(len(nl), dtype=np.int64)
+        nz = nl > 0
+        if ok.size:
+            sums = np.add.reduceat(ok.astype(np.int64), starts[nz]) if nz.any() else []
+            counts[nz] = sums
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_keylike": pa.array(counts),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(count_keys, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dependency extraction: import statements -> per-module doc counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_imports",
+    "WITH p AS (SELECT doc_id, text || chr(10) || 'import mod' || "
+    "  (doc_id % 7) || CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+    "  'from pkg' || (doc_id % 5) || ' import thing' ELSE '' END AS t2 "
+    "  FROM documents) "
+    "SELECT dep, count(*) AS n_refs FROM ("
+    "  SELECT doc_id, CASE WHEN l LIKE 'import %' THEN substr(l, 8) "
+    "    ELSE string_split(l, ' ')[2] END AS dep "
+    "  FROM (SELECT doc_id, unnest(string_split(t2, chr(10))) AS l FROM p) "
+    "  WHERE l LIKE 'import %' OR l LIKE 'from % import %'"
+    ") GROUP BY dep",
+)
+def top_imports(sf_dir: str):
+    """Import/dependency extraction over code files (per-module reference
+    counts): line split -> starts_with masks -> module slice, all Arrow
+    kernels over the flattened line array; per-batch partial counts keep
+    the exchange module-bounded.  Planted import/from lines keyed on
+    doc_id make the parse non-trivial."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        t2 = []
+        for d, t in zip(ids, texts):
+            s = f"{t}\nimport mod{d % 7}"
+            if d % 3 == 0:
+                s += f"\nfrom pkg{d % 5} import thing"
+            t2.append(s)
+        return pa.table({"doc_id": b["doc_id"], "t2": pa.array(t2, pa.string())})
+
+    def extract(b: pa.Table) -> pa.Table:
+        lines = pc.list_flatten(pc.split_pattern(b["t2"], pattern="\n"))
+        is_imp = pc.starts_with(lines, pattern="import ")
+        is_from = pc.and_(
+            pc.starts_with(lines, pattern="from "),
+            pc.match_substring(lines, " import "),
+        )
+        imp = pc.utf8_slice_codeunits(lines.filter(is_imp), 7, 2**30)
+        frm = pc.list_element(
+            pc.split_pattern(lines.filter(is_from), pattern=" "), 1
+        )
+        t = pa.table({
+            "dep": pa.concat_arrays([
+                imp.combine_chunks() if isinstance(imp, pa.ChunkedArray) else imp,
+                frm.combine_chunks() if isinstance(frm, pa.ChunkedArray) else frm,
+            ])
+        })
+        g = t.group_by("dep").aggregate([([], "count_all")])
+        return g.rename_columns(["dep", "n"])
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("dep", num_partitions=4)
+        .aggregate(Sum("n", alias_name="n_refs"))
+    )

@@ -1,0 +1,47 @@
+"""skyline_2d: block-combiner + final pass must equal brute-force
+strict-dominance skyline, including duplicate points, across layouts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.skyline import _local_skyline, skyline_2d
+
+
+def _brute(ids, x, y):
+    out = []
+    for i in range(len(ids)):
+        dominated = any(
+            x[j] >= x[i] and y[j] >= y[i] and (x[j] > x[i] or y[j] > y[i])
+            for j in range(len(ids))
+        )
+        if not dominated:
+            out.append((ids[i], x[i], y[i]))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+@pytest.mark.parametrize("seed", [0, 4, 12])
+def test_skyline_matches_bruteforce(ray_session, nblocks, seed):
+    rng = np.random.RandomState(seed)
+    n = 300
+    x = rng.randint(0, 40, size=n).astype(np.int64)  # heavy duplicates
+    y = rng.randint(0, 40, size=n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)})
+    ).repartition(nblocks)
+    got = skyline_2d(ds, "id", "x", "y")
+    got_rows = sorted(zip(
+        got["id"].to_pylist(), got["x"].to_pylist(), got["y"].to_pylist()
+    ))
+    assert got_rows == _brute(ids, x, y)
+
+
+def test_local_skyline_keeps_duplicates():
+    ids = np.array([1, 2, 3], dtype=np.int64)
+    x = np.array([5, 5, 3], dtype=np.int64)
+    y = np.array([7, 7, 9], dtype=np.int64)
+    kept = sorted(ids[_local_skyline(ids, x, y)])
+    assert kept == [1, 2, 3]  # duplicate maxima both survive
