@@ -7343,3 +7343,118 @@ def top_imports(sf_dir: str):
         .groupby("dep", num_partitions=4)
         .aggregate(Sum("n", alias_name="n_refs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance: retraction deltas applied
+# to a standing aggregate, equal by algebra to full recompute
+# ---------------------------------------------------------------------------
+
+@register(
+    "incremental_agg_docs",
+    # oracle = FULL recompute over the post-CDC corpus (deletes on
+    # doc_id%11, inserts on doc_id%13 mirroring merge_upsert_docs)
+    "WITH after AS ("
+    "  SELECT lang, n_chars FROM documents WHERE doc_id % 11 <> 0"
+    "  UNION ALL"
+    "  SELECT 'en' AS lang, 13 + length(CAST(doc_id AS VARCHAR)) AS n_chars "
+    "  FROM documents WHERE doc_id % 13 = 0"
+    ") SELECT lang, count(*) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM after GROUP BY lang",
+)
+def incremental_agg_docs(sf_dir: str):
+    """Materialized-view maintenance: the standing per-lang aggregate is
+    updated by RETRACTION deltas (-1/-n_chars for deletes, +1/+n_chars
+    for inserts) rather than recomputed - one delta-sized exchange, and
+    the result is algebraically identical to the full recompute the
+    oracle performs.  Count/sum are abelian-group aggregates, which is
+    exactly the class incremental view maintenance covers."""
+
+    def base_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["lang", "n_chars"]).group_by("lang").aggregate(
+            [("n_chars", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["lang", "s", "n"])
+
+    base = _docs(sf_dir, ["lang", "n_chars"]).map_batches(
+        base_partial, batch_format="pyarrow"
+    )
+
+    def delta_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        langs = b["lang"].to_pylist()
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        dl, dn, dsum = [], [], []
+        for i, d in enumerate(ids):
+            if d % 11 == 0:  # delete retraction
+                dl.append(langs[i]); dn.append(-1); dsum.append(-int(nch[i]))
+            if d % 13 == 0:  # insert
+                dl.append("en"); dn.append(1)
+                dsum.append(13 + len(str(int(d))))
+        t = pa.table({
+            "lang": pa.array(dl, pa.string()),
+            "s": pa.array(dsum, pa.int64()),
+            "n": pa.array(dn, pa.int64()),
+        })
+        g = t.group_by("lang").aggregate([("s", "sum"), ("n", "sum")])
+        return g.rename_columns(["lang", "s", "n"])
+
+    deltas = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        delta_partial, batch_format="pyarrow"
+    )
+
+    merged = (
+        base.union(deltas)
+        .groupby("lang", num_partitions=4)
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("s", alias_name="total_chars"))
+    )
+    # a lang whose docs were all deleted nets to zero and leaves the view
+    return merged.map_batches(
+        lambda b: b.filter(pc.greater(b["n_docs"], 0)),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment - deterministic
+# data placement for the resumable partitioned sink
+# ---------------------------------------------------------------------------
+
+@register(
+    "shard_assignment_docs",
+    "SELECT shard, count(*) AS n_docs FROM ("
+    "  SELECT doc_id, s AS shard, row_number() OVER (PARTITION BY doc_id "
+    "    ORDER BY md5(CAST(doc_id AS VARCHAR) || '/' "
+    "      || CAST(s AS VARCHAR)) DESC, s) AS rn "
+    "  FROM documents CROSS JOIN "
+    "    (SELECT unnest(generate_series(0, 7)) AS s)"
+    ") WHERE rn = 1 GROUP BY shard",
+)
+def shard_assignment_docs(sf_dir: str):
+    """Rendezvous/HRW hashing (Thaler & Ravishankar 1998): each doc goes
+    to the shard with the highest md5(key || '/' || shard) weight, so
+    removing a shard only relocates ITS docs (minimal-disruption
+    placement for the resumable partitioned sink).  Stateless
+    map_batches scoring all 8 shards per row + a shard-bounded count
+    exchange; md5-hex comparison is lexicographic on both sides."""
+    n_shards = 8
+
+    def assign_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        shard = np.empty(len(ids), dtype=np.int64)
+        for i, d in enumerate(ids):
+            best = max(
+                range(n_shards),
+                key=lambda s: (hashlib.md5(f"{d}/{s}".encode()).hexdigest(), -s),
+            )
+            shard[i] = best
+        t = pa.table({"shard": pa.array(shard)})
+        g = t.group_by("shard").aggregate([([], "count_all")])
+        return g.rename_columns(["shard", "n"])
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(assign_partial, batch_format="pyarrow")
+        .groupby("shard", num_partitions=4)
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )

@@ -761,3 +761,22 @@ def test_transition_matrix_ordered_bigrams(ray_session, tmp_path):
     assert got[("view", "click")] == 1
     assert got[("click", "view")] == 2  # user 0 second hop + user 2 tie-break
     assert got.sum() == 3  # user 1 contributes no transitions
+
+
+def test_hrw_minimal_disruption():
+    """Rendezvous hashing: removing one shard must relocate ONLY the
+    docs that were assigned to it."""
+    import hashlib
+
+    def assign(d, shards):
+        return max(
+            shards,
+            key=lambda s: (hashlib.md5(f"{d}/{s}".encode()).hexdigest(), -s),
+        )
+
+    full = list(range(8))
+    without5 = [s for s in full if s != 5]
+    for d in range(500):
+        a, b = assign(d, full), assign(d, without5)
+        if a != 5:
+            assert b == a  # untouched shard keeps its docs
