@@ -7458,3 +7458,122 @@ def shard_assignment_docs(sf_dir: str):
         .groupby("shard", num_partitions=4)
         .aggregate(Sum("n", alias_name="n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean per group: exact p05/p95 bounds via rank-filtered
+# selection, then a clipped integer aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "winsorized_value_by_type",
+    # percentile ranks via explicit ceil(CAST(0.05 AS DOUBLE) * cnt) so
+    # both sides run the same IEEE double product (DuckDB's bare 0.05
+    # literal is DECIMAL and would round differently)
+    "WITH c AS (SELECT event_type, event_id, "
+    "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "n AS (SELECT event_type, count(*) AS cnt FROM c GROUP BY event_type), "
+    "r AS (SELECT event_type, cents, row_number() OVER ("
+    "  PARTITION BY event_type ORDER BY cents, event_id) AS rn FROM c), "
+    "b AS (SELECT r.event_type, "
+    "  max(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.05 AS DOUBLE) * cnt)"
+    "    AS BIGINT)) THEN cents END) AS lo_v, "
+    "  max(CASE WHEN rn = least(cnt, CAST(ceil(CAST(0.95 AS DOUBLE) * cnt)"
+    "    AS BIGINT)) THEN cents END) AS hi_v "
+    "  FROM r JOIN n USING (event_type) GROUP BY r.event_type) "
+    "SELECT c.event_type, count(*) AS n, "
+    "CAST(sum(least(greatest(c.cents, b.lo_v), b.hi_v)) AS BIGINT) "
+    "  AS wsum_cents, "
+    "CAST(sum(least(greatest(c.cents, b.lo_v), b.hi_v)) AS DOUBLE) "
+    "  / count(*) AS wmean_cents "
+    "FROM c JOIN b USING (event_type) GROUP BY c.event_type",
+)
+def winsorized_value_by_type(sf_dir: str):
+    """Winsorized (p05/p95-clipped) mean per event type: the outlier-
+    robust aggregate.  Exact percentile bounds come from the same
+    rank-filtered selection as the median operator (~2 rows per group
+    to the driver), then one clipped int64 partial-sum pass; the mean
+    is a single float division on both sides."""
+    import math
+
+    from ..functions.ranks import row_number_over_groups
+
+    def cents_tbl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    ).map_batches(cents_tbl, batch_format="pyarrow").materialize()
+
+    totals = {
+        r["event_type"]: int(r["n"])
+        for r in ev.groupby("event_type", num_partitions=4)
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+    want = {
+        g: (max(1, math.ceil(0.05 * n)), min(n, math.ceil(0.95 * n)))
+        for g, n in totals.items()
+    }
+    want_ref = ray.put(want)
+
+    rn = row_number_over_groups(ev, "event_type", "cents", "event_id")
+
+    def pick(b: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        groups = b["event_type"].to_pylist()
+        r = b["rn"].to_numpy(zero_copy_only=False)
+        mask = np.array(
+            [r[i] in w[groups[i]] for i in range(len(groups))], dtype=bool
+        )
+        return b.filter(pa.array(mask))
+
+    bounds: dict = {}
+    for row in rn.map_batches(pick, batch_format="pyarrow").take_all():
+        g = row["event_type"]
+        k_lo, k_hi = want[g]
+        lo, hi = bounds.get(g, (None, None))
+        if row["rn"] == k_lo:
+            lo = int(row["cents"])
+        if row["rn"] == k_hi:
+            hi = int(row["cents"])
+        bounds[g] = (lo, hi)
+    bounds_ref = ray.put(bounds)
+
+    def clipped_partial(b: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        groups = b["event_type"].to_pylist()
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        lo = np.array([bd[g][0] for g in groups], dtype=np.int64)
+        hi = np.array([bd[g][1] for g in groups], dtype=np.int64)
+        w = np.clip(cents, lo, hi)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "w": pa.array(w, pa.int64()),
+        })
+        g = t.group_by("event_type").aggregate([("w", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "s", "c"])
+
+    agg = (
+        ev.map_batches(clipped_partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .aggregate(Sum("s", alias_name="wsum_cents"), Sum("c", alias_name="n"))
+        .take_all()
+    )
+    keys = sorted(r["event_type"] for r in agg)
+    by = {r["event_type"]: r for r in agg}
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n": pa.array([int(by[g]["n"]) for g in keys], pa.int64()),
+        "wsum_cents": pa.array(
+            [int(by[g]["wsum_cents"]) for g in keys], pa.int64()
+        ),
+        "wmean_cents": pa.array(
+            [int(by[g]["wsum_cents"]) / int(by[g]["n"]) for g in keys],
+            pa.float64(),
+        ),
+    })
