@@ -31,7 +31,6 @@ for t = p/q.  No reference analogue (LLM pipeline brief).
 
 from __future__ import annotations
 
-import math
 import re
 
 import numpy as np
@@ -98,7 +97,14 @@ def ppjoin_pairs(
     """All pairs with token-set Jaccard >= threshold_p/threshold_q,
     exact.  Returns (id_a, id_b, ix, un) with id_a < id_b."""
     t = threshold_p / threshold_q
-    toks = doc_token_sets(ds, id_col, text_col, shingle_w)
+    # materialized once: df pass, join probe side, and the verify stage
+    # all re-read it (re-executing the explode three times otherwise)
+    toks = doc_token_sets(ds, id_col, text_col, shingle_w).materialize()
+    n_toks = toks.count()
+    # shuffle width follows DATA VOLUME: every hash-shuffle partition
+    # costs an aggregator actor (~0.4 s spawn), so a 30k-row exchange
+    # over 16 partitions is pure overhead; large inputs still fan out
+    scale_parts = max(1, min(num_partitions, n_toks // 20_000))
 
     def df_partial(b: pa.Table) -> pa.Table:
         g = b.select(["tok"]).group_by("tok").aggregate([([], "count_all")])
@@ -108,7 +114,7 @@ def ppjoin_pairs(
 
     df = pin_schema(
         toks.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("tok", num_partitions=num_partitions)
+        .groupby("tok", num_partitions=scale_parts)
         .aggregate(Sum("n", alias_name="df")),
         pa.schema([("tok", pa.string()), ("df", pa.int64())]),
     ).materialize()
@@ -118,60 +124,130 @@ def ppjoin_pairs(
     n_vocab = df.count()
     if n_vocab == 0:
         return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
-    join_parts = max(1, min(num_partitions, n_vocab // 64))
+    join_parts = max(1, min(scale_parts, n_vocab // 64))
 
     toksdf = hash_join(toks, df, on="tok", num_partitions=join_parts)
 
-    def prefix_of_doc(g: pa.Table) -> pa.Table:
+    # per-doc prefixes via a COARSE-bucket exchange (the linededup
+    # convention): one map_groups call handles ~1/16 of the docs and
+    # vectorizes the per-doc prefix cut over sort offsets, instead of
+    # paying map_groups overhead once per document.
+    def add_docbucket(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("db", pa.array(ids % 16, pa.int64()))
+
+    def prefix_of_bucket(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
         dfs = g["df"].to_numpy(zero_copy_only=False)
         words = np.array(g["tok"].to_pylist())
-        order = np.lexsort((words, dfs))
-        sz = len(order)
-        p = sz - math.ceil(t * sz) + 1
-        pref = order[:p]
+        order = np.lexsort((words, dfs, ids))
+        ids_s, words_s = ids[order], words[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(ids_s)) + 1)
+        )
+        ends = np.concatenate((starts[1:], [len(ids_s)]))
+        sz = ends - starts
+        # prefix length p = sz - ceil(t*sz) + 1, exact with t = p/q
+        p = sz - (threshold_p * sz + threshold_q - 1) // threshold_q + 1
+        pos = np.arange(len(ids_s)) - np.repeat(starts, sz)
+        keep = pos < np.repeat(p, sz)
         return pa.table({
-            "tok": pa.array(words[pref]),
-            "doc_id": pa.array(
-                np.full(p, g["doc_id"][0].as_py(), dtype=np.int64)
-            ),
-            "sz": pa.array(np.full(p, sz, dtype=np.int64)),
+            "tok": pa.array(words_s[keep]),
+            "doc_id": pa.array(ids_s[keep], pa.int64()),
+            "sz": pa.array(np.repeat(sz, sz)[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int64()),
         })
 
-    postings = toksdf.groupby("doc_id").map_groups(
-        prefix_of_doc, batch_format="pyarrow"
+    postings = (
+        toksdf.map_batches(add_docbucket, batch_format="pyarrow")
+        .groupby("db", num_partitions=min(8, max(1, scale_parts)))
+        .map_groups(prefix_of_bucket, batch_format="pyarrow")
     )
 
+    # candidate pairs, again over coarse token buckets: tokens group by
+    # a hash bucket, each call slices per-token posting lists from sort
+    # offsets and emits the triangle of each list
+    def add_tokbucket(b: pa.Table) -> pa.Table:
+        h = np.array(
+            [int.from_bytes(s.encode()[:4].ljust(4, b"\0"), "little") % 16
+             for s in b["tok"].to_pylist()],
+            dtype=np.int64,
+        )
+        return b.append_column("tb", pa.array(h))
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
+        toks_arr = np.array(g["tok"].to_pylist())
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         sz = g["sz"].to_numpy(zero_copy_only=False)
-        n = len(ids)
-        if n > max_bucket:
-            raise ValueError(
-                f"prefix bucket for token {g['tok'][0].as_py()!r} has {n} "
-                f"docs > max_bucket={max_bucket}: the token is no longer "
-                "discriminative - raise min_len or max_bucket explicitly"
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, toks_arr))
+        toks_s, ids_s = toks_arr[order], ids[order]
+        sz_s, pos_s = sz[order], pos[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(toks_s[1:] != toks_s[:-1]) + 1)
+        )
+        ends = np.concatenate((starts[1:], [len(toks_s)]))
+        out_a, out_b = [], []
+        for s0, e0 in zip(starts, ends):
+            n = e0 - s0
+            if n > max_bucket:
+                raise ValueError(
+                    f"prefix bucket for token {toks_s[s0]!r} has {n} docs"
+                    f" > max_bucket={max_bucket}: the token is no longer "
+                    "discriminative - raise shingle_w or max_bucket"
+                )
+            if n < 2:
+                continue
+            bi, bs = ids_s[s0:e0], sz_s[s0:e0]
+            bp = pos_s[s0:e0]
+            ia, ib = np.triu_indices(n, k=1)
+            # PPJoin size filter: J >= t forces t*max(sa,sb) <= min(sa,sb)
+            lo = np.minimum(bs[ia], bs[ib])
+            hi = np.maximum(bs[ia], bs[ib])
+            keep = lo * threshold_q >= hi * threshold_p
+            # positional filter: for the pair's MINIMAL shared token w*
+            # (global order), every other common token sits after w* in
+            # BOTH docs, so overlap <= 1 + min(remaining_a, remaining_b).
+            # The viable pair surfaces through w* (prefix lemma), where
+            # this bound must reach alpha = ceil(t/(1+t) * (sa+sb));
+            # dropping occurrences whose bound falls short never drops
+            # a pair, only duplicate candidate rows.
+            bound = 1 + np.minimum(
+                bs[ia] - bp[ia] - 1, bs[ib] - bp[ib] - 1
             )
-        if n < 2:
+            ssum = bs[ia] + bs[ib]
+            alpha = (
+                threshold_p * ssum + threshold_p + threshold_q - 1
+            ) // (threshold_p + threshold_q)
+            keep &= bound >= alpha
+            out_a.append(bi[ia[keep]])
+            out_b.append(bi[ib[keep]])
+        if not out_a:
             return pa.table({
                 "id_a": pa.array([], pa.int64()),
                 "id_b": pa.array([], pa.int64()),
             })
-        o = np.argsort(ids, kind="stable")
-        ids, sz = ids[o], sz[o]
-        ia, ib = np.triu_indices(n, k=1)
-        # PPJoin size filter: J >= t forces t*max(sa,sb) <= min(sa,sb)
-        lo = np.minimum(sz[ia], sz[ib])
-        hi = np.maximum(sz[ia], sz[ib])
-        keep = lo * threshold_q >= hi * threshold_p
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # in-bucket dedup: the same pair often shares several prefix
+        # tokens that hash to one bucket - collapse before the exchange
+        if len(a) and max(int(a.max()), int(b.max())) < (1 << 31):
+            pair_key = np.unique(a * (1 << 32) + b)
+            a = pair_key >> 32
+            b = pair_key & 0xFFFFFFFF
+        else:
+            uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = uniq[:, 0], uniq[:, 1]
         return pa.table({
-            "id_a": pa.array(ids[ia[keep]], pa.int64()),
-            "id_b": pa.array(ids[ib[keep]], pa.int64()),
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
         })
 
     cand = (
-        postings.groupby("tok")
+        postings.map_batches(add_tokbucket, batch_format="pyarrow")
+        .groupby("tb", num_partitions=min(8, max(1, scale_parts)))
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"], num_partitions=num_partitions)
+        .groupby(["id_a", "id_b"], num_partitions=scale_parts)
         .aggregate(Count(alias_name="_shared"))
         .drop_columns(["_shared"])
     )
@@ -225,17 +301,29 @@ def ppjoin_pairs(
 
         return cand.map_batches(score, batch_format="pyarrow")
 
-    # hash-join fallback: gather each doc's tokens as one list row (the
-    # doc-set table is bounded by the candidate id set after the semi
-    # filter below), then two bounded joins attach both sides.
-    def set_of_doc(g: pa.Table) -> pa.Table:
+    # hash-join fallback: each doc's token set rides as ONE separator-
+    # joined string row (Arrow hash joins reject list-typed payload
+    # columns), built over coarse doc buckets; two joins sized by the
+    # candidate count attach both sides.
+    def sets_of_bucket(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        words = np.array(g["tok"].to_pylist())
+        order = np.argsort(ids, kind="stable")
+        ids_s, words_s = ids[order], words[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(ids_s)) + 1))
+        ends = np.concatenate((starts[1:], [len(ids_s)]))
         return pa.table({
-            "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
-            "toks": pa.array([g["tok"].to_pylist()], pa.list_(pa.string())),
+            "doc_id": pa.array(ids_s[starts], pa.int64()),
+            "toks": pa.array(
+                ["\x1f".join(words_s[s0:e0]) for s0, e0 in zip(starts, ends)],
+                pa.string(),
+            ),
         })
 
-    docsets = toks.groupby("doc_id").map_groups(
-        set_of_doc, batch_format="pyarrow"
+    docsets = (
+        toks.map_batches(add_docbucket, batch_format="pyarrow")
+        .groupby("db", num_partitions=min(8, max(1, scale_parts)))
+        .map_groups(sets_of_bucket, batch_format="pyarrow")
     )
     sa = docsets.map_batches(
         lambda b: b.rename_columns(["id_a", "toks_a"]), batch_format="pyarrow"
@@ -243,7 +331,7 @@ def ppjoin_pairs(
     sb = docsets.map_batches(
         lambda b: b.rename_columns(["id_b", "toks_b"]), batch_format="pyarrow"
     )
-    pair_parts = max(1, min(num_partitions, n_pairs // 64))
+    pair_parts = max(1, min(scale_parts, n_pairs // 64))
     joined = hash_join(
         hash_join(cand, sa, on="id_a", num_partitions=pair_parts),
         sb, on="id_b", num_partitions=pair_parts,
@@ -253,8 +341,8 @@ def ppjoin_pairs(
         return verify_tbl(
             b["id_a"].to_pylist(),
             b["id_b"].to_pylist(),
-            [set(x) for x in b["toks_a"].to_pylist()],
-            [set(x) for x in b["toks_b"].to_pylist()],
+            [set(x.split("\x1f")) for x in b["toks_a"].to_pylist()],
+            [set(x.split("\x1f")) for x in b["toks_b"].to_pylist()],
         )
 
     return joined.map_batches(score_joined, batch_format="pyarrow")

@@ -7577,3 +7577,163 @@ def winsorized_value_by_type(sf_dir: str):
             pa.float64(),
         ),
     })
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination: exact-duplicate overlap matrix between
+# sources (data-governance report over content hashes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cross_source_overlap",
+    # planted: every 21st doc is mirrored into a 'mirror' source
+    "WITH allv AS ("
+    "  SELECT source, text FROM documents"
+    "  UNION ALL"
+    "  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 21 = 0"
+    "), h AS (SELECT DISTINCT md5(text) AS hh, source FROM allv) "
+    "SELECT a.source AS source_a, b.source AS source_b, "
+    "count(*) AS n_shared "
+    "FROM h a JOIN h b ON a.hh = b.hh AND a.source < b.source "
+    "GROUP BY 1, 2",
+)
+def cross_source_overlap(sf_dir: str):
+    """Cross-source exact-duplicate overlap matrix: which sources share
+    identical content (the contamination/provenance report run before
+    mixing corpora).  Content reduces to md5 hashes at the map side
+    (text never shuffles), one hash-key exchange groups the per-hash
+    source sets (bounded by |sources|), and the pair counts collapse to
+    a source-pair-bounded report."""
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        srcs = b["source"].to_pylist()
+        hh, ss = [], []
+        for d, t, s in zip(ids, texts, srcs):
+            h = hashlib.md5((t or "").encode()).hexdigest()
+            hh.append(h); ss.append(s)
+            if d % 21 == 0:
+                hh.append(h); ss.append("mirror")
+        t2 = pa.table({
+            "hh": pa.array(hh, pa.string()),
+            "source": pa.array(ss, pa.string()),
+        })
+        g = t2.group_by(["hh", "source"]).aggregate([([], "count_all")])
+        return g.select(["hh", "source"])
+
+    per_hash = (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(hash_partial, batch_format="pyarrow")
+        .groupby(["hh", "source"], num_partitions=16)
+        .count()
+        .select_columns(["hh", "source"])
+    )
+
+    # hash cardinality is corpus-sized, so pair emission runs over
+    # COARSE hash buckets (never one map_groups call per hash): sort
+    # within the bucket, slice per-hash source runs from the offsets,
+    # emit each run's pair triangle (bounded by |sources|^2 per hash)
+    def add_hbucket(b: pa.Table) -> pa.Table:
+        hb = np.array(
+            [int(h[:4], 16) % 16 for h in b["hh"].to_pylist()],
+            dtype=np.int64,
+        )
+        return b.append_column("hb", pa.array(hb))
+
+    def pairs_of_bucket(g: pa.Table) -> pa.Table:
+        hh = np.array(g["hh"].to_pylist())
+        src = np.array(g["source"].to_pylist())
+        order = np.lexsort((src, hh))
+        hh_s, src_s = hh[order], src[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(hh_s[1:] != hh_s[:-1]) + 1)
+        )
+        ends = np.concatenate((starts[1:], [len(hh_s)]))
+        a, b = [], []
+        for s0, e0 in zip(starts, ends):
+            runs = src_s[s0:e0]
+            for i in range(len(runs)):
+                for j in range(i + 1, len(runs)):
+                    a.append(runs[i]); b.append(runs[j])
+        t = pa.table({
+            "source_a": pa.array(a, pa.string()),
+            "source_b": pa.array(b, pa.string()),
+            "n": pa.array(np.ones(len(a), dtype=np.int64)),
+        })
+        g2 = t.group_by(["source_a", "source_b"]).aggregate([("n", "sum")])
+        return g2.rename_columns(["source_a", "source_b", "n"])
+
+    from ..functions.joins import pin_schema
+
+    pairs = pin_schema(
+        per_hash.map_batches(add_hbucket, batch_format="pyarrow")
+        .groupby("hb", num_partitions=8)
+        .map_groups(pairs_of_bucket, batch_format="pyarrow"),
+        pa.schema([
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("n", pa.int64()),
+        ]),
+    )
+    return _schema_safe(
+        pairs.groupby(["source_a", "source_b"], num_partitions=4)
+        .aggregate(Sum("n", alias_name="n_shared")),
+        pa.schema([
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("n_shared", pa.int64()),
+        ]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) curve key - multi-dimensional layout clustering for
+# the partitioned sink (Delta/Iceberg OPTIMIZE ZORDER class)
+# ---------------------------------------------------------------------------
+
+def _zorder_sql() -> str:
+    terms = " + ".join(
+        f"(((u >> {i}) & 1) * {1 << (2 * i)}) + "
+        f"(((v >> {i}) & 1) * {1 << (2 * i + 1)})"
+        for i in range(8)
+    )
+    return (
+        "SELECT event_id, z FROM ("
+        "  SELECT event_id, CAST(" + terms + " AS BIGINT) AS z FROM ("
+        "    SELECT event_id, user_id % 256 AS u, "
+        "    CAST(round(value * 100) AS BIGINT) % 256 AS v FROM events)"
+        ") WHERE event_id % 37 = 0"
+    )
+
+
+@register("events_zorder_keys", _zorder_sql())
+def events_zorder_keys(sf_dir: str):
+    """Morton/Z-order interleave of (user bucket, value bucket): the
+    space-filling-curve sort key that makes the Hive-partitioned sink
+    (state/manifest.write_partitioned_by_key) cluster rows for BOTH
+    filter dimensions at once - range-partitioning by z gives each file
+    a bounded rectangle of the (u, v) plane.  Bit spreading is pure
+    int64 on both sides; the query emits every 37th key so the driver
+    hashes actual curve values, not counts."""
+
+    def zkey(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        u = (b["user_id"].to_numpy(zero_copy_only=False) % 256).astype(np.int64)
+        cents = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        v = (cents % 256).astype(np.int64)
+        z = np.zeros(len(ids), dtype=np.int64)
+        for i in range(8):
+            z += ((u >> i) & 1) << (2 * i)
+            z += ((v >> i) & 1) << (2 * i + 1)
+        keep = ids % 37 == 0
+        return pa.table({
+            "event_id": pa.array(ids[keep], pa.int64()),
+            "z": pa.array(z[keep], pa.int64()),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).map_batches(zkey, batch_format="pyarrow")

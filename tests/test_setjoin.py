@@ -83,3 +83,21 @@ def test_token_sets_distinct_per_doc(ray_session):
     rows = doc_token_sets(ds).take_all()
     toks = sorted(r["tok"] for r in rows)
     assert toks == ["a b c", "b c a", "c a b"]
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_ppjoin_hashjoin_fallback_matches_broadcast(ray_session, seed):
+    """broadcast_limit=0 forces the join-based verify; results must be
+    identical to the broadcast path (this is the path large corpora
+    take - Arrow joins reject list payloads, so sets ride as strings)."""
+    docs = _mk_corpus(seed)
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = {
+        (r["id_a"], r["id_b"], r["ix"], r["un"])
+        for r in ppjoin_pairs(ds, broadcast_limit=0).take_all()
+    }
+    assert got == _brute_pairs(docs)
