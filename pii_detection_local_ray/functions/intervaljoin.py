@@ -1,0 +1,191 @@
+"""Interval-overlap join: count probe rows inside each interval.
+
+A range join with NO equality key (SURVEY 2.9 custom-operator recipe
+(a)): Ray Data has no inequality-join primitive and a cross join is
+quadratic, so this uses the classic bucketed interval join -
+
+  1. each interval [lo, hi) is replicated into every time bucket it
+     covers (bounded: callers pick bucket_us >= max interval span, so
+     <= 2 replicas per interval - a no-silent-caps invariant asserted
+     per batch, not assumed);
+  2. each probe row maps to exactly ONE bucket (ts // bucket_us);
+  3. both streams union into one keyed exchange grouped by the COARSE
+     key bucket % n_coarse (map_groups pays per-group overhead, the
+     repo-wide coarse-bucket convention): buckets in one coarse group
+     cover disjoint time ranges, so ONE sort of the group's probe
+     timestamps plus bucket-CLAMPED bounds [max(lo, b*W), min(hi,
+     (b+1)*W)) gives every replica's count in one vectorized
+     double-searchsorted - no per-bucket slicing, no per-row Python;
+  4. per-bucket partial counts groupby(interval_id).sum - intervals
+     always appear (>= 1 replica carries a 0 partial), so zero-overlap
+     intervals survive with n = 0, matching a LEFT JOIN oracle.
+
+Scale: the exchange carries one row per probe event plus <= 2 per
+interval; bucket count grows with the TIME SPAN, not the data volume,
+and a hot bucket holds only that window's events (sort + searchsorted,
+O(B log B)).  Skewed buckets parallelize across the second groupby.
+No stage materializes either side on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+# stream tags inside the unioned exchange
+_KIND_INTERVAL = 0
+_KIND_PROBE = 1
+
+
+def _interval_replicas(
+    batch: pa.Table, id_col: str, lo_col: str, hi_col: str, bucket_us: int
+) -> pa.Table:
+    """Explode each interval row into one row per covered bucket."""
+    iid = batch[id_col].to_numpy(zero_copy_only=False)
+    lo = batch[lo_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    hi = batch[hi_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if np.any(hi <= lo):
+        raise ValueError("interval_count_join: empty interval (hi <= lo)")
+    first = lo // bucket_us
+    last = (hi - 1) // bucket_us  # hi is exclusive
+    n_cover = last - first + 1
+    if int(n_cover.max(initial=1)) > 2:
+        raise ValueError(
+            "interval_count_join: an interval spans "
+            f"{int(n_cover.max())} buckets; pick bucket_us >= the max "
+            "interval span (replication bound is 2)"
+        )
+    rep = np.repeat(np.arange(len(iid)), n_cover)
+    # bucket index within each interval's covered range: 0 or 1
+    offs = np.concatenate([np.arange(c) for c in n_cover]) if len(iid) else (
+        np.array([], dtype=np.int64)
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(first[rep] + offs, pa.int64()),
+            "kind": pa.array(
+                np.full(len(rep), _KIND_INTERVAL, dtype=np.int8), pa.int8()
+            ),
+            "iid": pa.array(iid[rep], pa.int64()),
+            "lo": pa.array(lo[rep], pa.int64()),
+            "hi": pa.array(hi[rep], pa.int64()),
+            "pts": pa.array(np.zeros(len(rep), dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def _probe_rows(batch: pa.Table, ts_col: str, bucket_us: int) -> pa.Table:
+    ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    z = np.zeros(len(ts), dtype=np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(ts // bucket_us, pa.int64()),
+            "kind": pa.array(
+                np.full(len(ts), _KIND_PROBE, dtype=np.int8), pa.int8()
+            ),
+            "iid": pa.array(z, pa.int64()),
+            "lo": pa.array(z, pa.int64()),
+            "hi": pa.array(z, pa.int64()),
+            "pts": pa.array(ts, pa.int64()),
+        }
+    )
+
+
+def _coarse_partials(g: pa.Table, bucket_us: int) -> pa.Table:
+    kinds = g["kind"].to_numpy(zero_copy_only=False)
+    im = kinds == _KIND_INTERVAL
+    iid = g["iid"].to_numpy(zero_copy_only=False)[im]
+    if len(iid) == 0:
+        # probe-only coarse group contributes nothing (schema-pinned empty)
+        return pa.table(
+            {
+                "iid": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    bk = g["bucket"].to_numpy(zero_copy_only=False)[im]
+    lo = g["lo"].to_numpy(zero_copy_only=False)[im]
+    hi = g["hi"].to_numpy(zero_copy_only=False)[im]
+    pts = np.sort(g["pts"].to_numpy(zero_copy_only=False)[~im])
+    # buckets inside one coarse group are DISJOINT time ranges, so one
+    # global sort + bucket-clamped bounds counts every replica at once:
+    # probes from sibling buckets can never fall inside the clamp
+    lo_c = np.maximum(lo, bk * bucket_us)
+    hi_c = np.minimum(hi, (bk + 1) * bucket_us)
+    n = np.searchsorted(pts, hi_c, side="left") - np.searchsorted(
+        pts, lo_c, side="left"
+    )
+    return pa.table(
+        {
+            "iid": pa.array(iid, pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def interval_count_join(
+    intervals: ray.data.Dataset,
+    probe: ray.data.Dataset,
+    *,
+    id_col: str,
+    lo_col: str,
+    hi_col: str,
+    probe_ts_col: str,
+    bucket_us: int,
+    n_coarse: int = 64,
+    num_partitions: int | None = None,
+    agg_partitions: int = 8,
+    out_id: str = "interval_id",
+    out_n: str = "n_events",
+) -> ray.data.Dataset:
+    """Count probe rows with lo <= ts < hi for every interval.
+
+    `intervals` needs (id_col:int64, lo_col, hi_col) and `probe` needs
+    (probe_ts_col); lo/hi/ts may be timestamp[us] or int64 microseconds.
+    `bucket_us` must be >= the max interval span (asserted); `n_coarse`
+    bounds the map_groups group count (parallelism knob, not a cap -
+    raise it with cluster size).  The coarse exchange is sized
+    n_coarse-bounded (never more partitions than groups); size
+    `agg_partitions` to the expected interval count // 64 at scale.
+    """
+    if num_partitions is None:
+        num_partitions = max(4, min(n_coarse, 16))
+
+    def coarse(b: pa.Table) -> pa.Table:
+        bk = b["bucket"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "coarse", pa.array(bk % n_coarse, pa.int64())
+        )
+
+    left = intervals.map_batches(
+        lambda b: coarse(
+            _interval_replicas(b, id_col, lo_col, hi_col, bucket_us)
+        ),
+        batch_format="pyarrow",
+    )
+    right = probe.map_batches(
+        lambda b: coarse(_probe_rows(b, probe_ts_col, bucket_us)),
+        batch_format="pyarrow",
+    )
+    partials = (
+        left.union(right)
+        .groupby("coarse", num_partitions=num_partitions)
+        .map_groups(
+            lambda g: _coarse_partials(g, bucket_us), batch_format="pyarrow"
+        )
+    )
+    out = partials.groupby("iid", num_partitions=agg_partitions).aggregate(
+        Sum("n", alias_name=out_n)
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                out_id: b["iid"].cast(pa.int64()),
+                out_n: b[out_n].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -326,19 +326,20 @@ def row_number_over_groups(
     )
 
 
-def grouped_median_exact(
+def grouped_rank_select(
     ds: ray.data.Dataset,
     group_col: str,
     order_col: str,
     tie_col: str,
-    totals: dict,
+    wanted: dict,
 ) -> dict:
-    """Exact per-group (v_lo, v_hi) at ranks (n+1)//2 and (n+2)//2 -
-    median = (v_lo + v_hi) / 2.  Selection via row_number_over_groups +
-    a rank filter, so only ~2 rows per group ever reach the driver."""
-    want = {
-        g: ((n + 1) // 2, (n + 2) // 2) for g, n in totals.items()
-    }
+    """Exact distributed k-th-element selection: for each group, fetch
+    the order_col value at every 1-based rank in ``wanted[group]``
+    (rank = row_number ordered by (order_col, tie_col)).  Built on
+    row_number_over_groups + a rank filter, so only the selected rows
+    (|wanted| per group, not the group) ever reach the driver.  Returns
+    {(group, rank): value}."""
+    want = {g: frozenset(int(k) for k in ks) for g, ks in wanted.items()}
     want_ref = ray.put(want)
     rn = row_number_over_groups(ds, group_col, order_col, tie_col)
 
@@ -351,17 +352,28 @@ def grouped_median_exact(
         )
         return b.filter(pa.array(mask))
 
-    out: dict = {}
-    for row in rn.map_batches(pick, batch_format="pyarrow").take_all():
-        g = row[group_col]
-        k1, k2 = want[g]
-        v = int(row[order_col])
-        lo, hi = out.get(g, (None, None))
-        if row["rn"] == k1:
-            lo = v
-        if row["rn"] == k2:
-            hi = v
-        out[g] = (lo, hi)
     return {
-        g: (lo, hi if hi is not None else lo) for g, (lo, hi) in out.items()
+        (row[group_col], int(row["rn"])): int(row[order_col])
+        for row in rn.map_batches(pick, batch_format="pyarrow").take_all()
+    }
+
+
+def grouped_median_exact(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    totals: dict,
+) -> dict:
+    """Exact per-group (v_lo, v_hi) at ranks (n+1)//2 and (n+2)//2 -
+    median = (v_lo + v_hi) / 2.  Thin wrapper over grouped_rank_select."""
+    want = {
+        g: ((n + 1) // 2, (n + 2) // 2) for g, n in totals.items()
+    }
+    sel = grouped_rank_select(
+        ds, group_col, order_col, tie_col,
+        {g: set(ks) for g, ks in want.items()},
+    )
+    return {
+        g: (sel[(g, k1)], sel[(g, k2)]) for g, (k1, k2) in want.items()
     }

@@ -7737,3 +7737,395 @@ def events_zorder_keys(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     ).map_batches(zkey, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (range join with no equality key)
+# ---------------------------------------------------------------------------
+
+@register(
+    "purchase_window_counts",
+    # Range join with no equality key: every event (ANY user) whose ts
+    # falls in each purchase's 2-hour window.  e.ts >= p.ts includes the
+    # purchase itself, so n_events >= 1; LEFT JOIN still mirrors the Ray
+    # side's keep-zero-overlap semantics.
+    "SELECT p.event_id AS interval_id, "
+    "CAST(count(e.event_id) AS BIGINT) AS n_events "
+    "FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p "
+    "LEFT JOIN events e ON e.ts >= p.ts AND e.ts < p.ts + INTERVAL 2 HOUR "
+    "GROUP BY p.event_id",
+)
+def purchase_window_counts(sf_dir: str):
+    """Interval-overlap join (functions/intervaljoin.py): purchases
+    define [ts, ts+2h) windows, the probe side is the WHOLE event
+    stream with no equality key - the one join shape the repo's
+    hash/broadcast/asof joins can't express.  Bucketed by 2h so each
+    interval replicates into <= 2 buckets (asserted, no silent caps);
+    one sort + double-searchsorted per bucket; zero-overlap intervals
+    survive the final sum with n = 0."""
+    from ..functions.intervaljoin import interval_count_join
+
+    two_h_us = 2 * 3600 * 1_000_000
+
+    def mk_intervals(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], "purchase")
+        t = b.filter(m)
+        lo = t["ts"].cast(pa.int64())
+        return pa.table({
+            "iid": t["event_id"].cast(pa.int64()),
+            "lo": lo,
+            "hi": pc.add(lo, two_h_us),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    intervals = ev.map_batches(mk_intervals, batch_format="pyarrow")
+    probe = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    )
+    return interval_count_join(
+        intervals, probe,
+        id_col="iid", lo_col="lo", hi_col="hi", probe_ts_col="ts",
+        bucket_us=two_h_us,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group Pearson correlation + population covariance from exact moments
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_hour_corr_by_type",
+    # corr/covar from INTEGER moments (same plan as value_hour_regression:
+    # exact int64 sums, float expression trees mirrored op-for-op).
+    # Zero-variance groups are excluded on BOTH sides: DuckDB double
+    # division by zero yields NULL while numpy yields inf/nan.
+    "WITH m AS (SELECT event_type, count(*) AS n, "
+    "  CAST(sum(h) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy, "
+    "  CAST(sum(h * h) AS BIGINT) AS sxx, "
+    "  CAST(sum(c * c) AS BIGINT) AS syy, "
+    "  CAST(sum(h * c) AS BIGINT) AS sxy "
+    "  FROM (SELECT event_type, "
+    "    CAST(round(value * 100) AS BIGINT) AS c, "
+    "    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h FROM events) "
+    "  GROUP BY event_type) "
+    "SELECT event_type, "
+    "CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+    " sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_vh, "
+    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_vh "
+    "FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0",
+)
+def value_hour_corr_by_type(sf_dir: str):
+    """Grouped Pearson correlation + covar_pop of (hour-of-day, value
+    cents) in ONE streaming pass: six integer moments per group, then
+    closed-form float finishers on the driver's group-count-sized
+    table.  The scale shape for grouped second-order statistics - no
+    second pass, no per-group float accumulation order hazard (every
+    sum is exact int64; see _guard_int64_products)."""
+
+    def m_partial(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        h = pc.cast(pc.hour(b["ts"]), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "one": pa.array(np.ones(len(b), dtype=np.int64)),
+                "sx": h,
+                "sy": c,
+                "sxx": pc.multiply(h, h),
+                "syy": pc.multiply(c, c),
+                "sxy": pc.multiply(h, c),
+            }
+        )
+        cols = ("one", "sx", "sy", "sxx", "syy", "sxy")
+        g = t.group_by("event_type").aggregate([(x, "sum") for x in cols])
+        return g.rename_columns(["event_type", "n"] + list(cols[1:]))
+
+    names = ("n", "sx", "sy", "sxx", "syy", "sxy")
+    mom = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "value", "ts"],
+        )
+        .map_batches(m_partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=8)
+        .aggregate(*[Sum(x, alias_name=x) for x in names])
+        .to_pandas()
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        mom[k].to_numpy(np.int64) for k in names
+    )
+    _guard_int64_products(
+        (
+            p
+            for r in mom.itertuples()
+            for p in (
+                int(r.n) * int(r.sxy), int(r.sx) * int(r.sy),
+                int(r.n) * int(r.sxx), int(r.sx) * int(r.sx),
+                int(r.n) * int(r.syy), int(r.sy) * int(r.sy),
+                int(r.n) * int(r.n),
+            )
+        ),
+        "value_hour_corr_by_type",
+    )
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    keep = (vx > 0) & (vy > 0)
+    num = (n * sxy - sx * sy).astype(np.float64)
+    corr = num[keep] / (
+        np.sqrt(vx[keep].astype(np.float64))
+        * np.sqrt(vy[keep].astype(np.float64))
+    )
+    covar = num[keep] / (n[keep] * n[keep]).astype(np.float64)
+    return pa.table(
+        {
+            "event_type": pa.array(
+                mom["event_type"].to_numpy()[keep], pa.string()
+            ),
+            "corr_vh": pa.array(corr, pa.float64()),
+            "covar_vh": pa.array(covar, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponential moving average per user (dyadic weights, exact int64)
+# ---------------------------------------------------------------------------
+
+def _ema_sql() -> str:
+    # truncated EMA, alpha = 1/2, window K = 8: weight 2^(7-j) for the
+    # j-th most recent value; missing history shrinks the denominator
+    # (weights renormalize over what exists) - all int64, so the two
+    # engines cannot diverge on accumulation order
+    num = " + ".join(
+        f"CASE WHEN lag(v, {j}) OVER w IS NULL THEN 0 "
+        f"ELSE lag(v, {j}) OVER w * {1 << (7 - j)} END"
+        for j in range(8)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(v, {j}) OVER w IS NULL THEN 0 "
+        f"ELSE {1 << (7 - j)} END"
+        for j in range(8)
+    )
+    return (
+        "SELECT event_id, ema_num, ema_den, "
+        "CAST(ema_num AS DOUBLE) / ema_den AS ema FROM ("
+        f"  SELECT event_id, CAST({num} AS BIGINT) AS ema_num, "
+        f"  CAST({den} AS BIGINT) AS ema_den FROM ("
+        "    SELECT event_id, user_id, ts, "
+        "    CAST(round(value * 100) AS BIGINT) AS v FROM events) "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))"
+    )
+
+
+@register("user_value_ema", _ema_sql())
+def user_value_ema(sf_dir: str):
+    """Per-user exponential moving average over the ordered event
+    stream: hash-partition by user, ts-sort inside the group once, then
+    eight shifted vectorized adds (weights 2^(7-j), alpha = 1/2
+    truncated at 8 lags).  Dyadic integer weights keep every numerator
+    and denominator exact int64, so the float EMA is ONE division -
+    the recipe for recursive/stateful window math that survives
+    distribution (a true recurrence would pin accumulation order)."""
+
+    def ema_group(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(g["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        v = cents[order]
+        n = len(v)
+        num = np.zeros(n, dtype=np.int64)
+        den = np.zeros(n, dtype=np.int64)
+        for j in range(min(8, n)):
+            w = 1 << (7 - j)
+            num[j:] += v[: n - j] * w
+            den[j:] += w
+        return pa.table({
+            "event_id": pa.array(ids[order], pa.int64()),
+            "ema_num": pa.array(num, pa.int64()),
+            "ema_den": pa.array(den, pa.int64()),
+            "ema": pa.array(num.astype(np.float64) / den, pa.float64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        .groupby("user_id")
+        .map_groups(ema_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated percentiles (percentile_cont semantics) per group
+# ---------------------------------------------------------------------------
+
+def _pctl_sql() -> str:
+    # explicit rank-pair interpolation instead of quantile_cont, so the
+    # float expression tree is spelled out and mirrored op-for-op on
+    # the Ray side: v = lo + (hi - lo) * frac, frac = ((n-1)*k % 4)/4
+    # (dyadic -> every product is exact).  CAST(4 AS DOUBLE) avoids the
+    # DECIMAL-literal trap.
+    sel, out = [], []
+    for k, name in ((1, "p25_cents"), (2, "p50_cents"), (3, "p75_cents")):
+        sel.append(
+            f"max(CASE WHEN rn = ((cnt - 1) * {k}) // 4 + 1 "
+            f"THEN cents END) AS lo{k}, "
+            f"max(CASE WHEN rn = ((cnt - 1) * {k}) // 4 + 2 "
+            f"THEN cents END) AS hi{k}"
+        )
+        out.append(
+            f"CAST(lo{k} AS DOUBLE) + (COALESCE(hi{k}, lo{k}) - lo{k}) * "
+            f"((((cnt - 1) * {k}) % 4) / CAST(4 AS DOUBLE)) AS {name}"
+        )
+    return (
+        "WITH c AS (SELECT event_type, event_id, "
+        "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "n AS (SELECT event_type, count(*) AS cnt FROM c GROUP BY event_type), "
+        "r AS (SELECT event_type, cents, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY cents, event_id) AS rn FROM c), "
+        "s AS (SELECT r.event_type, " + ", ".join(sel)
+        + " FROM r JOIN n USING (event_type) GROUP BY r.event_type) "
+        "SELECT s.event_type, CAST(cnt AS BIGINT) AS n, "
+        + ", ".join(out)
+        + " FROM s JOIN n USING (event_type)"
+    )
+
+
+@register("value_percentiles_by_type", _pctl_sql())
+def value_percentiles_by_type(sf_dir: str):
+    """percentile_cont(0.25/0.5/0.75) per event type, exact and
+    distributed: ONE two-level rank scan (functions/ranks.py
+    grouped_rank_select) fetches the <= 6 boundary ranks per group,
+    then linear interpolation with dyadic fractions - no group is ever
+    sorted in one place and the driver sees only the selected rows.
+    The scale shape for exact grouped quantiles (vs the KLL sketch for
+    approximate ones)."""
+    from ..functions.ranks import grouped_rank_select
+
+    def cents_tbl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+            ),
+        })
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "event_id", "value"],
+    ).map_batches(cents_tbl, batch_format="pyarrow").materialize()
+
+    totals = {
+        r["event_type"]: int(r["n"])
+        for r in ev.groupby("event_type", num_partitions=4)
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+    wanted: dict = {}
+    marks: dict = {}
+    for g, n in totals.items():
+        ranks = set()
+        for k in (1, 2, 3):
+            pos = (n - 1) * k
+            lo = pos // 4 + 1
+            ranks.add(lo)
+            if lo + 1 <= n:
+                ranks.add(lo + 1)
+            marks[(g, k)] = (lo, pos % 4)
+        wanted[g] = ranks
+    sel = grouped_rank_select(ev, "event_type", "cents", "event_id", wanted)
+
+    keys = sorted(totals)
+    cols: dict = {
+        "event_type": pa.array(keys, pa.string()),
+        "n": pa.array([totals[g] for g in keys], pa.int64()),
+    }
+    for k, name in ((1, "p25_cents"), (2, "p50_cents"), (3, "p75_cents")):
+        vals = []
+        for g in keys:
+            lo_rank, frac4 = marks[(g, k)]
+            lo = sel[(g, lo_rank)]
+            hi = sel.get((g, lo_rank + 1), lo)
+            # mirror: CAST(lo AS DOUBLE) + (hi - lo) * (frac4 / 4.0)
+            vals.append(float(lo) + (hi - lo) * (frac4 / 4.0))
+        cols[name] = pa.array(vals, pa.float64())
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (type-token ratio + Gini impurity of the word
+# distribution) - gibberish / boilerplate quality signal
+# ---------------------------------------------------------------------------
+
+@register(
+    "lexical_diversity_docs",
+    # Gini impurity 1 - sum((c/n)^2) carried as the RATIONAL pair
+    # (n^2 - sum c^2, n^2): no transcendentals (entropy's log2 differs
+    # in the last ulp between libms), so both engines are exact.
+    "WITH t AS (SELECT doc_id, unnest(list_filter("
+    "  regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "  w -> len(w) > 0)) AS w FROM documents), "
+    "f AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w), "
+    "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, "
+    "  CAST(count(*) AS BIGINT) AS d, "
+    "  CAST(sum(c * c) AS BIGINT) AS ssq FROM f GROUP BY doc_id) "
+    "SELECT doc_id, n AS n_tokens, d AS n_distinct, "
+    "CAST(n * n - ssq AS BIGINT) AS gini_num, "
+    "CAST(d AS DOUBLE) / n AS ttr, "
+    "CAST(n * n - ssq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini "
+    "FROM a WHERE n > 0",
+)
+def lexical_diversity_docs(sf_dir: str):
+    """Per-document lexical diversity: type-token ratio and the Gini
+    impurity of the word frequency distribution (low gini = the doc is
+    a few tokens repeated = boilerplate/autogen; the quality-filter
+    companion to gopher_repetition's top-k ratios).  Pure per-doc
+    map_batches scan - zero shuffle; the shared [a-z0-9]+ tokenizer
+    (functions/dsir._tokenize) keeps SQL and Ray token streams
+    identical.  All stats ride the rational pair (n^2 - sum c^2, n^2),
+    so no float accumulation anywhere."""
+    from collections import Counter
+
+    from ..functions.dsir import _tokenize
+
+    def diversity(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, n_t, n_d, g_num, ttr, gini = [], [], [], [], [], []
+        for i, text in enumerate(b["text"].to_pylist()):
+            toks = _tokenize(text or "")
+            n = len(toks)
+            if n == 0:
+                continue
+            if n * n > (1 << 53):
+                raise ValueError(
+                    f"lexical_diversity: doc {ids[i]} has {n} tokens; "
+                    "n^2 exceeds exact-double range"
+                )
+            c = Counter(toks)
+            ssq = sum(v * v for v in c.values())
+            out_id.append(int(ids[i]))
+            n_t.append(n)
+            n_d.append(len(c))
+            g_num.append(n * n - ssq)
+            ttr.append(float(len(c)) / n)
+            gini.append(float(n * n - ssq) / float(n * n))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_tokens": pa.array(n_t, pa.int64()),
+            "n_distinct": pa.array(n_d, pa.int64()),
+            "gini_num": pa.array(g_num, pa.int64()),
+            "ttr": pa.array(ttr, pa.float64()),
+            "gini": pa.array(gini, pa.float64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        diversity, batch_format="pyarrow"
+    )

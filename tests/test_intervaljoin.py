@@ -1,0 +1,76 @@
+"""interval_count_join: bucketed range join must equal the brute-force
+overlap count, including zero-overlap intervals, boundary semantics
+(lo inclusive / hi exclusive), and bucket-crossing windows."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.intervaljoin import (
+    _interval_replicas,
+    interval_count_join,
+)
+
+
+def _run(iv_rows, ts, bucket_us, nblocks=3):
+    intervals = ray.data.from_arrow(
+        pa.table({
+            "iid": pa.array([r[0] for r in iv_rows], pa.int64()),
+            "lo": pa.array([r[1] for r in iv_rows], pa.int64()),
+            "hi": pa.array([r[2] for r in iv_rows], pa.int64()),
+        })
+    ).repartition(nblocks)
+    probe = ray.data.from_arrow(
+        pa.table({"ts": pa.array(ts, pa.int64())})
+    ).repartition(nblocks)
+    out = interval_count_join(
+        intervals, probe,
+        id_col="iid", lo_col="lo", hi_col="hi", probe_ts_col="ts",
+        bucket_us=bucket_us,
+    ).to_pandas()
+    return dict(zip(out["interval_id"], out["n_events"]))
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_matches_bruteforce(ray_session, seed, nblocks):
+    rng = np.random.RandomState(seed)
+    ts = rng.randint(0, 10_000, size=400).astype(np.int64)
+    spans = rng.randint(1, 1000, size=60)
+    los = rng.randint(-500, 10_500, size=60)
+    iv = [(i, int(los[i]), int(los[i] + spans[i])) for i in range(60)]
+    got = _run(iv, ts, bucket_us=1000, nblocks=nblocks)
+    for i, lo, hi in iv:
+        assert got[i] == int(np.sum((ts >= lo) & (ts < hi))), (i, lo, hi)
+    assert len(got) == 60  # zero-overlap intervals survive with n=0
+
+
+def test_boundaries_and_bucket_crossing(ray_session):
+    # lo inclusive, hi exclusive; window straddles the bucket edge at 1000
+    got = _run([(1, 900, 1100)], [899, 900, 999, 1000, 1099, 1100], 1000)
+    assert got == {1: 4}
+
+
+def test_rejects_over_wide_interval():
+    with pytest.raises(ValueError, match="spans"):
+        _interval_replicas(
+            pa.table({
+                "iid": pa.array([1], pa.int64()),
+                "lo": pa.array([0], pa.int64()),
+                "hi": pa.array([2001], pa.int64()),
+            }),
+            "iid", "lo", "hi", 1000,
+        )
+
+
+def test_rejects_empty_interval():
+    with pytest.raises(ValueError, match="hi <= lo"):
+        _interval_replicas(
+            pa.table({
+                "iid": pa.array([1], pa.int64()),
+                "lo": pa.array([5], pa.int64()),
+                "hi": pa.array([5], pa.int64()),
+            }),
+            "iid", "lo", "hi", 1000,
+        )
