@@ -294,3 +294,108 @@ def hits_fixed(
         num_partitions=max(1, min(8, nodes.count() // 64)),
     )
     return merged.select_columns(["node", "hub_fixed", "auth_fixed"])
+
+
+def bfs_depths(
+    edges: ray.data.Dataset,
+    seed: int,
+    max_depth: int = 5,
+    driver_threshold: int = 100_000,
+) -> ray.data.Dataset:
+    """(node, depth) shortest directed hop count from ``seed`` for every
+    node reachable within ``max_depth`` hops (seed itself at depth 0).
+
+    Hybrid like pagerank_fixed / triangle_count: a provably small edge
+    set (counted first) runs plain numpy BFS on the driver; beyond the
+    threshold each level is one frontier⋈edges hash join plus one
+    left-outer anti-join against the visited set - the exchange per
+    round carries the frontier's out-edges, never the whole graph, and
+    the visited table is the only per-round materialization (O(V),
+    object-store-resident).  Rounds stop early when a level adds no
+    node, so the worst case is max_depth exchanges."""
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    n_edges = edges.count()
+
+    if n_edges <= driver_threshold:
+        import numpy as np
+
+        rows = edges.take_all()
+        adj: dict = {}
+        for r in rows:
+            adj.setdefault(int(r["src"]), []).append(int(r["dst"]))
+        depth = {int(seed): 0}
+        frontier = [int(seed)]
+        for d in range(1, max_depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in depth:
+                        depth[v] = d
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        nodes = sorted(depth)
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "depth": pa.array([depth[n] for n in nodes], pa.int64()),
+        }))
+
+    depths = ray.data.from_arrow(pa.table({
+        "node": pa.array([int(seed)], pa.int64()),
+        "depth": pa.array([0], pa.int64()),
+    })).materialize()
+
+    for d in range(max_depth):
+        frontier = depths.map_batches(
+            lambda b, dd=d: b.filter(pc.equal(b["depth"], dd)).select(
+                ["node"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        nf = frontier.count()
+        if nf == 0:
+            break
+        n_parts = max(1, min(8, nf // 64))
+        hops = hash_join(
+            edges,
+            frontier.rename_columns({"node": "src"}),
+            on="src", num_partitions=n_parts,
+        )
+        cand = (
+            hops.map_batches(
+                lambda b: pa.table({"node": pc.cast(b["dst"], pa.int64())}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        ).materialize()
+        n_cand = cand.count()
+        if n_cand == 0:
+            # frontier had no out-edges at all; an empty join side would
+            # produce schema-less partitions (the known Ray join pitfall)
+            break
+        # anti-join the visited set: left-outer then keep null depth
+        # (the right key column is coalesced into the left's - known
+        # Ray join behavior - so probe the depth column, not the key)
+        probe = hash_join(
+            cand,
+            depths.rename_columns({"node": "v_node", "depth": "v_depth"}),
+            on="node", right_on="v_node", join_type="left_outer",
+            num_partitions=max(1, min(8, n_cand // 64)),
+        )
+        def unvisited(b: pa.Table, dd: int = d + 1) -> pa.Table:
+            t = b.filter(pc.is_null(b["v_depth"]))
+            return pa.table({
+                "node": pc.cast(t["node"], pa.int64()),
+                "depth": pa.array([dd] * t.num_rows, pa.int64()),
+            })
+
+        new = probe.map_batches(unvisited, batch_format="pyarrow")
+        new = pin_schema(new, pa.schema([
+            ("node", pa.int64()), ("depth", pa.int64()),
+        ])).materialize()
+        if new.count() == 0:
+            break
+        depths = depths.union(new).materialize()
+    return depths

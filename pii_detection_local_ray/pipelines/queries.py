@@ -8129,3 +8129,149 @@ def lexical_diversity_docs(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         diversity, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hop-depth over the planted host graph - functions/graph.py
+# ---------------------------------------------------------------------------
+
+@register(
+    "host_bfs_depths",
+    # recursive-CTE BFS: UNION dedups (node, depth) pairs, min(depth)
+    # is the shortest hop count; the depth < 5 guard bounds recursion
+    # exactly like the engine's max_depth
+    "WITH RECURSIVE e AS (SELECT DISTINCT doc_id % 20 AS src, "
+    "  (doc_id // 20) % 20 AS dst FROM documents), "
+    "walk(node, depth) AS ("
+    "  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+    "  UNION "
+    "  SELECT CAST(e.dst AS BIGINT), CAST(w.depth + 1 AS BIGINT) "
+    "  FROM walk w JOIN e ON e.src = w.node WHERE w.depth < 5) "
+    "SELECT node, CAST(min(depth) AS BIGINT) AS depth "
+    "FROM walk GROUP BY node",
+)
+def host_bfs_depths(sf_dir: str):
+    """Directed BFS from host 0 over the planted 20-host link graph
+    (same edge derivation as host_pagerank): per-level frontier⋈edges
+    hash join + anti-join against the visited set, early-stopping when
+    a level adds nothing (functions/graph.bfs_depths).  The iterative
+    reachability shape alongside PageRank/HITS/connected components;
+    exact vs the recursive-CTE oracle."""
+    from ..functions.graph import bfs_depths
+
+    def plant_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(ids % 20, pa.int64()),
+            "dst": pa.array((ids // 20) % 20, pa.int64()),
+        })
+
+    edges = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+    )
+    return bfs_depths(edges, seed=0, max_depth=5)
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame (RANGE BETWEEN INTERVAL ... PRECEDING)
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_value_range_1h",
+    # RANGE frame: every row whose ts lies in [cur - 1h, cur], ties
+    # included on both ends (RANGE counts peers, unlike ROWS) - cents
+    # keep the running sums exact int64
+    "SELECT event_id, CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS sum_1h_cents FROM (SELECT event_id, user_id, ts, "
+    "CAST(round(value * 100) AS BIGINT) AS v FROM events)",
+)
+def user_value_range_1h(sf_dir: str):
+    """Per-user rolling 1-hour sum with RANGE (time-interval) frame
+    semantics: hash-partition by user, one ts-sort per group, then a
+    prefix-sum + double-searchsorted - O(n log n) per group, no
+    per-row loop, and tie groups (equal ts) share one frame exactly as
+    SQL RANGE requires.  Complements events_rolling_sum3 (ROWS frame)
+    and events_sliding_1h30m (tumbling/sliding buckets)."""
+
+    def range_group(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(g["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts_s, v_s = ts[order], cents[order]
+        pref = np.concatenate([[0], np.cumsum(v_s)])
+        lo = np.searchsorted(ts_s, ts_s - 3_600_000_000, side="left")
+        hi = np.searchsorted(ts_s, ts_s, side="right")
+        return pa.table({
+            "event_id": pa.array(ids[order], pa.int64()),
+            "sum_1h_cents": pa.array(pref[hi] - pref[lo], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        .groupby("user_id")
+        .map_groups(range_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predicate pushdown at the read (parquet row-group pruning)
+# ---------------------------------------------------------------------------
+
+@register(
+    "purchase_value_pushdown",
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+    "FROM events WHERE event_type = 'purchase' AND value > 150.0 "
+    "GROUP BY day",
+)
+def purchase_value_pushdown(sf_dir: str):
+    """Filter pushed INTO the parquet scan (`filter=` arrow expression):
+    row groups whose (event_type, value) statistics exclude the
+    predicate never leave storage - at 100 TB this is the difference
+    between scanning the table and scanning the matching slice.  The
+    rest is one salt-free day aggregate (day count is bounded)."""
+    import pyarrow.dataset as pads
+
+    flt = (pads.field("event_type") == "purchase") & (
+        pads.field("value") > 150.0
+    )
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        t = pa.table({
+            "day": pc.floor_temporal(b["ts"], unit="day"),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            "c": cents,
+        })
+        g = t.group_by("day").aggregate([("one", "sum"), ("c", "sum")])
+        return g.rename_columns(["day", "n", "sum_cents"])
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "value", "event_type"],
+            filter=flt,
+        )
+        .map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day", num_partitions=4)
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents")
+        )
+    )
+    return _schema_safe(_pin_ts_us(agg, "day"), pa.schema([
+        ("day", pa.timestamp("us")),
+        ("n", pa.int64()),
+        ("sum_cents", pa.int64()),
+    ]))

@@ -1,0 +1,77 @@
+"""bfs_depths: driver path and forced-distributed path must both equal
+a reference BFS, including early stopping and the max_depth cap."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.graph import bfs_depths
+
+
+def _ref_bfs(src, dst, seed, max_depth):
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    depth = {seed: 0}
+    frontier = [seed]
+    for d in range(1, max_depth + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = d
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return depth
+
+
+def _edges_ds(src, dst, nblocks=3):
+    return ray.data.from_arrow(
+        pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+        })
+    ).repartition(nblocks)
+
+
+@pytest.mark.parametrize("threshold", [100_000, 0])
+@pytest.mark.parametrize("seed_rng", [0, 3])
+def test_bfs_matches_reference(ray_session, threshold, seed_rng):
+    rng = np.random.RandomState(seed_rng)
+    src = rng.randint(0, 40, size=200)
+    dst = rng.randint(0, 40, size=200)
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(
+            _edges_ds(src, dst), seed=0, max_depth=4,
+            driver_threshold=threshold,
+        ).take_all()
+    }
+    assert got == _ref_bfs(src, dst, 0, 4)
+
+
+@pytest.mark.parametrize("threshold", [100_000, 0])
+def test_bfs_early_stop_and_cap(ray_session, threshold):
+    # chain 0->1->2->...->7; cap at 3 hops
+    src = list(range(7))
+    dst = list(range(1, 8))
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(
+            _edges_ds(src, dst), seed=0, max_depth=3,
+            driver_threshold=threshold,
+        ).take_all()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+@pytest.mark.parametrize("threshold", [100_000, 0])
+def test_bfs_isolated_seed(ray_session, threshold):
+    got = bfs_depths(
+        _edges_ds([5], [6]), seed=0, max_depth=3,
+        driver_threshold=threshold,
+    ).take_all()
+    assert [(r["node"], r["depth"]) for r in got] == [(0, 0)]
