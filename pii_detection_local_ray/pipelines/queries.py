@@ -5425,6 +5425,45 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Record linkage: sorted-neighborhood window join
+# ---------------------------------------------------------------------------
+
+@register(
+    "sortneighbor_supplier_pairs",
+    "WITH ranked AS (SELECT s_suppkey AS id, s_name AS name, "
+    "ROW_NUMBER() OVER (ORDER BY s_name, s_suppkey) AS rn FROM supplier) "
+    "SELECT a.id AS id_a, b.id AS id_b, "
+    "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist "
+    "FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 3 "
+    "WHERE levenshtein(a.name, b.name) <= 2",
+)
+def sortneighbor_supplier_pairs(sf_dir: str):
+    """Sorted-neighborhood record linkage (Hernandez & Stolfo 1995):
+    compare only rows within window W of each other in the global
+    (name, id) sort order - candidate count is W*n regardless of value
+    skew, the guarantee the deletion-neighborhood and PPJoin blockers
+    lack on degenerate blocks.  Distributed via sampled range
+    partitioning + driver-side boundary stitching
+    (functions/sortneighbor.py); exact vs the SQL ROW_NUMBER window
+    self-join."""
+    from ..functions.sortneighbor import (
+        PAIR_SCHEMA,
+        sorted_neighborhood_pairs,
+    )
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return _schema_safe(
+        sorted_neighborhood_pairs(
+            sup, id_col="s_suppkey", key_col="s_name",
+            window=3, max_dist=2, n_ranges=8,
+        ),
+        PAIR_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross join of dimension tables
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,61 @@
+"""sorted_neighborhood_pairs must equal the brute-force window join
+over the global (key, id) sort order, across range counts and layouts
+(incl. ranges smaller than the window, forcing multi-range stitches)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.fuzzyjoin import levenshtein
+from pii_detection_local_ray.functions.sortneighbor import (
+    sorted_neighborhood_pairs,
+)
+
+
+def _brute(keys, ids, window, max_dist):
+    rows = sorted(zip(keys, ids))
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, min(i + window + 1, len(rows))):
+            d = levenshtein(rows[i][0], rows[j][0])
+            if d <= max_dist:
+                out.add((rows[i][1], rows[j][1], d))
+    return out
+
+
+def _run(keys, ids, window, max_dist, n_ranges, nblocks=3):
+    ds = ray.data.from_arrow(
+        pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "name": pa.array(keys, pa.string()),
+        })
+    ).repartition(nblocks)
+    got = sorted_neighborhood_pairs(
+        ds, "id", "name", window=window, max_dist=max_dist,
+        n_ranges=n_ranges,
+    ).take_all()
+    return {(r["id_a"], r["id_b"], r["dist"]) for r in got}
+
+
+@pytest.mark.parametrize("n_ranges", [1, 4, 64])
+@pytest.mark.parametrize("seed", [0, 5])
+def test_matches_bruteforce(ray_session, n_ranges, seed):
+    rng = np.random.RandomState(seed)
+    keys = [f"item{rng.randint(0, 120):04d}" for _ in range(150)]
+    ids = list(range(150))
+    assert _run(keys, ids, 3, 2, n_ranges) == _brute(keys, ids, 3, 2)
+
+
+def test_tiny_ranges_cross_stitch(ray_session):
+    # 6 rows, 64 ranges -> every range holds <= 1 row; every pair is a
+    # cross-range stitch spanning multiple range boundaries
+    keys = [f"n{i}" for i in range(6)]
+    ids = list(range(6))
+    assert _run(keys, ids, 3, 2, 64) == _brute(keys, ids, 3, 2)
+
+
+def test_duplicate_keys(ray_session):
+    keys = ["same"] * 8
+    ids = list(range(8))
+    assert _run(keys, ids, 2, 2, 4) == _brute(keys, ids, 2, 2)
