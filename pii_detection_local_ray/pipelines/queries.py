@@ -2670,6 +2670,60 @@ def purchase_last_click(sf_dir: str):
 
 
 @register(
+    "purchase_asof_order",
+    # Point-in-time join: each purchase event is stamped with the id of
+    # the most recent order the same account placed at or before the
+    # event (right side pre-deduplicated to one row per (customer,
+    # order-date) by max orderkey, so the as-of row is unique).
+    "SELECT e.event_id AS event_id, r.last_orderkey AS last_orderkey "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') e "
+    "ASOF JOIN (SELECT o_custkey, o_orderdate, "
+    "max(o_orderkey) AS last_orderkey FROM orders "
+    "GROUP BY o_custkey, o_orderdate) r "
+    "ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate",
+)
+def purchase_asof_order(sf_dir: str):
+    """Generic CROSS-TABLE as-of join (functions/asofjoin.py): both
+    sides hash-partition once on key%16 coarse buckets and every bucket
+    resolves all its keys in one dense-rank + composite-searchsorted
+    vectorized pass - the reusable operator behind the same-table
+    purchase_last_click composition.  Right side is first collapsed to
+    one row per (customer, date) with an argmax aggregate, making the
+    as-of match unique and the oracle deterministic."""
+    from ..functions.asofjoin import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["event_type"], "purchase")
+        ).select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    last = (
+        orders.groupby(["o_custkey", "o_orderdate"], num_partitions=8)
+        .max("o_orderkey")
+        .map_batches(
+            lambda b: b.rename_columns(
+                ["user_id", "o_orderdate", "last_orderkey"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return asof_join(
+        ev, last, key_col="user_id",
+        left_ts_col="ts", right_ts_col="o_orderdate",
+        left_cols=["event_id"], right_cols=["last_orderkey"],
+        n_buckets=16,
+    )
+
+
+@register(
     "media_frame_counts",
     # videos are built deterministically per doc (n_frames = 6 + doc_id%10)
     # and sampled every 4th frame, so the sampled-frame count per video is

@@ -1,0 +1,101 @@
+"""asof_join must equal the brute-force per-row scan (inner as-of
+semantics) across layouts, tie patterns, and strict/at-or-before."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.asofjoin import asof_join
+
+
+def _brute(lk, lt, lid, rk, rt, rv, strict):
+    out = set()
+    for k, t, i in zip(lk, lt, lid):
+        best = None
+        for k2, t2, v in zip(rk, rt, rv):
+            if k2 != k:
+                continue
+            if (t2 < t) if strict else (t2 <= t):
+                if best is None or t2 > best[0]:
+                    best = (t2, v)
+        if best is not None:
+            out.add((i, best[1]))
+    return out
+
+
+def _run(lk, lt, lid, rk, rt, rv, strict, n_buckets=4):
+    left = ray.data.from_arrow(
+        pa.table({
+            "k": pa.array(lk, pa.int64()),
+            "t": pa.array(lt, pa.int64()),
+            "lid": pa.array(lid, pa.int64()),
+        })
+    ).repartition(3)
+    right = ray.data.from_arrow(
+        pa.table({
+            "k": pa.array(rk, pa.int64()),
+            "t": pa.array(rt, pa.int64()),
+            "v": pa.array(rv, pa.int64()),
+        })
+    ).repartition(2)
+    got = asof_join(
+        left, right, key_col="k", left_ts_col="t", right_ts_col="t",
+        left_cols=["lid"], right_cols=["v"], strict=strict,
+        n_buckets=n_buckets,
+    ).take_all()
+    return {(r["lid"], r["v"]) for r in got}
+
+
+@pytest.mark.parametrize("strict", [False, True])
+@pytest.mark.parametrize("seed", [0, 3])
+def test_matches_bruteforce(ray_session, strict, seed):
+    rng = np.random.RandomState(seed)
+    n_l, n_r = 200, 120
+    lk = rng.randint(0, 12, n_l).tolist()
+    lt = rng.randint(0, 50, n_l).tolist()
+    lid = list(range(n_l))
+    rk = rng.randint(0, 15, n_r).tolist()  # some keys missing on left
+    rt = rng.randint(0, 50, n_r).tolist()
+    # unique (k, t) on the right: as-of ties are ambiguous by contract
+    seen, keep = set(), []
+    for i, kt in enumerate(zip(rk, rt)):
+        if kt not in seen:
+            seen.add(kt)
+            keep.append(i)
+    rk = [rk[i] for i in keep]
+    rt = [rt[i] for i in keep]
+    rv = [100 + i for i in range(len(keep))]
+    assert _run(lk, lt, lid, rk, rt, rv, strict) == _brute(
+        lk, lt, lid, rk, rt, rv, strict
+    )
+
+
+def test_equal_ts_at_or_before_vs_strict(ray_session):
+    # single key, right row exactly at the left timestamp
+    args = ([1, 1], [10, 5], [0, 1], [1, 1], [10, 4], [7, 8])
+    assert _run(*args, strict=False) == {(0, 7), (1, 8)}
+    assert _run(*args, strict=True) == {(0, 8), (1, 8)}
+
+
+def test_no_match_rows_dropped(ray_session):
+    got = _run([1, 2], [5, 5], [0, 1], [1], [9], [7], strict=False)
+    assert got == set()  # right ts after every left ts
+
+
+def test_empty_sides_keep_schema(ray_session):
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()),
+                  "t": pa.array([1], pa.int64()),
+                  "lid": pa.array([0], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()),
+                  "t": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.int64())})
+    )
+    out = asof_join(
+        left, right, key_col="k", left_ts_col="t", right_ts_col="t",
+        left_cols=["lid"], right_cols=["v"],
+    )
+    assert out.count() == 0
