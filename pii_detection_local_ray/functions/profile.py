@@ -1,0 +1,149 @@
+"""Distributed column profiler (data-quality / schema-drift report).
+
+One streaming pass computes per-column row count, null count, and
+typed min/max as <=n_cols partial rows per block that merge through a
+tiny groupby("col") aggregate; exact distinct counts run as a second
+pass whose exchange carries only block-local DISTINCT values (map-side
+combining), grouped twice on coarse hash partitions - the exchange is
+bounded by the number of distinct values, never the row count.  The
+final stitch joins two <=n_cols-row tables on the driver (bounded by
+the column count, not the data).
+
+Numeric columns report min_num/max_num as float64, string columns
+min_str/max_str, and timestamp columns are formatted into
+min_str/max_str with str(datetime) - identical to SQL
+CAST(ts AS VARCHAR) for microsecond timestamps."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+OUT_SCHEMA = pa.schema([
+    ("col", pa.string()),
+    ("n_rows", pa.int64()),
+    ("n_nulls", pa.int64()),
+    ("n_distinct", pa.int64()),
+    ("min_num", pa.float64()),
+    ("max_num", pa.float64()),
+    ("min_str", pa.string()),
+    ("max_str", pa.string()),
+])
+
+
+def _kind(t: pa.DataType) -> str:
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    return "num"
+
+
+def profile_columns(
+    ds: ray.data.Dataset, cols: list[str], *, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """One row per profiled column: (col, n_rows, n_nulls, n_distinct,
+    min_num, max_num, min_str, max_str)."""
+    schema = ds.schema().base_schema
+    kinds = {c: _kind(schema.field(c).type) for c in cols}
+
+    def partials(b: pa.Table) -> pa.Table:
+        rows: dict = {
+            "col": [], "n_rows": [], "n_nulls": [],
+            "min_num": [], "max_num": [],
+            "min_str": [], "max_str": [],
+            "min_ts": [], "max_ts": [],
+        }
+        for c in cols:
+            col = b[c]
+            mm = (
+                pc.min_max(col).as_py()
+                if len(col) - col.null_count > 0
+                else {"min": None, "max": None}
+            )
+            rows["col"].append(c)
+            rows["n_rows"].append(len(col))
+            rows["n_nulls"].append(col.null_count)
+            k = kinds[c]
+            rows["min_num"].append(
+                float(mm["min"]) if k == "num" and mm["min"] is not None
+                else None
+            )
+            rows["max_num"].append(
+                float(mm["max"]) if k == "num" and mm["max"] is not None
+                else None
+            )
+            rows["min_str"].append(mm["min"] if k == "str" else None)
+            rows["max_str"].append(mm["max"] if k == "str" else None)
+            rows["min_ts"].append(mm["min"] if k == "ts" else None)
+            rows["max_ts"].append(mm["max"] if k == "ts" else None)
+        return pa.table({
+            "col": pa.array(rows["col"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+            "min_num": pa.array(rows["min_num"], pa.float64()),
+            "max_num": pa.array(rows["max_num"], pa.float64()),
+            "min_str": pa.array(rows["min_str"], pa.string()),
+            "max_str": pa.array(rows["max_str"], pa.string()),
+            "min_ts": pa.array(rows["min_ts"], pa.timestamp("us")),
+            "max_ts": pa.array(rows["max_ts"], pa.timestamp("us")),
+        })
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("col", num_partitions=4)
+        .aggregate(
+            Sum("n_rows"), Sum("n_nulls"),
+            Min("min_num"), Max("max_num"),
+            Min("min_str"), Max("max_str"),
+            Min("min_ts"), Max("max_ts"),
+        )
+    )
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = pc.unique(b[c].combine_chunks().drop_null())
+            # string-format values for a uniform single exchange; Arrow
+            # casts are round-trip (injective) for int/float/ts/str, so
+            # the distinct count is preserved exactly
+            vs = pc.cast(u, pa.string()).to_pylist()
+            names += [c] * len(vs)
+            vals += vs
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "v": pa.array(vals, pa.string()),
+        })
+
+    distinct = (
+        ds.map_batches(block_distinct, batch_format="pyarrow")
+        .groupby(["col", "v"], num_partitions=num_partitions)
+        .count()
+        .groupby("col", num_partitions=4)
+        .count()
+    )
+
+    # stitch: both sides are <= n_cols rows by construction
+    srows = {r["col"]: r for r in stats.take_all()}
+    drows = {r["col"]: int(r["count()"]) for r in distinct.take_all()}
+    out: dict = {f.name: [] for f in OUT_SCHEMA}
+    for c in cols:
+        r = srows[c]
+        k = kinds[c]
+        mn, mx = r.get("min(min_str)"), r.get("max(max_str)")
+        if k == "ts":
+            mn = str(r["min(min_ts)"]) if r.get("min(min_ts)") else None
+            mx = str(r["max(max_ts)"]) if r.get("max(max_ts)") else None
+        out["col"].append(c)
+        out["n_rows"].append(int(r["sum(n_rows)"]))
+        out["n_nulls"].append(int(r["sum(n_nulls)"]))
+        out["n_distinct"].append(drows.get(c, 0))
+        out["min_num"].append(r.get("min(min_num)"))
+        out["max_num"].append(r.get("max(max_num)"))
+        out["min_str"].append(mn)
+        out["max_str"].append(mx)
+    return ray.data.from_arrow(
+        pa.table({f.name: pa.array(out[f.name], f.type) for f in OUT_SCHEMA})
+    )

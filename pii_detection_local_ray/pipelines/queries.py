@@ -5479,6 +5479,51 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Column profiler (data-quality / schema-drift report)
+# ---------------------------------------------------------------------------
+
+def _profile_sql(table: str, cols: dict[str, str]) -> str:
+    parts = []
+    for c, kind in cols.items():
+        if kind == "num":
+            mn = f"CAST(min({c}) AS DOUBLE) AS min_num, " \
+                 f"CAST(max({c}) AS DOUBLE) AS max_num, " \
+                 "CAST(NULL AS VARCHAR) AS min_str, " \
+                 "CAST(NULL AS VARCHAR) AS max_str"
+        else:  # str and ts both report VARCHAR min/max
+            mn = "CAST(NULL AS DOUBLE) AS min_num, " \
+                 "CAST(NULL AS DOUBLE) AS max_num, " \
+                 f"CAST(min({c}) AS VARCHAR) AS min_str, " \
+                 f"CAST(max({c}) AS VARCHAR) AS max_str"
+        parts.append(
+            f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, {mn} "
+            f"FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_ORDER_PROFILE_COLS = {
+    "o_orderkey": "num", "o_custkey": "num", "o_orderstatus": "str",
+    "o_totalprice": "num", "o_orderdate": "ts", "o_orderpriority": "str",
+}
+
+
+@register("profile_orders", _profile_sql("orders", _ORDER_PROFILE_COLS))
+def profile_orders(sf_dir: str):
+    """Column profiler (functions/profile.py): per-column row/null
+    counts and typed min/max from one partial-aggregate pass (<=n_cols
+    rows per block), plus EXACT distinct counts whose exchange carries
+    only block-local distinct values.  The report is the data-quality /
+    schema-drift primitive a 100 TB ingest runs before filtering."""
+    from ..functions.profile import profile_columns
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    return profile_columns(orders, list(_ORDER_PROFILE_COLS))
+
+
+# ---------------------------------------------------------------------------
 # Record linkage: sorted-neighborhood window join
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,70 @@
+"""profile_columns must match pandas-computed ground truth, including
+nulls, all-null columns, and exact distinct counts."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pii_detection_local_ray.functions.profile import profile_columns
+
+
+def test_profile_matches_ground_truth(ray_session):
+    rng = np.random.RandomState(7)
+    n = 500
+    ints = rng.randint(0, 40, n).astype("int64")
+    flts = np.round(rng.rand(n) * 10, 2)
+    strs = [f"s{v}" for v in rng.randint(0, 9, n)]
+    t = pa.table({
+        "i": pa.array(
+            [None if k % 17 == 0 else int(v) for k, v in enumerate(ints)],
+            pa.int64(),
+        ),
+        "f": pa.array(flts, pa.float64()),
+        "s": pa.array(
+            [None if k % 11 == 0 else v for k, v in enumerate(strs)],
+            pa.string(),
+        ),
+        "z": pa.array([None] * n, pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = {
+        r["col"]: r
+        for r in profile_columns(ds, ["i", "f", "s", "z"]).take_all()
+    }
+    ivals = [v for v in t["i"].to_pylist() if v is not None]
+    svals = [v for v in t["s"].to_pylist() if v is not None]
+    assert got["i"]["n_rows"] == n
+    assert got["i"]["n_nulls"] == sum(
+        v is None for v in t["i"].to_pylist()
+    )
+    assert got["i"]["n_distinct"] == len(set(ivals))
+    assert got["i"]["min_num"] == float(min(ivals))
+    assert got["i"]["max_num"] == float(max(ivals))
+    assert got["i"]["min_str"] is None
+    assert got["f"]["n_nulls"] == 0
+    assert got["f"]["n_distinct"] == len(set(flts.tolist()))
+    assert got["f"]["min_num"] == float(flts.min())
+    assert got["s"]["min_str"] == min(svals)
+    assert got["s"]["max_str"] == max(svals)
+    assert got["s"]["n_distinct"] == len(set(svals))
+    assert got["s"]["min_num"] is None
+    assert got["z"]["n_nulls"] == n
+    assert got["z"]["n_distinct"] == 0
+    assert got["z"]["min_num"] is None and got["z"]["min_str"] is None
+
+
+def test_profile_timestamp_formatting(ray_session):
+    import datetime as dt
+
+    ts = [
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 1, 2, 3, 4, 5, 500000),
+        None,
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"t": pa.array(ts, pa.timestamp("us"))})
+    )
+    (row,) = profile_columns(ds, ["t"]).take_all()
+    assert row["min_str"] == "2024-01-01 00:00:00"
+    assert row["max_str"] == "2024-01-02 03:04:05.500000"
+    assert row["n_nulls"] == 1 and row["n_distinct"] == 2
