@@ -1,0 +1,56 @@
+"""Distributed Gram / scatter matrix over an embedding column.
+
+G = sum_rows q q^T where q = floor(v * scale) per dimension in int64
+fixed point - the building block for distributed PCA / covariance /
+whitening: each block contributes one d*d integer matmul (np.matmul
+over int64, exact), partials merge through a groupby((i, j)) sum whose
+exchange is d*(d+1)/2 rows per block regardless of row count.  Integer
+quantization makes the sum order-free, so the distributed result is
+bit-identical to any serial evaluation (and to the SQL mirror).
+
+Overflow guard: |q| <= scale * max|v|, so a partial entry is bounded by
+n_block * (scale*max|v|)^2 and the global entry by n_total * (...)^2;
+callers pick ``scale`` so n_total * (scale*max|v|)^2 < 2^62 (the
+default 1000 allows ~4e12 unit-norm rows)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+GRAM_SCHEMA = pa.schema([
+    ("i", pa.int64()),
+    ("j", pa.int64()),
+    ("g_fp", pa.int64()),
+])
+
+
+def gram_matrix(
+    ds: ray.data.Dataset, vec_col: str, *, scale: int = 1000
+) -> ray.data.Dataset:
+    """(i, j, g_fp) for 1-based dimensions i <= j."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = b[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // len(b) if len(b) else 0
+        if len(b) == 0 or d == 0:
+            return GRAM_SCHEMA.empty_table()
+        q = np.floor(
+            flat.astype(np.float64).reshape(len(b), d) * scale
+        ).astype(np.int64)
+        g = q.T @ q  # exact int64 matmul
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64) + 1),
+            "j": pa.array(ju.astype(np.int64) + 1),
+            "g_fp": pa.array(g[iu, ju]),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"], num_partitions=4)
+        .aggregate(Sum("g_fp", alias_name="g_fp"))
+    )

@@ -336,3 +336,52 @@ def build_bench_grams(texts: list[str], n: int = 8) -> set[str]:
         for j in range(max(0, len(ws) - n + 1)):
             out.add(" ".join(ws[j : j + n]))
     return out
+
+
+def char_entropy_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Shannon character entropy per document as ORDER-FREE int64 fixed
+    point: entropy_fp = n*lnfp(n) - sum_c count_c*lnfp(count_c) with
+    lnfp(x) = floor(ln(x)*1e9), i.e. n * H_nats scaled by 1e9.  Very
+    low entropy flags boilerplate/auto-generated text, very high flags
+    encoded blobs (the Gopher-adjacent quality signal).
+
+    Every term is an integer (identical to the SQL mirror's
+    floor(ln(cnt)*1e9) -- parity verified for all counts), so partial
+    sums commute and the result is exact under any execution order.
+    Vectorized: one np.frombuffer over the concatenated UTF-8 bytes,
+    one np.unique over (doc_index*256 + byte) keys -- no per-char
+    Python loop.  Byte-level counting == char-level for ASCII corpora
+    (documented assumption; multi-byte code points would count their
+    bytes separately)."""
+    texts = batch[text_col].to_pylist()
+    n_docs = len(texts)
+    lens = np.array([len(t.encode("utf-8")) for t in texts], np.int64)
+    if n_docs == 0 or int(lens.sum()) == 0:
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "n_chars_counted": pa.array(lens, pa.int64()),
+            "entropy_fp": pa.array(np.zeros(n_docs, np.int64)),
+        })
+    buf = np.frombuffer("".join(texts).encode("utf-8"), np.uint8)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    keys = doc_idx * 256 + buf.astype(np.int64)
+    uk, counts = np.unique(keys, return_counts=True)
+    counts = counts.astype(np.int64)
+    lnfp = np.floor(np.log(counts.astype(np.float64)) * 1e9).astype(
+        np.int64
+    )
+    terms = counts * lnfp
+    per_doc = np.zeros(n_docs, np.int64)
+    np.add.at(per_doc, uk // 256, terms)
+    tot_lnfp = np.zeros(n_docs, np.int64)
+    nz = lens > 0
+    tot_lnfp[nz] = np.floor(
+        np.log(lens[nz].astype(np.float64)) * 1e9
+    ).astype(np.int64)
+    return pa.table({
+        id_col: batch[id_col].cast(pa.int64()),
+        "n_chars_counted": pa.array(lens, pa.int64()),
+        "entropy_fp": pa.array(lens * tot_lnfp - per_doc, pa.int64()),
+    })

@@ -1,0 +1,80 @@
+"""SCD2 history build: turn a change log into validity intervals.
+
+Each (key, ts) change row becomes a version row [valid_from, valid_to)
+where valid_to is the key's next change timestamp (NULL for the
+current version) - the slowly-changing-dimension type-2 shape every
+warehouse ingest materializes from CDC streams.
+
+Distributed as one hash exchange on ``key % n_buckets`` coarse buckets
+(never the raw high-cardinality key); inside a bucket one np.lexsort
+orders every key's rows by (key, ts, tiebreak) and a single shifted
+comparison yields all valid_to values - no per-key loop.  Ties on
+(key, ts) are ordered by the tiebreak column, so the output is a pure
+function of the input set."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def build_scd2(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    *,
+    n_buckets: int = 16,
+    end_of_time: int | None = None,
+) -> ray.data.Dataset:
+    """Append ``valid_from`` (= ts) and ``valid_to`` (next ts of the
+    same key) to every input row.  The current (open) version gets
+    ``end_of_time`` (int64 in the ts column's unit - the classic
+    9999-12-31 warehouse sentinel) when given, else NULL."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.cast(
+                pc.bit_wise_and(
+                    pc.cast(b[key_col], pa.int64()), n_buckets - 1
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def intervals(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        tie = g[tiebreak_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        g = g.take(pa.array(order, pa.int64()))
+        sk, st = keys[order], ts[order]
+        nxt = np.empty(len(g), np.int64)
+        has = np.zeros(len(g), bool)
+        if len(g) > 1:
+            nxt[:-1] = st[1:]
+            has[:-1] = sk[1:] == sk[:-1]
+        ts_t = g.schema.field(ts_col).type
+        open_end = (
+            pa.nulls(len(g), ts_t)
+            if end_of_time is None
+            else pc.cast(
+                pa.array(np.full(len(g), end_of_time, np.int64)), ts_t
+            )
+        )
+        vt = pc.if_else(
+            pa.array(has), pc.cast(pa.array(nxt), ts_t), open_end
+        )
+        return g.append_column(
+            "valid_from", g[ts_col]
+        ).append_column("valid_to", vt)
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(intervals, batch_format="pyarrow")
+    )

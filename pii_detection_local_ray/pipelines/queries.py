@@ -5479,6 +5479,105 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# SCD2 history build (CDC change log -> validity intervals)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_purchase_values",
+    "SELECT event_id, user_id, value, ts AS valid_from, "
+    "coalesce(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), "
+    "TIMESTAMP '9999-12-31 00:00:00') AS valid_to "
+    "FROM events WHERE event_type = 'purchase'",
+)
+def scd2_purchase_values(sf_dir: str):
+    """Slowly-changing-dimension type-2 intervalization
+    (functions/scd2.py): each purchase becomes a version row
+    [valid_from, valid_to) where valid_to is the user's next change
+    (the 9999-12-31 warehouse sentinel for the current version).  One
+    coarse-bucket exchange; one lexsort + shifted compare resolves
+    every key in the bucket."""
+    import datetime as _dt
+
+    from ..functions.scd2 import build_scd2
+
+    eot = (
+        _dt.datetime(9999, 12, 31) - _dt.datetime(1970, 1, 1)
+    ) // _dt.timedelta(microseconds=1)
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")).select(
+            ["event_id", "ts", "user_id", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    return build_scd2(
+        ev, "user_id", "ts", "event_id", n_buckets=16, end_of_time=eot
+    ).select_columns(["event_id", "user_id", "value", "valid_from", "valid_to"])
+
+
+# ---------------------------------------------------------------------------
+# Gram / scatter matrix over embeddings (distributed PCA building block)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_gram_matrix",
+    "WITH e AS (SELECT vec_id, r.i AS i, "
+    "CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT) AS q "
+    "FROM embeddings, range(1, 65) r(i)) "
+    "SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g_fp "
+    "FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i "
+    "GROUP BY a.i, b.i",
+)
+def embedding_gram_matrix(sf_dir: str):
+    """Distributed scatter matrix G = sum q q^T over the embedding
+    table in int64 fixed point (functions/gram.py): one exact integer
+    matmul per block, d*(d+1)/2 partial rows on the exchange regardless
+    of row count - the covariance/PCA/whitening building block.  Exact
+    vs the SQL unnest self-join under any block layout because integer
+    partials commute."""
+    from ..functions.gram import gram_matrix
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return gram_matrix(emb, "embedding", scale=1000)
+
+
+# ---------------------------------------------------------------------------
+# Shannon character entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "char_entropy_docs",
+    "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c "
+    "FROM documents), "
+    "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
+    "FROM ch GROUP BY doc_id, c), "
+    "tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_counted, "
+    "CAST(sum(n * CAST(floor(ln(n) * 1e9) AS BIGINT)) AS BIGINT) AS s "
+    "FROM cnt GROUP BY doc_id) "
+    "SELECT doc_id, n_chars_counted, "
+    "CAST(n_chars_counted * CAST(floor(ln(n_chars_counted) * 1e9) "
+    "AS BIGINT) - s AS BIGINT) AS entropy_fp FROM tot",
+)
+def char_entropy_docs(sf_dir: str):
+    """Shannon character entropy per document as order-free int64 fixed
+    point (functions/repetition.char_entropy_batch): low entropy flags
+    boilerplate/auto-generated text, high entropy flags encoded blobs.
+    Zero-shuffle stateless scan; every term is an integer so the result
+    is exact under any block layout (lnfp parity with DuckDB ln()
+    verified for all counts to 200k in tests)."""
+    from ..functions.repetition import char_entropy_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        char_entropy_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Column profiler (data-quality / schema-drift report)
 # ---------------------------------------------------------------------------
 

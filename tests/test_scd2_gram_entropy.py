@@ -1,0 +1,97 @@
+"""Unit tests for build_scd2, gram_matrix, and char_entropy_batch."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pii_detection_local_ray.functions.gram import gram_matrix
+from pii_detection_local_ray.functions.repetition import char_entropy_batch
+from pii_detection_local_ray.functions.scd2 import build_scd2
+
+
+def test_scd2_matches_bruteforce(ray_session):
+    rng = np.random.RandomState(1)
+    n = 300
+    keys = rng.randint(0, 20, n).astype("int64")
+    ts = rng.randint(0, 100, n).astype("int64")
+    ids = np.arange(n, dtype="int64")
+    ds = ray.data.from_arrow(
+        pa.table({"k": keys, "t": ts, "id": ids})
+    ).repartition(4)
+    got = {
+        r["id"]: (r["valid_from"], r["valid_to"])
+        for r in build_scd2(ds, "k", "t", "id", end_of_time=10**9).take_all()
+    }
+    rows = sorted(zip(keys, ts, ids))
+    want = {}
+    for i, (k, t, rid) in enumerate(rows):
+        nxt = 10**9
+        if i + 1 < len(rows) and rows[i + 1][0] == k:
+            nxt = rows[i + 1][1]
+        want[rid] = (t, nxt)
+    assert got == want
+
+
+def test_scd2_null_open_end(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "t": pa.array([5, 9], pa.int64()),
+            "id": pa.array([0, 1], pa.int64()),
+        })
+    )
+    rows = {r["id"]: r for r in build_scd2(ds, "k", "t", "id").take_all()}
+    assert rows[0]["valid_to"] == 9
+    assert rows[1]["valid_to"] is None
+
+
+def test_gram_matrix_exact(ray_session):
+    rng = np.random.RandomState(3)
+    v = (rng.rand(120, 5) - 0.5).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table({"e": pa.array(list(v), pa.list_(pa.float32()))})
+    ).repartition(6)
+    got = {
+        (r["i"], r["j"]): r["g_fp"]
+        for r in gram_matrix(ds, "e", scale=1000).take_all()
+    }
+    q = np.floor(v.astype(np.float64) * 1000).astype(np.int64)
+    g = q.T @ q
+    want = {
+        (i + 1, j + 1): int(g[i, j])
+        for i in range(5) for j in range(i, 5)
+    }
+    assert got == want
+
+
+def test_char_entropy_exact():
+    texts = ["aabb", "abcd", "aaaa", "x"]
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = char_entropy_batch(t)
+    for i, s in enumerate(texts):
+        n = len(s)
+        counts = [s.count(c) for c in sorted(set(s))]
+        want = n * math.floor(math.log(n) * 1e9) - sum(
+            c * math.floor(math.log(c) * 1e9) for c in counts
+        )
+        assert out["entropy_fp"][i].as_py() == want
+        assert out["n_chars_counted"][i].as_py() == n
+    # uniform text has zero entropy terms: n*ln(n) == sum c*ln(c)
+    assert out["entropy_fp"][2].as_py() == 0
+
+
+def test_char_entropy_ln_parity_with_duckdb():
+    import duckdb
+
+    got = duckdb.sql(
+        "SELECT CAST(floor(ln(i)*1e9) AS BIGINT) FROM "
+        "generate_series(1, 50000) t(i)"
+    ).fetchnumpy()
+    d = np.asarray(list(got.values())[0], np.int64)
+    i = np.arange(1, 50001, dtype=np.float64)
+    assert (np.floor(np.log(i) * 1e9).astype(np.int64) == d).all()
