@@ -1,0 +1,97 @@
+"""Distributed PCA over an embedding column.
+
+fit_pca streams ONE pass of d*d float64 partials (X^T X, column sums,
+row counts - d(d+3)/2 numbers per block regardless of row count),
+folds them into the covariance matrix on the driver, and
+eigendecomposes the d*d matrix there (d is model-dimension-bounded,
+never data-bounded).  transform_pca broadcasts the k*d component
+matrix once via ray.put and projects every batch with one float64
+matmul - the whitening / dimensionality-reduction stage ahead of
+clustering (SemDeDup) and ANN indexing.
+
+Exactness note: float64 partial sums are order-dependent in the last
+ulp, so fitted components are deterministic only up to ~1e-12 and sign;
+this module is therefore validated by pytest tolerance against the
+serial eigendecomposition (see the int64 fixed-point gram_matrix for
+the bit-exact scatter-matrix variant)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _block_vectors(b: pa.Table, vec_col: str) -> np.ndarray:
+    vecs = b[vec_col].combine_chunks()
+    flat = vecs.flatten().to_numpy(zero_copy_only=False)
+    if len(b) == 0:
+        return np.zeros((0, 0))
+    return flat.astype(np.float64).reshape(len(b), len(flat) // len(b))
+
+
+def fit_pca(
+    ds: ray.data.Dataset, vec_col: str, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return (components [k, d] rows = top eigenvectors of the sample
+    covariance by descending eigenvalue, mean [d]).  Sign convention:
+    each component's largest-|coefficient| entry is positive."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _block_vectors(b, vec_col)
+        if x.size == 0:
+            return pa.table({
+                "xtx": pa.array([], pa.list_(pa.float64())),
+                "s": pa.array([], pa.list_(pa.float64())),
+                "n": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "xtx": pa.array([(x.T @ x).ravel().tolist()],
+                            pa.list_(pa.float64())),
+            "s": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "n": pa.array([len(x)], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(p["n"]) for p in parts)
+    if n < 2:
+        raise ValueError("fit_pca needs at least 2 rows")
+    d = int(round(len(parts[0]["s"])))
+    xtx = np.zeros((d, d))
+    s = np.zeros(d)
+    for p in parts:
+        xtx += np.asarray(p["xtx"], np.float64).reshape(d, d)
+        s += np.asarray(p["s"], np.float64)
+    mean = s / n
+    cov = (xtx - np.outer(s, mean)) / (n - 1)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :k].T.copy()
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, mean
+
+
+def transform_pca(
+    ds: ray.data.Dataset,
+    vec_col: str,
+    components: np.ndarray,
+    mean: np.ndarray,
+    *,
+    out_col: str = "pca",
+) -> ray.data.Dataset:
+    """Append ``out_col`` = (v - mean) @ components.T per row; the
+    k*d matrix ships once via ray.put, never per batch."""
+    ref = ray.put((np.ascontiguousarray(components), mean.copy()))
+
+    def project(b: pa.Table) -> pa.Table:
+        comps, mu = ray.get(ref)
+        x = _block_vectors(b, vec_col)
+        y = (x - mu) @ comps.T if x.size else np.zeros((0, len(comps)))
+        return b.append_column(
+            out_col, pa.array(list(y), pa.list_(pa.float64()))
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -144,3 +144,43 @@ def rare_type_drop(
         return batch.set_column(i, "labels", pa.array(rows, pa.list_(pa.string())))
 
     return ds.map_batches(rewrite, batch_format="pyarrow"), counts, dropped
+
+
+CHECKSUM_MOD = (1 << 61) - 1
+
+
+def table_checksum(
+    ds: ray.data.Dataset, cols: list[str], *, sep: str = "|"
+) -> ray.data.Dataset:
+    """Order-free content checksum of a table: every row canonicalizes
+    to sep-joined string fields, hashes through md5, and the 52-bit
+    prefixes sum modulo 2^61-1 - an anti-corruption audit a 100 TB
+    copy/restore/migration runs on both sides (commutative, so block
+    layout and execution order can never change it).
+
+    Each block contributes ONE (partial, n_rows) row; partials are
+    already reduced mod M so the driver-side final fold is a Python-int
+    sum over <=n_blocks values.  Columns are canonicalized with
+    str(value) - exact for int/string/timestamp columns (matches SQL
+    CAST(x AS VARCHAR)); float columns are the caller's responsibility
+    to pre-format."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc = 0
+        arrs = [b[c].to_pylist() for c in cols]
+        for vals in zip(*arrs):
+            s = sep.join(str(v) for v in vals)
+            acc += int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+        return pa.table({
+            "p": pa.array([acc % CHECKSUM_MOD], pa.int64()),
+            "n": pa.array([len(b)], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = sum(int(r["p"]) for r in parts) % CHECKSUM_MOD
+    n = sum(int(r["n"]) for r in parts)
+    return ray.data.from_arrow(pa.table({
+        "checksum": pa.array([total], pa.int64()),
+        "n_rows": pa.array([n], pa.int64()),
+    }))

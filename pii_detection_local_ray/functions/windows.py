@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -201,4 +202,64 @@ def argmax_per_group(
         ds.map_batches(best_rows, batch_format="pyarrow")
         .groupby(key_col, num_partitions=num_partitions)
         .map_groups(best_rows, batch_format="pyarrow")
+    )
+
+
+def runs_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    *,
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Gaps-and-islands: collapse CONSECUTIVE equal values of a key's
+    ordered stream into runs (key, value, run_start, run_len) - the
+    classic sessionless stream-compaction operator (the SQL
+    row_number-difference idiom).
+
+    One hash exchange on ``key % n_buckets`` coarse buckets; inside a
+    bucket a single np.lexsort orders every key's rows by (ts,
+    tiebreak) and one shifted comparison finds all run boundaries -
+    no per-key loop."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.cast(
+                pc.bit_wise_and(
+                    pc.cast(b[key_col], pa.int64()), n_buckets - 1
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def runs(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        tie = g[tiebreak_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        sk, st = keys[order], ts[order]
+        sv = g[val_col].take(pa.array(order, pa.int64()))
+        svn = sv.to_numpy(zero_copy_only=False)
+        n = len(g)
+        start = np.ones(n, bool)
+        if n > 1:
+            start[1:] = (sk[1:] != sk[:-1]) | (svn[1:] != svn[:-1])
+        starts = np.flatnonzero(start)
+        run_len = np.diff(np.append(starts, n)).astype(np.int64)
+        return pa.table({
+            key_col: pa.array(sk[starts], pa.int64()),
+            val_col: sv.take(pa.array(starts, pa.int64())),
+            "run_start": pc.cast(
+                pa.array(st[starts]), g.schema.field(ts_col).type
+            ),
+            "run_len": pa.array(run_len),
+        })
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(runs, batch_format="pyarrow")
     )

@@ -5479,6 +5479,177 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Distributed PCA (rows-only: eigendecomposition is not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@register("pca_project_embeddings")
+def pca_project_embeddings(sf_dir: str):
+    """Distributed PCA (functions/pca.py): one streamed pass of d*d
+    float64 partials fits the covariance, the driver eigendecomposes
+    the dimension-bounded matrix, and the k*d components broadcast once
+    for the projection pass - the whitening stage ahead of SemDeDup /
+    ANN.  Rows-only (no SQL eigensolver); self-checked: the projected
+    variance must be non-increasing across components and dominate the
+    per-dimension input variance."""
+    from ..functions.pca import fit_pca, transform_pca
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    comps, mean = fit_pca(emb, "embedding", k=2)
+    out = transform_pca(emb, "embedding", comps, mean).map_batches(
+        lambda b: pa.table({
+            "vec_id": b["vec_id"],
+            "pc1": pc.list_element(b["pca"], 0),
+            "pc2": pc.list_element(b["pca"], 1),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    from ray.data.aggregate import Std
+
+    agg = out.aggregate(Std("pc1"), Std("pc2"))
+    s1, s2 = float(agg["std(pc1)"]), float(agg["std(pc2)"])
+    assert s1 >= s2 > 0, (s1, s2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Table checksum (anti-corruption / migration audit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_checksum",
+    # 52-bit md5 prefixes sum exactly in HUGEINT, reduced mod 2^61-1;
+    # the double column o_totalprice is excluded from the canonical
+    # string (float formatting is engine-specific).
+    "SELECT CAST(sum(CAST(CONCAT('0x', substr(md5(s), 1, 13)) AS BIGINT)) "
+    "% 2305843009213693951 AS BIGINT) AS checksum, "
+    "CAST(count(*) AS BIGINT) AS n_rows FROM ("
+    "SELECT CAST(o_orderkey AS VARCHAR) || '|' || "
+    "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+    "CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority AS s "
+    "FROM orders)",
+)
+def orders_checksum(sf_dir: str):
+    """Order-free table checksum (functions/stats.table_checksum): each
+    row canonicalizes to a sep-joined string, md5-hashes, and the
+    52-bit prefixes sum mod 2^61-1 - commutative, so block layout and
+    execution order can never change it.  The audit primitive run on
+    both sides of a 100 TB copy/restore; one row per block on the
+    exchange."""
+    from ..functions.stats import table_checksum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    return table_checksum(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+         "o_orderpriority"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence contributions (corpus-mix drift test)
+# ---------------------------------------------------------------------------
+
+@register(
+    "chi2_lang_source",
+    # e (expected) is computed with the same two float64 ops on both
+    # sides (one multiply, one divide), then one (o-e)^2/e expression
+    # tree mirrored op-for-op; per-cell rows avoid any order-dependent
+    # float total.
+    "WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o "
+    "FROM documents GROUP BY lang, source), "
+    "r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY lang), "
+    "cl AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct "
+    "FROM c GROUP BY source), "
+    "n AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM c) "
+    "SELECT c.lang AS lang, c.source AS source, c.o AS observed, "
+    "CAST(floor(1e6 * ((CAST(c.o AS DOUBLE) - "
+    "CAST(r.rt AS DOUBLE) * CAST(cl.ct AS DOUBLE) / CAST(n.nt AS DOUBLE)) "
+    "* (CAST(c.o AS DOUBLE) - "
+    "CAST(r.rt AS DOUBLE) * CAST(cl.ct AS DOUBLE) / CAST(n.nt AS DOUBLE))) "
+    "/ (CAST(r.rt AS DOUBLE) * CAST(cl.ct AS DOUBLE) / CAST(n.nt AS DOUBLE))"
+    ") AS BIGINT) AS contrib_fp "
+    "FROM c JOIN r USING (lang) JOIN cl USING (source) CROSS JOIN n",
+)
+def chi2_lang_source(sf_dir: str):
+    """Pearson chi-square independence test of the lang x source
+    contingency table, emitted as per-cell contributions in int64 fixed
+    point (x1e6) - the corpus-mix drift monitor a recurring ingest runs
+    to spot a source whose language balance shifted.  Counting is one
+    distributed aggregate over dimension-bounded cells; the chi-square
+    arithmetic runs on the <=|langs|*|sources| cell table (never the
+    corpus), with the float expression tree mirrored op-for-op."""
+    import math
+
+    cells = (
+        _docs(sf_dir, ["lang", "source"])
+        .groupby(["lang", "source"], num_partitions=4)
+        .count()
+        .take_all()
+    )
+    rt: dict = {}
+    ct: dict = {}
+    nt = 0
+    for r in cells:
+        o = int(r["count()"])
+        rt[r["lang"]] = rt.get(r["lang"], 0) + o
+        ct[r["source"]] = ct.get(r["source"], 0) + o
+        nt += o
+    langs, sources, obs, contribs = [], [], [], []
+    for r in cells:
+        o = int(r["count()"])
+        e = float(rt[r["lang"]]) * float(ct[r["source"]]) / float(nt)
+        d = float(o) - e
+        langs.append(r["lang"])
+        sources.append(r["source"])
+        obs.append(o)
+        contribs.append(int(math.floor(1e6 * (d * d) / e)))
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "observed": pa.array(obs, pa.int64()),
+        "contrib_fp": pa.array(contribs, pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-value run compaction
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_runs_per_user",
+    "WITH s AS (SELECT user_id, event_type, ts, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+    "ORDER BY ts, event_id) AS rne FROM events) "
+    "SELECT user_id, event_type, min(ts) AS run_start, "
+    "CAST(count(*) AS BIGINT) AS run_len "
+    "FROM s GROUP BY user_id, event_type, rn - rne",
+)
+def event_runs_per_user(sf_dir: str):
+    """Gaps-and-islands run compaction (functions/windows.runs_per_key):
+    consecutive equal event_types in each user's ordered stream
+    collapse to (user, type, run_start, run_len) rows - the stream
+    RLE / islands operator behind dwell-time and bot-burst analyses.
+    Exact vs the SQL row_number-difference idiom; one coarse-bucket
+    exchange, one lexsort + shifted compare per bucket."""
+    from ..functions.windows import runs_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return runs_per_key(
+        ev, "user_id", "event_type", "ts", "event_id", n_buckets=16
+    )
+
+
+# ---------------------------------------------------------------------------
 # SCD2 history build (CDC change log -> validity intervals)
 # ---------------------------------------------------------------------------
 

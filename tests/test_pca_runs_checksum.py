@@ -1,0 +1,95 @@
+"""Tests for fit_pca/transform_pca, runs_per_key, and table_checksum."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from pii_detection_local_ray.functions.pca import fit_pca, transform_pca
+from pii_detection_local_ray.functions.stats import (
+    CHECKSUM_MOD,
+    table_checksum,
+)
+from pii_detection_local_ray.functions.windows import runs_per_key
+
+
+def _emb_ds(v):
+    return ray.data.from_arrow(
+        pa.table({"e": pa.array(list(v), pa.list_(pa.float32()))})
+    ).repartition(5)
+
+
+def test_pca_matches_serial_eig(ray_session):
+    rng = np.random.RandomState(11)
+    # anisotropic cloud so the spectrum is well separated
+    base = rng.randn(400, 6) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    v = base.astype(np.float32)
+    comps, mean = fit_pca(_emb_ds(v), "e", k=3)
+    x = v.astype(np.float64)
+    cov = np.cov(x, rowvar=False)
+    w, vec = np.linalg.eigh(cov)
+    want = vec[:, ::-1][:, :3].T
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+    for i in range(3):
+        a, b = comps[i], want[i]
+        if np.dot(a, b) < 0:
+            b = -b
+        assert np.allclose(a, b, atol=1e-8), i
+
+
+def test_pca_transform_projects(ray_session):
+    rng = np.random.RandomState(5)
+    v = rng.randn(50, 4).astype(np.float32)
+    comps, mean = fit_pca(_emb_ds(v), "e", k=2)
+    rows = transform_pca(_emb_ds(v), "e", comps, mean).take_all()
+    got = np.array([r["pca"] for r in rows])
+    want = (v.astype(np.float64) - mean) @ comps.T
+    # take_all preserves no global order guarantee across blocks; match as sets
+    assert np.allclose(
+        np.sort(got, axis=0), np.sort(want, axis=0), atol=1e-9
+    )
+
+
+def test_runs_per_key_matches_bruteforce(ray_session):
+    rng = np.random.RandomState(2)
+    n = 400
+    keys = rng.randint(0, 10, n).astype("int64")
+    ts = rng.randint(0, 200, n).astype("int64")
+    vals = rng.choice(["a", "b"], n)
+    ids = np.arange(n, dtype="int64")
+    ds = ray.data.from_arrow(pa.table({
+        "k": keys, "v": pa.array(vals.tolist(), pa.string()),
+        "t": ts, "id": ids,
+    })).repartition(4)
+    got = {
+        (r["k"], r["v"], r["run_start"], r["run_len"])
+        for r in runs_per_key(ds, "k", "v", "t", "id").take_all()
+    }
+    rows = sorted(zip(keys, ts, ids, vals))
+    want = set()
+    cur = None
+    for k, t, _, v in rows:
+        if cur and cur[0] == k and cur[1] == v:
+            cur[3] += 1
+        else:
+            if cur:
+                want.add((cur[0], cur[1], cur[2], cur[3]))
+            cur = [k, v, t, 1]
+    want.add((cur[0], cur[1], cur[2], cur[3]))
+    assert got == want
+
+
+def test_table_checksum_is_layout_invariant_and_exact(ray_session):
+    t = pa.table({
+        "a": pa.array(range(100), pa.int64()),
+        "b": pa.array([f"v{i%7}" for i in range(100)], pa.string()),
+    })
+    want = sum(
+        int(hashlib.md5(f"{i}|v{i%7}".encode()).hexdigest()[:13], 16)
+        for i in range(100)
+    ) % CHECKSUM_MOD
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        (row,) = table_checksum(ds, ["a", "b"]).take_all()
+        assert row["checksum"] == want and row["n_rows"] == 100
