@@ -5479,6 +5479,264 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Running total per key (SUM OVER unbounded preceding)
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_value_cumsum",
+    "SELECT event_id, user_id, "
+    "CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
+    "FROM events",
+)
+def user_value_cumsum(sf_dir: str):
+    """Running total per user in exact int64 cents
+    (functions/windows.running_sum_per_key): one coarse-bucket
+    exchange, then one lexsort + one global cumsum per bucket with a
+    per-segment offset subtraction - every key resolves in three
+    vectorized ops.  The prefix-sum window shape behind budgets,
+    balances, and cumulative token counts."""
+    from ..functions.windows import running_sum_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "user_id": b["user_id"],
+            "cents": pc.cast(pc.floor(pc.multiply(b["value"], 100.0)),
+                             pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return running_sum_per_key(
+        ev, "user_id", "cents", "ts", "event_id", out_col="cum_cents"
+    ).select_columns(["event_id", "user_id", "cum_cents"])
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of the source-size distribution (skew diagnostic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_source_skew_gini",
+    # integer Gini: counts sorted ascending (ties by source name),
+    # numerator = sum (2i - n - 1) * c_i -- all int64, order-free
+    "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM documents GROUP BY source), "
+    "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, source) AS i, "
+    "(SELECT count(*) FROM c) AS n FROM c) "
+    "SELECT CAST(max(n) AS BIGINT) AS n_groups, "
+    "CAST(sum(cnt) AS BIGINT) AS n_docs, "
+    "CAST(sum((2 * i - n - 1) * cnt) AS BIGINT) AS gini_num, "
+    "CAST(max(n) * sum(cnt) AS BIGINT) AS gini_den FROM r",
+)
+def doc_source_skew_gini(sf_dir: str):
+    """Skew diagnostic: exact integer Gini coefficient of the per-source
+    document-count distribution (gini = gini_num / gini_den) - the
+    one-row report that tells a 100 TB pipeline whether a groupby(key)
+    is about to hit a mega-key.  Counting is one distributed aggregate;
+    the Gini arithmetic runs on the dimension-bounded count vector."""
+    cells = (
+        _docs(sf_dir, ["source"])
+        .groupby("source", num_partitions=4)
+        .count()
+        .take_all()
+    )
+    counts = sorted((int(r["count()"]), r["source"]) for r in cells)
+    n = len(counts)
+    tot = sum(c for c, _ in counts)
+    num = sum((2 * (i + 1) - n - 1) * c for i, (c, _) in enumerate(counts))
+    return ray.data.from_arrow(pa.table({
+        "n_groups": pa.array([n], pa.int64()),
+        "n_docs": pa.array([tot], pa.int64()),
+        "gini_num": pa.array([num], pa.int64()),
+        "gini_den": pa.array([n * tot], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram per group (two-pass: bounds, then bucket counts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_histogram_by_type",
+    "WITH mm AS (SELECT event_type, min(value) AS lo, max(value) AS hi "
+    "FROM events GROUP BY event_type) "
+    "SELECT e.event_type AS event_type, "
+    "LEAST(CAST(floor((e.value - mm.lo) * 8.0 / (mm.hi - mm.lo)) "
+    "AS BIGINT), 7) AS bucket, CAST(count(*) AS BIGINT) AS n "
+    "FROM events e JOIN mm USING (event_type) "
+    "GROUP BY e.event_type, bucket",
+)
+def value_histogram_by_type(sf_dir: str):
+    """Equi-width 8-bucket histogram of value per event type: pass 1 is
+    a distributed min/max aggregate (dimension-bounded), the bounds
+    broadcast into pass 2's stateless bucketing scan, and bucket counts
+    pre-aggregate per block before one tiny groupby.  The float
+    expression (v - lo) * 8.0 / (hi - lo) is mirrored op-for-op."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    mm = {
+        r["event_type"]: (float(r["min(value)"]), float(r["max(value)"]))
+        for r in ev.groupby("event_type", num_partitions=4)
+        .aggregate(Min("value"), Max("value"))
+        .take_all()
+    }
+    mm_ref = ray.put(mm)
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        bounds = ray.get(mm_ref)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        lo = np.array([bounds[t][0] for t in et])
+        hi = np.array([bounds[t][1] for t in et])
+        bk = np.minimum(
+            np.floor((v - lo) * 8.0 / (hi - lo)).astype(np.int64), 7
+        )
+        t = pa.table({
+            "event_type": b["event_type"],
+            "bucket": pa.array(bk, pa.int64()),
+        })
+        g = t.group_by(["event_type", "bucket"]).aggregate([([], "count_all")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "bucket": g["bucket"],
+            "n": g["count_all"].cast(pa.int64()),
+        })
+
+    return (
+        ev.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"], num_partitions=4)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey outlier fences per group (IQR rule on exact percentiles)
+# ---------------------------------------------------------------------------
+
+_TUKEY_SQL = (
+    # exact integer eighth-cents: q_8 = 8*lo + 2*(hi-lo)*((pos) % 4)
+    # with pos = (cnt-1)*k; every quantity stays int64 and order-free
+    "WITH c AS (SELECT event_type, event_id, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "n AS (SELECT event_type, count(*) AS cnt FROM c GROUP BY event_type), "
+    "r AS (SELECT event_type, cents, row_number() OVER ("
+    "PARTITION BY event_type ORDER BY cents, event_id) AS rn FROM c), "
+    "s AS (SELECT r.event_type, "
+    "max(CASE WHEN rn = ((cnt - 1) * 1) // 4 + 1 THEN cents END) AS lo1, "
+    "max(CASE WHEN rn = ((cnt - 1) * 1) // 4 + 2 THEN cents END) AS hi1, "
+    "max(CASE WHEN rn = ((cnt - 1) * 3) // 4 + 1 THEN cents END) AS lo3, "
+    "max(CASE WHEN rn = ((cnt - 1) * 3) // 4 + 2 THEN cents END) AS hi3 "
+    "FROM r JOIN n USING (event_type) GROUP BY r.event_type), "
+    "f AS (SELECT s.event_type, "
+    "8 * lo1 + 2 * (COALESCE(hi1, lo1) - lo1) * (((cnt - 1) * 1) % 4) "
+    "AS q1_8, "
+    "8 * lo3 + 2 * (COALESCE(hi3, lo3) - lo3) * (((cnt - 1) * 3) % 4) "
+    "AS q3_8 FROM s JOIN n USING (event_type)) "
+    "SELECT c.event_type AS event_type, "
+    "CAST(f.q1_8 - (3 * (f.q3_8 - f.q1_8)) // 2 AS BIGINT) AS fence_lo_8, "
+    "CAST(f.q3_8 + (3 * (f.q3_8 - f.q1_8)) // 2 AS BIGINT) AS fence_hi_8, "
+    "CAST(sum(CASE WHEN 8 * c.cents < "
+    "f.q1_8 - (3 * (f.q3_8 - f.q1_8)) // 2 "
+    "OR 8 * c.cents > f.q3_8 + (3 * (f.q3_8 - f.q1_8)) // 2 "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+    "FROM c JOIN f USING (event_type) "
+    "GROUP BY c.event_type, fence_lo_8, fence_hi_8"
+)
+
+
+@register("tukey_outliers_by_type", _TUKEY_SQL)
+def tukey_outliers_by_type(sf_dir: str):
+    """Tukey IQR outlier fences per event type on EXACT distributed
+    percentiles (functions/ranks.grouped_rank_select fetches only the
+    <=4 boundary-rank rows per group), all arithmetic in integer
+    eighth-cents so fences and counts are order-free int64.  Pass 2
+    broadcasts the fences and pre-aggregates outlier counts per block."""
+    from ..functions.ranks import grouped_rank_select
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "event_id", "value"],
+    ).map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                             pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    totals = {
+        r["event_type"]: int(r["count()"])
+        for r in ev.groupby("event_type", num_partitions=4)
+        .count()
+        .take_all()
+    }
+    wanted: dict = {}
+    for g, cnt in totals.items():
+        ranks = set()
+        for k in (1, 3):
+            lo = ((cnt - 1) * k) // 4 + 1
+            ranks.add(lo)
+            if lo + 1 <= cnt:
+                ranks.add(lo + 1)
+        wanted[g] = ranks
+    sel = grouped_rank_select(ev, "event_type", "cents", "event_id", wanted)
+
+    fences = {}
+    for g, cnt in totals.items():
+        q8 = {}
+        for k in (1, 3):
+            pos = (cnt - 1) * k
+            lo_r = pos // 4 + 1
+            lo = sel[(g, lo_r)]
+            hi = sel.get((g, lo_r + 1), lo)
+            q8[k] = 8 * lo + 2 * (hi - lo) * (pos % 4)
+        iqr3_half = (3 * (q8[3] - q8[1])) // 2
+        fences[g] = (q8[1] - iqr3_half, q8[3] + iqr3_half)
+    f_ref = ray.put(fences)
+
+    def outlier_partial(b: pa.Table) -> pa.Table:
+        f = ray.get(f_ref)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        c8 = b["cents"].to_numpy(zero_copy_only=False) * 8
+        lo = np.array([f[t][0] for t in et], np.int64)
+        hi = np.array([f[t][1] for t in et], np.int64)
+        out = ((c8 < lo) | (c8 > hi)).astype(np.int64)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "o": pa.array(out),
+        })
+        g = t.group_by("event_type").aggregate([("o", "sum")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "n_out": g["o_sum"].cast(pa.int64()),
+        })
+
+    counts = (
+        ev.map_batches(outlier_partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .aggregate(Sum("n_out", alias_name="n_outliers"))
+        .take_all()
+    )
+    keys = sorted(totals)
+    nmap = {r["event_type"]: int(r["n_outliers"]) for r in counts}
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "fence_lo_8": pa.array([fences[g][0] for g in keys], pa.int64()),
+        "fence_hi_8": pa.array([fences[g][1] for g in keys], pa.int64()),
+        "n_outliers": pa.array([nmap.get(g, 0) for g in keys], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
 # Distributed PCA (rows-only: eigendecomposition is not SQL-expressible)
 # ---------------------------------------------------------------------------
 
