@@ -5479,6 +5479,227 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Market-basket co-occurrence (co-purchased part pairs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "copurchase_part_pairs",
+    "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+    "CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    "GROUP BY part_a, part_b "
+    "ORDER BY n_orders DESC, part_a, part_b LIMIT 20",
+)
+def copurchase_part_pairs(sf_dir: str):
+    """Market-basket co-occurrence: top part pairs appearing in the
+    same order.  Baskets co-locate via a coarse orderkey-bucket
+    exchange; inside a bucket ONE sort plus max_basket-1 shifted
+    comparisons emit every within-order pair (no per-order Python
+    loop), pairs pre-aggregate per block, and a tiny groupby + sort
+    yields the global top 20 (ties broken by part ids)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "__b",
+            pc.cast(pc.bit_wise_and(b["l_orderkey"], 63), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        so, sp = ok[order], pk[order]
+        n = len(so)
+        a_parts, b_parts = [], []
+        d = 1
+        while True:
+            same = so[d:] == so[:-d] if d < n else np.array([], bool)
+            if not same.any():
+                break
+            pa_, pb_ = sp[:-d][same], sp[d:][same]
+            neq = pa_ != pb_  # same part twice in one basket: no pair
+            a_parts.append(pa_[neq])
+            b_parts.append(pb_[neq])
+            d += 1
+            if d >= n:
+                break
+        if not a_parts:
+            return pa.table({
+                "part_a": pa.array([], pa.int64()),
+                "part_b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        x = np.concatenate(a_parts)
+        y = np.concatenate(b_parts)
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        # map-side combine: count distinct pairs inside the bucket
+        key = lo.astype(np.int64) * (int(hi.max()) + 1) + hi
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "part_a": pa.array(uk // (int(hi.max()) + 1), pa.int64()),
+            "part_b": pa.array(uk % (int(hi.max()) + 1), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = (
+        li.groupby("__b", num_partitions=16)
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["part_a", "part_b"], num_partitions=8)
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    return agg.sort(
+        ["n_orders", "part_a", "part_b"], descending=[True, False, False]
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end entity resolution (block -> match -> cluster -> canonicalize)
+# ---------------------------------------------------------------------------
+
+@register(
+    "supplier_entity_resolution",
+    "WITH RECURSIVE p AS (SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b "
+    "FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey "
+    "AND a.s_suppkey < b.s_suppkey "
+    "WHERE levenshtein(a.s_name, b.s_name) <= 2), "
+    "edges AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p), "
+    "reach(id, lbl) AS ("
+    "SELECT s_suppkey, s_suppkey FROM supplier UNION "
+    "SELECT e.id_a, r.lbl FROM edges e JOIN reach r ON e.id_b = r.id), "
+    "lab AS (SELECT id, min(lbl) AS canon FROM reach GROUP BY id) "
+    "SELECT CAST(id AS BIGINT) AS s_suppkey, "
+    "CAST(canon AS BIGINT) AS canonical_id, "
+    "CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS cluster_size "
+    "FROM lab",
+)
+def supplier_entity_resolution(sf_dir: str):
+    """End-to-end entity resolution: deletion-neighborhood blocking +
+    exact edit-distance matching (functions/fuzzyjoin.fuzzy_self_join),
+    connected components over the match graph
+    (functions/dedup.connected_components), then canonicalization to
+    the min-id master record with cluster sizes.  Non-matching
+    suppliers stay singleton clusters of themselves; the label map
+    broadcast is bounded by match participants, never the corpus."""
+    from ..functions.dedup import connected_components
+    from ..functions.fuzzyjoin import fuzzy_self_join
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    prs = fuzzy_self_join(
+        sup, id_col="s_suppkey", name_col="s_name",
+        block_col="s_nationkey", max_dist=2, num_partitions=8,
+    )
+    comp = connected_components(prs)
+    labels = {
+        int(r["id"]): int(r["component"]) for r in comp.take_all()
+    }
+    lab_ref = ray.put(labels)
+
+    def canon(b: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        ids = b["s_suppkey"].to_numpy(zero_copy_only=False)
+        cn = np.array([lab.get(int(i), int(i)) for i in ids], np.int64)
+        return pa.table({
+            "s_suppkey": pa.array(ids.astype(np.int64)),
+            "canonical_id": pa.array(cn),
+        })
+
+    lab_tbl = sup.map_batches(canon, batch_format="pyarrow").materialize()
+    counts = {
+        int(r["canonical_id"]): int(r["count()"])
+        for r in lab_tbl.groupby("canonical_id", num_partitions=8)
+        .count()
+        .take_all()
+    }
+    c_ref = ray.put(counts)
+
+    def add_size(b: pa.Table) -> pa.Table:
+        cs = ray.get(c_ref)
+        cn = b["canonical_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "cluster_size",
+            pa.array([cs[int(c)] for c in cn], pa.int64()),
+        )
+
+    return lab_tbl.map_batches(add_size, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average price (TWAP) per user over SCD2 intervals
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_purchase_twap",
+    "WITH p AS (SELECT user_id, ts, "
+    "CAST(round(value * 100) AS BIGINT) AS cents, "
+    "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+    "FROM events WHERE event_type = 'purchase') "
+    "SELECT user_id, "
+    "CAST(sum(cents * ((epoch_us(nxt) - epoch_us(ts)) // 1000000)) "
+    "AS BIGINT) AS twap_num, "
+    "CAST(sum((epoch_us(nxt) - epoch_us(ts)) // 1000000) AS BIGINT) "
+    "AS twap_den, CAST(count(*) AS BIGINT) AS n_intervals "
+    "FROM p WHERE nxt IS NOT NULL GROUP BY user_id",
+)
+def user_purchase_twap(sf_dir: str):
+    """Time-weighted average purchase value per user, composed from the
+    SCD2 intervalization (functions/scd2.build_scd2): each closed
+    interval weights its value by its duration in whole seconds, all in
+    exact int64 (twap = twap_num / twap_den).  The TWAP/holding-period
+    shape used for position-weighted metrics over change streams."""
+    from ..functions.scd2 import build_scd2
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).map_batches(
+        lambda b: (lambda f: pa.table({
+            "event_id": f["event_id"],
+            "ts": f["ts"],
+            "user_id": f["user_id"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(f["value"], 100.0)), pa.int64()
+            ),
+        }))(b.filter(pc.equal(b["event_type"], "purchase"))),
+        batch_format="pyarrow",
+    )
+    iv = build_scd2(ev, "user_id", "ts", "event_id", n_buckets=16)
+
+    def terms(b: pa.Table) -> pa.Table:
+        has = pc.is_valid(b["valid_to"])
+        b = b.filter(has)
+        dur = pc.divide(
+            pc.subtract(
+                pc.cast(b["valid_to"], pa.int64()),
+                pc.cast(b["valid_from"], pa.int64()),
+            ),
+            1_000_000,
+        )
+        return pa.table({
+            "user_id": b["user_id"],
+            "num": pc.multiply(b["cents"], dur),
+            "den": dur,
+            "one": pa.array(np.ones(len(b), np.int64)),
+        })
+
+    return (
+        iv.map_batches(terms, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=8)
+        .aggregate(
+            Sum("num", alias_name="twap_num"),
+            Sum("den", alias_name="twap_den"),
+            Sum("one", alias_name="n_intervals"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Running total per key (SUM OVER unbounded preceding)
 # ---------------------------------------------------------------------------
 
