@@ -5479,6 +5479,144 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Population stability index (distribution drift between two cohorts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "psi_doclen_drift",
+    "WITH b AS (SELECT CAST(doc_id % 2 AS BIGINT) AS half, n_chars "
+    "FROM documents), "
+    "mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM b), "
+    "k AS (SELECT half, LEAST(CAST(floor((CAST(n_chars AS DOUBLE) - lo) "
+    "* 8.0 / (hi - lo)) AS BIGINT), 7) AS bucket FROM b, mm), "
+    "c AS (SELECT bucket, "
+    "CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+    "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb "
+    "FROM k GROUP BY bucket), "
+    "n AS (SELECT CAST(sum(ca) AS BIGINT) AS na, "
+    "CAST(sum(cb) AS BIGINT) AS nb FROM c) "
+    "SELECT bucket, ca, cb, "
+    "CAST(floor(1e9 * ((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)"
+    " * ln((CAST(ca AS DOUBLE) / na) / (CAST(cb AS DOUBLE) / nb)))) "
+    "AS BIGINT) AS psi_fp "
+    "FROM c, n WHERE ca > 0 AND cb > 0",
+)
+def psi_doclen_drift(sf_dir: str):
+    """Population stability index between two cohorts (even/odd doc_id
+    stands in for ref/current snapshots): equi-width buckets over the
+    GLOBAL doc-length range (pass 1: min/max aggregate), per-cohort
+    bucket counts pre-aggregated per block (pass 2), then the PSI term
+    (p-q)*ln(p/q) per bucket in 1e9 fixed point on the <=8-row cell
+    table - the drift monitor run between pipeline snapshots, same
+    family as chi2_lang_source.  ln() parity with DuckDB is pinned by
+    test; the float expression tree is mirrored op-for-op."""
+    import math
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    mm = docs.aggregate(Min("n_chars"), Max("n_chars"))
+    lo, hi = float(mm["min(n_chars)"]), float(mm["max(n_chars)"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bk = np.minimum(
+            np.floor((v - lo) * 8.0 / (hi - lo)).astype(np.int64), 7
+        )
+        half = (ids % 2).astype(np.int64)
+        key = bk * 2 + half
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(uk // 2, pa.int64()),
+            "half": pa.array(uk % 2, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    rows = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby(["bucket", "half"], num_partitions=4)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    ca: dict = {}
+    cb: dict = {}
+    for r in rows:
+        (ca if int(r["half"]) == 0 else cb)[int(r["bucket"])] = int(r["n"])
+    na, nb = sum(ca.values()), sum(cb.values())
+    buckets = sorted(set(ca) & set(cb))
+    psi = []
+    for k in buckets:
+        p, q = float(ca[k]) / float(na), float(cb[k]) / float(nb)
+        psi.append(int(math.floor(1e9 * ((p - q) * math.log(p / q)))))
+    return ray.data.from_arrow(pa.table({
+        "bucket": pa.array(buckets, pa.int64()),
+        "ca": pa.array([ca[k] for k in buckets], pa.int64()),
+        "cb": pa.array([cb[k] for k in buckets], pa.int64()),
+        "psi_fp": pa.array(psi, pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Star-schema denormalization (broadcast dimension chain)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_denorm_star",
+    "SELECT o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice, "
+    "c.c_name AS c_name, c.c_mktsegment AS c_mktsegment, "
+    "n.n_name AS nation, r.r_name AS region "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE o.o_orderkey % 97 = 0",
+)
+def orders_denorm_star(sf_dir: str):
+    """Star-schema denormalization: the fact scan gains customer ->
+    nation -> region attributes through a CHAIN of broadcast joins
+    (functions/joins.broadcast_join) - each dimension ships once via
+    ray.put and attaches vectorized per batch; the fact table never
+    shuffles.  The predicate pushes into the read so only matching
+    row groups leave storage."""
+    import pyarrow.parquet as pq
+
+    from ..functions.joins import broadcast_join
+
+    # dimension tables are driver-bounded by contract: read them
+    # directly and ship once via ray.put inside broadcast_join
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"],
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b["o_orderkey"].to_numpy(zero_copy_only=False) % 97 == 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    out = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    out = broadcast_join(out, nat, on="c_nationkey", right_on="n_nationkey")
+    out = broadcast_join(out, reg, on="n_regionkey", right_on="r_regionkey")
+    return out.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_totalprice": b["o_totalprice"],
+            "c_name": b["c_name"],
+            "c_mktsegment": b["c_mktsegment"],
+            "nation": b["n_name"],
+            "region": b["r_name"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Market-basket co-occurrence (co-purchased part pairs)
 # ---------------------------------------------------------------------------
 
