@@ -5479,6 +5479,70 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (nonparametric two-sample comparison)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mannwhitney_nchars_sources",
+    # doubled quantities keep tie-averaged ranks integral:
+    # 2*avg_rank = 2*RANK() + tie_count - 1, 2*U1 = 2*R1 - n1*(n1+1)
+    "WITH v AS (SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS grp, "
+    "n_chars FROM documents WHERE source IN ('src0', 'src1')), "
+    "r AS (SELECT grp, RANK() OVER (ORDER BY n_chars) AS rk, "
+    "count(*) OVER (PARTITION BY n_chars) AS tc FROM v) "
+    "SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+    "CAST(sum(CASE WHEN grp = 0 THEN 2 * rk + tc - 1 ELSE 0 END) "
+    "- sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) "
+    "* (sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) + 1) AS BIGINT) AS u1_x2 "
+    "FROM r",
+)
+def mannwhitney_nchars_sources(sf_dir: str):
+    """Mann-Whitney U rank-sum test comparing the doc-length
+    distributions of two sources, exact in doubled-integer arithmetic
+    (tie-averaged ranks stay integral when doubled).  The exchange
+    carries one (value, group) count per distinct length per block -
+    bounded by the value domain, never the corpus - and the rank-sum
+    folds on the driver over that dimension-bounded histogram; same
+    family as chi2_lang_source / psi_doclen_drift."""
+    docs = _docs(sf_dir, ["source", "n_chars"]).map_batches(
+        lambda b: (lambda f: pa.table({
+            "v": f["n_chars"],
+            "grp": pc.cast(
+                pc.not_equal(f["source"], "src0"), pa.int64()
+            ),
+        }))(b.filter(
+            pc.is_in(b["source"], value_set=pa.array(["src0", "src1"]))
+        )),
+        batch_format="pyarrow",
+    )
+    rows = (
+        docs.groupby(["v", "grp"], num_partitions=4)
+        .count()
+        .take_all()
+    )
+    cnt: dict = {}
+    for r in rows:
+        v, g = int(r["v"]), int(r["grp"])
+        cnt.setdefault(v, [0, 0])[g] = int(r["count()"])
+    n1 = sum(c[0] for c in cnt.values())
+    n2 = sum(c[1] for c in cnt.values())
+    r1_x2 = 0
+    below = 0
+    for v in sorted(cnt):
+        c0, c1 = cnt[v]
+        tc = c0 + c1
+        rank_start = below + 1
+        r1_x2 += c0 * (2 * rank_start + tc - 1)
+        below += tc
+    return ray.data.from_arrow(pa.table({
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "u1_x2": pa.array([r1_x2 - n1 * (n1 + 1)], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
 # Population stability index (distribution drift between two cohorts)
 # ---------------------------------------------------------------------------
 
