@@ -95,3 +95,20 @@ def test_char_entropy_ln_parity_with_duckdb():
     d = np.asarray(list(got.values())[0], np.int64)
     i = np.arange(1, 50001, dtype=np.float64)
     assert (np.floor(np.log(i) * 1e9).astype(np.int64) == d).all()
+
+
+def test_ln_parity_on_ratio_doubles():
+    # psi_doclen_drift floors 1e9 * (p-q)*ln(p/q) on both engines; pin
+    # that DuckDB ln() == libm log() on arbitrary count-ratio doubles
+    import duckdb
+    import math
+
+    rng = np.random.RandomState(17)
+    ratios = (rng.randint(1, 10_000, 500) /
+              rng.randint(1, 10_000, 500).astype(np.float64))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(float(x),) for x in ratios])
+    got = [v for (v,) in con.sql("SELECT ln(x) FROM t").fetchall()]
+    want = [math.log(float(x)) for x in ratios]
+    assert got == want
