@@ -5479,6 +5479,174 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample statistic (exact integer form)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ks_nchars_sources",
+    # D = ks_num / (n1*n2): max CDF gap scaled by n1*n2 stays integral
+    "WITH v AS (SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS grp, "
+    "n_chars FROM documents WHERE source IN ('src0', 'src1')), "
+    "c AS (SELECT n_chars AS v, "
+    "sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0, "
+    "sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1 "
+    "FROM v GROUP BY n_chars), "
+    "cum AS (SELECT sum(c0) OVER (ORDER BY v) AS k0, "
+    "sum(c1) OVER (ORDER BY v) AS k1, "
+    "(SELECT sum(c0) FROM c) AS n1, (SELECT sum(c1) FROM c) AS n2 FROM c) "
+    "SELECT CAST(max(abs(k0 * n2 - k1 * n1)) AS BIGINT) AS ks_num, "
+    "CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2 FROM cum",
+)
+def ks_nchars_sources(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic between two sources'
+    doc-length distributions, exact: D = ks_num/(n1*n2) where ks_num =
+    max_v |cdf0*n2 - cdf1*n1| stays integral.  Same dimension-bounded
+    (value, group) histogram exchange as mannwhitney_nchars_sources;
+    the cumulative fold runs over the value domain, not the corpus."""
+    docs = _docs(sf_dir, ["source", "n_chars"]).map_batches(
+        lambda b: (lambda f: pa.table({
+            "v": f["n_chars"],
+            "grp": pc.cast(
+                pc.not_equal(f["source"], "src0"), pa.int64()
+            ),
+        }))(b.filter(
+            pc.is_in(b["source"], value_set=pa.array(["src0", "src1"]))
+        )),
+        batch_format="pyarrow",
+    )
+    rows = docs.groupby(["v", "grp"], num_partitions=4).count().take_all()
+    cnt: dict = {}
+    for r in rows:
+        cnt.setdefault(int(r["v"]), [0, 0])[int(r["grp"])] = int(r["count()"])
+    n1 = sum(c[0] for c in cnt.values())
+    n2 = sum(c[1] for c in cnt.values())
+    k0 = k1 = ks = 0
+    for v in sorted(cnt):
+        k0 += cnt[v][0]
+        k1 += cnt[v][1]
+        ks = max(ks, abs(k0 * n2 - k1 * n1))
+    return ray.data.from_arrow(pa.table({
+        "ks_num": pa.array([ks], pa.int64()),
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (exact integer moments of doubled ranks)
+# ---------------------------------------------------------------------------
+
+@register(
+    "spearman_len_tokens",
+    # 2*avg_rank = 2*RANK() + tie_count - 1 keeps every moment integral;
+    # rho = num / sqrt(denx*deny) is left to the consumer
+    "WITH t AS (SELECT n_chars AS x, length(list_filter("
+    "string_split_regex(text, '\\s+'), s -> s <> '')) AS y "
+    "FROM documents), "
+    "r AS (SELECT 2 * RANK() OVER (ORDER BY x) "
+    "+ count(*) OVER (PARTITION BY x) - 1 AS x2, "
+    "2 * RANK() OVER (ORDER BY y) "
+    "+ count(*) OVER (PARTITION BY y) - 1 AS y2 FROM t) "
+    "SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(*) * sum(x2 * y2) - sum(x2) * sum(y2) AS BIGINT) AS num, "
+    "CAST(count(*) * sum(x2 * x2) - sum(x2) * sum(x2) AS BIGINT) AS denx, "
+    "CAST(count(*) * sum(y2 * y2) - sum(y2) * sum(y2) AS BIGINT) AS deny "
+    "FROM r",
+)
+def spearman_len_tokens(sf_dir: str):
+    """Spearman rank correlation between doc length and token count as
+    EXACT integer moments of tie-averaged doubled ranks (rho =
+    num/sqrt(denx*deny)).  One joint (n_chars, n_tokens) cell-count
+    exchange - bounded by the two value domains, never the corpus -
+    then rank maps and moments fold over the cell table.  Overflow
+    bound: moments stay under 2^63 for n < ~50k rows; larger corpora
+    need the HUGEINT path (documented, same bound as the SQL mirror)."""
+    from ..functions import text as ftext
+
+    pairs = _docs(sf_dir, ["doc_id", "n_chars", "text"]).map_batches(
+        lambda b: pa.table({
+            "x": b["n_chars"],
+            "y": ftext.token_count_batch(b)["n_tokens"],
+        }),
+        batch_format="pyarrow",
+    )
+    rows = pairs.groupby(["x", "y"], num_partitions=4).count().take_all()
+    cells = [(int(r["x"]), int(r["y"]), int(r["count()"])) for r in rows]
+
+    def rank2_map(hist: dict) -> dict:
+        out, below = {}, 0
+        for v in sorted(hist):
+            tc = hist[v]
+            out[v] = 2 * (below + 1) + tc - 1
+            below += tc
+        return out
+
+    hx: dict = {}
+    hy: dict = {}
+    for x, y, c in cells:
+        hx[x] = hx.get(x, 0) + c
+        hy[y] = hy.get(y, 0) + c
+    rx, ry = rank2_map(hx), rank2_map(hy)
+    n = sx = sy = sxy = sxx = syy = 0
+    for x, y, c in cells:
+        a, b2 = rx[x], ry[y]
+        n += c
+        sx += c * a
+        sy += c * b2
+        sxy += c * a * b2
+        sxx += c * a * a
+        syy += c * b2 * b2
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "num": pa.array([n * sxy - sx * sy], pa.int64()),
+        "denx": pa.array([n * sxx - sx * sx], pa.int64()),
+        "deny": pa.array([n * syy - sy * sy], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit distribution (fraud / data-quality signal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "benford_order_prices",
+    "SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+    "AS VARCHAR), 1, 1) AS BIGINT) AS digit, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY digit",
+)
+def benford_order_prices(sf_dir: str):
+    """Benford's-law first-digit distribution of order totals - the
+    classic fabricated-data / corruption screen.  Leading digits
+    extract with at most 19 vectorized integer divisions per block
+    (no string formatting, no float log10 edge cases), counts
+    pre-aggregate per block, and one tiny groupby folds them."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def digits(b: pa.Table) -> pa.Table:
+        v = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        v = np.abs(v)
+        while (v >= 10).any():
+            m = v >= 10
+            v[m] //= 10
+        uk, cnt = np.unique(v, return_counts=True)
+        return pa.table({
+            "digit": pa.array(uk, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (
+        orders.map_batches(digits, batch_format="pyarrow")
+        .groupby("digit", num_partitions=4)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mann-Whitney U rank-sum test (nonparametric two-sample comparison)
 # ---------------------------------------------------------------------------
 
