@@ -1,0 +1,125 @@
+"""Range-partitioned sort-merge equi-join.
+
+The third join strategy alongside the broadcast join (small dimension)
+and the salted hash join (skewed keys) in functions/joins.py: both
+sides range-partition on sampled key boundaries, and each range
+resolves independently with one sort + one vectorized searchsorted
+match - the shape that wins when both sides are large, nearly sorted,
+or must stay range-clustered for a downstream merge (no hash exchange,
+contiguous output ranges).
+
+Boundaries only steer load balance: every key lands in exactly one
+range on both sides, so the joined row multiset is a pure function of
+the inputs.  The match expansion is fully vectorized (repeat/arange
+index arithmetic) - no per-key loop."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_K, _S = "__smj_k", "__smj_side"
+
+
+def _sampled_bounds(
+    ds: ray.data.Dataset, key_col: str, n_ranges: int, per_block: int
+) -> list:
+    def sample(b: pa.Table) -> pa.Table:
+        ks = np.sort(b[key_col].to_numpy(zero_copy_only=False))
+        step = max(1, len(ks) // per_block)
+        return pa.table({"s": pa.array(ks[::step].astype(np.int64))})
+
+    smp = sorted(
+        r["s"]
+        for r in ds.map_batches(sample, batch_format="pyarrow").take_all()
+    )
+    k = max(1, len(smp) // n_ranges)
+    return smp[k::k][: n_ranges - 1]
+
+
+def sort_merge_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key_col: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_ranges: int = 16,
+    sample_per_block: int = 32,
+) -> ray.data.Dataset:
+    """Inner equi-join on an int64 key; output columns = left_cols +
+    right_cols (disjoint names - rename beforehand).  ``n_ranges``
+    sizes the exchange to the cluster, never correctness.  Both inputs
+    must carry a known schema (any parquet read does; an ALL-empty
+    in-memory dataset that lost its schema to a repartition cannot
+    describe its output columns)."""
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_fields = [l_schema.field(c) for c in left_cols]
+    r_fields = [r_schema.field(c) for c in right_cols]
+    out_schema = pa.schema(l_fields + r_fields)
+
+    bounds = _sampled_bounds(left, key_col, n_ranges, sample_per_block)
+    b_ref = ray.put(np.asarray(bounds, np.int64))
+
+    def project(side: int, keep, other_fields):
+        def prep(b: pa.Table) -> pa.Table:
+            key = pc.cast(b[key_col], pa.int64())
+            bl = ray.get(b_ref)
+            rng = np.searchsorted(
+                bl, key.to_numpy(zero_copy_only=False), side="right"
+            )
+            n = len(b)
+            cols: dict = {
+                _K: key,
+                _S: pa.array(np.full(n, side, np.int8)),
+                "__rng": pa.array(rng.astype(np.int64)),
+            }
+            for c in keep:
+                cols[c] = b[c]
+            for f in other_fields:
+                cols[f.name] = pa.nulls(n, f.type)
+            return pa.table(cols)
+
+        return prep
+
+    both = left.map_batches(
+        project(0, left_cols, r_fields), batch_format="pyarrow"
+    ).union(
+        right.map_batches(
+            project(1, right_cols, l_fields), batch_format="pyarrow"
+        )
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        sides = g[_S].to_numpy(zero_copy_only=False)
+        keys = g[_K].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(sides == 0)
+        ri = np.flatnonzero(sides == 1)
+        if len(li) == 0 or len(ri) == 0:
+            return out_schema.empty_table()
+        r_ord = ri[np.argsort(keys[ri], kind="stable")]
+        rk = keys[r_ord]
+        lk = keys[li]
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        l_rep = np.repeat(li, counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        r_idx = np.arange(total) - starts + np.repeat(lo, counts)
+        lt = g.take(pa.array(l_rep, pa.int64()))
+        rt = g.take(pa.array(r_ord[r_idx], pa.int64()))
+        return pa.table(
+            {c: lt[c] for c in left_cols}
+            | {c: rt[c] for c in right_cols}
+        )
+
+    return both.groupby("__rng", num_partitions=n_ranges).map_groups(
+        merge, batch_format="pyarrow"
+    )

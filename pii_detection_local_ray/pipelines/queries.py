@@ -5479,6 +5479,68 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Sort-merge join strategy (range-partitioned, no hash exchange)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_customer_sortmerge",
+    "SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS cents "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY segment",
+)
+def orders_customer_sortmerge(sf_dir: str):
+    """Large-large equi-join through the range-partitioned sort-merge
+    strategy (functions/sortmerge.py) - the third join engine alongside
+    broadcast and salted-hash: sampled key boundaries range-partition
+    both sides, each range matches with one sort + one vectorized
+    searchsorted expansion, and output stays key-clustered.  Joined
+    rows pre-aggregate to segment totals in exact cents."""
+    from ..functions.sortmerge import sort_merge_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["o_custkey"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "segment"]),
+        batch_format="pyarrow",
+    )
+    joined = sort_merge_join(
+        orders, cust, key_col="o_custkey",
+        left_cols=["cents"], right_cols=["segment"], n_ranges=16,
+    )
+    return (
+        joined.map_batches(
+            lambda b: (lambda g: pa.table({
+                "segment": g["segment"],
+                "n": g["n"].cast(pa.int64()),
+                "c": g["cents_sum"].cast(pa.int64()),
+            }))(b.group_by("segment").aggregate(
+                [("cents", "sum"), ([], "count_all")]
+            ).rename_columns(["segment", "cents_sum", "n"])),
+            batch_format="pyarrow",
+        )
+        .groupby("segment", num_partitions=4)
+        .aggregate(
+            Sum("n", alias_name="n_orders"),
+            Sum("c", alias_name="cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Kolmogorov-Smirnov two-sample statistic (exact integer form)
 # ---------------------------------------------------------------------------
 

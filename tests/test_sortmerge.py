@@ -1,0 +1,56 @@
+"""sort_merge_join must equal the brute-force inner equi-join across
+range counts, duplicate keys on both sides, and missing keys."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pii_detection_local_ray.functions.sortmerge import sort_merge_join
+
+
+def _run(lk, lv, rk, rv, n_ranges):
+    # repartition of an ALL-empty dataset erases its schema (the known
+    # Ray pitfall) - keep empty inputs as their single typed block
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(lk, pa.int64()),
+                  "lv": pa.array(lv, pa.int64())})
+    )
+    if lk:
+        left = left.repartition(3)
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array(rk, pa.int64()),
+                  "rv": pa.array(rv, pa.int64())})
+    )
+    if rk:
+        right = right.repartition(2)
+    got = sort_merge_join(
+        left, right, key_col="k", left_cols=["lv"], right_cols=["rv"],
+        n_ranges=n_ranges,
+    ).take_all()
+    return sorted((r["lv"], r["rv"]) for r in got)
+
+
+def _brute(lk, lv, rk, rv):
+    out = []
+    for k1, v1 in zip(lk, lv):
+        for k2, v2 in zip(rk, rv):
+            if k1 == k2:
+                out.append((v1, v2))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("n_ranges", [1, 4, 64])
+@pytest.mark.parametrize("seed", [0, 9])
+def test_matches_bruteforce(ray_session, n_ranges, seed):
+    rng = np.random.RandomState(seed)
+    lk = rng.randint(0, 30, 150).tolist()   # dup keys both sides
+    rk = rng.randint(10, 40, 80).tolist()   # some keys only on one side
+    lv = list(range(150))
+    rv = list(range(1000, 1080))
+    assert _run(lk, lv, rk, rv, n_ranges) == _brute(lk, lv, rk, rv)
+
+
+def test_empty_right_keeps_schema(ray_session):
+    got = _run([1, 2], [0, 1], [], [], 4)
+    assert got == []
