@@ -5479,6 +5479,55 @@ def fuzzy_supplier_pairs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Line-length stats (StarCoder/CodeParrot-style code-quality filter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "line_length_stats_docs",
+    # mean in 1e6 fixed point: one integer division, order-free
+    "WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln "
+    "FROM documents) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(max(length(ln)) AS BIGINT) AS max_line_len, "
+    "CAST(sum(length(ln)) * 1000000 // count(*) AS BIGINT) "
+    "AS mean_line_len_fp, "
+    "CAST(sum(CASE WHEN length(ln) > 100 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_long_lines "
+    "FROM l GROUP BY doc_id",
+)
+def line_length_stats_docs(sf_dir: str):
+    """Line-length statistics per document - the StarCoder/CodeParrot
+    code-quality gate (drop files with very long average/max lines:
+    minified or generated code).  Zero-shuffle stateless scan; the mean
+    is integer fixed point (sum*1e6 // n), so results are exact under
+    any block layout."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        n_lines = np.empty(len(texts), np.int64)
+        mx = np.empty(len(texts), np.int64)
+        total = np.empty(len(texts), np.int64)
+        long_n = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            lens = [len(x) for x in (t or "").split("\n")]
+            n_lines[i] = len(lens)
+            mx[i] = max(lens)
+            total[i] = sum(lens)
+            long_n[i] = sum(1 for x in lens if x > 100)
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "n_lines": pa.array(n_lines),
+            "max_line_len": pa.array(mx),
+            "mean_line_len_fp": pa.array(total * 1_000_000 // n_lines),
+            "n_long_lines": pa.array(long_n),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sort-merge join strategy (range-partitioned, no hash exchange)
 # ---------------------------------------------------------------------------
 
