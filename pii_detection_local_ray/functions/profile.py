@@ -16,6 +16,7 @@ CAST(ts AS VARCHAR) for microsecond timestamps."""
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -103,6 +104,8 @@ def profile_columns(
     )
 
     def block_distinct(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
         names, vals = [], []
         for c in cols:
             u = pc.unique(b[c].combine_chunks().drop_null())
@@ -112,22 +115,53 @@ def profile_columns(
             vs = pc.cast(u, pa.string()).to_pylist()
             names += [c] * len(vs)
             vals += vs
+        bh = (
+            pd.util.hash_array(np.asarray(vals, dtype=object),
+                               categorize=False).view(np.int64)
+            % 64
+            if vals
+            else np.array([], np.int64)
+        )
         return pa.table({
             "col": pa.array(names, pa.string()),
             "v": pa.array(vals, pa.string()),
+            "bh": pa.array(bh),
+        })
+
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        # per-group aggregation would pay Ray's per-group cost on
+        # ~n_distinct singleton groups; one pandas drop_duplicates per
+        # coarse bucket replaces it (linededup convention)
+        import pandas as pd
+
+        df = g.select(["col", "v"]).to_pandas()
+        counts = (
+            df.drop_duplicates(["col", "v"])
+            .groupby("col", sort=False)
+            .size()
+        )
+        return pa.table({
+            "col": pa.array(counts.index.to_list(), pa.string()),
+            "nd": pa.array(counts.to_numpy().astype(np.int64)),
         })
 
     distinct = (
         ds.map_batches(block_distinct, batch_format="pyarrow")
-        .groupby(["col", "v"], num_partitions=num_partitions)
-        .count()
+        .groupby("bh", num_partitions=min(64, max(num_partitions, 8)))
+        .map_groups(bucket_distinct, batch_format="pyarrow")
         .groupby("col", num_partitions=4)
-        .count()
+        .aggregate(Sum("nd", alias_name="nd"))
     )
 
-    # stitch: both sides are <= n_cols rows by construction
-    srows = {r["col"]: r for r in stats.take_all()}
-    drows = {r["col"]: int(r["count()"]) for r in distinct.take_all()}
+    # stitch: both sides are <= n_cols rows by construction.  The two
+    # jobs are independent - overlap them so the wall is max, not sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_stats = ex.submit(stats.take_all)
+        f_dist = ex.submit(distinct.take_all)
+        srows = {r["col"]: r for r in f_stats.result()}
+        drows = {r["col"]: int(r["nd"]) for r in f_dist.result()}
     out: dict = {f.name: [] for f in OUT_SCHEMA}
     for c in cols:
         r = srows[c]

@@ -2705,15 +2705,39 @@ def purchase_asof_order(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
-    last = (
-        orders.groupby(["o_custkey", "o_orderdate"], num_partitions=8)
-        .max("o_orderkey")
-        .map_batches(
-            lambda b: b.rename_columns(
-                ["user_id", "o_orderdate", "last_orderkey"]
-            ),
-            batch_format="pyarrow",
+    def bucket_orders(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.cast(pc.bit_wise_and(b["o_custkey"], 15), pa.int64()),
         )
+
+    def last_per_cust_date(g: pa.Table) -> pa.Table:
+        # argmax(orderkey) per (custkey, date) - one lexsort + one
+        # shifted compare (Ray's aggregate would pay per-group cost on
+        # ~n_orders near-singleton groups)
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        dt = pc.cast(g["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, dt, ck))
+        sk, sd = ck[order], dt[order]
+        last = np.ones(len(g), bool)
+        if len(g) > 1:
+            last[:-1] = (sk[1:] != sk[:-1]) | (sd[1:] != sd[:-1])
+        keep = order[last]
+        return pa.table({
+            "user_id": pa.array(ck[keep].astype(np.int64)),
+            "o_orderdate": g["o_orderdate"].take(
+                pa.array(keep, pa.int64())
+            ),
+            "last_orderkey": pa.array(ok[keep].astype(np.int64)),
+        })
+
+    last = (
+        orders.map_batches(bucket_orders, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(last_per_cust_date, batch_format="pyarrow")
     )
     return asof_join(
         ev, last, key_col="user_id",
@@ -6010,31 +6034,55 @@ def copurchase_part_pairs(sf_dir: str):
                 break
         if not a_parts:
             return pa.table({
-                "part_a": pa.array([], pa.int64()),
-                "part_b": pa.array([], pa.int64()),
+                "pk": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
             })
         x = np.concatenate(a_parts)
         y = np.concatenate(b_parts)
         lo, hi = np.minimum(x, y), np.maximum(x, y)
-        # map-side combine: count distinct pairs inside the bucket
-        key = lo.astype(np.int64) * (int(hi.max()) + 1) + hi
+        # map-side combine; ONE composite int64 key keeps the global
+        # exchange a single-column sort (partkeys < 2^31 by contract)
+        key = lo.astype(np.int64) * (1 << 31) + hi
         uk, cnt = np.unique(key, return_counts=True)
         return pa.table({
-            "part_a": pa.array(uk // (int(hi.max()) + 1), pa.int64()),
-            "part_b": pa.array(uk % (int(hi.max()) + 1), pa.int64()),
+            "pk": pa.array(uk),
             "n": pa.array(cnt.astype(np.int64)),
         })
 
-    agg = (
-        li.groupby("__b", num_partitions=16)
+    def rebucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b2",
+            pc.cast(pc.bit_wise_and(b["pk"], 63), pa.int64()),
+        )
+
+    def combine_top(g: pa.Table) -> pa.Table:
+        # vectorized per-pair sum (Ray's aggregate pays per-group
+        # overhead; ~1M singleton pair-groups make that pathological -
+        # one np.unique + np.add.at replaces it), then bucket-local
+        # top-20: the global top-20 survives per-bucket pruning
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(pk, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, n)
+        a, bb = uk >> 31, uk & ((1 << 31) - 1)
+        idx = np.lexsort((bb, a, -tot))[:20]
+        return pa.table({
+            "part_a": pa.array(a[idx].astype(np.int64)),
+            "part_b": pa.array(bb[idx].astype(np.int64)),
+            "n_orders": pa.array(tot[idx]),
+        })
+
+    return (
+        li.groupby("__b", num_partitions=64)
         .map_groups(pairs, batch_format="pyarrow")
-        .groupby(["part_a", "part_b"], num_partitions=8)
-        .aggregate(Sum("n", alias_name="n_orders"))
+        .map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__b2", num_partitions=64)
+        .map_groups(combine_top, batch_format="pyarrow")
+        .sort(["n_orders", "part_a", "part_b"],
+              descending=[True, False, False])
+        .limit(20)
     )
-    return agg.sort(
-        ["n_orders", "part_a", "part_b"], descending=[True, False, False]
-    ).limit(20)
 
 
 # ---------------------------------------------------------------------------
