@@ -8638,6 +8638,90 @@ def doc_skyline(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Secrets-in-code: per-token Shannon entropy score (truffleHog check #2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "keylike_entropy_docs",
+    # same planted key-shaped tokens as keylike_tokens_docs; a DISTINCT
+    # token is "high entropy" (a live secret, not a repeated constant)
+    # when H_nats > 2 per char: entropy_fp > 2 * len * 1e9, all int64
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN "
+    "  text || ' K' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 24) "
+    "  ELSE text END AS t2 FROM documents), "
+    "tok AS (SELECT DISTINCT doc_id, unnest(list_filter("
+    "string_split_regex(t2, '\\s+'), "
+    "t -> len(t) >= 20 AND regexp_matches(t, '[A-Za-z]') "
+    "AND regexp_matches(t, '[0-9]'))) AS tk FROM p), "
+    "ch AS (SELECT doc_id, tk, unnest(string_split(tk, '')) AS c "
+    "FROM tok), "
+    "cnt AS (SELECT doc_id, tk, c, CAST(count(*) AS BIGINT) AS n "
+    "FROM ch GROUP BY doc_id, tk, c), "
+    "te AS (SELECT doc_id, tk, CAST(sum(n) AS BIGINT) AS tl, "
+    "CAST(sum(n * CAST(floor(ln(n) * 1e9) AS BIGINT)) AS BIGINT) AS s "
+    "FROM cnt GROUP BY doc_id, tk) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_keylike, "
+    "CAST(sum(CASE WHEN tl * CAST(floor(ln(tl) * 1e9) AS BIGINT) - s "
+    "> 2 * tl * 1000000000 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_high_entropy FROM te GROUP BY doc_id",
+)
+def keylike_entropy_docs(sf_dir: str):
+    """truffleHog's second detector: Shannon entropy of each DISTINCT
+    key-shaped token (>= 20 chars, mixed alpha+digit) - high per-char
+    entropy separates live secrets from repeated boilerplate constants.
+    Zero-shuffle stateless scan; entropy in the same order-free int64
+    fixed point as char_entropy_docs (lnfp parity pytest-pinned)."""
+    import math
+
+    key_re = re.compile(r"\s+")
+    alpha_re = re.compile(r"[A-Za-z]")
+    digit_re = re.compile(r"[0-9]")
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out_id, out_n, out_hi = [], [], []
+        for i, t in zip(ids, texts):
+            t2 = t
+            if i % 9 == 0:
+                t2 = t + " K" + hashlib.md5(
+                    str(i).encode()
+                ).hexdigest()[:24]
+            toks = {
+                w for w in key_re.split(t2)
+                if len(w) >= 20 and alpha_re.search(w)
+                and digit_re.search(w)
+            }
+            if not toks:
+                continue
+            hi = 0
+            for w in toks:
+                n = len(w)
+                counts: dict = {}
+                for ch in w:
+                    counts[ch] = counts.get(ch, 0) + 1
+                s = sum(
+                    c * math.floor(math.log(c) * 1e9)
+                    for c in counts.values()
+                )
+                efp = n * math.floor(math.log(n) * 1e9) - s
+                if efp > 2 * n * 1_000_000_000:
+                    hi += 1
+            out_id.append(i)
+            out_n.append(len(toks))
+            out_hi.append(hi)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_keylike": pa.array(out_n, pa.int64()),
+            "n_high_entropy": pa.array(out_hi, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Secrets-in-code heuristic: key-shaped long tokens (truffleHog class)
 # ---------------------------------------------------------------------------
 
