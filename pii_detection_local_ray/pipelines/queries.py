@@ -8638,6 +8638,60 @@ def doc_skyline(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Code-identifier subtoken splitting (camelCase / snake_case)
+# ---------------------------------------------------------------------------
+
+@register(
+    "identifier_split_docs",
+    # planted: docs with doc_id % 6 == 0 carry two code identifiers;
+    # split = underscores to spaces, then a space at every
+    # lower/digit->Upper boundary (RE2 capture groups, no lookbehind)
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN "
+    "text || ' parseHttpResponse_v2 getUserName' ELSE text END AS t2 "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "CAST(len(list_filter(string_split_regex(t2, '\\s+'), "
+    "t -> t <> '')) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_filter(string_split_regex(trim(regexp_replace("
+    "regexp_replace(t2, '_', ' ', 'g'), '([a-z0-9])([A-Z])', "
+    "'\\1 \\2', 'g')), '\\s+'), t -> t <> '')) AS BIGINT) "
+    "AS n_subtokens FROM p",
+)
+def identifier_split_docs(sf_dir: str):
+    """Code-identifier subtokenization (camelCase + snake_case
+    splitting - the code-search / code-LM vocabulary normalization
+    step): per doc, raw token count vs subtoken count after splitting
+    identifier boundaries.  Zero-shuffle stateless scan; the split is
+    two regex passes mirrored RE2-for-RE2 in the oracle."""
+    under_re = re.compile(r"_")
+    camel_re = re.compile(r"([a-z0-9])([A-Z])")
+    ws_re = re.compile(r"\s+")
+
+    def split_stats(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        n_tok = np.empty(len(texts), np.int64)
+        n_sub = np.empty(len(texts), np.int64)
+        for j, (i, t) in enumerate(zip(ids, texts)):
+            t2 = t + " parseHttpResponse_v2 getUserName" \
+                if i % 6 == 0 else t
+            n_tok[j] = sum(1 for w in ws_re.split(t2) if w)
+            split = camel_re.sub(
+                r"\1 \2", under_re.sub(" ", t2)
+            ).strip()
+            n_sub[j] = sum(1 for w in ws_re.split(split) if w)
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "n_subtokens": pa.array(n_sub),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        split_stats, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Secrets-in-code: per-token Shannon entropy score (truffleHog check #2)
 # ---------------------------------------------------------------------------
 
