@@ -6131,9 +6131,13 @@ def supplier_entity_resolution(sf_dir: str):
     lab_ref = ray.put(labels)
 
     def canon(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
         lab = ray.get(lab_ref)
         ids = b["s_suppkey"].to_numpy(zero_copy_only=False)
-        cn = np.array([lab.get(int(i), int(i)) for i in ids], np.int64)
+        cn = pd.Series(ids).map(lab).fillna(
+            pd.Series(ids)
+        ).to_numpy().astype(np.int64)
         return pa.table({
             "s_suppkey": pa.array(ids.astype(np.int64)),
             "canonical_id": pa.array(cn),
@@ -6149,11 +6153,15 @@ def supplier_entity_resolution(sf_dir: str):
     c_ref = ray.put(counts)
 
     def add_size(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
         cs = ray.get(c_ref)
         cn = b["canonical_id"].to_numpy(zero_copy_only=False)
         return b.append_column(
             "cluster_size",
-            pa.array([cs[int(c)] for c in cn], pa.int64()),
+            pa.array(
+                pd.Series(cn).map(cs).to_numpy().astype(np.int64)
+            ),
         )
 
     return lab_tbl.map_batches(add_size, batch_format="pyarrow")
@@ -6340,11 +6348,16 @@ def value_histogram_by_type(sf_dir: str):
     mm_ref = ray.put(mm)
 
     def bucket_counts(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
         bounds = ray.get(mm_ref)
         et = b["event_type"].to_numpy(zero_copy_only=False)
         v = b["value"].to_numpy(zero_copy_only=False)
-        lo = np.array([bounds[t][0] for t in et])
-        hi = np.array([bounds[t][1] for t in et])
+        # factorize once; the per-type lookup loop runs over the few
+        # distinct types, never the rows
+        codes, uniq = pd.factorize(et)
+        lo = np.array([bounds[t][0] for t in uniq])[codes]
+        hi = np.array([bounds[t][1] for t in uniq])[codes]
         bk = np.minimum(
             np.floor((v - lo) * 8.0 / (hi - lo)).astype(np.int64), 7
         )
@@ -6454,11 +6467,14 @@ def tukey_outliers_by_type(sf_dir: str):
     f_ref = ray.put(fences)
 
     def outlier_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
         f = ray.get(f_ref)
         et = b["event_type"].to_numpy(zero_copy_only=False)
         c8 = b["cents"].to_numpy(zero_copy_only=False) * 8
-        lo = np.array([f[t][0] for t in et], np.int64)
-        hi = np.array([f[t][1] for t in et], np.int64)
+        codes, uniq = pd.factorize(et)
+        lo = np.array([f[t][0] for t in uniq], np.int64)[codes]
+        hi = np.array([f[t][1] for t in uniq], np.int64)[codes]
         out = ((c8 < lo) | (c8 > hi)).astype(np.int64)
         t = pa.table({
             "event_type": b["event_type"],
