@@ -8654,6 +8654,60 @@ def doc_skyline(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Geometric mean per group (order-free fixed-point log sums)
+# ---------------------------------------------------------------------------
+
+@register(
+    "geomean_value_by_type",
+    # geomean = exp(ln_sum_fp / (n * 1e9)); the summed quantity is the
+    # int64 lnfp so partials commute (values are positive cents)
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(floor(ln(CAST(round(value * 100) AS BIGINT)) * 1e9) "
+    "AS BIGINT)) AS BIGINT) AS ln_sum_fp "
+    "FROM events GROUP BY event_type",
+)
+def geomean_value_by_type(sf_dir: str):
+    """Geometric mean of value per event type as an order-free int64
+    log sum (geomean_cents = exp(ln_sum_fp / (n*1e9))) - the
+    multiplicative-average counterpart to the algebraic moments, exact
+    under any block layout because every term is an integer (lnfp
+    parity pytest-pinned).  Map-side partials collapse each block to
+    <=n_types rows."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        lnfp = np.floor(
+            np.log(cents.astype(np.float64)) * 1e9
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(et)
+        n = np.bincount(codes).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, lnfp)
+        return pa.table({
+            "event_type": pa.array(list(uniq), pa.string()),
+            "n": pa.array(n),
+            "ln_sum_fp": pa.array(s),
+        })
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("ln_sum_fp", alias_name="ln_sum_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Code-identifier subtoken splitting (camelCase / snake_case)
 # ---------------------------------------------------------------------------
 
