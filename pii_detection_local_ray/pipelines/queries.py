@@ -8654,6 +8654,121 @@ def doc_skyline(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Time-grid resampling with linear interpolation (two as-of joins)
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_grid_interp",
+    "WITH u AS (SELECT DISTINCT user_id FROM events "
+    "WHERE event_type = 'purchase'), "
+    "g AS (SELECT u.user_id, gt.t FROM u, (SELECT unnest(generate_series("
+    "TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-30 18:00:00', "
+    "INTERVAL 6 HOUR)) AS t) gt), "
+    "p AS (SELECT user_id, ts, max(value) AS v FROM events "
+    "WHERE event_type = 'purchase' GROUP BY user_id, ts), "
+    "a AS (SELECT g.user_id AS user_id, g.t AS t, p.ts AS t0, p.v AS v0 "
+    "FROM g ASOF JOIN p ON g.user_id = p.user_id AND g.t >= p.ts), "
+    "b AS (SELECT a.user_id, a.t, a.t0, a.v0, p2.ts AS t1, p2.v AS v1 "
+    "FROM a ASOF JOIN p p2 ON a.user_id = p2.user_id AND a.t <= p2.ts) "
+    "SELECT user_id, t, CASE WHEN t1 = t0 THEN v0 ELSE "
+    "v0 + (v1 - v0) * (CAST(epoch_us(t) - epoch_us(t0) AS DOUBLE) "
+    "/ CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)) END AS v_interp "
+    "FROM b",
+)
+def value_grid_interp(sf_dir: str):
+    """Time-series grid resampling: each user's irregular purchase
+    stream is sampled onto a regular 6-hour grid by linear
+    interpolation between the surrounding events - semantically two
+    as-of joins (at-or-before + at-or-after), fused into ONE bucket
+    exchange with the same dense-rank composite-searchsorted kernel as
+    functions/asofjoin.py (the grid is generated in place per bucket
+    and never travels).  The interpolation float expression is
+    mirrored op-for-op."""
+    import datetime as _dt
+
+    purch = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type", "value"],
+    ).map_batches(
+        lambda b: (lambda f: pa.table({
+            "user_id": f["user_id"],
+            "ts": f["ts"],
+            "value": f["value"],
+        }))(b.filter(pc.equal(b["event_type"], "purchase"))),
+        batch_format="pyarrow",
+    )
+    t0 = _dt.datetime(2024, 1, 1)
+    pts = np.array(
+        [
+            (t0 + _dt.timedelta(hours=6 * i) - _dt.datetime(1970, 1, 1))
+            // _dt.timedelta(microseconds=1)
+            for i in range(120)
+        ],
+        np.int64,
+    )
+    pts_ref = ray.put(pts)
+
+    # ONE exchange: purchases bucket by user; inside each bucket every
+    # user's grid points (generated in place - the grid never travels)
+    # find BOTH neighbors with composite searchsorted, max-value ties
+    # resolved by taking the last row of a (user, ts) run (the same
+    # max(value) dedup the oracle applies).  asof_join generalizes this
+    # to two arbitrary tables; the fused form halves the exchanges.
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.cast(pc.bit_wise_and(b["user_id"], 15), pa.int64()),
+        )
+
+    def neighbors(g: pa.Table) -> pa.Table:
+        grid_t = ray.get(pts_ref)
+        pu = g["user_id"].to_numpy(zero_copy_only=False)
+        pt = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        pv = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pv, pt, pu))
+        pu, pt, pv = pu[order], pt[order], pv[order]
+        users = np.unique(pu)
+        gu = np.repeat(users, len(grid_t))
+        gt = np.tile(grid_t, len(users))
+        # dense ranks shared by both sides -> order-preserving composite
+        _, kp = np.unique(np.concatenate([pu, gu]), return_inverse=True)
+        kpu, kgu = kp[: len(pu)], kp[len(pu):]
+        uts, tp = np.unique(np.concatenate([pt, gt]), return_inverse=True)
+        big = len(uts) + 1
+        pcmp = kpu * big + tp[: len(pt)]
+        gcmp = kgu * big + tp[len(pt):]
+        # prev: last purchase row with composite <= grid (max v on ties)
+        i0 = np.searchsorted(pcmp, gcmp, side="right") - 1
+        ok0 = i0 >= 0
+        ok0[ok0] &= kpu[i0[ok0]] == kgu[ok0]
+        # next: first run with composite >= grid, then that run's last
+        j = np.searchsorted(pcmp, gcmp, side="left")
+        ok1 = j < len(pcmp)
+        ok1[ok1] &= kpu[j[ok1]] == kgu[ok1]
+        jc = np.clip(j, 0, max(len(pcmp) - 1, 0))
+        k = np.searchsorted(pcmp, pcmp[jc], side="right") - 1
+        ok = ok0 & ok1
+        i0, k, gu_o, gt_o = i0[ok], k[ok], gu[ok], gt[ok]
+        ta, tb = pt[i0], pt[k]
+        v0, v1 = pv[i0], pv[k]
+        same = tb == ta
+        den = np.where(same, 1, tb - ta).astype(np.float64)
+        frac = (gt_o - ta).astype(np.float64) / den
+        out = np.where(same, v0, v0 + (v1 - v0) * frac)
+        return pa.table({
+            "user_id": pa.array(gu_o.astype(np.int64)),
+            "t": pc.cast(pa.array(gt_o), pa.timestamp("us")),
+            "v_interp": pa.array(out, pa.float64()),
+        })
+
+    return (
+        purch.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(neighbors, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Geometric mean per group (order-free fixed-point log sums)
 # ---------------------------------------------------------------------------
 
