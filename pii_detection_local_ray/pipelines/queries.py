@@ -8654,6 +8654,85 @@ def doc_skyline(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Lag-1 autocorrelation moments per key (time-series diagnostic)
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_autocorr_by_user",
+    # exact int64 moments of (lagged, current) cent pairs; rho =
+    # (n*sxy - sx*sy) / sqrt((n*sxx - sx^2)(n*syy - sy^2)) downstream
+    "WITH p AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c, "
+    "LAG(CAST(round(value * 100) AS BIGINT)) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS pc FROM events) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(pc) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy, "
+    "CAST(sum(pc * c) AS BIGINT) AS sxy, "
+    "CAST(sum(pc * pc) AS BIGINT) AS sxx, "
+    "CAST(sum(c * c) AS BIGINT) AS syy "
+    "FROM p WHERE pc IS NOT NULL GROUP BY user_id",
+)
+def value_autocorr_by_user(sf_dir: str):
+    """Lag-1 autocorrelation moments of each user's ordered value
+    stream in exact int64 cents (burstiness / random-walk diagnostic;
+    rho assembled from the moments by the consumer).  One coarse-bucket
+    exchange; one lexsort + shifted products per bucket resolves every
+    user, and the moment rows (one per user) are all that leaves."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "user_id": b["user_id"],
+            "c": pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                         pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda b: b.append_column(
+            "__b",
+            pc.cast(pc.bit_wise_and(b["user_id"], 15), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def moments(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        su, sc = u[order], c[order]
+        pair = np.zeros(len(g), bool)
+        if len(g) > 1:
+            pair[1:] = su[1:] == su[:-1]
+        cur = sc[pair]
+        prv = sc[np.flatnonzero(pair) - 1]
+        keys = su[pair]
+        uk, inv = np.unique(keys, return_inverse=True)
+        def acc(vals):
+            out = np.zeros(len(uk), np.int64)
+            np.add.at(out, inv, vals)
+            return out
+        return pa.table({
+            "user_id": pa.array(uk.astype(np.int64)),
+            "n": pa.array(np.bincount(inv, minlength=len(uk))
+                          .astype(np.int64)),
+            "sx": pa.array(acc(prv)),
+            "sy": pa.array(acc(cur)),
+            "sxy": pa.array(acc(prv * cur)),
+            "sxx": pa.array(acc(prv * prv)),
+            "syy": pa.array(acc(cur * cur)),
+        })
+
+    return (
+        ev.groupby("__b", num_partitions=16)
+        .map_groups(moments, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-grid resampling with linear interpolation (two as-of joins)
 # ---------------------------------------------------------------------------
 
