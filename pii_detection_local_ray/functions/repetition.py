@@ -385,3 +385,86 @@ def char_entropy_batch(
         "n_chars_counted": pa.array(lens, pa.int64()),
         "entropy_fp": pa.array(lens * tot_lnfp - per_doc, pa.int64()),
     })
+
+
+FUSED_RULES = (
+    # (reason, short-circuit order) - the FIRST failing rule names the
+    # drop_reason; keep is the conjunction of all of them.  Mirrors the
+    # CASE chain in the fused_quality_filter_docs oracle SQL.
+    "too_short",    # n_words < 10
+    "too_long",     # n_words > 1000
+    "word_len",     # mean_word_len outside [2.0, 12.0]
+    "alpha",        # frac_alpha_words <= 0.9
+    "stopwords",    # stop_hits < 1
+    "repetition",   # top_unigram_frac >= 0.2
+)
+
+
+def fused_quality_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """ONE fused pass computing every word-level quality signal plus the
+    keep decision and the first-failing drop reason (the quality_filter
+    tier's canonical shape: don't re-tokenize per rule - tokenize once,
+    evaluate all rules on the shared stats).
+
+    Signals (words = ' '-split non-empty, == the oracle's
+    list_filter(string_split(...))):
+      n_words           word count
+      mean_word_len     sum(len(w)) / n_words           (one float div)
+      frac_alpha_words  words containing [a-z] / n_words
+      stop_hits         DISTINCT Gopher stopwords present
+      top_unigram_frac  max word count / n_words
+      drop_reason       first failing rule in FUSED_RULES order, '' kept
+      keep              all rules pass
+
+    Every fraction is exact-int counting + a single float64 division in
+    the same IEEE order as the SQL oracle, so threshold comparisons are
+    bit-identical on both sides.
+    """
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_words = np.zeros(n, dtype=np.int64)
+    mean_len = np.zeros(n, dtype=np.float64)
+    alpha_frac = np.zeros(n, dtype=np.float64)
+    stop_hits = np.zeros(n, dtype=np.int64)
+    top_frac = np.zeros(n, dtype=np.float64)
+
+    for i, text in enumerate(texts):
+        words = _words(text or "")
+        nw = len(words)
+        n_words[i] = nw
+        if not nw:
+            continue
+        mean_len[i] = sum(len(w) for w in words) / nw
+        alpha_frac[i] = sum(
+            1 for w in words if any("a" <= ch <= "z" for ch in w)
+        ) / nw
+        wset = set(words)
+        stop_hits[i] = sum(1 for s in GOPHER_STOPWORDS if s in wset)
+        top_frac[i] = max(Counter(words).values()) / nw
+
+    fails = [
+        n_words < 10,
+        n_words > 1000,
+        (mean_len < 2.0) | (mean_len > 12.0),
+        alpha_frac <= 0.9,
+        stop_hits < 1,
+        top_frac >= 0.2,
+    ]
+    reason = np.full(n, "", dtype=object)
+    undecided = np.ones(n, dtype=bool)
+    for name, mask in zip(FUSED_RULES, fails):
+        hit = undecided & mask
+        reason[hit] = name
+        undecided &= ~mask
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words, pa.int64()),
+        "mean_word_len": pa.array(mean_len, pa.float64()),
+        "frac_alpha_words": pa.array(alpha_frac, pa.float64()),
+        "stop_hits": pa.array(stop_hits, pa.int64()),
+        "top_unigram_frac": pa.array(top_frac, pa.float64()),
+        "drop_reason": pa.array(list(reason), pa.string()),
+        "keep": pa.array(undecided, pa.bool_()),
+    })

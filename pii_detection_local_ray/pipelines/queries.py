@@ -3103,6 +3103,85 @@ def c4_filter_docs(sf_dir: str):
     )
 
 
+_FUSED_QUALITY_SQL = (
+    # plant (mutually exclusive CASE chain): doc_id%31 -> truncate to 5
+    # words (too_short), doc_id%23 -> append len(ws) copies of the first
+    # word (repetition), doc_id%19 -> every word becomes '####' (alpha)
+    "WITH w0 AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS b FROM documents), "
+    "p AS (SELECT doc_id, CASE "
+    "WHEN doc_id % 31 = 0 THEN list_slice(b, 1, 5) "
+    "WHEN doc_id % 37 = 0 THEN list_transform(b, x -> 'a') "
+    "WHEN doc_id % 41 = 0 THEN flatten(list_transform("
+    "range(1, 1000 // len(b) + 3), i -> b)) "
+    "WHEN doc_id % 23 = 0 THEN b || list_transform("
+    "range(1, len(b) + 1), i -> b[1]) "
+    "WHEN doc_id % 19 = 0 THEN list_transform(b, x -> '####') "
+    "ELSE b END AS ws FROM w0), "
+    "uc AS (SELECT doc_id, max(c) AS top_cnt FROM (SELECT doc_id, word, "
+    "count(*) AS c FROM (SELECT doc_id, unnest(ws) AS word FROM p) "
+    "GROUP BY doc_id, word) GROUP BY doc_id), "
+    "f AS (SELECT p.doc_id AS doc_id, CAST(len(ws) AS BIGINT) AS n_words, "
+    "CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)"
+    " AS mean_word_len, "
+    "CAST(length(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) "
+    "AS DOUBLE) / len(ws) AS frac_alpha_words, "
+    "CAST(length(list_filter(['the', 'and', 'of', 'to', 'in'], "
+    "s -> list_contains(ws, s))) AS BIGINT) AS stop_hits, "
+    "CAST(uc.top_cnt AS DOUBLE) / len(ws) AS top_unigram_frac "
+    "FROM p JOIN uc ON p.doc_id = uc.doc_id) "
+    "SELECT doc_id, n_words, mean_word_len, frac_alpha_words, stop_hits, "
+    "top_unigram_frac, "
+    "CASE WHEN n_words < 10 THEN 'too_short' "
+    "WHEN n_words > 1000 THEN 'too_long' "
+    "WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_len' "
+    "WHEN frac_alpha_words <= 0.9 THEN 'alpha' "
+    "WHEN stop_hits < 1 THEN 'stopwords' "
+    "WHEN top_unigram_frac >= 0.2 THEN 'repetition' ELSE '' END "
+    "AS drop_reason, "
+    "(n_words BETWEEN 10 AND 1000 AND mean_word_len >= 2.0 "
+    "AND mean_word_len <= 12.0 AND frac_alpha_words > 0.9 "
+    "AND stop_hits >= 1 AND top_unigram_frac < 0.2) AS keep FROM f"
+)
+
+
+@register("fused_quality_filter_docs", _FUSED_QUALITY_SQL)
+def fused_quality_filter_docs(sf_dir: str):
+    """Flagship quality_filter-tier shape: ONE fused map_batches pass
+    tokenizes each document once and evaluates every word-level rule
+    (length bounds, mean word length, alpha fraction, stopword presence,
+    top-unigram repetition) on the shared stats, emitting the keep
+    decision plus the FIRST-failing drop_reason - the per-file
+    keep/drop-with-lineage contract the north rule's pipeline emits
+    (functions/repetition.fused_quality_batch).  Failure modes are
+    planted per doc_id so every drop_reason branch is exercised."""
+    from ..functions import repetition as frep
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        out = []
+        for i, t in zip(ids, b["text"].to_pylist()):
+            ws = [w for w in (t or "").split(" ") if w]
+            if i % 31 == 0:
+                ws = ws[:5]
+            elif i % 37 == 0:
+                ws = ["a"] * len(ws)
+            elif i % 41 == 0:
+                ws = ws * (1000 // len(ws) + 2) if ws else ws
+            elif i % 23 == 0:
+                ws = ws + [ws[0]] * len(ws) if ws else ws
+            elif i % 19 == 0:
+                ws = ["####"] * len(ws)
+            out.append(" ".join(ws))
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(frep.fused_quality_batch, batch_format="pyarrow")
+    )
+
+
 _LINEDEDUP_SQL = (
     # plant: 5-word lines; shared intro (3 variants, doc_id%11),
     # newsletter boilerplate (doc_id%7), rights boilerplate (doc_id%5).

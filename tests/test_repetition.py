@@ -161,3 +161,51 @@ class TestNgramDecontamination:
         # DISTINCT doc grams (1 distinct run of grams, several of which
         # are the benchmark gram itself exactly once)
         assert out["n_overlap_grams"][0].as_py() == 1
+
+
+class TestFusedQuality:
+    def test_keep_and_every_drop_reason(self):
+        base = "the quick brown fox jumps over lazy dogs again " \
+               "today with vigor"  # 12 words, all distinct, has 'the'
+        rows = [
+            base,                                   # keep
+            "too few words here",                   # too_short (4)
+            " ".join(["word"] * 1001),              # too_long
+            " ".join(["a"] * 20),                   # word_len (mean 1)
+            " ".join(["####"] * 20),                # alpha
+            " ".join(f"w{i}" for i in range(20)),   # stopwords
+            "the " + " ".join(["dup"] * 19),        # repetition (19/20)
+        ]
+        out = frep.fused_quality_batch(_tbl(rows))
+        assert out["drop_reason"].to_pylist() == [
+            "", "too_short", "too_long", "word_len", "alpha",
+            "stopwords", "repetition",
+        ]
+        assert out["keep"].to_pylist() == [
+            True, False, False, False, False, False, False,
+        ]
+
+    def test_first_failing_rule_wins(self):
+        # 5 '#' words: too_short fires before alpha/stopwords
+        out = frep.fused_quality_batch(_tbl(["# # # # #"]))
+        assert out["drop_reason"][0].as_py() == "too_short"
+
+    def test_stats_values(self):
+        out = frep.fused_quality_batch(
+            _tbl(["the the cat in a hat sat on a mat"])
+        )
+        assert out["n_words"][0].as_py() == 10
+        assert out["mean_word_len"][0].as_py() == pytest.approx(
+            24 / 10, abs=0
+        )
+        # 'the' x2 and 'a' x2 tie at 2 -> top frac 0.2 -> repetition
+        assert out["top_unigram_frac"][0].as_py() == pytest.approx(
+            0.2, abs=0
+        )
+        assert out["stop_hits"][0].as_py() == 2  # the, in
+        assert out["drop_reason"][0].as_py() == "repetition"
+
+    def test_empty_text(self):
+        out = frep.fused_quality_batch(_tbl([""]))
+        assert out["drop_reason"][0].as_py() == "too_short"
+        assert not out["keep"][0].as_py()
