@@ -321,3 +321,139 @@ def running_sum_per_key(
         .groupby("__b", num_partitions=n_buckets)
         .map_groups(scan, batch_format="pyarrow")
     )
+
+
+def cumulative_distinct_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    distinct_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    *,
+    out_col: str = "cum_distinct",
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Cumulative count of DISTINCT distinct_col values seen so far per
+    key, ordered by (ts, tiebreak) - SQL
+    SUM(first_flag) OVER (PARTITION BY key ORDER BY ts, tie) where
+    first_flag marks row_number() OVER (PARTITION BY key, distinct_col
+    ORDER BY ts, tie) = 1.
+
+    One coarse-bucket exchange co-locates each key's rows; inside a
+    bucket TWO lexsorts resolve every key vectorized: the first (by
+    key, distinct-value, ts, tie) marks first occurrences, the second
+    (by key, ts, tie) runs the segmented cumulative sum - no per-key
+    loop, no per-row Python."""
+    import pandas as pd
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.cast(
+                pc.bit_wise_and(
+                    pc.cast(b[key_col], pa.int64()), n_buckets - 1
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        dv, _ = pd.factorize(g[distinct_col].to_numpy(zero_copy_only=False))
+        ts = pc.cast(g[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        tie = g[tiebreak_col].to_numpy(zero_copy_only=False)
+        n = len(g)
+        # pass 1: first occurrence of each (key, distinct value)
+        o1 = np.lexsort((tie, ts, dv, keys))
+        k1, d1 = keys[o1], dv[o1]
+        firsts = np.ones(n, bool)
+        if n > 1:
+            firsts[1:] = (k1[1:] != k1[:-1]) | (d1[1:] != d1[:-1])
+        flag = np.zeros(n, np.int64)
+        flag[o1[firsts]] = 1
+        # pass 2: segmented running sum of the flags per key
+        o2 = np.lexsort((tie, ts, keys))
+        g = g.take(pa.array(o2, pa.int64()))
+        cs = np.cumsum(flag[o2])
+        sk = keys[o2]
+        starts = np.ones(n, bool)
+        if n > 1:
+            starts[1:] = sk[1:] != sk[:-1]
+        sidx = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(sidx, n))
+        base = np.where(sidx > 0, cs[sidx - 1], 0)
+        return g.append_column(
+            out_col, pa.array(cs - np.repeat(base, seg_len), pa.int64())
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(scan, batch_format="pyarrow")
+    )
+
+
+def rolling_median3_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    *,
+    out_col: str = "med3",
+    n_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Centered rolling median over the 3-row window (1 PRECEDING ..
+    1 FOLLOWING) per key, INTERIOR rows only (partial edge windows are
+    dropped, so every emitted median is an exact element pick - the
+    middle of three float64s involves zero arithmetic, making the
+    result bit-identical to the SQL quantile_cont(0.5) over a full
+    3-row frame).  One coarse-bucket exchange, one lexsort, three
+    shifted views per bucket."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.cast(
+                pc.bit_wise_and(
+                    pc.cast(b[key_col], pa.int64()), n_buckets - 1
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        tie = g[tiebreak_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ts, keys))
+        g = g.take(pa.array(order, pa.int64()))
+        v = g[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        sk = keys[order]
+        n = len(g)
+        if n < 3:
+            return g.slice(0, 0).append_column(
+                out_col, pa.array([], pa.float64())
+            )
+        prev_ok = np.zeros(n, bool)
+        next_ok = np.zeros(n, bool)
+        prev_ok[1:] = sk[1:] == sk[:-1]
+        next_ok[:-1] = sk[:-1] == sk[1:]
+        interior = prev_ok & next_ok
+        a = np.empty(n); b_ = np.empty(n)
+        a[1:] = v[:-1]; a[0] = np.nan
+        b_[:-1] = v[1:]; b_[-1] = np.nan
+        # middle of three = exact element pick, no arithmetic
+        med = np.median(np.vstack([a, v, b_]), axis=0)
+        idx = np.flatnonzero(interior)
+        return g.take(pa.array(idx, pa.int64())).append_column(
+            out_col, pa.array(med[idx], pa.float64())
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(scan, batch_format="pyarrow")
+    )

@@ -10172,3 +10172,411 @@ def purchase_value_pushdown(sf_dir: str):
         ("n", pa.int64()),
         ("sum_cents", pa.int64()),
     ]))
+
+
+# ---------------------------------------------------------------------------
+# Intra-document duplicate-line removal (keep first occurrence in order)
+# ---------------------------------------------------------------------------
+
+_INTRADOC_SQL = (
+    # plant: 5-word lines; docs with doc_id % 3 == 0 re-append their
+    # first two lines, so the keep-first dedup path always fires
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents), "
+    "p AS (SELECT doc_id, list_transform(range(1, len(ws)//5 + 1), "
+    "i -> array_to_string(list_slice(ws, 5*i-4, 5*i), ' ')) AS base "
+    "FROM w), "
+    "q AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+    "base || list_slice(base, 1, 2) ELSE base END AS lines FROM p), "
+    "d AS (SELECT doc_id, lines, list_filter(lines, "
+    "(x, i) -> list_position(lines, x) = i) AS kept FROM q) "
+    "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines_in, "
+    "CAST(len(kept) AS BIGINT) AS n_lines_out, "
+    "array_to_string(kept, chr(10)) AS dedup_text FROM d"
+)
+
+
+@register("intra_doc_line_dedup", _INTRADOC_SQL)
+def intra_doc_line_dedup(sf_dir: str):
+    """WITHIN-document duplicate-line removal keeping the first
+    occurrence in order (the intra-doc counterpart of the cross-corpus
+    functions/linededup.py pass; C4 applies both).  Zero-shuffle: each
+    document resolves inside its own batch - at 100 TB this stage costs
+    exactly one streamed map_batches scan."""
+
+    def dedup(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        n_in, n_out, out = [], [], []
+        for i, t in zip(ids, b["text"].to_pylist()):
+            ws = [w for w in (t or "").split(" ") if w]
+            lines = [
+                " ".join(ws[5 * k : 5 * k + 5]) for k in range(len(ws) // 5)
+            ]
+            if i % 3 == 0:
+                lines = lines + lines[:2]
+            seen: set = set()
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            n_in.append(len(lines))
+            n_out.append(len(kept))
+            out.append("\n".join(kept))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_lines_in": pa.array(n_in, pa.int64()),
+            "n_lines_out": pa.array(n_out, pa.int64()),
+            "dedup_text": pa.array(out, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        dedup, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Email-domain histogram (PII surface analytics over planted addresses)
+# ---------------------------------------------------------------------------
+
+_EMAIL_DOMAINS = (
+    "example.com", "mail.org", "corp.net", "web.io", "data.ai",
+    "cloud.dev", "site.co",
+)
+_DOMAIN_RE = r"[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+)"
+
+_EMAIL_DOMAIN_SQL = (
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN "
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || "
+    "(['" + "','".join(_EMAIL_DOMAINS) + "'])"
+    "[CAST(doc_id % 7 AS INT) + 1] || ' now' ELSE text END AS t "
+    "FROM documents), "
+    f"e AS (SELECT unnest(regexp_extract_all(t, '{_DOMAIN_RE}', 1)) "
+    "AS domain FROM p) "
+    "SELECT domain, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY domain"
+)
+
+
+@register("email_domain_histogram", _EMAIL_DOMAIN_SQL)
+def email_domain_histogram(sf_dir: str):
+    """PII-surface analytics: extract every email's domain (compiled
+    regex, capture group) and histogram them - the triage report a
+    scrub run emits so operators can see WHERE the leaked addresses
+    come from.  Map-side combiner collapses each block to <= distinct
+    domains before the (tiny, domain-keyed) exchange."""
+    import re as _re
+
+    pat = _re.compile(_DOMAIN_RE)
+
+    def plant_and_count(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for i, t in zip(ids, b["text"].to_pylist()):
+            t2 = (
+                f"{t} contact user{i}@{_EMAIL_DOMAINS[i % 7]} now"
+                if i % 2 == 0 else (t or "")
+            )
+            cnt.update(pat.findall(t2))
+        return pa.table({
+            "domain": pa.array(list(cnt.keys()), pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant_and_count, batch_format="pyarrow")
+        .groupby("domain", num_partitions=4)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope per language (corpus-health diagnostic over the vocabulary)
+# ---------------------------------------------------------------------------
+
+_ZIPF_SQL = (
+    # OLS of y = ln(count) on x = ln(rank) over the top-100 terms per
+    # language; 1e6 fixed-point keeps every sum/product within int64,
+    # so BIGINT -> DOUBLE casts round identically on both sides
+    "WITH w AS (SELECT lang, unnest(list_filter(string_split(text, ' '), "
+    "x -> x <> '')) AS word FROM documents), "
+    "c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word), "
+    "r AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang "
+    "ORDER BY cnt DESC, word ASC) AS rk FROM c), "
+    "t AS (SELECT lang, CAST(floor(ln(rk) * 1e6) AS BIGINT) AS x, "
+    "CAST(floor(ln(cnt) * 1e6) AS BIGINT) AS y FROM r WHERE rk <= 100), "
+    "s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx "
+    "FROM t GROUP BY lang) "
+    "SELECT lang, n AS n_terms, "
+    "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) "
+    "AS zipf_slope FROM s"
+)
+
+
+@register("zipf_slope_by_lang", _ZIPF_SQL)
+def zipf_slope_by_lang(sf_dir: str):
+    """Zipf's-law slope per language: OLS fit of ln(term count) against
+    ln(rank) over each language's top-100 terms - the corpus-health
+    diagnostic (natural text ~ -1; word soup is flatter) pretraining
+    pipelines run after ingestion.  ONE (lang, word)-keyed count
+    exchange with map-side combiners; the ranked fit runs per language
+    over the vocabulary-bounded counts with exact Python-int moment
+    sums (1e6 fixed-point logs keep all products < 2^62, guarded)."""
+    import pandas as pd
+
+    SEP = "\x1f"
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pylist()
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for lg, t in zip(langs, b["text"].to_pylist()):
+            for w in (t or "").split(" "):
+                if w:
+                    cnt[lg + SEP + w] += 1
+        return pa.table({
+            "lw": pa.array(list(cnt.keys()), pa.string()),
+            "cnt": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    counts = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lw", num_partitions=4)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def split_lang(b: pa.Table) -> pa.Table:
+        lw = b["lw"].to_pylist()
+        return pa.table({
+            "lang": pa.array([s.split(SEP, 1)[0] for s in lw], pa.string()),
+            "word": pa.array([s.split(SEP, 1)[1] for s in lw], pa.string()),
+            "cnt": b["cnt"],
+        })
+
+    def fit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cnt", "word"], ascending=[False, True], kind="mergesort"
+        ).head(100)
+        n = len(g)
+        rk = np.arange(1, n + 1, dtype=np.float64)
+        x = np.floor(np.log(rk) * 1e6).astype(np.int64)
+        y = np.floor(
+            np.log(g["cnt"].to_numpy().astype(np.float64)) * 1e6
+        ).astype(np.int64)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        _guard_int64_products(
+            [sxy, sxx, num, den], "zipf_slope_by_lang"
+        )
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "n_terms": np.array([n], np.int64),
+            "zipf_slope": [float(num) / float(den)],
+        })
+
+    return (
+        counts.map_batches(split_lang, batch_format="pyarrow")
+        .groupby("lang", num_partitions=4)
+        .map_groups(fit, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram window co-occurrence (distributional-similarity counts)
+# ---------------------------------------------------------------------------
+
+_SKIPGRAM_SQL = (
+    # unordered pairs within a +-2 word window, global top 20
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents), "
+    "u AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) "
+    "AS i FROM w), "
+    "pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2 "
+    "FROM u a JOIN u b ON a.doc_id = b.doc_id "
+    "AND b.i BETWEEN a.i + 1 AND a.i + 2), "
+    "c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM pr "
+    "GROUP BY w1, w2) "
+    "SELECT w1, w2, n FROM (SELECT *, row_number() OVER "
+    "(ORDER BY n DESC, w1 ASC, w2 ASC) AS rk FROM c) WHERE rk <= 20"
+)
+
+
+@register("skipgram_top_pairs", _SKIPGRAM_SQL)
+def skipgram_top_pairs(sf_dir: str):
+    """Skip-gram co-occurrence (window +-2, unordered pairs) - the count
+    table word2vec-style distributional stats are built from.  Pairs are
+    counted batch-locally (map-side combiner bounded by vocab^2 of the
+    BATCH, not the corpus), one pair-keyed exchange, then the bounded
+    count table takes a deterministic global top-20."""
+    from collections import Counter
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in b["text"].to_pylist():
+            ws = [w for w in (t or "").split(" ") if w]
+            for i, a in enumerate(ws):
+                for j in (i + 1, i + 2):
+                    if j < len(ws):
+                        x, y = (a, ws[j]) if a <= ws[j] else (ws[j], a)
+                        cnt[x + "\x1f" + y] += 1
+        return pa.table({
+            "pair": pa.array(list(cnt.keys()), pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    def split_pair(b: pa.Table) -> pa.Table:
+        pairs = b["pair"].to_pylist()
+        return pa.table({
+            "w1": pa.array([p.split("\x1f")[0] for p in pairs], pa.string()),
+            "w2": pa.array([p.split("\x1f")[1] for p in pairs], pa.string()),
+            "n": b["n"],
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair", num_partitions=8)
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(split_pair, batch_format="pyarrow")
+        .sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct event types per user (running novelty counter)
+# ---------------------------------------------------------------------------
+
+_CUMDISTINCT_SQL = (
+    "WITH f AS (SELECT event_id, user_id, ts, CASE WHEN row_number() "
+    "OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 "
+    "THEN 1 ELSE 0 END AS fst FROM events) "
+    "SELECT event_id, user_id, CAST(sum(fst) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+    "AS cum_distinct_types FROM f"
+)
+
+
+@register("user_cumulative_distinct_types", _CUMDISTINCT_SQL)
+def user_cumulative_distinct_types(sf_dir: str):
+    """Running count of DISTINCT event types each user has produced so
+    far (ordered by ts, event_id) - the classic 'cumulative novelty'
+    window that naive engines do with a per-row set.  Here: one
+    coarse-bucket exchange, two lexsorts per bucket
+    (functions/windows.cumulative_distinct_per_key)."""
+    from ..functions.windows import cumulative_distinct_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return cumulative_distinct_per_key(
+        ev, "user_id", "event_type", "ts", "event_id",
+        out_col="cum_distinct_types",
+    ).select_columns(["event_id", "user_id", "cum_distinct_types"])
+
+
+# ---------------------------------------------------------------------------
+# Rolling median-of-3 per user (robust local smoother)
+# ---------------------------------------------------------------------------
+
+_MED3_SQL = (
+    "WITH o AS (SELECT event_id, user_id, value, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+    "count(*) OVER (PARTITION BY user_id) AS cnt, "
+    "median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS med3 FROM events) "
+    "SELECT event_id, user_id, med3 FROM o WHERE rn > 1 AND rn < cnt"
+)
+
+
+@register("value_rolling_median3_per_user", _MED3_SQL)
+def value_rolling_median3_per_user(sf_dir: str):
+    """Centered rolling median over 3 rows per user - the robust local
+    smoother (interior rows only, so every median is an exact element
+    pick with ZERO float arithmetic; see
+    functions/windows.rolling_median3_per_key)."""
+    from ..functions.windows import rolling_median3_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return rolling_median3_per_key(
+        ev, "user_id", "value", "ts", "event_id", out_col="med3"
+    ).select_columns(["event_id", "user_id", "med3"])
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join of two per-nation aggregates
+# ---------------------------------------------------------------------------
+
+_FULLOUTER_SQL = (
+    "WITH s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) "
+    "AS n_supp FROM supplier GROUP BY 1), "
+    "c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust "
+    "FROM customer GROUP BY 1) "
+    "SELECT CAST(coalesce(s.nk, c.nk) AS BIGINT) AS nationkey, "
+    "coalesce(n_supp, 0) AS n_supp, coalesce(n_cust, 0) AS n_cust "
+    "FROM s FULL OUTER JOIN c ON s.nk = c.nk"
+)
+
+
+@register("nation_parties_fullouter", _FULLOUTER_SQL)
+def nation_parties_fullouter(sf_dir: str):
+    """FULL OUTER join pattern: per-nation supplier counts vs customer
+    counts, keeping nations present on EITHER side (suppliers cover only
+    10 of 25 nations at small sf, so the null-side path genuinely
+    fires).  Both inputs collapse to dimension-bounded aggregates
+    (<= 25 rows each) BEFORE the join, which then runs as a single
+    in-memory Arrow full-outer merge - the scale rule: full-outer on
+    facts is a shuffle, full-outer on aggregates is free."""
+    supp = (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]
+        )
+        .groupby("s_nationkey", num_partitions=2)
+        .aggregate(Count(alias_name="n_supp"))
+        .to_arrow_refs()
+    )
+    cust = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_nationkey"]
+        )
+        .groupby("c_nationkey", num_partitions=2)
+        .aggregate(Count(alias_name="n_cust"))
+        .to_arrow_refs()
+    )
+    # Ray emits schema-less empty blocks from empty groupby partitions;
+    # drop them before concat (the known empty-partition pitfall)
+    s = pa.concat_tables(
+        [t for t in map(ray.get, supp) if t.num_columns]
+    ).rename_columns(["nk_s", "n_supp"])
+    c = pa.concat_tables(
+        [t for t in map(ray.get, cust) if t.num_columns]
+    ).rename_columns(["nk_c", "n_cust"])
+    joined = s.join(
+        c, keys="nk_s", right_keys="nk_c", join_type="full outer",
+        coalesce_keys=False,
+    )
+    nk = pa.array([
+        a if a is not None else b
+        for a, b in zip(
+            joined["nk_s"].to_pylist(), joined["nk_c"].to_pylist()
+        )
+    ], pa.int64())
+    out = pa.table({
+        "nationkey": nk,
+        "n_supp": joined["n_supp"].fill_null(0).cast(pa.int64()),
+        "n_cust": joined["n_cust"].fill_null(0).cast(pa.int64()),
+    })
+    return ray.data.from_arrow(out)

@@ -173,3 +173,64 @@ def test_band_join_overlap_multimatch(ray_session, tmp_path):
     # 909.5 and 911.99 sit in low∩mid, 914.5/915.0 in mid∩high: total
     # joined row count exceeds the part count - a real interval join
     assert int(got["n_parts"].sum()) == len(prices) + 4
+
+
+def test_cumulative_distinct_per_key(ray_session):
+    import ray.data
+
+    from pii_detection_local_ray.functions.windows import (
+        cumulative_distinct_per_key,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    # user 1: types x, y, x, z -> 1, 2, 2, 3; user 2: y, y -> 1, 1
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13, 20, 21], pa.int64()),
+        "ts": pa.array(
+            [t0 + timedelta(minutes=m) for m in [0, 1, 2, 3, 0, 1]],
+            pa.timestamp("us"),
+        ),
+        "event_type": ["x", "y", "x", "z", "y", "y"],
+    })
+    out = (
+        cumulative_distinct_per_key(
+            ray.data.from_arrow(tbl), "user_id", "event_type", "ts",
+            "event_id", out_col="cd",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert out["cd"].tolist() == [1, 2, 2, 3, 1, 1]
+
+
+def test_rolling_median3_per_key(ray_session):
+    import ray.data
+
+    from pii_detection_local_ray.functions.windows import (
+        rolling_median3_per_key,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13, 20, 21], pa.int64()),
+        "ts": pa.array(
+            [t0 + timedelta(minutes=m) for m in [0, 1, 2, 3, 0, 1]],
+            pa.timestamp("us"),
+        ),
+        "value": pa.array([5.0, 1.0, 3.0, 9.0, 2.0, 4.0], pa.float64()),
+    })
+    out = (
+        rolling_median3_per_key(
+            ray.data.from_arrow(tbl), "user_id", "value", "ts", "event_id",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # user 1 interior rows: med(5,1,3)=3, med(1,3,9)=3; user 2 has no
+    # interior row (only 2 events)
+    assert out["event_id"].tolist() == [11, 12]
+    assert out["med3"].tolist() == [3.0, 3.0]
+    # exact element pick, never interpolated
+    assert set(out["med3"]) <= {5.0, 1.0, 3.0, 9.0}
