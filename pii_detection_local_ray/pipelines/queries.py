@@ -10580,3 +10580,354 @@ def nation_parties_fullouter(sf_dir: str):
         "n_cust": joined["n_cust"].fill_null(0).cast(pa.int64()),
     })
     return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS over the documents dimensions
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = (
+    "SELECT coalesce(lang, '(all)') AS lang, "
+    "coalesce(source, '(all)') AS source, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(length(text)) AS BIGINT) AS n_chars "
+    "FROM documents GROUP BY GROUPING SETS ((lang), (source), ())"
+)
+
+
+@register("doc_grouping_sets", _GSETS_SQL)
+def doc_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((lang), (source), ()) - the irregular cousin of
+    the ROLLUP/CUBE queries, fused into ONE scan and ONE exchange: each
+    block emits partial rows for BOTH grouping sets (prefix-tagged
+    keys), so the exchange carries <= 2 * (|langs| + |sources|) rows
+    per block; the () set folds from the bounded lang side."""
+    import pandas as pd
+
+    SEP = "\x1f"
+
+    def partial(b: pa.Table) -> pa.Table:
+        nch = pc.utf8_length(b["text"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        frames = []
+        for tag, col in (("L", "lang"), ("S", "source")):
+            df = pd.DataFrame({
+                "k": [f"{tag}{SEP}{v}" for v in b[col].to_pylist()],
+                "n_chars": nch,
+            })
+            frames.append(
+                df.groupby("k", sort=False).agg(
+                    n_docs=("n_chars", "size"), n_chars=("n_chars", "sum")
+                ).reset_index()
+            )
+        g = pd.concat(frames, ignore_index=True)
+        return pa.table({
+            "k": pa.array(g["k"], pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+            "n_chars": pa.array(g["n_chars"].to_numpy(np.int64)),
+        })
+
+    agg = (
+        _docs(sf_dir, ["lang", "source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+        .materialize()  # bounded: |langs| + |sources| rows
+    )
+
+    def shape(b: pa.Table) -> pa.Table:
+        ks = b["k"].to_pylist()
+        lang = [
+            k.split(SEP, 1)[1] if k.startswith("L") else "(all)" for k in ks
+        ]
+        src = [
+            k.split(SEP, 1)[1] if k.startswith("S") else "(all)" for k in ks
+        ]
+        return pa.table({
+            "lang": pa.array(lang, pa.string()),
+            "source": pa.array(src, pa.string()),
+            "n_docs": b["n_docs"],
+            "n_chars": b["n_chars"],
+        })
+
+    rows = pa.concat_tables(
+        [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_columns]
+    )
+    lang_mask = pc.starts_with(rows["k"], "L")
+    nd = int(pc.sum(pc.filter(rows["n_docs"], lang_mask)).as_py() or 0)
+    nc = int(pc.sum(pc.filter(rows["n_chars"], lang_mask)).as_py() or 0)
+    tot = pa.table({
+        "lang": pa.array(["(all)"], pa.string()),
+        "source": pa.array(["(all)"], pa.string()),
+        "n_docs": pa.array([nd], pa.int64()),
+        "n_chars": pa.array([nc], pa.int64()),
+    })
+    return ray.data.from_arrow(
+        pa.concat_tables([shape(rows), tot])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly event-rate anomaly flags (3-sigma, all-integer comparison)
+# ---------------------------------------------------------------------------
+
+_HOURLY_ANOMALY_SQL = (
+    # z^2 > 9 rewritten integer-exact: (c*n - s)^2 > 9*(n*ssq - s*s)
+    # (population variance over the OBSERVED hours; empty hours are
+    # absent on both sides identically)
+    "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, "
+    "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+    "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ssq "
+    "FROM h GROUP BY 1) "
+    "SELECT h.event_type AS event_type, hour, c, "
+    "((c * n - s) * (c * n - s) > 9 * (n * ssq - s * s)) AS is_anomaly "
+    "FROM h JOIN s ON h.event_type = s.event_type"
+)
+
+
+@register("events_hourly_anomaly", _HOURLY_ANOMALY_SQL)
+def events_hourly_anomaly(sf_dir: str):
+    """Rate-anomaly monitor: hourly event counts per type flagged where
+    |z| > 3 against that type's own hourly distribution.  The z-test is
+    rewritten as an ALL-INTEGER comparison ((c*n - s)^2 > 9*(n*ssq -
+    s^2)), so no float ever enters the decision.  One (type, hour)
+    count exchange (map-side combined); the per-type moment table
+    (|types| rows) broadcasts back over the bounded hourly table."""
+    SEP = "\x1f"
+
+    def hour_partial(b: pa.Table) -> pa.Table:
+        hrs = pc.cast(
+            pc.floor_temporal(b["ts"], unit="hour"), pa.int64()
+        )
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "k": [
+                f"{t}{SEP}{h}" for t, h in zip(
+                    b["event_type"].to_pylist(), hrs.to_pylist()
+                )
+            ]
+        })
+        g = df.groupby("k", sort=False).size().reset_index(name="c")
+        return pa.table({
+            "k": pa.array(g["k"], pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+        })
+
+    hourly = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        )
+        .map_batches(hour_partial, batch_format="pyarrow")
+        .groupby("k", num_partitions=4)
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # bounded: |types| x |hours|
+    )
+
+    stats: dict[str, tuple[int, int, int]] = {}
+    for t in map(ray.get, hourly.to_arrow_refs()):
+        if not t.num_columns:
+            continue
+        for k, c in zip(t["k"].to_pylist(), t["c"].to_pylist()):
+            et = k.split(SEP, 1)[0]
+            n, s, ssq = stats.get(et, (0, 0, 0))
+            stats[et] = (n + 1, s + c, ssq + c * c)
+    for et, (n, s, ssq) in stats.items():
+        _guard_int64_products(
+            [n * ssq, s * s, 9 * (n * ssq - s * s)], "events_hourly_anomaly"
+        )
+    stats_ref = ray.put(stats)
+
+    def flag(b: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        ks = b["k"].to_pylist()
+        cs = b["c"].to_pylist()
+        et = [k.split(SEP, 1)[0] for k in ks]
+        hr = [int(k.split(SEP, 1)[1]) for k in ks]
+        anom = []
+        for e, c in zip(et, cs):
+            n, s, ssq = st[e]
+            anom.append((c * n - s) ** 2 > 9 * (n * ssq - s * s))
+        return pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "hour": pa.array(hr, pa.timestamp("us")),
+            "c": pa.array(cs, pa.int64()),
+            "is_anomaly": pa.array(anom, pa.bool_()),
+        })
+
+    return hourly.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Weighted median per group (quantity-weighted price)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_SQL = (
+    "WITH t AS (SELECT l_returnflag AS flag, "
+    "CAST(round(l_extendedprice * 100) AS BIGINT) AS v, "
+    "CAST(l_quantity AS BIGINT) AS w FROM lineitem), "
+    "g AS (SELECT flag, v, CAST(sum(w) AS BIGINT) AS w FROM t "
+    "GROUP BY 1, 2), "
+    "c AS (SELECT flag, v, CAST(sum(w) OVER (PARTITION BY flag "
+    "ORDER BY v) AS BIGINT) AS cw, CAST(sum(w) OVER (PARTITION BY flag) "
+    "AS BIGINT) AS tot FROM g) "
+    "SELECT flag, CAST(min(v) AS BIGINT) AS wmedian_cents FROM c "
+    "WHERE 2 * cw >= tot GROUP BY flag"
+)
+
+
+@register("weighted_median_price_by_flag", _WMEDIAN_SQL)
+def weighted_median_price_by_flag(sf_dir: str):
+    """Quantity-weighted median price per return flag: smallest price v
+    whose cumulative weight reaches half the total (2*cw >= tot,
+    all-integer, no interpolation).  Map-side combiners first collapse
+    each block to its DISTINCT (flag, price) weight sums, so the
+    exchange carries the distinct-value table, not the fact table; the
+    per-flag cumulative scan then runs over that bounded table (scale
+    note: for value domains too large for one group, swap the scan for
+    the two-pass histogram selection used by value_median_mad_by_type)."""
+    import pandas as pd
+
+    SEP = "\x1f"
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        w = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "k": [
+                f"{f}{SEP}{x}" for f, x in zip(
+                    b["l_returnflag"].to_pylist(), v
+                )
+            ],
+            "w": w,
+        })
+        g = df.groupby("k", sort=False)["w"].sum().reset_index()
+        return pa.table({
+            "k": pa.array(g["k"], pa.string()),
+            "w": pa.array(g["w"].to_numpy(np.int64)),
+        })
+
+    def split(b: pa.Table) -> pa.Table:
+        ks = b["k"].to_pylist()
+        return pa.table({
+            "flag": pa.array([k.split(SEP)[0] for k in ks], pa.string()),
+            "v": pa.array([int(k.split(SEP)[1]) for k in ks], pa.int64()),
+            "w": b["w"],
+        })
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v", kind="mergesort")
+        cw = g["w"].to_numpy(np.int64).cumsum()
+        tot = int(cw[-1])
+        idx = int(np.searchsorted(2 * cw, tot, side="left"))
+        return pd.DataFrame({
+            "flag": [g["flag"].iloc[0]],
+            "wmedian_cents": np.array([g["v"].iloc[idx]], np.int64),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k", num_partitions=4)
+        .aggregate(Sum("w", alias_name="w"))
+        .map_batches(split, batch_format="pyarrow")
+        .groupby("flag", num_partitions=3)
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral entropy per user (event-type distribution, fixed point)
+# ---------------------------------------------------------------------------
+
+_USER_ENTROPY_SQL = (
+    "WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c "
+    "FROM events GROUP BY user_id, event_type), "
+    "tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, "
+    "CAST(sum(c * CAST(floor(ln(c) * 1e9) AS BIGINT)) AS BIGINT) AS s "
+    "FROM cnt GROUP BY user_id) "
+    "SELECT user_id, n_events, "
+    "CAST(n_events * CAST(floor(ln(n_events) * 1e9) AS BIGINT) - s "
+    "AS BIGINT) AS entropy_fp FROM tot"
+)
+
+
+@register("user_event_entropy", _USER_ENTROPY_SQL)
+def user_event_entropy(sf_dir: str):
+    """Behavioral Shannon entropy of each user's event-type mix as
+    order-free int64 fixed point (entropy_nats = entropy_fp / (n*1e9)):
+    bots/scripted users collapse to near-zero entropy.  Same lnfp idiom
+    as char_entropy_docs, one (user, type)-keyed count exchange with
+    map-side combiners, then a user-keyed integer fold."""
+    import pandas as pd
+
+    SEP = "\x1f"
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": [
+                f"{u}{SEP}{t}" for u, t in zip(
+                    b["user_id"].to_pylist(), b["event_type"].to_pylist()
+                )
+            ]
+        })
+        g = df.groupby("k", sort=False).size().reset_index(name="c")
+        return pa.table({
+            "k": pa.array(g["k"], pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+        })
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        ks = b["k"].to_pylist()
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        users = np.array([int(k.split(SEP)[0]) for k in ks], np.int64)
+        lnfp = np.floor(np.log(c.astype(np.float64)) * 1e9).astype(np.int64)
+        import pandas as pd
+
+        codes, uniq = pd.factorize(users)
+        n = np.zeros(len(uniq), np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(n, codes, c)
+        np.add.at(s, codes, c * lnfp)
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "n_events": pa.array(n),
+            "s": pa.array(s),
+        })
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lnfp_n = np.floor(np.log(n.astype(np.float64)) * 1e9).astype(
+            np.int64
+        )
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_events": pa.array(n),
+            "entropy_fp": pa.array(n * lnfp_n - s, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k", num_partitions=4)
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(user_partial, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=4)
+        .aggregate(
+            Sum("n_events", alias_name="n_events"), Sum("s", alias_name="s")
+        )
+        .map_batches(final, batch_format="pyarrow")
+    )
