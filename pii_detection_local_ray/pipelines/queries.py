@@ -10931,3 +10931,339 @@ def user_event_entropy(sf_dir: str):
         )
         .map_batches(final, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dwell time per event type (lead-gap attribution)
+# ---------------------------------------------------------------------------
+
+_DWELL_SQL = (
+    "WITH g AS (SELECT event_type, "
+    "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "- epoch_us(ts) AS dwell_us FROM events) "
+    "SELECT event_type, CAST(count(dwell_us) AS BIGINT) AS n_dwells, "
+    "CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us "
+    "FROM g WHERE dwell_us IS NOT NULL GROUP BY event_type"
+)
+
+
+@register("event_dwell_time_by_type", _DWELL_SQL)
+def event_dwell_time_by_type(sf_dir: str):
+    """Time-in-state attribution: the gap to a user's NEXT event is the
+    dwell time of the CURRENT event's type (product-analytics 'time
+    spent per screen').  Coarse-bucket exchange on user_id % 16, one
+    lexsort + shifted-compare per bucket (no per-user loop), per-type
+    integer partials collapse inside the bucket so the final exchange
+    carries |types| rows per bucket."""
+    import pandas as pd
+
+    n_buckets = 16
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()), n_buckets - 1),
+        )
+
+    def dwell(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        su, st = users[order], ts[order]
+        types = g["event_type"].take(pa.array(order, pa.int64()))
+        n = len(g)
+        if n < 2:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n_dwells": pa.array([], pa.int64()),
+                "total_dwell_us": pa.array([], pa.int64()),
+            })
+        same = su[1:] == su[:-1]
+        d = (st[1:] - st[:-1])[same]
+        codes, uniq = pd.factorize(
+            np.asarray(types.to_pylist(), dtype=object)[:-1][same]
+        )
+        cnt = np.zeros(len(uniq), np.int64)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, codes, 1)
+        np.add.at(tot, codes, d)
+        return pa.table({
+            "event_type": pa.array(list(uniq), pa.string()),
+            "n_dwells": pa.array(cnt),
+            "total_dwell_us": pa.array(tot),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "event_type"],
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(dwell, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .aggregate(
+            Sum("n_dwells", alias_name="n_dwells"),
+            Sum("total_dwell_us", alias_name="total_dwell_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency over user sessions (segmented sweep-line)
+# ---------------------------------------------------------------------------
+
+_MAX_CONC_SQL = (
+    "WITH l AS (SELECT user_id, event_id, ts, lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events), "
+    "e AS (SELECT user_id, event_id, ts, CASE WHEN pts IS NULL OR "
+    "epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END AS ns "
+    "FROM l), "
+    "s AS (SELECT user_id, ts, CAST(sum(ns) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS BIGINT) AS sid FROM e), "
+    "sess AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en "
+    "FROM s GROUP BY 1, 2), "
+    "pts AS (SELECT st AS t, CAST(1 AS BIGINT) AS d FROM sess UNION ALL "
+    "SELECT en + INTERVAL 1 MICROSECOND AS t, CAST(-1 AS BIGINT) AS d "
+    "FROM sess), "
+    "a AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM pts GROUP BY t), "
+    "c AS (SELECT t, CAST(sum(d) OVER (ORDER BY t) AS BIGINT) AS conc "
+    "FROM a) "
+    "SELECT CAST(conc AS BIGINT) AS max_concurrent, t AS at_ts FROM c "
+    "ORDER BY conc DESC, t LIMIT 1"
+)
+
+
+@register("max_concurrent_sessions", _MAX_CONC_SQL)
+def max_concurrent_sessions(sf_dir: str):
+    """Peak number of simultaneously-active 30-min-gap sessions and the
+    earliest instant it is reached - the classic sweep-line, run
+    DISTRIBUTED as a segmented scan: sessions (already an aggregate,
+    orders of magnitude smaller than events) explode to +1/-1 boundary
+    points, an hour-bucket exchange computes each bucket's (total
+    delta, max prefix, earliest argmax) independently, and the driver
+    folds the per-bucket summaries in time order - O(hours) driver
+    work, never O(events)."""
+    from ..functions.windows import session_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    sess = session_window(ev, "user_id", "ts", 1_800_000_000)
+
+    HOUR = 3_600_000_000
+
+    def boundaries(b: pa.Table) -> pa.Table:
+        st = pc.cast(
+            pc.cast(b["session_start"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        en = pc.cast(
+            pc.cast(b["session_end"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False) + 1
+        t = np.concatenate([st, en])
+        d = np.concatenate([
+            np.ones(len(st), np.int64), -np.ones(len(en), np.int64)
+        ])
+        return pa.table({
+            "hb": pa.array(t // HOUR), "t": pa.array(t), "d": pa.array(d),
+        })
+
+    def bucket_scan(g: pa.Table) -> pa.Table:
+        t = g["t"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        ts_u, inv = np.unique(t[order], return_inverse=True)
+        dd = np.zeros(len(ts_u), np.int64)
+        np.add.at(dd, inv, d[order])
+        cs = np.cumsum(dd)
+        i = int(np.argmax(cs))
+        return pa.table({
+            "hb": pa.array([int(g["hb"][0].as_py())], pa.int64()),
+            "total": pa.array([int(cs[-1])], pa.int64()),
+            "max_prefix": pa.array([int(cs[i])], pa.int64()),
+            "t_at_max": pa.array([int(ts_u[i])], pa.int64()),
+        })
+
+    parts = (
+        sess.map_batches(boundaries, batch_format="pyarrow")
+        .groupby("hb", num_partitions=8)
+        .map_groups(bucket_scan, batch_format="pyarrow")
+        .materialize()  # bounded: one row per active hour
+    )
+    rows = []
+    for tb in map(ray.get, parts.to_arrow_refs()):
+        if tb.num_columns:
+            rows.extend(tb.to_pylist())
+    rows.sort(key=lambda r: r["hb"])
+    running, best, best_t = 0, None, None
+    for r in rows:
+        cand = running + r["max_prefix"]
+        if best is None or cand > best:
+            best, best_t = cand, r["t_at_max"]
+        running += r["total"]
+    out = pa.table({
+        "max_concurrent": pa.array([best], pa.int64()),
+        "at_ts": pa.array(
+            np.array([best_t], np.int64).astype("datetime64[us]")
+        ),
+    })
+    return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# Percent rank of doc length within source (two-pass histogram ranks)
+# ---------------------------------------------------------------------------
+
+_PCTRANK_SQL = (
+    "SELECT doc_id, source, n_chars, "
+    "CAST(((rank() OVER (PARTITION BY source ORDER BY n_chars)) - 1) "
+    "* 1000000000 // GREATEST((count(*) OVER (PARTITION BY source)) - 1, 1) "
+    "AS BIGINT) AS pctrank_fp FROM documents"
+)
+
+
+@register("doc_length_pctrank_by_source", _PCTRANK_SQL)
+def doc_length_pctrank_by_source(sf_dir: str):
+    """percent_rank() of n_chars within each source WITHOUT sorting the
+    fact table: one (source, n_chars) count exchange builds the bounded
+    per-source length histogram, cumulative counts give rank-1 (number
+    of strictly-smaller rows) per DISTINCT value, and the histogram
+    broadcasts back over a second streaming doc scan (searchsorted per
+    batch).  All-integer fixed point: pctrank_fp = (rank-1)*1e9 //
+    (n-1), ties share the minimum rank exactly like SQL rank()."""
+    import pandas as pd
+
+    hist = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(
+            lambda b: pa.Table.from_pandas(
+                pd.DataFrame({
+                    "source": b["source"].to_pylist(),
+                    "n_chars": b["n_chars"].to_numpy(zero_copy_only=False),
+                })
+                .groupby(["source", "n_chars"], sort=False)
+                .size()
+                .reset_index(name="c"),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "n_chars"], num_partitions=4)
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # bounded: |sources| x |distinct lengths|
+    )
+    lut: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    frames = [t for t in map(ray.get, hist.to_arrow_refs()) if t.num_columns]
+    h = pa.concat_tables(frames).to_pandas()
+    for src, g in h.groupby("source"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(np.int64)
+        cnts = g["c"].to_numpy(np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        lut[src] = (vals, below, int(cnts.sum()))
+    lut_ref = ray.put(lut)
+
+    def pctrank(b: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        srcs = np.asarray(b["source"].to_pylist(), dtype=object)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        out = np.zeros(len(b), np.int64)
+        for src in np.unique(srcs):
+            vals, below, n = table[src]
+            m = srcs == src
+            r = below[np.searchsorted(vals, nch[m])]
+            out[m] = r * 1_000_000_000 // max(n - 1, 1)
+        return pa.table({
+            "doc_id": b["doc_id"], "source": b["source"],
+            "n_chars": b["n_chars"], "pctrank_fp": pa.array(out),
+        })
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        pctrank, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Covariance matrix of document features (integer moment matrix)
+# ---------------------------------------------------------------------------
+
+_DOCCOV_SQL = (
+    "WITH f AS (SELECT CAST(length(text) AS BIGINT) AS c, "
+    "CAST(length(list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x <> '')) AS BIGINT) AS t, "
+    "CAST(1 + length(text) - length(replace(text, chr(10), '')) AS BIGINT) "
+    "AS l FROM documents), "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(c) AS BIGINT) AS sc, CAST(sum(t) AS BIGINT) AS st, "
+    "CAST(sum(l) AS BIGINT) AS sl, CAST(sum(c * c) AS BIGINT) AS scc, "
+    "CAST(sum(c * t) AS BIGINT) AS sct, CAST(sum(c * l) AS BIGINT) AS scl, "
+    "CAST(sum(t * t) AS BIGINT) AS stt, CAST(sum(t * l) AS BIGINT) AS stl, "
+    "CAST(sum(l * l) AS BIGINT) AS sll FROM f) "
+    "SELECT 'chars' AS f1, 'chars' AS f2, "
+    "CAST(n * scc - sc * sc AS BIGINT) AS cov_num, n FROM m "
+    "UNION ALL SELECT 'chars', 'lines', n * scl - sc * sl, n FROM m "
+    "UNION ALL SELECT 'chars', 'tokens', n * sct - sc * st, n FROM m "
+    "UNION ALL SELECT 'lines', 'lines', n * sll - sl * sl, n FROM m "
+    "UNION ALL SELECT 'lines', 'tokens', n * stl - sl * st, n FROM m "
+    "UNION ALL SELECT 'tokens', 'tokens', n * stt - st * st, n FROM m"
+)
+
+
+@register("doc_feature_covariance", _DOCCOV_SQL)
+def doc_feature_covariance(sf_dir: str):
+    """Upper-triangle covariance matrix of (n_chars, n_tokens, n_lines)
+    as exact integer moment sums: each block contributes ONE 10-column
+    moment row (order-free int64 partials), Dataset.sum folds them, and
+    the 6 pair rows shape driver-side (cov = cov_num / n^2; the division
+    is left to the consumer so no float enters the result).  Same lnfp
+    philosophy as the moment/regression queries; products guarded
+    against silent int64 wrap."""
+    from ..functions.text import token_count_batch
+
+    def moments(b: pa.Table) -> pa.Table:
+        b = token_count_batch(b)
+        c = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        t = b["n_tokens"].to_numpy(zero_copy_only=False)
+        l = b["n_lines"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(b)], pa.int64()),
+            "sc": pa.array([int(c.sum())]), "st": pa.array([int(t.sum())]),
+            "sl": pa.array([int(l.sum())]),
+            "scc": pa.array([int((c * c).sum())]),
+            "sct": pa.array([int((c * t).sum())]),
+            "scl": pa.array([int((c * l).sum())]),
+            "stt": pa.array([int((t * t).sum())]),
+            "stl": pa.array([int((t * l).sum())]),
+            "sll": pa.array([int((l * l).sum())]),
+        })
+
+    m = (
+        _docs(sf_dir, ["text"])
+        .map_batches(moments, batch_format="pyarrow")
+        .sum(["n", "sc", "st", "sl", "scc", "sct", "scl", "stt", "stl", "sll"])
+    )
+    n = int(m["sum(n)"])
+    sc, st_, sl = int(m["sum(sc)"]), int(m["sum(st)"]), int(m["sum(sl)"])
+    scc, sct, scl = int(m["sum(scc)"]), int(m["sum(sct)"]), int(m["sum(scl)"])
+    stt, stl, sll = int(m["sum(stt)"]), int(m["sum(stl)"]), int(m["sum(sll)"])
+    pairs = [
+        ("chars", "chars", n * scc - sc * sc),
+        ("chars", "lines", n * scl - sc * sl),
+        ("chars", "tokens", n * sct - sc * st_),
+        ("lines", "lines", n * sll - sl * sl),
+        ("lines", "tokens", n * stl - sl * st_),
+        ("tokens", "tokens", n * stt - st_ * st_),
+    ]
+    _guard_int64_products(
+        [p[2] for p in pairs] + [n * scc, sc * sc, n * stt],
+        "doc_feature_covariance",
+    )
+    return ray.data.from_arrow(pa.table({
+        "f1": pa.array([p[0] for p in pairs], pa.string()),
+        "f2": pa.array([p[1] for p in pairs], pa.string()),
+        "cov_num": pa.array([p[2] for p in pairs], pa.int64()),
+        "n": pa.array([n] * 6, pa.int64()),
+    }))
