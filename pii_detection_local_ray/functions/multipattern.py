@@ -1,0 +1,109 @@
+"""Multi-pattern dictionary matching via Aho-Corasick.
+
+One automaton scan finds ALL occurrences of a pattern dictionary in a
+single pass over the text — the right shape when the dictionary is
+large (brand lists, blocklists, PII gazetteers): per-pattern
+``pc.count_substring`` kernels scale O(|patterns| * |text|) while the
+automaton is O(|text| + matches).  The automaton builds ONCE per actor
+(map_batches class stage) and is read-only afterwards, so a 100k-entry
+dictionary costs one broadcast per actor, never per batch.
+
+Counting convention: ALL match positions (overlapping included).  For
+self-overlap-free patterns (no proper prefix == suffix, e.g. "ing")
+this equals the non-overlapping count SQL computes via
+(length(text) - length(replace(text, p, ''))) / length(p) — asserted
+by the oracle-backed query; the property test pins parity against
+str.count for such patterns.
+
+No reference analogue (the reference's regex bank is single-pattern
+alternation, src/inference.py); LLM-pipeline brief operator.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import pyarrow as pa
+
+
+class AhoCorasick:
+    """Classic Aho-Corasick automaton over unicode code points."""
+
+    def __init__(self, patterns: list[str]):
+        if not patterns:
+            raise ValueError("need at least one pattern")
+        self.patterns = list(patterns)
+        # trie as list-of-dicts; goto[state][ch] -> state
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[int]] = [[]]
+        for idx, p in enumerate(self.patterns):
+            if not p:
+                raise ValueError("empty pattern")
+            s = 0
+            for ch in p:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    nxt = len(self.goto)
+                    self.goto[s][ch] = nxt
+                    self.goto.append({})
+                    self.out.append([])
+                s = nxt
+            self.out[s].append(idx)
+        # BFS failure links
+        self.fail = [0] * len(self.goto)
+        q: deque[int] = deque()
+        for s in self.goto[0].values():
+            q.append(s)
+        while q:
+            s = q.popleft()
+            for ch, t in self.goto[s].items():
+                q.append(t)
+                f = self.fail[s]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[t] = self.goto[f].get(ch, 0)
+                if self.fail[t] == t:  # root self-loop guard
+                    self.fail[t] = 0
+                self.out[t] = self.out[t] + self.out[self.fail[t]]
+
+    def count(self, text: str) -> np.ndarray:
+        """Occurrence count per pattern (overlapping matches counted)."""
+        counts = np.zeros(len(self.patterns), np.int64)
+        s = 0
+        goto, fail, out = self.goto, self.fail, self.out
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                for idx in out[s]:
+                    counts[idx] += 1
+        return counts
+
+
+class MultiPatternCountBatch:
+    """Actor-pool stage: per-doc occurrence counts for a fixed pattern
+    dictionary, long format (doc_id, pattern, n).  Automaton built once
+    in __init__ (per actor), one pass per document."""
+
+    def __init__(self, patterns: list[str], text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.ac = AhoCorasick(patterns)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_pylist()
+        k = len(self.ac.patterns)
+        mat = np.empty((len(texts), k), np.int64)
+        for i, t in enumerate(texts):
+            mat[i] = self.ac.count(t or "")
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, k)),
+            "pattern": pa.array(
+                np.tile(np.array(self.ac.patterns, object), len(texts))
+            ),
+            "n": pa.array(mat.reshape(-1)),
+        })

@@ -11267,3 +11267,261 @@ def doc_feature_covariance(sf_dir: str):
         "cov_num": pa.array([p[2] for p in pairs], pa.int64()),
         "n": pa.array([n] * 6, pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# HTML tag stripping (boilerplate removal, vectorized RE2 both sides)
+# ---------------------------------------------------------------------------
+
+_HTML_STRIP_SQL = (
+    # plant deterministic markup so the strip path is non-degenerate on
+    # the plain-text corpus; both engines strip with the same RE2 regex
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+    "'<p class=\"x\">' || text || '</p><br/>' ELSE text END AS h "
+    "FROM documents) "
+    "SELECT doc_id, length(regexp_extract_all(h, '<[^>]*>')) AS n_tags, "
+    "regexp_replace(h, '<[^>]*>', '', 'g') AS stripped "
+    "FROM p"
+)
+
+
+@register("html_strip_docs", _HTML_STRIP_SQL)
+def html_strip_docs(sf_dir: str):
+    """Boilerplate removal: strip HTML tags with one vectorized RE2
+    kernel (pc.replace_substring_regex) - zero-shuffle, zero-copy Arrow
+    map; tag counting via pc.count_substring_regex.  Both sides run the
+    identical regex on identically planted markup, so the stripped TEXT
+    itself is hash-compared, not just lengths."""
+
+    def strip(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        planted = pc.if_else(
+            pa.array(ids % 3 == 0),
+            pc.binary_join_element_wise(
+                pa.array(['<p class="x">'] * len(b)),
+                b["text"],
+                pa.array(["</p><br/>"] * len(b)),
+                "",
+            ),
+            b["text"],
+        )
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tags": pc.cast(
+                pc.count_substring_regex(planted, "<[^>]*>"), pa.int64()
+            ),
+            "stripped": pc.replace_substring_regex(planted, "<[^>]*>", ""),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        strip, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern dictionary matching (Aho-Corasick actor stage)
+# ---------------------------------------------------------------------------
+
+_MP_PATTERNS = ["the", "and", "ing", "ion", "ent", "for"]
+
+_MP_SQL = (
+    "SELECT d.doc_id, p.pattern, "
+    "CAST((length(d.text) - length(replace(d.text, p.pattern, ''))) "
+    "// length(p.pattern) AS BIGINT) AS n "
+    "FROM documents d CROSS JOIN (SELECT unnest(["
+    + ", ".join(f"'{p}'" for p in _MP_PATTERNS)
+    + "]) AS pattern) p"
+)
+
+
+@register("multi_pattern_counts_docs", _MP_SQL)
+def multi_pattern_counts_docs(sf_dir: str):
+    """Dictionary matching at scale: ONE Aho-Corasick automaton pass
+    per document counts every pattern simultaneously
+    (functions/multipattern.py) - O(text + matches) regardless of
+    dictionary size, vs the O(patterns x text) per-pattern scan SQL
+    does.  The automaton builds once per ACTOR (__init__), so a large
+    dictionary ships once per worker, never per batch.  Patterns are
+    chosen self-overlap-free so overlapping-match counts equal the SQL
+    non-overlapping replace-count formula exactly."""
+    from ..functions.multipattern import MultiPatternCountBatch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MultiPatternCountBatch,
+        fn_constructor_kwargs={"patterns": _MP_PATTERNS},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation + readability ratios
+# ---------------------------------------------------------------------------
+
+_SENT_SQL = (
+    # sentences = non-empty runs split on [.!?]+ ; readability ratios as
+    # one exact double division of int sums (no engine-side round)
+    "WITH f AS (SELECT doc_id, "
+    "CAST(length(list_filter(string_split_regex(text, '[.!?]+'), "
+    "x -> trim(x) <> '')) AS BIGINT) AS n_sentences, "
+    "CAST(length(list_filter(string_split_regex(text, '\\s+'), "
+    "x -> x <> '')) AS BIGINT) AS n_tokens, "
+    "CAST(length(replace(replace(text, ' ', ''), chr(10), '')) AS BIGINT) "
+    "AS n_letters FROM documents) "
+    "SELECT doc_id, n_sentences, n_tokens, n_letters, "
+    "CAST(n_tokens AS DOUBLE) / GREATEST(n_sentences, 1) "
+    "AS tokens_per_sentence, "
+    "CAST(n_letters AS DOUBLE) / GREATEST(n_tokens, 1) AS chars_per_token "
+    "FROM f"
+)
+
+
+@register("sentence_stats_docs", _SENT_SQL)
+def sentence_stats_docs(sf_dir: str):
+    """Readability signals (ARI/Coleman-Liau family inputs): sentence
+    count via regex segmentation, tokens/sentence and chars/token as
+    exact double divisions of integer counts.  Zero-shuffle streaming
+    map; the sentence splitter is the same RE2 class both sides."""
+    sent_re = re.compile(r"[.!?]+")
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        n_sent = np.array(
+            [
+                sum(1 for s in sent_re.split(t or "") if s.strip())
+                for t in texts
+            ],
+            np.int64,
+        )
+        n_tok = np.array(
+            [len((t or "").split()) for t in texts], np.int64
+        )
+        n_let = np.array(
+            [len((t or "").replace(" ", "").replace("\n", "")) for t in texts],
+            np.int64,
+        )
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_sentences": pa.array(n_sent),
+            "n_tokens": pa.array(n_tok),
+            "n_letters": pa.array(n_let),
+            "tokens_per_sentence": pa.array(
+                n_tok.astype(np.float64) / np.maximum(n_sent, 1)
+            ),
+            "chars_per_token": pa.array(
+                n_let.astype(np.float64) / np.maximum(n_tok, 1)
+            ),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deequ-style declarative constraint audit over orders
+# ---------------------------------------------------------------------------
+
+_AUDIT_SQL = (
+    "SELECT 'complete_custkey' AS constraint, "
+    "CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) "
+    "AS n_violations, CAST(count(*) AS BIGINT) AS n_rows FROM orders "
+    "UNION ALL SELECT 'positive_totalprice', "
+    "count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0), "
+    "count(*) FROM orders "
+    "UNION ALL SELECT 'status_in_set', "
+    "count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')), "
+    "count(*) FROM orders "
+    "UNION ALL SELECT 'unique_orderkey', "
+    "count(*) - count(DISTINCT o_orderkey), count(*) FROM orders"
+)
+
+
+@register("constraint_audit_orders", _AUDIT_SQL)
+def constraint_audit_orders(sf_dir: str):
+    """Declarative data-quality audit (Deequ-style check suite): row
+    constraints (completeness, positivity, set membership) fold as
+    3-int partials per block in ONE streaming pass; the uniqueness
+    check is the only one that must touch every key, and it exchanges
+    (key, count) pairs with map-side combiners, counting only the
+    surplus - content never shuffles, output is one row per
+    constraint."""
+    import pandas as pd
+
+    def row_partial(b: pa.Table) -> pa.Table:
+        n = len(b)
+        null_ck = int(pc.sum(pc.is_null(b["o_custkey"])).as_py() or 0)
+        tp = b["o_totalprice"]
+        bad_tp = int(
+            pc.sum(
+                pc.or_kleene(pc.is_null(tp), pc.less_equal(tp, 0.0))
+            ).as_py()
+            or 0
+        )
+        bad_st = int(
+            pc.sum(
+                pc.invert(
+                    pc.is_in(
+                        b["o_orderstatus"],
+                        value_set=pa.array(["O", "F", "P"]),
+                    )
+                )
+            ).as_py()
+            or 0
+        )
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "null_ck": pa.array([null_ck], pa.int64()),
+            "bad_tp": pa.array([bad_tp], pa.int64()),
+            "bad_st": pa.array([bad_st], pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    m = orders.map_batches(row_partial, batch_format="pyarrow").sum(
+        ["n", "null_ck", "bad_tp", "bad_st"]
+    )
+    n_rows = int(m["sum(n)"])
+
+    # uniqueness: (key, c) partials -> per-key sums -> surplus partials
+    def key_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.Series(b["o_orderkey"].to_numpy(zero_copy_only=False))
+            .value_counts()
+        )
+        return pa.table({
+            "k": pa.array(g.index.to_numpy(np.int64)),
+            "c": pa.array(g.to_numpy(np.int64)),
+        })
+
+    def surplus(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table({"dup": pa.array([int((c - 1).sum())], pa.int64())})
+
+    dup = int(
+        orders.select_columns(["o_orderkey"])
+        .map_batches(key_partial, batch_format="pyarrow")
+        .groupby("k", num_partitions=8)
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(surplus, batch_format="pyarrow")
+        .sum("dup")
+    )
+    return ray.data.from_arrow(pa.table({
+        "constraint": pa.array(
+            [
+                "complete_custkey", "positive_totalprice",
+                "status_in_set", "unique_orderkey",
+            ],
+            pa.string(),
+        ),
+        "n_violations": pa.array(
+            [
+                int(m["sum(null_ck)"]), int(m["sum(bad_tp)"]),
+                int(m["sum(bad_st)"]), dup,
+            ],
+            pa.int64(),
+        ),
+        "n_rows": pa.array([n_rows] * 4, pa.int64()),
+    }))

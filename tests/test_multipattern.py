@@ -1,0 +1,50 @@
+"""Aho-Corasick automaton: parity with str.count on self-overlap-free
+patterns, overlapping-count semantics on overlapping ones, and the
+actor-stage long-format contract."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pii_detection_local_ray.functions.multipattern import (
+    AhoCorasick, MultiPatternCountBatch,
+)
+
+PATTERNS = ["the", "and", "ing", "ion", "ent", "for"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="theandigofrx .", max_size=200))
+def test_matches_str_count_on_overlap_free_patterns(text):
+    ac = AhoCorasick(PATTERNS)
+    got = ac.count(text)
+    want = np.array([text.count(p) for p in PATTERNS], np.int64)
+    assert (got == want).all(), (text, got, want)
+
+
+def test_overlapping_matches_counted():
+    ac = AhoCorasick(["aa"])
+    assert ac.count("aaaa")[0] == 3  # str.count gives 2
+
+
+def test_nested_and_shared_suffix_patterns():
+    ac = AhoCorasick(["he", "she", "hers", "his"])
+    got = ac.count("ushers")
+    assert dict(zip(["he", "she", "hers", "his"], got)) == {
+        "he": 1, "she": 1, "hers": 1, "his": 0,
+    }
+
+
+def test_batch_stage_long_format():
+    stage = MultiPatternCountBatch(["ab", "b"])
+    out = stage(pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(["abab", "bbb"]),
+    }))
+    rows = {
+        (r["doc_id"], r["pattern"]): r["n"] for r in out.to_pylist()
+    }
+    assert rows == {
+        (7, "ab"): 2, (7, "b"): 2, (8, "ab"): 0, (8, "b"): 3,
+    }
