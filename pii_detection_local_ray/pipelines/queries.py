@@ -11525,3 +11525,317 @@ def constraint_audit_orders(sf_dir: str):
         ),
         "n_rows": pa.array([n_rows] * 4, pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Connected components over a planted sparse host graph
+# ---------------------------------------------------------------------------
+
+_HOST_CC_SQL = (
+    # hub-and-spoke plant: a = doc_id % 40 links to hub 40 + a // 4,
+    # giving 10 components of 5 nodes each - non-trivial sizes with a
+    # recursive-CTE transitive closure as the oracle
+    "WITH RECURSIVE pr AS (SELECT DISTINCT CAST(doc_id % 40 AS BIGINT) "
+    "AS id_a, CAST(40 + (doc_id % 40) // 4 AS BIGINT) AS id_b "
+    "FROM documents), "
+    "edges AS (SELECT id_a AS s, id_b AS t FROM pr "
+    "UNION ALL SELECT id_b AS s, id_a AS t FROM pr), "
+    "walk(id, comp) AS (SELECT s, s FROM edges UNION "
+    "SELECT e.t, w.comp FROM walk w JOIN edges e ON w.id = e.s) "
+    "SELECT id, CAST(min(comp) AS BIGINT) AS component "
+    "FROM walk GROUP BY id"
+)
+
+
+@register("host_components", _HOST_CC_SQL)
+def host_components(sf_dir: str):
+    """Connected components on a general (non-dedup) graph: the same
+    distributed min-label propagation functions/dedup.py uses for
+    duplicate clusters (union-find under 100k edges, label⋈edges join
+    rounds with a monotone-potential convergence check beyond), applied
+    to a planted hub-and-spoke host graph and verified against the
+    recursive-CTE transitive closure."""
+    from ..functions.dedup import connected_components
+
+    def plant(b: pa.Table) -> pa.Table:
+        a = b["doc_id"].to_numpy(zero_copy_only=False) % 40
+        return pa.table({
+            "id_a": pa.array(a.astype(np.int64)),
+            "id_b": pa.array((40 + a // 4).astype(np.int64)),
+        })
+
+    edges = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .select_columns(["id_a", "id_b"])
+    )
+    return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Degree histogram of the host link graph
+# ---------------------------------------------------------------------------
+
+_DEGREE_HIST_SQL = (
+    "WITH e AS (SELECT DISTINCT doc_id % 20 AS src, "
+    "(doc_id // 20) % 20 AS dst FROM documents), "
+    "d AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM e "
+    "GROUP BY src) "
+    "SELECT degree, CAST(count(*) AS BIGINT) AS n_hosts FROM d "
+    "GROUP BY degree"
+)
+
+
+@register("host_degree_histogram", _DEGREE_HIST_SQL)
+def host_degree_histogram(sf_dir: str):
+    """Out-degree distribution of the pagerank host graph: distinct
+    edges -> per-src degree -> degree histogram.  Three collapsing
+    exchanges, each output strictly smaller than its input (edges ->
+    hosts -> distinct degrees); the standard first look at any web
+    graph."""
+
+    def plant_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(ids % 20, pa.int64()),
+            "dst": pa.array((ids // 20) % 20, pa.int64()),
+        })
+
+    deg = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .groupby("src", num_partitions=2)
+        .count()
+        .map_batches(
+            lambda b: pa.table({
+                "degree": pc.cast(b["count()"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("degree", num_partitions=2)
+        .count()
+    )
+    return deg.map_batches(
+        lambda b: pa.table({
+            "degree": b["degree"],
+            "n_hosts": pc.cast(b["count()"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed mean per event type (histogram selection)
+# ---------------------------------------------------------------------------
+
+_TRIMMED_SQL = (
+    "WITH t AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) "
+    "AS v FROM events), "
+    "r AS (SELECT event_type, v, row_number() OVER (PARTITION BY "
+    "event_type ORDER BY v) AS rn, count(*) OVER (PARTITION BY "
+    "event_type) AS n FROM t) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, "
+    "CAST(sum(v) AS BIGINT) AS sum_kept_cents FROM r "
+    "WHERE rn > n // 10 AND rn <= n - n // 10 GROUP BY event_type"
+)
+
+
+@register("trimmed_mean_value_by_type", _TRIMMED_SQL)
+def trimmed_mean_value_by_type(sf_dir: str):
+    """10%-trimmed mean WITHOUT sorting the fact table: one (type,
+    value-cents) count+sum histogram exchange (map-side combined), then
+    per-type boundary arithmetic on the bounded distinct-value table -
+    cumulative counts locate the k-th smallest/largest exactly, and the
+    straddling bins contribute partial multiples of their value.
+    All-integer; same two-pass histogram selection as the median/MAD
+    query, generalized to an arbitrary rank range."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame({"event_type": b["event_type"].to_pylist(), "v": v})
+            .groupby(["event_type", "v"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        k = n // 10
+        cum = np.cumsum(c)
+        below = cum - c  # strictly-smaller counts per bin
+        # kept multiplicity per bin: clip the rank range [k, n-k) into
+        # each bin's occupied rank interval [below, cum)
+        kept = np.minimum(cum, n - k) - np.maximum(below, k)
+        kept = np.maximum(kept, 0)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_kept": np.array([kept.sum()], np.int64),
+            "sum_kept_cents": np.array([int((kept * v).sum())], np.int64),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "v"], num_partitions=4)
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("event_type", num_partitions=2)
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association-rule lift for top co-purchased part pairs
+# ---------------------------------------------------------------------------
+
+_LIFT_SQL = (
+    "WITH dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p "
+    "FROM lineitem), "
+    "pr AS (SELECT a.ok, a.p AS pa, b.p AS pb FROM dl a JOIN dl b "
+    "ON a.ok = b.ok AND a.p < b.p), "
+    "top AS (SELECT pa AS part_a, pb AS part_b, "
+    "CAST(count(*) AS BIGINT) AS n_both FROM pr GROUP BY 1, 2 "
+    "ORDER BY n_both DESC, part_a, part_b LIMIT 10), "
+    "c AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM dl GROUP BY p), "
+    "n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM dl) "
+    "SELECT t.part_a, t.part_b, t.n_both, ca.c AS c_a, cb.c AS c_b, "
+    "CAST(t.n_both * n.n AS BIGINT) AS lift_num, "
+    "CAST(ca.c * cb.c AS BIGINT) AS lift_den, "
+    "CAST(t.n_both * n.n AS DOUBLE) / (ca.c * cb.c) AS lift "
+    "FROM top t JOIN c ca ON ca.p = t.part_a "
+    "JOIN c cb ON cb.p = t.part_b, n"
+)
+
+
+@register("part_pair_lift", _LIFT_SQL)
+def part_pair_lift(sf_dir: str):
+    """Association-rule mining over order baskets: distinct-order pair
+    support (baskets, not line pairs), per-part basket counts, and
+    lift = N*supp(ab) / (supp(a)*supp(b)) for the top-10 pairs.
+    Baskets co-locate once on an orderkey-bucket exchange and ONE
+    deduped (order, part) pass feeds all three statistics; pair partials
+    then re-exchange on a pair-key bucket with a vectorized np combine
+    and per-bucket top-10 prune (Ray's aggregate pays per-group
+    overhead, pathological at ~1M singleton pair groups - PERF.md), so
+    the driver only ever folds 64 x 10 candidate rows plus the
+    dimension-bounded part table.  lift_num/lift_den are exact int64
+    products (guarded); lift is one double division both engines
+    evaluate identically."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "__b",
+            pc.cast(pc.bit_wise_and(b["l_orderkey"], 63), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def basket_stats(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        # dedupe lines: one (order, part) row per basket membership
+        key = ok.astype(np.int64) * (1 << 31) + pk
+        uk = np.unique(key)
+        so, sp = uk >> 31, uk & ((1 << 31) - 1)
+        n = len(uk)
+        d = 1
+        pair_keys = []
+        while d < n:
+            same = so[d:] == so[:-d]
+            if not same.any():
+                break
+            lo, hi = sp[:-d][same], sp[d:][same]
+            pair_keys.append(lo * (1 << 31) + hi)
+            d += 1
+        ks, cs = [], []
+        if pair_keys:
+            pk2, pc2 = np.unique(
+                np.concatenate(pair_keys), return_counts=True
+            )
+            ks.append(pk2)
+            cs.append(pc2.astype(np.int64))
+        up, cp = np.unique(sp, return_counts=True)
+        # disjoint key spaces: pairs < 2^62, parts at 2^62 + p,
+        # basket-count sentinel at 2^62 + 2^50
+        ks.append((1 << 62) + up)
+        cs.append(cp.astype(np.int64))
+        ks.append(np.array([(1 << 62) + (1 << 50)], np.int64))
+        cs.append(np.array([len(np.unique(so))], np.int64))
+        return pa.table({
+            "k": pa.array(np.concatenate(ks)),
+            "c": pa.array(np.concatenate(cs)),
+        })
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b2", pc.cast(pc.bit_wise_and(b["k"], 63), pa.int64())
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, c)
+        is_pair = uk < (1 << 62)
+        # per-bucket top-10 prune on the pair stream only (the global
+        # top-10 survives any per-bucket prune); parts/sentinel kept
+        pk_, pt_ = uk[is_pair], tot[is_pair]
+        a, bb = pk_ >> 31, pk_ & ((1 << 31) - 1)
+        idx = np.lexsort((bb, a, -pt_))[:10]
+        keep_k = np.concatenate([pk_[idx], uk[~is_pair]])
+        keep_c = np.concatenate([pt_[idx], tot[~is_pair]])
+        return pa.table({"k": pa.array(keep_k), "c": pa.array(keep_c)})
+
+    stats = (
+        li.groupby("__b", num_partitions=64)
+        .map_groups(basket_stats, batch_format="pyarrow")
+        .map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__b2", num_partitions=64)
+        .map_groups(combine, batch_format="pyarrow")
+        .materialize()  # bounded: 64*10 pair rows + |parts| + 64
+    )
+    pairs: list[tuple[int, int, int]] = []
+    part_c: dict[int, int] = {}
+    n_orders = 0
+    for t in map(ray.get, stats.to_arrow_refs()):
+        if not t.num_columns:
+            continue
+        for k, c in zip(t["k"].to_pylist(), t["c"].to_pylist()):
+            if k < (1 << 62):
+                pairs.append((k >> 31, k & ((1 << 31) - 1), c))
+            elif k == (1 << 62) + (1 << 50):
+                n_orders += c
+            else:
+                part_c[k - (1 << 62)] = part_c.get(k - (1 << 62), 0) + c
+    pairs.sort(key=lambda x: (-x[2], x[0], x[1]))
+    top = pairs[:10]
+    lift_num = [ab * n_orders for _, _, ab in top]
+    lift_den = [part_c[a] * part_c[b] for a, b, _ in top]
+    _guard_int64_products(lift_num + lift_den, "part_pair_lift")
+    return ray.data.from_arrow(pa.table({
+        "part_a": pa.array([a for a, _, _ in top], pa.int64()),
+        "part_b": pa.array([b for _, b, _ in top], pa.int64()),
+        "n_both": pa.array([c for _, _, c in top], pa.int64()),
+        "c_a": pa.array([part_c[a] for a, _, _ in top], pa.int64()),
+        "c_b": pa.array([part_c[b] for _, b, _ in top], pa.int64()),
+        "lift_num": pa.array(lift_num, pa.int64()),
+        "lift_den": pa.array(lift_den, pa.int64()),
+        "lift": pa.array(
+            [n / d for n, d in zip(lift_num, lift_den)], pa.float64()
+        ),
+    }))
