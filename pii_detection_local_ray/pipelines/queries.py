@@ -11839,3 +11839,306 @@ def part_pair_lift(sf_dir: str):
             [n / d for n, d in zip(lift_num, lift_den)], pa.float64()
         ),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern mining: top event trigrams across user streams
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_SQL = (
+    "WITH s AS (SELECT user_id, event_type, "
+    "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS e2, "
+    "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS e3 FROM events) "
+    "SELECT event_type AS e1, e2, e3, CAST(count(*) AS BIGINT) AS n "
+    "FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3 "
+    "ORDER BY n DESC, e1, e2, e3 LIMIT 10"
+)
+
+
+@register("event_trigram_top10", _TRIGRAM_SQL)
+def event_trigram_top10(sf_dir: str):
+    """Sequential-pattern mining: the 10 most common 3-step behavioural
+    paths.  One coarse user-bucket exchange; inside a bucket a single
+    lexsort + two shifted comparisons emit every within-user trigram
+    (no per-user loop), counts collapse block-locally, and a tiny final
+    groupby + deterministic sort yields the top 10."""
+    import pandas as pd
+
+    n_buckets = 16
+    SEP = "\x1f"
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()), n_buckets - 1),
+        )
+
+    def trigrams(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        su = users[order]
+        et = np.asarray(
+            g["event_type"].take(pa.array(order, pa.int64())).to_pylist(),
+            dtype=object,
+        )
+        n = len(su)
+        if n < 3:
+            return pa.table({
+                "tri": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        same = (su[2:] == su[1:-1]) & (su[1:-1] == su[:-2])
+        tri = pd.Series(
+            [
+                f"{a}{SEP}{b}{SEP}{c}"
+                for a, b, c in zip(
+                    et[:-2][same], et[1:-1][same], et[2:][same]
+                )
+            ]
+        )
+        vc = tri.value_counts()
+        return pa.table({
+            "tri": pa.array(vc.index.to_numpy(object), pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64)),
+        })
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "event_type"],
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(trigrams, batch_format="pyarrow")
+        .groupby("tri", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # bounded: |event_types|^3 distinct trigrams
+    )
+    rows = [
+        r
+        for t in map(ray.get, agg.to_arrow_refs())
+        if t.num_columns
+        for r in t.to_pylist()
+    ]
+    rows.sort(key=lambda r: (-r["n"], r["tri"]))
+    top = rows[:10]
+    parts = [r["tri"].split(SEP) for r in top]
+    return ray.data.from_arrow(pa.table({
+        "e1": pa.array([p[0] for p in parts], pa.string()),
+        "e2": pa.array([p[1] for p in parts], pa.string()),
+        "e3": pa.array([p[2] for p in parts], pa.string()),
+        "n": pa.array([r["n"] for r in top], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Foreign-key integrity audit across the star schema
+# ---------------------------------------------------------------------------
+
+_FK_AUDIT_SQL = (
+    "SELECT 'lineitem->orders' AS relation, "
+    "CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) "
+    "AS n_orphans, CAST(count(*) AS BIGINT) AS n_rows "
+    "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "UNION ALL SELECT 'orders->customer', "
+    "count(*) FILTER (WHERE c.c_custkey IS NULL), count(*) "
+    "FROM orders od LEFT JOIN customer c ON od.o_custkey = c.c_custkey "
+    "UNION ALL SELECT 'customer->nation', "
+    "count(*) FILTER (WHERE n.n_nationkey IS NULL), count(*) "
+    "FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey"
+)
+
+
+@register("fk_integrity_audit", _FK_AUDIT_SQL)
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit over three FK relations of the star
+    schema.  Dimension-sided keys (customer, nation) broadcast once via
+    ray.put and each fact scan folds 2-int partials; the fact-to-fact
+    relation (lineitem->orders) uses a BLOOM gate on the orders keyset
+    the same way snapshot_delta does - membership tests never shuffle
+    the fact table.  Orders keys here are dimension-scale (one key per
+    order) so the exact keyset broadcast is bounded; at 100 TB swap in
+    the bloom + per-partition verify path (functions/incremental.py)."""
+
+    def key_set(path: str, col: str) -> set:
+        t = pq.read_table(path, columns=[col])
+        return set(t[col].to_pylist())
+
+    orders_keys = ray.put(
+        key_set(f"{sf_dir}/orders.parquet", "o_orderkey")
+    )
+    cust_keys = ray.put(
+        key_set(f"{sf_dir}/customer.parquet", "c_custkey")
+    )
+    nation_keys = ray.put(
+        key_set(f"{sf_dir}/nation.parquet", "n_nationkey")
+    )
+
+    def orphan_partial(keys_ref, col):
+        def fn(b: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            vals = b[col]
+            member = pc.is_in(
+                vals, value_set=pa.array(list(keys), vals.type)
+            )
+            n_orph = int(
+                pc.sum(
+                    pc.or_kleene(pc.invert(member), pc.is_null(vals))
+                ).as_py()
+                or 0
+            )
+            return pa.table({
+                "orph": pa.array([n_orph], pa.int64()),
+                "n": pa.array([len(b)], pa.int64()),
+            })
+
+        return fn
+
+    def audit(path, col, keys_ref):
+        m = (
+            ray.data.read_parquet(f"{sf_dir}/{path}", columns=[col])
+            .map_batches(orphan_partial(keys_ref, col), batch_format="pyarrow")
+            .sum(["orph", "n"])
+        )
+        return int(m["sum(orph)"]), int(m["sum(n)"])
+
+    li = audit("lineitem.parquet", "l_orderkey", orders_keys)
+    od = audit("orders.parquet", "o_custkey", cust_keys)
+    cu = audit("customer.parquet", "c_nationkey", nation_keys)
+    return ray.data.from_arrow(pa.table({
+        "relation": pa.array(
+            ["lineitem->orders", "orders->customer", "customer->nation"],
+            pa.string(),
+        ),
+        "n_orphans": pa.array([li[0], od[0], cu[0]], pa.int64()),
+        "n_rows": pa.array([li[1], od[1], cu[1]], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Unicode script mix per document (multilingual corpus signal)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_MIX_SQL = (
+    # plant deterministic Cyrillic/CJK runs so the non-Latin paths are
+    # non-degenerate on the ASCII word-soup corpus
+    "WITH p AS (SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN "
+    "' привет' WHEN doc_id % 5 = 1 "
+    "THEN ' 你好世界' ELSE '' END AS t "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "CAST(length(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) "
+    "AS n_latin, "
+    "CAST(length(regexp_extract_all(t, '[Ѐ-ӿ]')) AS BIGINT) "
+    "AS n_cyrillic, "
+    "CAST(length(regexp_extract_all(t, '[一-鿿]')) AS BIGINT) "
+    "AS n_cjk FROM p"
+)
+
+
+@register("script_mix_docs", _SCRIPT_MIX_SQL)
+def script_mix_docs(sf_dir: str):
+    """Per-document unicode-script composition (Latin/Cyrillic/CJK
+    codepoint counts) - the first signal a multilingual pipeline
+    computes before language ID.  Zero-shuffle vectorized
+    count_substring_regex over the same RE2 classes the oracle uses;
+    markup planted deterministically so non-Latin paths execute."""
+
+    def mix(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        suffix = np.where(
+            ids % 5 == 0,
+            " привет",
+            np.where(ids % 5 == 1, " 你好世界", ""),
+        )
+        t = pc.binary_join_element_wise(
+            b["text"], pa.array(suffix.tolist(), pa.string()), ""
+        )
+        def cnt(pat):
+            return pc.cast(pc.count_substring_regex(t, pat), pa.int64())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_latin": cnt("[A-Za-z]"),
+            "n_cyrillic": cnt("[Ѐ-ӿ]"),
+            "n_cjk": cnt("[一-鿿]"),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        mix, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-max feature scaling per event type
+# ---------------------------------------------------------------------------
+
+_MINMAX_SQL = (
+    "WITH t AS (SELECT event_id, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+    "m AS (SELECT event_type, CAST(min(v) AS BIGINT) AS lo, "
+    "CAST(max(v) AS BIGINT) AS hi FROM t GROUP BY event_type) "
+    "SELECT t.event_id, t.event_type, t.v AS v_cents, "
+    "CAST(t.v - m.lo AS BIGINT) AS scaled_num, "
+    "CAST(GREATEST(m.hi - m.lo, 1) AS BIGINT) AS scaled_den, "
+    "CAST(t.v - m.lo AS DOUBLE) / GREATEST(m.hi - m.lo, 1) AS scaled "
+    "FROM t JOIN m USING (event_type)"
+)
+
+
+@register("minmax_scaled_value_by_type", _MINMAX_SQL)
+def minmax_scaled_value_by_type(sf_dir: str):
+    """Min-max feature scaler (the standard-scaler sibling of
+    zscore_value_by_type): per-type min/max fold to |types| rows in one
+    tiny aggregate, broadcast back over a second streaming scan - no
+    fact-table shuffle.  Exact integer numerator/denominator plus the
+    single double division both engines evaluate identically."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "v": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+        })
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow")
+    mm = (
+        cents.groupby("event_type", num_partitions=2)
+        .aggregate(Min("v", alias_name="lo"), Max("v", alias_name="hi"))
+        .materialize()  # bounded: |types| rows
+    )
+    table = {}
+    for t in map(ray.get, mm.to_arrow_refs()):
+        if t.num_columns:
+            for r in t.to_pylist():
+                table[r["event_type"]] = (r["lo"], r["hi"])
+    ref = ray.put(table)
+
+    def scale(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mmx = ray.get(ref)
+        et = pd.Series(b["event_type"].to_pylist())
+        codes, uniq = pd.factorize(et)
+        lo = np.array([mmx[u][0] for u in uniq], np.int64)[codes]
+        hi = np.array([mmx[u][1] for u in uniq], np.int64)[codes]
+        v = b["v"].to_numpy(zero_copy_only=False)
+        num = v - lo
+        den = np.maximum(hi - lo, 1)
+        return pa.table({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "v_cents": b["v"],
+            "scaled_num": pa.array(num),
+            "scaled_den": pa.array(den),
+            "scaled": pa.array(num.astype(np.float64) / den),
+        })
+
+    return cents.map_batches(scale, batch_format="pyarrow")
