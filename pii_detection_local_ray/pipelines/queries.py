@@ -12142,3 +12142,273 @@ def minmax_scaled_value_by_type(sf_dir: str):
         })
 
     return cents.map_batches(scale, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown per user (segmented cumulative max)
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_SQL = (
+    "WITH t AS (SELECT user_id, event_id, ts, "
+    "CAST(round(value * 100) AS BIGINT) AS v FROM events), "
+    "w AS (SELECT user_id, CAST(max(v) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - v "
+    "AS dd FROM t) "
+    "SELECT user_id, CAST(max(dd) AS BIGINT) AS max_drawdown_cents "
+    "FROM w GROUP BY user_id"
+)
+
+
+@register("user_value_drawdown", _DRAWDOWN_SQL)
+def user_value_drawdown(sf_dir: str):
+    """Maximum drawdown (peak-to-trough) of each user's value stream -
+    the canonical running-max window.  ONE coarse-bucket exchange; the
+    segmented cumulative max runs globally vectorized via the
+    offset-per-segment trick (each user's shifted value range is
+    disjoint and increasing, so one np.maximum.accumulate resolves
+    every user at once - no per-user loop), then np.maximum.reduceat
+    folds per-user maxima inside the bucket, so each user exits in
+    exactly one row with no second shuffle."""
+    n_buckets = 16
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts": b["ts"],
+            "v": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+            "__b": pc.bit_wise_and(
+                pc.cast(b["user_id"], pa.int64()), n_buckets - 1
+            ),
+        })
+
+    def drawdown(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        su, sv = users[order], v[order]
+        n = len(su)
+        starts = np.ones(n, bool)
+        if n > 1:
+            starts[1:] = su[1:] != su[:-1]
+        seg = np.cumsum(starts) - 1
+        vmin = int(sv.min())
+        vp = sv - vmin  # non-negative
+        off = int(vp.max()) + 1
+        _guard_int64_products(
+            [off * (int(seg[-1]) + 1)], "user_value_drawdown"
+        )
+        w = vp + seg * off
+        dd = np.maximum.accumulate(w) - w  # offsets cancel within segment
+        sidx = np.flatnonzero(starts)
+        return pa.table({
+            "user_id": pa.array(su[sidx].astype(np.int64)),
+            "max_drawdown_cents": pa.array(
+                np.maximum.reduceat(dd, sidx).astype(np.int64)
+            ),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(drawdown, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rate-limit violation detection (value-range window frame)
+# ---------------------------------------------------------------------------
+
+_RATELIMIT_SQL = (
+    "WITH w AS (SELECT user_id, CAST(count(*) OVER (PARTITION BY user_id "
+    "ORDER BY epoch_us(ts) RANGE BETWEEN 59999999 PRECEDING AND CURRENT "
+    "ROW) AS BIGINT) AS cnt FROM events) "
+    "SELECT user_id, CAST(count(*) FILTER (WHERE cnt >= 5) AS BIGINT) "
+    "AS n_violations, CAST(count(*) AS BIGINT) AS n_events "
+    "FROM w GROUP BY user_id"
+)
+
+
+@register("rate_limit_violations", _RATELIMIT_SQL)
+def rate_limit_violations(sf_dir: str):
+    """Burst detection: events whose trailing 60-second window holds >= 5
+    of the same user's events (SQL RANGE frame, peers-at-CURRENT-ROW
+    included).  One coarse-bucket exchange; inside the bucket every
+    user's window counts resolve with TWO global searchsorted calls on
+    a per-user-offset composite key (disjoint monotone ranges per user)
+    - the value-range window without sorting the fact table per user."""
+    W = 59_999_999
+    n_buckets = 16
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "__b": pc.bit_wise_and(
+                pc.cast(b["user_id"], pa.int64()), n_buckets - 1
+            ),
+        })
+
+    def windows(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, users))
+        su, st = users[order], ts[order]
+        tsr = st - int(st.min())
+        K = int(tsr.max()) + W + 2
+        _guard_int64_products(
+            [int(su.max()) * K + K], "rate_limit_violations"
+        )
+        key = su * K + tsr
+        hi = np.searchsorted(key, key, side="right")
+        lo = np.searchsorted(key, key - W, side="left")
+        cnt = hi - lo
+        n = len(su)
+        starts = np.ones(n, bool)
+        if n > 1:
+            starts[1:] = su[1:] != su[:-1]
+        seg = np.cumsum(starts) - 1
+        sidx = np.flatnonzero(starts)
+        nv = np.zeros(len(sidx), np.int64)
+        np.add.at(nv, seg, (cnt >= 5).astype(np.int64))
+        ne = np.diff(np.append(sidx, n)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(su[sidx].astype(np.int64)),
+            "n_violations": pa.array(nv),
+            "n_events": pa.array(ne),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(windows, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup with TTL: first event per (user, type) per hour-burst
+# ---------------------------------------------------------------------------
+
+_TTL_DEDUP_SQL = (
+    "WITH l AS (SELECT event_id, user_id, event_type, ts, "
+    "lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type "
+    "ORDER BY ts, event_id) AS pts FROM events) "
+    "SELECT event_id, user_id, event_type, "
+    "(pts IS NULL OR epoch_us(ts) - pts > 3600000000) AS keep FROM l"
+)
+
+
+@register("event_dedup_ttl", _TTL_DEDUP_SQL)
+def event_dedup_ttl(sf_dir: str):
+    """Streaming dedup with a 1-hour TTL: an event is kept iff no event
+    of the same (user, type) occurred within the previous hour - the
+    at-least-once ingestion dedup every event pipeline runs.  One
+    coarse user-bucket exchange; (user, type) runs resolve with one
+    lexsort + shifted compare (types factorized for the sort; grouping,
+    not collation, is what matters)."""
+    import pandas as pd
+
+    TTL = 3_600_000_000
+    n_buckets = 16
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()), n_buckets - 1),
+        )
+
+    def dedup(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        tcodes, _ = pd.factorize(pd.Series(g["event_type"].to_pylist()))
+        order = np.lexsort((eid, ts, tcodes, users))
+        su, sc, st = users[order], tcodes[order], ts[order]
+        n = len(su)
+        keep = np.ones(n, bool)
+        if n > 1:
+            same = (su[1:] == su[:-1]) & (sc[1:] == sc[:-1])
+            keep[1:] = ~same | (st[1:] - st[:-1] > TTL)
+        idx = pa.array(order, pa.int64())
+        return pa.table({
+            "event_id": g["event_id"].take(idx),
+            "user_id": g["user_id"].take(idx),
+            "event_type": g["event_type"].take(idx),
+            "keep": pa.array(keep),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "ts"],
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(dedup, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index conjunctive (AND) query
+# ---------------------------------------------------------------------------
+
+_AND_QUERY_SQL = (
+    "WITH wx AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))"
+    " AS term FROM documents), "
+    "dw AS (SELECT DISTINCT doc_id, term FROM wx WHERE term IN "
+    "('query', 'window')) "
+    "SELECT doc_id FROM dw GROUP BY doc_id HAVING count(*) = 2"
+)
+
+
+@register("index_and_query", _AND_QUERY_SQL)
+def index_and_query(sf_dir: str):
+    """Conjunctive retrieval over the inverted index: docs containing
+    BOTH query terms, computed as a distributed posting-list
+    intersection - term hits emit as distinct (doc, term) pairs
+    (filtered to the query vocabulary AT THE SCAN, so the exchange
+    carries only candidate postings), then a doc-keyed count==k fold.
+    Same tokenization as the index/BM25/sketch family.  Result can be
+    legitimately empty: schema-pinned."""
+    from ..functions.dsir import _tokenize
+
+    TERMS = ("query", "window")
+
+    def hits(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        out_id, out_t = [], []
+        for i, t in zip(ids, b["text"].to_pylist()):
+            toks = set(_tokenize(t or ""))
+            for q in TERMS:
+                if q in toks:
+                    out_id.append(i)
+                    out_t.append(q)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "term": pa.array(out_t, pa.string()),
+        })
+
+    matched = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(hits, batch_format="pyarrow")
+        .groupby("doc_id", num_partitions=4)
+        .count()
+        .map_batches(
+            lambda b: pa.table({
+                "doc_id": pc.filter(
+                    b["doc_id"],
+                    pc.equal(b["count()"], len(TERMS)),
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    return _schema_safe(matched, pa.schema([("doc_id", pa.int64())]))
