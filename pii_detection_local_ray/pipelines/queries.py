@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
@@ -12412,3 +12413,296 @@ def index_and_query(sf_dir: str):
         )
     )
     return _schema_safe(matched, pa.schema([("doc_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture sampling plan (token-budget solver per language)
+# ---------------------------------------------------------------------------
+
+_MIX_PLAN_T = 100_000  # token budget
+_MIX_PLAN_PPM = {
+    "en": 500_000, "zh": 150_000, "es": 150_000,
+    "de": 100_000, "fr": 100_000,
+}
+
+_MIX_PLAN_SQL = (
+    "WITH tok AS (SELECT lang, CAST(sum(length(list_filter("
+    "string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) "
+    "AS avail FROM documents GROUP BY lang), "
+    "tgt AS (SELECT unnest(["
+    + ", ".join(f"'{k}'" for k in _MIX_PLAN_PPM)
+    + "]) AS lang, CAST(unnest(["
+    + ", ".join(str(v) for v in _MIX_PLAN_PPM.values())
+    + "]) AS BIGINT) AS ppm) "
+    "SELECT t.lang, tok.avail AS avail_tokens, "
+    "CAST(t.ppm AS BIGINT) AS target_ppm, "
+    f"CAST(LEAST(t.ppm * {_MIX_PLAN_T} // 1000000, tok.avail) AS BIGINT) "
+    "AS planned_tokens, "
+    f"LEAST(1.0, CAST(t.ppm AS DOUBLE) * {_MIX_PLAN_T} / "
+    "(1000000.0 * tok.avail)) AS sample_frac "
+    "FROM tgt t JOIN tok USING (lang)"
+)
+
+
+@register("mixture_weights_plan", _MIX_PLAN_SQL)
+def mixture_weights_plan(sf_dir: str):
+    """Pretraining-mixture planner: given target language proportions
+    (ppm) and a token budget, compute per-language availability and the
+    sampling fraction that hits the target without oversampling
+    (frac = min(1, share*T / avail)) - the planning step that feeds
+    token_budget_mix_sample.  One tiny per-lang token-sum aggregate;
+    the plan itself is |langs| rows shaped driver-side with exact
+    integer planned_tokens and one double division."""
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nt = np.array(
+            [len((t or "").split()) for t in b["text"].to_pylist()],
+            np.int64,
+        )
+        df = (
+            pd.DataFrame({"lang": b["lang"].to_pylist(), "nt": nt})
+            .groupby("lang", sort=False)["nt"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table({
+            "lang": pa.array(df["lang"], pa.string()),
+            "nt": pa.array(df["nt"].to_numpy(np.int64)),
+        })
+
+    avail_ds = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("lang", num_partitions=2)
+        .aggregate(Sum("nt", alias_name="avail"))
+        .materialize()  # bounded: |langs|
+    )
+    avail = {}
+    for t in map(ray.get, avail_ds.to_arrow_refs()):
+        if t.num_columns:
+            for r in t.to_pylist():
+                avail[r["lang"]] = r["avail"]
+    langs = [k for k in _MIX_PLAN_PPM if k in avail]
+    ppm = np.array([_MIX_PLAN_PPM[k] for k in langs], np.int64)
+    av = np.array([avail[k] for k in langs], np.int64)
+    planned = np.minimum(ppm * _MIX_PLAN_T // 1_000_000, av)
+    frac = np.minimum(
+        1.0, ppm.astype(np.float64) * _MIX_PLAN_T / (1_000_000.0 * av)
+    )
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "avail_tokens": pa.array(av),
+        "target_ppm": pa.array(ppm),
+        "planned_tokens": pa.array(planned),
+        "sample_frac": pa.array(frac),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# First/last value per user (entry/exit delta)
+# ---------------------------------------------------------------------------
+
+_FIRST_LAST_SQL = (
+    "WITH r AS (SELECT user_id, value, row_number() OVER (PARTITION BY "
+    "user_id ORDER BY ts, event_id) AS rn_a, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d "
+    "FROM events) "
+    "SELECT a.user_id, CAST(round(a.value * 100) AS BIGINT) AS "
+    "first_cents, CAST(round(d.value * 100) AS BIGINT) AS last_cents, "
+    "CAST(round(d.value * 100) AS BIGINT) - "
+    "CAST(round(a.value * 100) AS BIGINT) AS delta_cents "
+    "FROM r a JOIN r d ON a.user_id = d.user_id "
+    "AND a.rn_a = 1 AND d.rn_d = 1"
+)
+
+
+@register("user_first_last_value", _FIRST_LAST_SQL)
+def user_first_last_value(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE window pair: each user's entry value,
+    exit value and delta in exact cents.  One coarse-bucket exchange;
+    segment boundaries of a single lexsort give both endpoints of every
+    user simultaneously - no per-user loop, no second shuffle."""
+    n_buckets = 16
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts": b["ts"],
+            "v": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+            "__b": pc.bit_wise_and(
+                pc.cast(b["user_id"], pa.int64()), n_buckets - 1
+            ),
+        })
+
+    def first_last(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        su, sv = users[order], v[order]
+        n = len(su)
+        starts = np.ones(n, bool)
+        if n > 1:
+            starts[1:] = su[1:] != su[:-1]
+        sidx = np.flatnonzero(starts)
+        eidx = np.append(sidx[1:], n) - 1
+        return pa.table({
+            "user_id": pa.array(su[sidx].astype(np.int64)),
+            "first_cents": pa.array(sv[sidx]),
+            "last_cents": pa.array(sv[eidx]),
+            "delta_cents": pa.array(sv[eidx] - sv[sidx]),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(first_last, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned sink + partition-pruned re-read (resumable output)
+# ---------------------------------------------------------------------------
+
+_PART_RT_SQL = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents WHERE lang = 'en' GROUP BY source"
+)
+
+
+@register("partition_roundtrip_docs", _PART_RT_SQL)
+def partition_roundtrip_docs(sf_dir: str):
+    """The resumable-output layout exercised end to end AS a query:
+    documents stream into a Hive-partitioned parquet sink
+    (state/manifest.write_partitioned_by_key, one directory per lang),
+    then ONLY the lang=en directory is re-read - directory-level
+    partition pruning, no other partition's bytes touched - and
+    aggregated.  Unique temp sink per run (atomic w.r.t. concurrent
+    runs), removed afterwards."""
+    import shutil
+    import tempfile
+
+    from ..state.manifest import write_partitioned_by_key
+
+    out = Path(tempfile.mkdtemp(prefix="part_rt_"))
+    try:
+        write_partitioned_by_key(
+            _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"]),
+            out, ["lang"],
+        )
+        en = (
+            ray.data.read_parquet(str(out / "lang=en"))
+            .groupby("source", num_partitions=2)
+            .aggregate(
+                Count(alias_name="n_docs"),
+                Sum("n_chars", alias_name="total_chars"),
+            )
+            .map_batches(
+                lambda b: pa.table({
+                    "source": b["source"],
+                    "n_docs": pc.cast(b["n_docs"], pa.int64()),
+                    "total_chars": pc.cast(b["total_chars"], pa.int64()),
+                }),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return en
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostic (run this before salting)
+# ---------------------------------------------------------------------------
+
+_SKEW_SQL = (
+    "WITH c AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c "
+    "FROM orders GROUP BY 1), "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, "
+    "CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_c "
+    "FROM c), "
+    "t AS (SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn "
+    "FROM c) "
+    "SELECT t.k AS hot_key, t.c AS hot_rows, m.n_keys, m.n_rows, m.max_c, "
+    "CAST(m.max_c AS DOUBLE) * m.n_keys / m.n_rows AS skew_factor "
+    "FROM t, m WHERE t.rn <= 5"
+)
+
+
+@register("join_skew_diagnostic", _SKEW_SQL)
+def join_skew_diagnostic(sf_dir: str):
+    """Key-skew profiler for a join/groupby key - the diagnostic run
+    BEFORE choosing a salting strategy (the repo's salted joins assume
+    you know the hot keys; this finds them).  (key, count) partials
+    collapse map-side, one bounded exchange, block-local top-5 prune,
+    and the driver folds key-count moments; skew_factor = max_c *
+    n_keys / n_rows (1.0 = perfectly uniform)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            b["o_custkey"].to_numpy(zero_copy_only=False)
+        ).value_counts()
+        return pa.table({
+            "k": pa.array(vc.index.to_numpy(np.int64)),
+            "c": pa.array(vc.to_numpy(np.int64)),
+        })
+
+    counts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k", num_partitions=8)
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def moments_and_top(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((k, -c))[:5]
+        return pa.table({
+            "kind": pa.array(["top"] * len(idx) + ["m"], pa.string()),
+            "k": pa.array(np.append(k[idx], 0).astype(np.int64)),
+            "c": pa.array(np.append(c[idx], 0).astype(np.int64)),
+            "n_keys": pa.array([0] * len(idx) + [len(k)], pa.int64()),
+            "n_rows": pa.array([0] * len(idx) + [int(c.sum())], pa.int64()),
+            "max_c": pa.array(
+                [0] * len(idx) + [int(c.max()) if len(c) else 0], pa.int64()
+            ),
+        })
+
+    parts = counts.map_batches(
+        moments_and_top, batch_format="pyarrow"
+    ).materialize()  # bounded: 6 rows per block
+    tops: list[tuple[int, int]] = []
+    n_keys = n_rows = max_c = 0
+    for t in map(ray.get, parts.to_arrow_refs()):
+        if not t.num_columns:
+            continue
+        for r in t.to_pylist():
+            if r["kind"] == "top":
+                tops.append((r["k"], r["c"]))
+            else:
+                n_keys += r["n_keys"]
+                n_rows += r["n_rows"]
+                max_c = max(max_c, r["max_c"])
+    tops.sort(key=lambda x: (-x[1], x[0]))
+    tops = tops[:5]
+    return ray.data.from_arrow(pa.table({
+        "hot_key": pa.array([k for k, _ in tops], pa.int64()),
+        "hot_rows": pa.array([c for _, c in tops], pa.int64()),
+        "n_keys": pa.array([n_keys] * 5, pa.int64()),
+        "n_rows": pa.array([n_rows] * 5, pa.int64()),
+        "max_c": pa.array([max_c] * 5, pa.int64()),
+        "skew_factor": pa.array([max_c * n_keys / n_rows] * 5, pa.float64()),
+    }))
