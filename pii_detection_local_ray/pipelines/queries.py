@@ -12706,3 +12706,294 @@ def join_skew_diagnostic(sf_dir: str):
         "max_c": pa.array([max_c] * 5, pa.int64()),
         "skew_factor": pa.array([max_c * n_keys / n_rows] * 5, pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed behaviour bitmap per user
+# ---------------------------------------------------------------------------
+
+_BITMAP_SQL = (
+    "WITH ty AS (SELECT event_type, row_number() OVER "
+    "(ORDER BY event_type) - 1 AS idx FROM "
+    "(SELECT DISTINCT event_type FROM events)), "
+    "e AS (SELECT user_id, idx FROM events JOIN ty USING (event_type)) "
+    "SELECT user_id, CAST(bit_or(CAST(1 AS BIGINT) << idx) AS BIGINT) "
+    "AS type_bitmap, CAST(count(DISTINCT idx) AS BIGINT) AS n_types "
+    "FROM e GROUP BY user_id"
+)
+
+
+@register("user_type_bitmap", _BITMAP_SQL)
+def user_type_bitmap(sf_dir: str):
+    """Bit-packed feature engineering: one int64 bitmap per user with
+    bit i set iff the user performed event type i (types indexed
+    alphabetically - a broadcast dictionary from a |types|-row
+    aggregate).  Block partials OR map-side via np.bitwise_or.at, ONE
+    coarse-bucket exchange ORs them per user; popcount gives n_types
+    without a distinct-count shuffle."""
+    import pandas as pd
+
+    n_buckets = 16
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    types = sorted(
+        r["event_type"]
+        for t in map(
+            ray.get,
+            ev.groupby("event_type", num_partitions=2)
+            .count()
+            .to_arrow_refs(),
+        )
+        if t.num_columns
+        for r in t.to_pylist()
+    )
+    idx_ref = ray.put({t: i for i, t in enumerate(types)})
+
+    def partial(b: pa.Table) -> pa.Table:
+        idx = ray.get(idx_ref)
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        codes = np.array(
+            [idx[t] for t in b["event_type"].to_pylist()], np.int64
+        )
+        ucodes, inv = np.unique(users, return_inverse=True)
+        bm = np.zeros(len(ucodes), np.int64)
+        np.bitwise_or.at(bm, inv, np.int64(1) << codes)
+        return pa.table({
+            "user_id": pa.array(ucodes.astype(np.int64)),
+            "bm": pa.array(bm),
+            "__b": pa.array(ucodes.astype(np.int64) & (n_buckets - 1)),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        bm = g["bm"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(users, return_inverse=True)
+        out = np.zeros(len(uu), np.int64)
+        np.bitwise_or.at(out, inv, bm)
+        pop = np.array([int(x).bit_count() for x in out], np.int64)
+        return pa.table({
+            "user_id": pa.array(uu.astype(np.int64)),
+            "type_bitmap": pa.array(out),
+            "n_types": pa.array(pop),
+        })
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global row-number assignment (zipWithIndex over a total order)
+# ---------------------------------------------------------------------------
+
+_ROWNUM_SQL = (
+    "SELECT doc_id, source, CAST(row_number() OVER "
+    "(ORDER BY source, doc_id) AS BIGINT) AS global_row FROM documents"
+)
+
+
+@register("doc_global_row_number", _ROWNUM_SQL)
+def doc_global_row_number(sf_dir: str):
+    """zipWithIndex: contiguous global row numbers under a total order
+    (source, doc_id) WITHOUT a global sort - the two-level scan: counts
+    per (source, doc_id-range) chunk fold to a bounded chunk table, the
+    driver computes exclusive offsets over the sorted chunk keys, and a
+    per-chunk map_groups adds the broadcast offset to a local ranking.
+    Same construction as packing.py's prefix sum, generalized to a
+    composite order key."""
+    import pandas as pd
+
+    CHUNK = 4096
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "source": b["source"],
+            "chunk": pc.cast(
+                pc.divide(b["doc_id"], CHUNK), pa.int64()
+            ),
+        })
+
+    base = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    counts = (
+        base.groupby(["source", "chunk"])
+        .count()
+        .materialize()  # bounded: |sources| x (max_id / CHUNK)
+    )
+    rows = [
+        r
+        for t in map(ray.get, counts.to_arrow_refs())
+        if t.num_columns
+        for r in t.to_pylist()
+    ]
+    rows.sort(key=lambda r: (r["source"], r["chunk"]))
+    offsets: dict[tuple, int] = {}
+    acc = 0
+    for r in rows:
+        offsets[(r["source"], r["chunk"])] = acc
+        acc += r["count()"]
+    off_ref = ray.put(offsets)
+
+    def number(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        src = g["source"][0].as_py()
+        chunk = int(g["chunk"][0].as_py())
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        rn = np.empty(len(ids), np.int64)
+        rn[order] = np.arange(1, len(ids) + 1) + off[(src, chunk)]
+        return pa.table({
+            "doc_id": g["doc_id"], "source": g["source"],
+            "global_row": pa.array(rn),
+        })
+
+    return (
+        base.groupby(["source", "chunk"])
+        .map_groups(number, batch_format="pyarrow")
+        .select_columns(["doc_id", "source", "global_row"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection over hourly event rates
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = (
+    "WITH RECURSIVE h AS (SELECT event_type, date_trunc('hour', ts) AS "
+    "hr, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+    "r AS (SELECT event_type, hr, c, row_number() OVER (PARTITION BY "
+    "event_type ORDER BY hr) AS rn FROM h), "
+    "k AS (SELECT event_type, CAST(sum(c) // count(*) AS BIGINT) AS k "
+    "FROM h GROUP BY 1), "
+    "s(event_type, rn, cu) AS ("
+    "SELECT r.event_type, r.rn, GREATEST(0, r.c - k.k) FROM r "
+    "JOIN k USING (event_type) WHERE r.rn = 1 "
+    "UNION ALL SELECT r.event_type, r.rn, GREATEST(0, s.cu + r.c - k.k) "
+    "FROM s JOIN r ON r.event_type = s.event_type AND r.rn = s.rn + 1 "
+    "JOIN k ON k.event_type = r.event_type) "
+    "SELECT event_type, CAST(max(cu) AS BIGINT) AS max_cusum "
+    "FROM s GROUP BY event_type"
+)
+
+
+@register("cusum_hourly_by_type", _CUSUM_SQL)
+def cusum_hourly_by_type(sf_dir: str):
+    """CUSUM change-point statistic per event type over hourly rates:
+    S_t = max(0, S_{t-1} + c_t - k) with k = the type's mean hourly
+    count (floor).  The sequential recursion VECTORIZES via the
+    prefix-min identity S_t = P_t - min(0, min_{j<=t} P_j) with
+    P = cumsum(c - k), so the bounded hourly table resolves with one
+    cumsum + one running min per type - the oracle runs the literal
+    recursive CTE."""
+    import pandas as pd
+
+    SEP = "\x1f"
+
+    def hour_partial(b: pa.Table) -> pa.Table:
+        hrs = pc.cast(
+            pc.floor_temporal(b["ts"], unit="hour"), pa.int64()
+        ).to_pylist()
+        df = (
+            pd.DataFrame({
+                "k": [
+                    f"{t}{SEP}{h}"
+                    for t, h in zip(b["event_type"].to_pylist(), hrs)
+                ]
+            })
+            .groupby("k", sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table({
+            "k": pa.array(df["k"], pa.string()),
+            "c": pa.array(df["c"].to_numpy(np.int64)),
+        })
+
+    hourly = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        )
+        .map_batches(hour_partial, batch_format="pyarrow")
+        .groupby("k", num_partitions=4)
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def split(b: pa.Table) -> pa.Table:
+        ks = b["k"].to_pylist()
+        return pa.table({
+            "event_type": pa.array(
+                [x.split(SEP, 1)[0] for x in ks], pa.string()
+            ),
+            "hr": pa.array([int(x.split(SEP, 1)[1]) for x in ks], pa.int64()),
+            "c": b["c"],
+        })
+
+    def cusum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hr", kind="mergesort")
+        c = g["c"].to_numpy(np.int64)
+        k = int(c.sum()) // len(c)
+        p = np.cumsum(c - k)
+        run_min = np.minimum(np.minimum.accumulate(p), 0)
+        s = p - run_min
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "max_cusum": np.array([int(s.max())], np.int64),
+        })
+
+    return (
+        hourly.map_batches(split, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .map_groups(cusum, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL sketch quantiles with rank-error self-check (rows-only)
+# ---------------------------------------------------------------------------
+
+@register("kll_doc_length_quantiles")
+def kll_doc_length_quantiles(sf_dir: str):
+    """Approximate quantiles of n_chars from the mergeable KLL sketch
+    (functions/sketch.py, Karnin-Lang-Liberty): block-local sketches
+    merge associatively through one bounded exchange.  No SQL oracle
+    (the sketch's compaction choices aren't SQL-expressible); instead
+    the query SELF-CHECKS every returned quantile against the exact
+    rank computed by a second streaming pass: normalized rank error
+    must stay within 2x the sketch's epsilon bound or the query
+    raises."""
+    from ..functions.sketch import kll_quantiles
+
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    out = kll_quantiles(_docs(sf_dir, ["n_chars"]), "n_chars", ps)
+    vals = out["v"].to_pylist()
+
+    # exact-rank verification pass (streamed, integer partials)
+    def rank_partial(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False)
+        le = [int((x <= v).sum()) for v in vals]
+        return pa.table({
+            **{f"le{i}": pa.array([n], pa.int64()) for i, n in enumerate(le)},
+            "n": pa.array([len(x)], pa.int64()),
+        })
+
+    m = (
+        _docs(sf_dir, ["n_chars"])
+        .map_batches(rank_partial, batch_format="pyarrow")
+        .sum([f"le{i}" for i in range(len(ps))] + ["n"])
+    )
+    n = int(m["sum(n)"])
+    eps = 2.0 * 1.7 / 200  # 2x the k=200 KLL epsilon bound
+    for i, p in enumerate(ps):
+        rank = int(m[f"sum(le{i})"]) / n
+        assert abs(rank - p) <= eps + 1.0 / n, (
+            f"KLL rank error at p={p}: got rank {rank:.4f}"
+        )
+    return ray.data.from_arrow(pa.table({
+        "p": pa.array(ps, pa.float64()),
+        "v": pa.array([float(v) for v in vals], pa.float64()),
+    }))
