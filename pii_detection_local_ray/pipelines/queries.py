@@ -12997,3 +12997,345 @@ def kll_doc_length_quantiles(sf_dir: str):
         "p": pa.array(ps, pa.float64()),
         "v": pa.array([float(v) for v in vals], pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Dup-aware split leakage check (train/test contamination by duplicates)
+# ---------------------------------------------------------------------------
+
+_SPLIT_LEAK_SQL = (
+    "WITH allv AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000001, text FROM documents WHERE doc_id % 25 = 0), "
+    "f AS (SELECT doc_id, text, CAST(CONCAT('0x', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 5 AS fold "
+    "FROM allv), "
+    "g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz, "
+    "CAST(count(DISTINCT fold) AS BIGINT) AS nf FROM f GROUP BY 1) "
+    "SELECT CAST(count(*) FILTER (WHERE sz > 1) AS BIGINT) "
+    "AS n_dup_clusters, "
+    "CAST(count(*) FILTER (WHERE sz > 1 AND nf > 1) AS BIGINT) "
+    "AS n_leaky_clusters, "
+    "CAST(coalesce(sum(sz) FILTER (WHERE sz > 1 AND nf > 1), 0) AS BIGINT) "
+    "AS n_docs_in_leaky FROM g"
+)
+
+
+@register("dup_aware_split_check", _SPLIT_LEAK_SQL)
+def dup_aware_split_check(sf_dir: str):
+    """Leakage-free-split audit: after hash-assigning every doc to one
+    of 5 CV folds (md5 idiom, both engines bit-equal), count exact-dup
+    clusters whose members land in DIFFERENT folds - the
+    train/test-contamination check every dedup paper warns about
+    (planted cross-fold duplicates make it non-vacuous).  Content never
+    shuffles: blocks emit (md5(text), count, 5-bit fold bitmap)
+    partials, ONE hash exchange ORs/sums them, and three counters fold
+    to the driver."""
+    import pandas as pd
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 25 == 0
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids, ids[m] + 1000001]).astype(np.int64)
+            ),
+            "text": pa.concat_arrays([
+                b["text"].combine_chunks(),
+                b["text"].filter(pa.array(m)).combine_chunks(),
+            ]),
+        })
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        folds = np.array(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % 5
+                for i in ids
+            ],
+            np.int64,
+        )
+        hs = pd.Series(
+            [
+                hashlib.md5((t or "").encode()).hexdigest()
+                for t in b["text"].to_pylist()
+            ]
+        )
+        codes, uniq = pd.factorize(hs)
+        cnt = np.zeros(len(uniq), np.int64)
+        bm = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, codes, 1)
+        np.bitwise_or.at(bm, codes, np.int64(1) << folds)
+        return pa.table({
+            "h": pa.array(list(uniq), pa.string()),
+            "cnt": pa.array(cnt),
+            "bm": pa.array(bm),
+            "__b": pa.array(
+                np.array([int(x[:2], 16) & 15 for x in uniq], np.int64)
+            ),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        hs = pd.Series(g["h"].to_pylist())
+        codes, uniq = pd.factorize(hs)
+        cnt = np.zeros(len(uniq), np.int64)
+        bm = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, codes, g["cnt"].to_numpy(zero_copy_only=False))
+        np.bitwise_or.at(bm, codes, g["bm"].to_numpy(zero_copy_only=False))
+        dup = cnt > 1
+        multi = np.array(
+            [int(x).bit_count() > 1 for x in bm], bool
+        )
+        leaky = dup & multi
+        return pa.table({
+            "n_dup_clusters": pa.array([int(dup.sum())], pa.int64()),
+            "n_leaky_clusters": pa.array([int(leaky.sum())], pa.int64()),
+            "n_docs_in_leaky": pa.array([int(cnt[leaky].sum())], pa.int64()),
+        })
+
+    import pandas as pd
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(combine, batch_format="pyarrow")
+        .sum(["n_dup_clusters", "n_leaky_clusters", "n_docs_in_leaky"])
+    )
+    return ray.data.from_arrow(pa.table({
+        "n_dup_clusters": pa.array(
+            [int(parts["sum(n_dup_clusters)"])], pa.int64()
+        ),
+        "n_leaky_clusters": pa.array(
+            [int(parts["sum(n_leaky_clusters)"])], pa.int64()
+        ),
+        "n_docs_in_leaky": pa.array(
+            [int(parts["sum(n_docs_in_leaky)"])], pa.int64()
+        ),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Most common session paths (behavioural sequences)
+# ---------------------------------------------------------------------------
+
+_SESSION_PATH_SQL = (
+    "WITH l AS (SELECT user_id, event_id, ts, event_type, lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events), "
+    "e AS (SELECT user_id, event_id, ts, event_type, CASE WHEN pts IS "
+    "NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 "
+    "END AS ns FROM l), "
+    "s AS (SELECT user_id, event_id, ts, event_type, CAST(sum(ns) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS sid "
+    "FROM e), "
+    "p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY ts, "
+    "event_id) AS path FROM s GROUP BY 1, 2) "
+    "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p "
+    "GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10"
+)
+
+
+@register("top_session_paths", _SESSION_PATH_SQL)
+def top_session_paths(sf_dir: str):
+    """Behavioural path mining: the 10 most common complete session
+    type-sequences (30-min-gap sessions).  One coarse user-bucket
+    exchange builds every session's path string from a single lexsort;
+    path counts collapse block-locally, one path-keyed exchange sums
+    them, and per-block top-10 prunes bound the driver merge."""
+    import pandas as pd
+
+    n_buckets = 16
+    GAP = 1_800_000_000
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()), n_buckets - 1),
+        )
+
+    def paths(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        su, st = users[order], ts[order]
+        et = g["event_type"].take(pa.array(order, pa.int64())).to_pylist()
+        n = len(su)
+        new = np.ones(n, bool)
+        if n > 1:
+            new[1:] = (su[1:] != su[:-1]) | (st[1:] - st[:-1] > GAP)
+        sid = np.cumsum(new) - 1
+        sidx = np.flatnonzero(new)
+        ends = np.append(sidx[1:], n)
+        vc = pd.Series(
+            [">".join(et[s:e]) for s, e in zip(sidx, ends)]
+        ).value_counts()
+        return pa.table({
+            "path": pa.array(vc.index.to_numpy(object), pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64)),
+        })
+
+    def top10(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "path": b["path"].to_pylist(),
+            "n": b["n_sessions"].to_numpy(zero_copy_only=False),
+        }).sort_values(["n", "path"], ascending=[False, True]).head(10)
+        return pa.table({
+            "path": pa.array(df["path"], pa.string()),
+            "n_sessions": pa.array(df["n"].to_numpy(np.int64)),
+        })
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "event_type"],
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(paths, batch_format="pyarrow")
+        .groupby("path", num_partitions=8)
+        .aggregate(Sum("n", alias_name="n_sessions"))
+        .map_batches(top10, batch_format="pyarrow")
+        .materialize()  # bounded: <= 10 rows per block
+    )
+    rows = [
+        r
+        for t in map(ray.get, agg.to_arrow_refs())
+        if t.num_columns
+        for r in t.to_pylist()
+    ]
+    rows.sort(key=lambda r: (-r["n_sessions"], r["path"]))
+    rows = rows[:10]
+    return ray.data.from_arrow(pa.table({
+        "path": pa.array([r["path"] for r in rows], pa.string()),
+        "n_sessions": pa.array(
+            [r["n_sessions"] for r in rows], pa.int64()
+        ),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Frequent itemsets of size 3 (co-purchased part triples)
+# ---------------------------------------------------------------------------
+
+_TRIPLES_SQL = (
+    "WITH dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p "
+    "FROM lineitem) "
+    "SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c, "
+    "CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM dl a JOIN dl b ON a.ok = b.ok AND a.p < b.p "
+    "JOIN dl c ON b.ok = c.ok AND b.p < c.p "
+    "GROUP BY 1, 2, 3 ORDER BY n_orders DESC, part_a, part_b, part_c "
+    "LIMIT 5"
+)
+
+
+@register("copurchase_triples_top5", _TRIPLES_SQL)
+def copurchase_triples_top5(sf_dir: str):
+    """Frequent-itemset mining one level above pairs: top co-purchased
+    part TRIPLES.  Baskets co-locate on the orderkey-bucket exchange;
+    inside a bucket the deduped sorted lines emit every within-order
+    triple with a bounded (d1, d2) double shift (basket size caps the
+    shift range), triples combine via np.unique(axis=0), and a
+    hash-bucketed second exchange with per-bucket top-5 prune bounds
+    the driver to 64 x 5 candidates."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "__b",
+            pc.cast(pc.bit_wise_and(b["l_orderkey"], 63), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def triples(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        key = ok.astype(np.int64) * (1 << 31) + pk
+        uk = np.unique(key)
+        so, sp = uk >> 31, uk & ((1 << 31) - 1)
+        n = len(uk)
+        outs = []
+        d1 = 1
+        while d1 < n:
+            m1 = so[d1:] == so[:-d1]
+            if not m1.any():
+                break
+            d2 = d1 + 1
+            while d2 < n:
+                m = (so[d2:] == so[:-d2]) & m1[: n - d2]
+                if not m.any():
+                    break
+                outs.append(np.stack([
+                    sp[:-d2][m], sp[d1:n - d2 + d1][m], sp[d2:][m]
+                ], axis=1))
+                d2 += 1
+            d1 += 1
+        if not outs:
+            return pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        tri, cnt = np.unique(
+            np.concatenate(outs), axis=0, return_counts=True
+        )
+        return pa.table({
+            "a": pa.array(tri[:, 0].astype(np.int64)),
+            "b": pa.array(tri[:, 1].astype(np.int64)),
+            "c": pa.array(tri[:, 2].astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        h = (
+            b["a"].to_numpy(zero_copy_only=False) * 1_000_003
+            + b["b"].to_numpy(zero_copy_only=False) * 10_007
+            + b["c"].to_numpy(zero_copy_only=False)
+        ) & 63
+        return b.append_column("__b2", pa.array(h.astype(np.int64)))
+
+    def combine_top(g: pa.Table) -> pa.Table:
+        tri = np.stack([
+            g["a"].to_numpy(zero_copy_only=False),
+            g["b"].to_numpy(zero_copy_only=False),
+            g["c"].to_numpy(zero_copy_only=False),
+        ], axis=1)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(tri, axis=0, return_inverse=True)
+        tot = np.zeros(len(ut), np.int64)
+        np.add.at(tot, inv, n)
+        idx = np.lexsort((ut[:, 2], ut[:, 1], ut[:, 0], -tot))[:5]
+        return pa.table({
+            "part_a": pa.array(ut[idx, 0].astype(np.int64)),
+            "part_b": pa.array(ut[idx, 1].astype(np.int64)),
+            "part_c": pa.array(ut[idx, 2].astype(np.int64)),
+            "n_orders": pa.array(tot[idx]),
+        })
+
+    agg = (
+        li.groupby("__b", num_partitions=64)
+        .map_groups(triples, batch_format="pyarrow")
+        .map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__b2", num_partitions=64)
+        .map_groups(combine_top, batch_format="pyarrow")
+        .materialize()  # bounded: <= 5 rows per bucket
+    )
+    rows = [
+        r
+        for t in map(ray.get, agg.to_arrow_refs())
+        if t.num_columns
+        for r in t.to_pylist()
+    ]
+    rows.sort(
+        key=lambda r: (-r["n_orders"], r["part_a"], r["part_b"], r["part_c"])
+    )
+    rows = rows[:5]
+    return ray.data.from_arrow(pa.table({
+        "part_a": pa.array([r["part_a"] for r in rows], pa.int64()),
+        "part_b": pa.array([r["part_b"] for r in rows], pa.int64()),
+        "part_c": pa.array([r["part_c"] for r in rows], pa.int64()),
+        "n_orders": pa.array([r["n_orders"] for r in rows], pa.int64()),
+    }))
