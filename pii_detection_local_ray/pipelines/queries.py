@@ -13339,3 +13339,271 @@ def copurchase_triples_top5(sf_dir: str):
         "part_c": pa.array([r["part_c"] for r in rows], pa.int64()),
         "n_orders": pa.array([r["n_orders"] for r in rows], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality with integer chi-square uniformity statistic
+# ---------------------------------------------------------------------------
+
+_DOW_SQL = (
+    "WITH d AS (SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow, "
+    "CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1), "
+    "t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM d) "
+    "SELECT d.dow, d.n_orders, "
+    "CAST((7 * d.n_orders - t.n) * (7 * d.n_orders - t.n) AS BIGINT) "
+    "AS chi2_num, t.n FROM d, t"
+)
+
+
+@register("order_dow_profile", _DOW_SQL)
+def order_dow_profile(sf_dir: str):
+    """Seasonality profile: orders per day-of-week plus the per-cell
+    integer chi-square numerator against uniformity ((7*o - n)^2; the
+    statistic is sum(chi2_num) / (7*n) - left rational so no float
+    enters the result).  One 7-row aggregate with map-side combiners."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        # DuckDB dayofweek: 0=Sunday..6=Saturday; numpy weekday 0=Mon
+        d64 = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        dow = (d64.astype("datetime64[D]").view(np.int64) + 4) % 7
+        u, c = np.unique(dow, return_counts=True)
+        return pa.table({
+            "dow": pa.array(u.astype(np.int64)),
+            "n_orders": pa.array(c.astype(np.int64)),
+        })
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("dow", num_partitions=2)
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+        .materialize()  # bounded: 7 rows
+    )
+    rows = [
+        r
+        for t in map(ray.get, agg.to_arrow_refs())
+        if t.num_columns
+        for r in t.to_pylist()
+    ]
+    n = sum(r["n_orders"] for r in rows)
+    _guard_int64_products(
+        [(7 * r["n_orders"] - n) ** 2 for r in rows], "order_dow_profile"
+    )
+    return ray.data.from_arrow(pa.table({
+        "dow": pa.array([r["dow"] for r in rows], pa.int64()),
+        "n_orders": pa.array([r["n_orders"] for r in rows], pa.int64()),
+        "chi2_num": pa.array(
+            [(7 * r["n_orders"] - n) ** 2 for r in rows], pa.int64()
+        ),
+        "n": pa.array([n] * len(rows), pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick feature bucketing (collision accounting)
+# ---------------------------------------------------------------------------
+
+_HASHED_FEAT_SQL = (
+    "WITH f AS (SELECT DISTINCT source, lang FROM documents), "
+    "h AS (SELECT source, lang, CAST(CONCAT('0x', substr(md5(source || "
+    "chr(31) || lang), 1, 13)) AS BIGINT) % 64 AS bucket FROM f) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_raw_features, "
+    "CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets_used, "
+    "CAST(count(*) - count(DISTINCT bucket) AS BIGINT) AS n_collisions "
+    "FROM h"
+)
+
+
+@register("hashed_feature_stats", _HASHED_FEAT_SQL)
+def hashed_feature_stats(sf_dir: str):
+    """The hashing trick audited: distinct (source, lang) categorical
+    features hash into 64 buckets (md5 idiom, bit-equal both sides) and
+    the query accounts collisions - the sparsity/collision tradeoff
+    check run before committing to a hashed feature space.  Distinct
+    pairs collapse map-side; the exchange carries <= |sources|x|langs|
+    rows; bucket occupancy ORs into one 64-bit word."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pairs = sorted(
+            set(zip(b["source"].to_pylist(), b["lang"].to_pylist()))
+        )
+        return pa.table({
+            "source": pa.array([p[0] for p in pairs], pa.string()),
+            "lang": pa.array([p[1] for p in pairs], pa.string()),
+        })
+
+    distinct = (
+        _docs(sf_dir, ["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .count()
+        .materialize()  # bounded: |sources| x |langs|
+    )
+    n_raw = 0
+    occupied = 0
+    for t in map(ray.get, distinct.to_arrow_refs()):
+        if not t.num_columns:
+            continue
+        for r in t.to_pylist():
+            n_raw += 1
+            h = int(
+                hashlib.md5(
+                    f"{r['source']}\x1f{r['lang']}".encode()
+                ).hexdigest()[:13],
+                16,
+            ) % 64
+            occupied |= 1 << h
+    used = occupied.bit_count()
+    return ray.data.from_arrow(pa.table({
+        "n_raw_features": pa.array([n_raw], pa.int64()),
+        "n_buckets_used": pa.array([used], pa.int64()),
+        "n_collisions": pa.array([n_raw - used], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Embedding L2-norm histogram (quantized, exact on the list column)
+# ---------------------------------------------------------------------------
+
+_NORM_HIST_SQL = (
+    "WITH q AS (SELECT vec_id, list_sum(list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS n2 "
+    "FROM embeddings) "
+    "SELECT CAST(n2 // 100000000000 AS BIGINT) AS norm_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_vectors FROM q GROUP BY 1"
+)
+
+
+@register("embedding_norm_hist", _NORM_HIST_SQL)
+def embedding_norm_hist(sf_dir: str):
+    """L2-norm distribution of the embedding column, exact: components
+    quantize to int64 micros and the squared norm is an integer sum
+    (no float accumulation order anywhere), bucketed at 0.1 in squared
+    norm.  The list column never explodes - each batch computes norms
+    with one vectorized numpy reduction over the fixed-width matrix."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        emb = np.stack(
+            [np.asarray(v, np.float64) for v in b["embedding"].to_pylist()]
+        )
+        q = np.floor(emb * 1_000_000).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        bucket = n2 // 100_000_000_000
+        u, c = np.unique(bucket, return_counts=True)
+        return pa.table({
+            "norm_bucket": pa.array(u.astype(np.int64)),
+            "n_vectors": pa.array(c.astype(np.int64)),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("norm_bucket", num_partitions=2)
+        .aggregate(Sum("n_vectors", alias_name="n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = (
+    "WITH a AS (SELECT o_custkey, CAST(max(epoch_us(o_orderdate)) "
+    "AS BIGINT) AS last_us, CAST(count(*) AS BIGINT) AS freq, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS spend_cents FROM orders GROUP BY o_custkey), "
+    "q AS (SELECT o_custkey, freq, spend_cents, "
+    "ntile(4) OVER (ORDER BY last_us DESC, o_custkey) AS r_q, "
+    "ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q, "
+    "ntile(4) OVER (ORDER BY spend_cents DESC, o_custkey) AS m_q FROM a) "
+    "SELECT o_custkey, freq, spend_cents, "
+    "CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q, "
+    "CAST(m_q AS BIGINT) AS m_q, "
+    "CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code FROM q"
+)
+
+
+@register("customer_rfm_segments", _RFM_SQL)
+def customer_rfm_segments(sf_dir: str):
+    """RFM segmentation: per-customer recency/frequency/monetary
+    aggregates (one fact exchange with map-side combiners), then NTILE
+    quartile codes over the customer-grain table.  The quartile
+    assignment runs on the DIMENSION-bounded aggregate (one row per
+    customer), so the argsort is |customers|-sized, never fact-sized -
+    the standard aggregate-then-rank shape; ntile ties resolve by the
+    same (value DESC, custkey) order both sides."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "last_us": pc.cast(
+                b["o_orderdate"], pa.int64()
+            ).to_numpy(zero_copy_only=False),
+            "cents": pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+            ).to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("o_custkey", sort=False).agg(
+            last_us=("last_us", "max"), freq=("cents", "size"),
+            spend_cents=("cents", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey", num_partitions=4)
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Sum("freq", alias_name="freq"),
+            Sum("spend_cents", alias_name="spend_cents"),
+        )
+        .materialize()  # bounded: one row per customer (dimension scale)
+    )
+
+    def ntile4(vals: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        n = len(vals)
+        order = np.lexsort((keys, -vals))
+        tile = np.empty(n, np.int64)
+        # SQL ntile: first (n % 4) tiles get ceil(n/4) rows
+        base, extra = divmod(n, 4)
+        sizes = [base + (1 if i < extra else 0) for i in range(4)]
+        pos = 0
+        for i, s in enumerate(sizes, start=1):
+            tile[order[pos:pos + s]] = i
+            pos += s
+        return tile
+
+    t = pa.concat_tables(
+        [x for x in map(ray.get, agg.to_arrow_refs()) if x.num_columns]
+    )
+    ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+    last = t["last_us"].to_numpy(zero_copy_only=False)
+    freq = t["freq"].to_numpy(zero_copy_only=False)
+    spend = t["spend_cents"].to_numpy(zero_copy_only=False)
+    r_q = ntile4(last, ck)
+    f_q = ntile4(freq, ck)
+    m_q = ntile4(spend, ck)
+    return ray.data.from_arrow(pa.table({
+        "o_custkey": pa.array(ck.astype(np.int64)),
+        "freq": pa.array(freq.astype(np.int64)),
+        "spend_cents": pa.array(spend.astype(np.int64)),
+        "r_q": pa.array(r_q),
+        "f_q": pa.array(f_q),
+        "m_q": pa.array(m_q),
+        "rfm_code": pa.array(r_q * 100 + f_q * 10 + m_q),
+    }))
