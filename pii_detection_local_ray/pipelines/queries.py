@@ -13607,3 +13607,324 @@ def customer_rfm_segments(sf_dir: str):
         "m_q": pa.array(m_q),
         "rfm_code": pa.array(r_q * 100 + f_q * 10 + m_q),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Global clustering coefficient of the host graph
+# ---------------------------------------------------------------------------
+
+_CLUSTERING_SQL = (
+    "WITH raw AS (SELECT doc_id % 20 AS a, (doc_id * 3 + 7) % 20 AS b "
+    "FROM documents), "
+    "e AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi "
+    "FROM raw WHERE a <> b), "
+    "t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+    "FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi "
+    "JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi), "
+    "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM "
+    "(SELECT lo AS v FROM e UNION ALL SELECT hi AS v FROM e) GROUP BY v), "
+    "w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges "
+    "FROM deg) "
+    "SELECT t.n_triangles, w.n_wedges, "
+    "CAST(3 * t.n_triangles AS DOUBLE) / w.n_wedges AS clustering_coeff "
+    "FROM t, w"
+)
+
+
+@register("host_clustering_coeff", _CLUSTERING_SQL)
+def host_clustering_coeff(sf_dir: str):
+    """Global clustering coefficient 3*triangles/wedges: triangle count
+    reuses the two-join motif pipeline (functions/graph.py), wedges fold
+    from the degree table (sum d*(d-1)/2 over the bounded node set) -
+    both statistics from the SAME distinct-edge exchange, the ratio one
+    double division."""
+    from ..functions.graph import triangle_count
+
+    def plant_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        a, bb = ids % 20, (ids * 3 + 7) % 20
+        m = a != bb
+        return pa.table({
+            "lo": pa.array(np.minimum(a[m], bb[m]).astype(np.int64)),
+            "hi": pa.array(np.maximum(a[m], bb[m]).astype(np.int64)),
+        })
+
+    edges = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant_edges, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .count()
+        .select_columns(["lo", "hi"])
+        .materialize()  # bounded: <= 190 distinct edges on 20 nodes
+    )
+    tri_ds = triangle_count(
+        edges.map_batches(
+            lambda b: pa.table({"src": b["lo"], "dst": b["hi"]}),
+            batch_format="pyarrow",
+        ),
+        num_partitions=8,
+    )
+    if isinstance(tri_ds, pa.Table):
+        tri_tbl = tri_ds
+    else:
+        tri_tbl = pa.concat_tables(
+            [t for t in map(ray.get, tri_ds.to_arrow_refs()) if t.num_columns]
+        )
+    tri = int(tri_tbl["n_triangles"][0].as_py())
+    deg = (
+        edges.map_batches(
+            lambda b: pa.table({
+                "v": pa.concat_arrays([
+                    b["lo"].combine_chunks(), b["hi"].combine_chunks(),
+                ]),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("v", num_partitions=2)
+        .count()
+    )
+    wedges = 0
+    for t in map(ray.get, deg.to_arrow_refs()):
+        if t.num_columns:
+            d = t["count()"].to_numpy(zero_copy_only=False)
+            wedges += int((d * (d - 1) // 2).sum())
+    return ray.data.from_arrow(pa.table({
+        "n_triangles": pa.array([tri], pa.int64()),
+        "n_wedges": pa.array([wedges], pa.int64()),
+        "clustering_coeff": pa.array([3 * tri / wedges], pa.float64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary Jaccard similarity between two sources
+# ---------------------------------------------------------------------------
+
+_VOCAB_JACCARD_SQL = (
+    "WITH wx AS (SELECT source, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) "
+    "AS w FROM documents WHERE source IN ('src0', 'src1')), "
+    "v AS (SELECT DISTINCT source, w FROM wx), "
+    "f AS (SELECT w, CAST(count(*) AS BIGINT) AS k FROM v GROUP BY w) "
+    "SELECT CAST(count(*) FILTER (WHERE k = 2) AS BIGINT) "
+    "AS n_intersection, CAST(count(*) AS BIGINT) AS n_union, "
+    "CAST(count(*) FILTER (WHERE k = 2) AS DOUBLE) / count(*) "
+    "AS jaccard FROM f"
+)
+
+
+@register("source_vocab_jaccard", _VOCAB_JACCARD_SQL)
+def source_vocab_jaccard(sf_dir: str):
+    """Corpus-comparison: exact Jaccard similarity of two sources'
+    vocabularies.  Source-filtered AT THE SCAN, block-local distinct
+    (source, word) pairs, ONE word-keyed exchange with a 2-bit presence
+    bitmap OR (never the posting lists), then three integer counters -
+    |A∩B| and |A∪B| exact, the similarity one double division."""
+    import pandas as pd
+
+    from ..functions.dsir import _tokenize
+
+    SRCS = ("src0", "src1")
+
+    def pairs(b: pa.Table) -> pa.Table:
+        srcs = b["source"].to_pylist()
+        texts = b["text"].to_pylist()
+        words, bits = [], []
+        seen: dict[str, int] = {}
+        for s, t in zip(srcs, texts):
+            if s not in SRCS:
+                continue
+            bit = 1 << SRCS.index(s)
+            for w in set(_tokenize(t or "")):
+                seen[w] = seen.get(w, 0) | bit
+        return pa.table({
+            "w": pa.array(list(seen), pa.string()),
+            "bits": pa.array(list(seen.values()), pa.int64()),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        ws = pd.Series(g["w"].to_pylist())
+        codes, uniq = pd.factorize(ws)
+        bm = np.zeros(len(uniq), np.int64)
+        np.bitwise_or.at(
+            bm, codes, g["bits"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({
+            "n_intersection": pa.array([int((bm == 3).sum())], pa.int64()),
+            "n_union": pa.array([len(bm)], pa.int64()),
+        })
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int(hashlib.md5(w.encode()).hexdigest()[:4], 16) & 15
+                for w in b["w"].to_pylist()
+            ],
+            np.int64,
+        )
+        return b.append_column("__b", pa.array(h))
+
+    m = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(combine, batch_format="pyarrow")
+        .sum(["n_intersection", "n_union"])
+    )
+    ni, nu = int(m["sum(n_intersection)"]), int(m["sum(n_union)"])
+    return ray.data.from_arrow(pa.table({
+        "n_intersection": pa.array([ni], pa.int64()),
+        "n_union": pa.array([nu], pa.int64()),
+        "jaccard": pa.array([ni / nu], pa.float64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20: value concentration across users
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = (
+    "WITH u AS (SELECT user_id, CAST(sum(CAST(round(value * 100) AS "
+    "BIGINT)) AS BIGINT) AS v FROM events GROUP BY user_id), "
+    "r AS (SELECT v, row_number() OVER (ORDER BY v DESC, user_id) AS rn, "
+    "count(*) OVER () AS n FROM u) "
+    "SELECT CAST(count(*) FILTER (WHERE rn <= (n + 4) // 5) AS BIGINT) "
+    "AS n_top_users, CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(sum(v) FILTER (WHERE rn <= (n + 4) // 5) AS BIGINT) "
+    "AS top_value_cents, CAST(sum(v) AS BIGINT) AS total_value_cents, "
+    "CAST(sum(v) FILTER (WHERE rn <= (n + 4) // 5) AS DOUBLE) / sum(v) "
+    "AS top_share FROM r"
+)
+
+
+@register("pareto_8020_users", _PARETO_SQL)
+def pareto_8020_users(sf_dir: str):
+    """Value-concentration (Pareto) check: what share of total value do
+    the top ceil(20%) of users contribute?  The fact table folds to
+    per-user cent sums in one combined exchange; the top-quintile
+    selection then runs on the USER-grain table (dimension-bounded,
+    one argsort), ties broken by user_id exactly like the SQL
+    row_number order."""
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+        )
+        .map_batches(
+            lambda b: pa.table({
+                "user_id": b["user_id"],
+                "v": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id", num_partitions=4)
+        .aggregate(Sum("v", alias_name="v"))
+        .materialize()  # bounded: one row per user
+    )
+    t = pa.concat_tables(
+        [x for x in map(ray.get, agg.to_arrow_refs()) if x.num_columns]
+    )
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((uid, -v))
+    n = len(v)
+    k = (n + 4) // 5
+    top = int(v[order[:k]].sum())
+    tot = int(v.sum())
+    return ray.data.from_arrow(pa.table({
+        "n_top_users": pa.array([k], pa.int64()),
+        "n_users": pa.array([n], pa.int64()),
+        "top_value_cents": pa.array([top], pa.int64()),
+        "total_value_cents": pa.array([tot], pa.int64()),
+        "top_share": pa.array([top / tot], pa.float64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena ratio per source (vocabulary richness)
+# ---------------------------------------------------------------------------
+
+_HAPAX_SQL = (
+    "WITH wx AS (SELECT source, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) "
+    "AS w FROM documents), "
+    "tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM wx "
+    "GROUP BY 1, 2) "
+    "SELECT source, CAST(count(*) FILTER (WHERE tf = 1) AS BIGINT) "
+    "AS n_hapax, CAST(count(*) AS BIGINT) AS vocab_size, "
+    "CAST(count(*) FILTER (WHERE tf = 1) AS DOUBLE) / count(*) "
+    "AS hapax_ratio FROM tf GROUP BY source"
+)
+
+
+@register("hapax_ratio_by_source", _HAPAX_SQL)
+def hapax_ratio_by_source(sf_dir: str):
+    """Vocabulary richness per source: fraction of the source's
+    vocabulary occurring exactly once (hapax legomena) - the classic
+    corpus-linguistics heterogeneity signal.  Block-local (source,
+    word) term frequencies combine map-side, one hash exchange on a
+    word bucket sums them, and per-bucket hapax/vocab counters fold to
+    |sources| rows - term frequencies never reach the driver."""
+    import pandas as pd
+
+    from ..functions.dsir import _tokenize
+
+    SEP = "\x1f"
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        acc: dict[str, int] = {}
+        for s, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            for w in _tokenize(t or ""):
+                k = f"{s}{SEP}{w}"
+                acc[k] = acc.get(k, 0) + 1
+        ks = list(acc)
+        h = np.array(
+            [int(hashlib.md5(k.encode()).hexdigest()[:4], 16) & 15 for k in ks],
+            np.int64,
+        )
+        return pa.table({
+            "k": pa.array(ks, pa.string()),
+            "tf": pa.array(list(acc.values()), pa.int64()),
+            "__b": pa.array(h),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        ks = pd.Series(g["k"].to_pylist())
+        codes, uniq = pd.factorize(ks)
+        tf = np.zeros(len(uniq), np.int64)
+        np.add.at(tf, codes, g["tf"].to_numpy(zero_copy_only=False))
+        srcs = pd.Series([u.split(SEP, 1)[0] for u in uniq])
+        scodes, suniq = pd.factorize(srcs)
+        hapax = np.zeros(len(suniq), np.int64)
+        vocab = np.zeros(len(suniq), np.int64)
+        np.add.at(hapax, scodes, (tf == 1).astype(np.int64))
+        np.add.at(vocab, scodes, 1)
+        return pa.table({
+            "source": pa.array(list(suniq), pa.string()),
+            "n_hapax": pa.array(hapax),
+            "vocab_size": pa.array(vocab),
+        })
+
+    def finalize(b: pa.Table) -> pa.Table:
+        h = b["n_hapax"].to_numpy(zero_copy_only=False)
+        v = b["vocab_size"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"],
+            "n_hapax": b["n_hapax"],
+            "vocab_size": b["vocab_size"],
+            "hapax_ratio": pa.array(h.astype(np.float64) / v),
+        })
+
+    return (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(tf_partial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(combine, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_hapax", alias_name="n_hapax"),
+            Sum("vocab_size", alias_name="vocab_size"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
