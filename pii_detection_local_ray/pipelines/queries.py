@@ -13928,3 +13928,287 @@ def hapax_ratio_by_source(sf_dir: str):
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Basket-size histogram (distribution of group sizes)
+# ---------------------------------------------------------------------------
+
+_ORDER_SIZE_SQL = (
+    "WITH s AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items "
+    "FROM lineitem GROUP BY l_orderkey) "
+    "SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders FROM s "
+    "GROUP BY n_items"
+)
+
+
+@register("order_size_histogram", _ORDER_SIZE_SQL)
+def order_size_histogram(sf_dir: str):
+    """Histogram of group sizes (lineitems per order): per-order counts
+    collapse map-side into (orderkey, c) partials, ONE coarse
+    orderkey-bucket exchange combines them vectorized (np.unique +
+    add.at - Ray's aggregate pays ~10us per group, pathological on the
+    near-singleton orderkey domain, PERF.md), each bucket emits its own
+    size histogram, and a final |distinct sizes|-row aggregate sums the
+    histograms - the generic group-size-distribution primitive behind
+    basket analysis and skew profiling."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ).value_counts()
+        k = vc.index.to_numpy(np.int64)
+        return pa.table({
+            "k": pa.array(k),
+            "c": pa.array(vc.to_numpy(np.int64)),
+            "__b": pa.array(k & 63),
+        })
+
+    def size_hist(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, c)
+        sz, cnt = np.unique(tot, return_counts=True)
+        return pa.table({
+            "n_items": pa.array(sz.astype(np.int64)),
+            "n_orders": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=64)
+        .map_groups(size_hist, batch_format="pyarrow")
+        .groupby("n_items", num_partitions=2)
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget truncation accounting
+# ---------------------------------------------------------------------------
+
+_TRUNC_SQL = (
+    "WITH f AS (SELECT doc_id, CAST(length(list_filter("
+    "string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS nt "
+    "FROM documents) "
+    "SELECT doc_id, nt AS n_tokens, LEAST(nt, 512) AS n_kept, "
+    "GREATEST(nt - 512, 0) AS n_dropped, nt > 512 AS truncated FROM f"
+)
+
+
+@register("truncate_budget_stats", _TRUNC_SQL)
+def truncate_budget_stats(sf_dir: str):
+    """Context-window truncation accounting: per doc, tokens kept vs
+    dropped under a 512-token cap and a truncated flag - the
+    preprocessing audit run before committing to a context length.
+    Zero-shuffle vectorized map over the token counts."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        nt = np.array(
+            [len((t or "").split()) for t in b["text"].to_pylist()],
+            np.int64,
+        )
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(nt),
+            "n_kept": pa.array(np.minimum(nt, 512)),
+            "n_dropped": pa.array(np.maximum(nt - 512, 0)),
+            "truncated": pa.array(nt > 512),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free target encoding (leave-one-fold-out category means)
+# ---------------------------------------------------------------------------
+
+_TARGET_ENC_SQL = (
+    "WITH o AS (SELECT o_orderkey, o_custkey, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, "
+    "CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) "
+    "AS BIGINT) % 4 AS fold FROM orders), "
+    "j AS (SELECT o.o_orderkey, c.c_mktsegment AS seg, o.cents, o.fold "
+    "FROM o JOIN customer c ON o.o_custkey = c.c_custkey), "
+    "sf AS (SELECT seg, fold, CAST(sum(cents) AS BIGINT) AS s, "
+    "CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1, 2), "
+    "st AS (SELECT seg, CAST(sum(s) AS BIGINT) AS st, "
+    "CAST(sum(n) AS BIGINT) AS nt FROM sf GROUP BY seg) "
+    "SELECT j.o_orderkey, j.seg, j.fold, "
+    "CAST(st.st - sf.s AS BIGINT) AS enc_num_cents, "
+    "CAST(st.nt - sf.n AS BIGINT) AS enc_den, "
+    "CAST(st.st - sf.s AS DOUBLE) / (st.nt - sf.n) AS target_enc "
+    "FROM j JOIN sf ON j.seg = sf.seg AND j.fold = sf.fold "
+    "JOIN st ON j.seg = st.seg"
+)
+
+
+@register("target_encoding_segments", _TARGET_ENC_SQL)
+def target_encoding_segments(sf_dir: str):
+    """Leakage-free target encoding: each order's market segment encodes
+    as the mean order value of the OTHER three folds (leave-one-fold-out
+    - the categorical featurizer that doesn't peek at its own row).
+    Folds assign by the md5 idiom (bit-equal both sides); the
+    (segment, fold) moment table is 4x|segments| rows, broadcast back
+    over one streaming fact scan; encoding returned as exact int
+    numerator/denominator plus the single double division."""
+    import pandas as pd
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_of = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    seg_ref = ray.put(seg_of)
+
+    def enrich(b: pa.Table) -> pa.Table:
+        segs = ray.get(seg_ref)
+        ck = b["o_custkey"].to_pylist()
+        ok = b["o_orderkey"].to_pylist()
+        folds = np.array(
+            [
+                int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16) % 4
+                for k in ok
+            ],
+            np.int64,
+        )
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "seg": pa.array([segs[k] for k in ck], pa.string()),
+            "cents": pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+            ),
+            "fold": pa.array(folds),
+        })
+
+    fact = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(enrich, batch_format="pyarrow")
+
+    moments = (
+        fact.map_batches(
+            lambda b: pa.Table.from_pandas(
+                pd.DataFrame({
+                    "seg": b["seg"].to_pylist(),
+                    "fold": b["fold"].to_numpy(zero_copy_only=False),
+                    "s": b["cents"].to_numpy(zero_copy_only=False),
+                })
+                .groupby(["seg", "fold"], sort=False)
+                .agg(s=("s", "sum"), n=("s", "size"))
+                .reset_index(),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["seg", "fold"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .materialize()  # bounded: |segments| x 4
+    )
+    sf_tab: dict[tuple, tuple] = {}
+    st_tab: dict[str, list] = {}
+    for t in map(ray.get, moments.to_arrow_refs()):
+        if not t.num_columns:
+            continue
+        for r in t.to_pylist():
+            sf_tab[(r["seg"], r["fold"])] = (r["s"], r["n"])
+            acc = st_tab.setdefault(r["seg"], [0, 0])
+            acc[0] += r["s"]
+            acc[1] += r["n"]
+    enc_ref = ray.put((sf_tab, st_tab))
+
+    def encode(b: pa.Table) -> pa.Table:
+        sf_t, st_t = ray.get(enc_ref)
+        segs = b["seg"].to_pylist()
+        folds = b["fold"].to_numpy(zero_copy_only=False)
+        num = np.empty(len(segs), np.int64)
+        den = np.empty(len(segs), np.int64)
+        for i, (sg, fd) in enumerate(zip(segs, folds)):
+            s, n = sf_t[(sg, int(fd))]
+            st_, nt = st_t[sg]
+            num[i] = st_ - s
+            den[i] = nt - n
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "seg": b["seg"],
+            "fold": b["fold"],
+            "enc_num_cents": pa.array(num),
+            "enc_den": pa.array(den),
+            "target_enc": pa.array(num.astype(np.float64) / den),
+        })
+
+    return fact.map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap histogram (log2 buckets, pure integer)
+# ---------------------------------------------------------------------------
+
+_GAP_HIST_SQL = (
+    "WITH g AS (SELECT CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap "
+    "FROM events) "
+    "SELECT CAST(length(bin(gap)) - 1 AS BIGINT) AS log2_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_gaps FROM g "
+    "WHERE gap IS NOT NULL AND gap > 0 GROUP BY 1"
+)
+
+
+@register("interevent_gap_hist", _GAP_HIST_SQL)
+def interevent_gap_hist(sf_dir: str):
+    """Inter-event time distribution in log2 buckets - burstiness
+    fingerprinting with NO floats: floor(log2(gap)) computed as the
+    binary bit length both sides (length(bin(x))-1 in SQL, the exact
+    frexp exponent in numpy).  Same coarse-bucket gap machinery as the
+    dwell query; the exchange carries <= 64 histogram rows per bucket."""
+    n_buckets = 16
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()), n_buckets - 1),
+        )
+
+    def gaps(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        su, st = users[order], ts[order]
+        n = len(su)
+        if n < 2:
+            return pa.table({
+                "log2_bucket": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+            })
+        same = su[1:] == su[:-1]
+        d = (st[1:] - st[:-1])[same]
+        d = d[d > 0]
+        # exact floor(log2): frexp exponent (int64 gaps < 2^53 exact)
+        lb = (np.frexp(d.astype(np.float64))[1] - 1).astype(np.int64)
+        u, c = np.unique(lb, return_counts=True)
+        return pa.table({
+            "log2_bucket": pa.array(u),
+            "n_gaps": pa.array(c.astype(np.int64)),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts"],
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(gaps, batch_format="pyarrow")
+        .groupby("log2_bucket", num_partitions=2)
+        .aggregate(Sum("n_gaps", alias_name="n_gaps"))
+    )
