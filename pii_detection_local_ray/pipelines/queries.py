@@ -14212,3 +14212,238 @@ def interevent_gap_hist(sf_dir: str):
         .groupby("log2_bucket", num_partitions=2)
         .aggregate(Sum("n_gaps", alias_name="n_gaps"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Document hygiene audit (empty / whitespace-only / control chars)
+# ---------------------------------------------------------------------------
+
+_HYGIENE_SQL = (
+    # plant hygiene defects deterministically (the corpus is clean):
+    # every 11th doc gains a tab+CR, every 97th becomes whitespace-only
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN '   ' "
+    "WHEN doc_id % 11 = 0 THEN text || chr(9) || chr(13) ELSE text END "
+    "AS t FROM documents) "
+    "SELECT 'empty' AS check_name, CAST(count(*) FILTER (WHERE t = '') "
+    "AS BIGINT) AS n_violations, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM p "
+    "UNION ALL SELECT 'whitespace_only', count(*) FILTER (WHERE t <> '' "
+    "AND trim(t) = ''), count(*) FROM p "
+    "UNION ALL SELECT 'control_chars', count(*) FILTER (WHERE "
+    "regexp_matches(t, '[\\x00-\\x08\\x0b-\\x1f]')), count(*) FROM p"
+)
+
+
+@register("doc_hygiene_audit", _HYGIENE_SQL)
+def doc_hygiene_audit(sf_dir: str):
+    """Corpus hygiene check suite (empty, whitespace-only, control
+    characters) - the pre-ingestion audit every text pipeline runs
+    first.  One streaming pass folds 3-int partials per block; the
+    control-char test is one vectorized RE2 kernel; defects planted
+    deterministically so every check path executes."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        t = [
+            "   " if i % 97 == 0
+            else (x or "") + "\t\r" if i % 11 == 0
+            else (x or "")
+            for i, x in zip(ids, texts)
+        ]
+        arr = pa.array(t, pa.string())
+        empty = int(pc.sum(pc.equal(arr, "")).as_py() or 0)
+        ws = int(
+            pc.sum(
+                pc.and_(
+                    pc.not_equal(arr, ""),
+                    pc.equal(pc.utf8_trim_whitespace(arr), ""),
+                )
+            ).as_py()
+            or 0
+        )
+        ctrl = int(
+            pc.sum(
+                pc.match_substring_regex(
+                    arr, "[\\x00-\\x08\\x0b-\\x1f]"
+                )
+            ).as_py()
+            or 0
+        )
+        return pa.table({
+            "empty": pa.array([empty], pa.int64()),
+            "ws": pa.array([ws], pa.int64()),
+            "ctrl": pa.array([ctrl], pa.int64()),
+            "n": pa.array([len(t)], pa.int64()),
+        })
+
+    m = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .sum(["empty", "ws", "ctrl", "n"])
+    )
+    n = int(m["sum(n)"])
+    return ray.data.from_arrow(pa.table({
+        "check_name": pa.array(
+            ["empty", "whitespace_only", "control_chars"], pa.string()
+        ),
+        "n_violations": pa.array(
+            [int(m["sum(empty)"]), int(m["sum(ws)"]), int(m["sum(ctrl)"])],
+            pa.int64(),
+        ),
+        "n_docs": pa.array([n] * 3, pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Median inter-order gap per customer
+# ---------------------------------------------------------------------------
+
+_MEDIAN_GAP_SQL = (
+    "WITH g AS (SELECT o_custkey, CAST((epoch_us(o_orderdate) - "
+    "lag(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY "
+    "o_orderdate, o_orderkey)) // 86400000000 AS BIGINT) AS gap_days "
+    "FROM orders) "
+    "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps, "
+    "CAST(2 * quantile_cont(gap_days, 0.5) AS BIGINT) AS median2_days "
+    "FROM g WHERE gap_days IS NOT NULL GROUP BY o_custkey"
+)
+
+
+@register("median_order_gap_per_customer", _MEDIAN_GAP_SQL)
+def median_order_gap_per_customer(sf_dir: str):
+    """Purchase-cadence profile: the interpolated median gap (days)
+    between a customer's consecutive orders, carried as the exact
+    integer 2*median (the two middle elements' sum - no float until
+    the consumer divides).  One coarse-bucket exchange; gaps and
+    per-customer medians both resolve from a single lexsort + segment
+    arithmetic inside the bucket."""
+    n_buckets = 16
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.bit_wise_and(
+                pc.cast(b["o_custkey"], pa.int64()), n_buckets - 1
+            ),
+        )
+
+    def med(g: pa.Table) -> pa.Table:
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        dt = pc.cast(g["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, dt, ck))
+        sc, st = ck[order], dt[order]
+        n = len(sc)
+        if n < 2:
+            return pa.table({
+                "o_custkey": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "median2_days": pa.array([], pa.int64()),
+            })
+        same = sc[1:] == sc[:-1]
+        gaps = (st[1:] - st[:-1]) // 86_400_000_000
+        out_c, out_n, out_m = [], [], []
+        # segment bounds over the gap array (aligned to position i+1)
+        gc = sc[1:][same]
+        gv = gaps[same]
+        starts = np.ones(len(gc), bool)
+        if len(gc) > 1:
+            starts[1:] = gc[1:] != gc[:-1]
+        sidx = np.flatnonzero(starts)
+        ends = np.append(sidx[1:], len(gc))
+        for s, e in zip(sidx, ends):
+            seg = np.sort(gv[s:e])
+            k = len(seg)
+            m2 = (
+                int(seg[k // 2]) * 2 if k % 2
+                else int(seg[k // 2 - 1]) + int(seg[k // 2])
+            )
+            out_c.append(int(gc[s]))
+            out_n.append(k)
+            out_m.append(m2)
+        return pa.table({
+            "o_custkey": pa.array(out_c, pa.int64()),
+            "n_gaps": pa.array(out_n, pa.int64()),
+            "median2_days": pa.array(out_m, pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_orderdate"],
+        )
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(med, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector-quantization assignment (nearest-centroid histogram, exact)
+# ---------------------------------------------------------------------------
+
+_VQ_SQL = (
+    # centroids = the embeddings of vec_id 0..7; distances on int64
+    # micro-quantized components so both engines compare identical ints
+    "WITH q AS (SELECT vec_id, unnest(embedding) AS x, "
+    "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "qq AS (SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000) "
+    "AS BIGINT) AS xq FROM q), "
+    "c AS (SELECT vec_id AS cid, i, xq AS cq FROM qq WHERE vec_id < 8), "
+    "d AS (SELECT qq.vec_id, c.cid, CAST(sum((qq.xq - c.cq) * "
+    "(qq.xq - c.cq)) AS BIGINT) AS d2 FROM qq JOIN c USING (i) "
+    "GROUP BY 1, 2), "
+    "a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+    "ORDER BY d2, cid) AS rn FROM d) "
+    "SELECT cid AS centroid, CAST(count(*) AS BIGINT) AS n_assigned "
+    "FROM a WHERE rn = 1 GROUP BY cid"
+)
+
+
+@register("vq_assignment_counts", _VQ_SQL)
+def vq_assignment_counts(sf_dir: str):
+    """Vector-quantization assign step, exact: every embedding maps to
+    its nearest of 8 codebook vectors (the first 8 embeddings) under
+    int64 micro-quantized L2 - one broadcast 8x64 codebook, one
+    vectorized (n,8) distance matmul per batch, ties to the lower
+    centroid id, histogram folded in a tiny aggregate.  The k-means /
+    IVF assign kernel with a hash-exact oracle."""
+    cb_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(cb_tbl["vec_id"], 8)
+    cb_rows = cb_tbl.filter(mask).sort_by("vec_id")
+    codebook = np.stack([
+        np.floor(np.asarray(v, np.float64) * 1_000_000).astype(np.int64)
+        for v in cb_rows["embedding"].to_pylist()
+    ])
+    cb_ref = ray.put(codebook)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        emb = np.stack([
+            np.floor(np.asarray(v, np.float64) * 1_000_000).astype(np.int64)
+            for v in b["embedding"].to_pylist()
+        ])
+        # (n, 8) exact squared distances; int64 safe: |xq| < 2^21,
+        # 64 * (2^22)^2 < 2^50
+        diff = emb[:, None, :] - cb[None, :, :]
+        d2 = (diff * diff).sum(axis=2)
+        best = np.argmin(d2, axis=1)  # ties -> lowest index == lowest cid
+        u, c = np.unique(best, return_counts=True)
+        return pa.table({
+            "centroid": pa.array(u.astype(np.int64)),
+            "n_assigned": pa.array(c.astype(np.int64)),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("centroid", num_partitions=2)
+        .aggregate(Sum("n_assigned", alias_name="n_assigned"))
+    )
