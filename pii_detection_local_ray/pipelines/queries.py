@@ -14447,3 +14447,273 @@ def vq_assignment_counts(sf_dir: str):
         .groupby("centroid", num_partitions=2)
         .aggregate(Sum("n_assigned", alias_name="n_assigned"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-presence within sessions (unordered market basket)
+# ---------------------------------------------------------------------------
+
+_SESSION_PAIRS_SQL = (
+    "WITH l AS (SELECT user_id, event_id, ts, event_type, lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events), "
+    "e AS (SELECT user_id, event_id, ts, event_type, CASE WHEN pts IS "
+    "NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 "
+    "END AS ns FROM l), "
+    "s AS (SELECT user_id, event_type, CAST(sum(ns) OVER (PARTITION BY "
+    "user_id ORDER BY ts, event_id) AS BIGINT) AS sid FROM e), "
+    "d AS (SELECT DISTINCT user_id, sid, event_type FROM s) "
+    "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "CAST(count(*) AS BIGINT) AS n_sessions "
+    "FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid "
+    "AND a.event_type < b.event_type GROUP BY 1, 2"
+)
+
+
+@register("session_type_pairs", _SESSION_PAIRS_SQL)
+def session_type_pairs(sf_dir: str):
+    """Unordered co-presence basket over sessions: for every event-type
+    pair, in how many 30-min-gap sessions do both occur?  Sessions
+    resolve from one lexsort in a coarse user bucket; each session
+    collapses to a type BITMAP, pair counts fold from 10 popcount masks
+    over the bitmap array (|types| is small by nature), and the final
+    exchange carries |type-pairs| rows per bucket."""
+    import pandas as pd
+
+    n_buckets = 16
+    GAP = 1_800_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    types = sorted(
+        r["event_type"]
+        for t in map(
+            ray.get,
+            ev.groupby("event_type", num_partitions=2)
+            .count()
+            .to_arrow_refs(),
+        )
+        if t.num_columns
+        for r in t.to_pylist()
+    )
+    idx_ref = ray.put({t: i for i, t in enumerate(types)})
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.bit_wise_and(pc.cast(b["user_id"], pa.int64()), n_buckets - 1),
+        )
+
+    def pair_counts(g: pa.Table) -> pa.Table:
+        idx = ray.get(idx_ref)
+        k = len(idx)
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        codes = np.array(
+            [idx[t] for t in g["event_type"].to_pylist()], np.int64
+        )
+        order = np.lexsort((eid, ts, users))
+        su, st, scd = users[order], ts[order], codes[order]
+        n = len(su)
+        new = np.ones(n, bool)
+        if n > 1:
+            new[1:] = (su[1:] != su[:-1]) | (st[1:] - st[:-1] > GAP)
+        sid = np.cumsum(new) - 1
+        bm = np.zeros(int(sid[-1]) + 1 if n else 0, np.int64)
+        np.bitwise_or.at(bm, sid, np.int64(1) << scd)
+        out_a, out_b, out_n = [], [], []
+        for i in range(k):
+            for j in range(i + 1, k):
+                m = (np.int64(1) << i) | (np.int64(1) << j)
+                c = int(((bm & m) == m).sum())
+                if c:
+                    out_a.append(types[i])
+                    out_b.append(types[j])
+                    out_n.append(c)
+        return pa.table({
+            "type_a": pa.array(out_a, pa.string()),
+            "type_b": pa.array(out_b, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    return (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(pair_counts, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hour-over-hour composition drift (integer L1 share delta)
+# ---------------------------------------------------------------------------
+
+_SHARE_DELTA_SQL = (
+    "WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type, "
+    "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+    "n AS (SELECT hr, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY hr), "
+    "seq AS (SELECT hr, n, lag(hr) OVER (ORDER BY hr) AS phr, "
+    "CAST(lag(n) OVER (ORDER BY hr) AS BIGINT) AS pn FROM n), "
+    "ty AS (SELECT DISTINCT event_type FROM events), "
+    "grid AS (SELECT s.hr, s.n, s.phr, s.pn, t.event_type FROM seq s "
+    "CROSS JOIN ty t WHERE s.phr IS NOT NULL), "
+    "j AS (SELECT g.hr, g.n, g.pn, g.event_type, "
+    "coalesce(a.c, 0) AS c_cur, coalesce(b.c, 0) AS c_prev FROM grid g "
+    "LEFT JOIN h a ON a.hr = g.hr AND a.event_type = g.event_type "
+    "LEFT JOIN h b ON b.hr = g.phr AND b.event_type = g.event_type) "
+    "SELECT hr, CAST(sum(abs(c_cur * pn - c_prev * n)) AS BIGINT) "
+    "AS l1_num, CAST(max(n) AS BIGINT) AS n_cur, "
+    "CAST(max(pn) AS BIGINT) AS n_prev FROM j GROUP BY hr"
+)
+
+
+@register("hourly_type_share_delta", _SHARE_DELTA_SQL)
+def hourly_type_share_delta(sf_dir: str):
+    """Composition-drift monitor: per hour, the L1 distance between the
+    event-type share vector and the previous hour's, kept in pure
+    integers (|c_t*N_prev - c_prev_t*N| summed over types; the real L1
+    is l1_num / (N*N_prev)).  One bounded (hour, type) count exchange;
+    the drift arithmetic runs on the materialized hourly matrix -
+    |hours| x |types| rows, never the fact table."""
+    import pandas as pd
+
+    SEP = "\x1f"
+
+    def hour_partial(b: pa.Table) -> pa.Table:
+        hrs = pc.cast(
+            pc.floor_temporal(b["ts"], unit="hour"), pa.int64()
+        ).to_pylist()
+        df = (
+            pd.DataFrame({
+                "k": [
+                    f"{h}{SEP}{t}"
+                    for h, t in zip(hrs, b["event_type"].to_pylist())
+                ]
+            })
+            .groupby("k", sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table({
+            "k": pa.array(df["k"], pa.string()),
+            "c": pa.array(df["c"].to_numpy(np.int64)),
+        })
+
+    hourly = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        )
+        .map_batches(hour_partial, batch_format="pyarrow")
+        .groupby("k", num_partitions=4)
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # bounded: |hours| x |types|
+    )
+    rows = [
+        r
+        for t in map(ray.get, hourly.to_arrow_refs())
+        if t.num_columns
+        for r in t.to_pylist()
+    ]
+    counts: dict[int, dict[str, int]] = {}
+    for r in rows:
+        hr_s, et = r["k"].split(SEP, 1)
+        counts.setdefault(int(hr_s), {})[et] = r["c"]
+    hrs_sorted = sorted(counts)
+    types = sorted({et for d in counts.values() for et in d})
+    out_hr, out_l1, out_n, out_pn = [], [], [], []
+    for prev, cur in zip(hrs_sorted, hrs_sorted[1:]):
+        n_cur = sum(counts[cur].values())
+        n_prev = sum(counts[prev].values())
+        l1 = sum(
+            abs(
+                counts[cur].get(t, 0) * n_prev
+                - counts[prev].get(t, 0) * n_cur
+            )
+            for t in types
+        )
+        out_hr.append(cur)
+        out_l1.append(l1)
+        out_n.append(n_cur)
+        out_pn.append(n_prev)
+    _guard_int64_products(out_l1 or [0], "hourly_type_share_delta")
+    return ray.data.from_arrow(pa.table({
+        "hr": pa.array(
+            np.array(out_hr, np.int64).astype("datetime64[us]")
+        ),
+        "l1_num": pa.array(out_l1, pa.int64()),
+        "n_cur": pa.array(out_n, pa.int64()),
+        "n_prev": pa.array(out_pn, pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# First-touch distribution (users' first event type)
+# ---------------------------------------------------------------------------
+
+_FIRST_EVENT_SQL = (
+    "WITH r AS (SELECT user_id, event_type, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_users "
+    "FROM r WHERE rn = 1 GROUP BY event_type"
+)
+
+
+@register("first_event_type_share", _FIRST_EVENT_SQL)
+def first_event_type_share(sf_dir: str):
+    """Acquisition-channel distribution: which event type is each
+    user's FIRST touch?  Map-side per-block first-candidates (one row
+    per user per block enters the exchange), one coarse-bucket
+    reduction picks the global first by (ts, event_id), and a tiny
+    final aggregate counts per type."""
+    n_buckets = 16
+
+    def candidates(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        su = users[order]
+        first = np.ones(len(su), bool)
+        if len(su) > 1:
+            first[1:] = su[1:] != su[:-1]
+        idx = pa.array(order[first], pa.int64())
+        return pa.table({
+            "user_id": b["user_id"].take(idx),
+            "ts": b["ts"].take(idx),
+            "event_id": b["event_id"].take(idx),
+            "event_type": b["event_type"].take(idx),
+            "__b": pa.array(su[first].astype(np.int64) & (n_buckets - 1)),
+        })
+
+    def reduce_first(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, users))
+        su = users[order]
+        first = np.ones(len(su), bool)
+        if len(su) > 1:
+            first[1:] = su[1:] != su[:-1]
+        idx = pa.array(order[first], pa.int64())
+        return pa.table({"event_type": g["event_type"].take(idx)})
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "event_type"],
+        )
+        .map_batches(candidates, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(reduce_first, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .count()
+        .map_batches(
+            lambda b: pa.table({
+                "event_type": b["event_type"],
+                "n_users": pc.cast(b["count()"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
