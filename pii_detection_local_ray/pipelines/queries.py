@@ -14717,3 +14717,186 @@ def first_event_type_share(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Five-number summary per order priority (distributed box plot)
+# ---------------------------------------------------------------------------
+
+_BOXPLOT_SQL = (
+    "WITH t AS (SELECT o_orderpriority AS pri, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders), "
+    "r AS (SELECT pri, v, row_number() OVER (PARTITION BY pri "
+    "ORDER BY v) AS rn, count(*) OVER (PARTITION BY pri) AS n FROM t) "
+    "SELECT pri, CAST(min(v) AS BIGINT) AS lo, "
+    "CAST(min(CASE WHEN 4 * rn >= n THEN v END) AS BIGINT) AS q1, "
+    "CAST(min(CASE WHEN 2 * rn >= n THEN v END) AS BIGINT) AS med, "
+    "CAST(min(CASE WHEN 4 * rn >= 3 * n THEN v END) AS BIGINT) AS q3, "
+    "CAST(max(v) AS BIGINT) AS hi, CAST(max(n) AS BIGINT) AS n "
+    "FROM r GROUP BY pri"
+)
+
+
+@register("order_price_boxplot_by_priority", _BOXPLOT_SQL)
+def order_price_boxplot_by_priority(sf_dir: str):
+    """Distributed box-plot (five-number summary) per priority WITHOUT
+    sorting the fact table: the (priority, cents) count histogram
+    exchanges once (map-side combined), and each quartile is the
+    smallest histogram value whose cumulative count reaches the rank
+    threshold (4*rn >= k*n, pure integers - quantile_disc semantics
+    pinned explicitly so both engines pick the identical element)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame({"pri": b["o_orderpriority"].to_pylist(), "v": v})
+            .groupby(["pri", "v"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def at(num: int, den: int) -> int:
+            # smallest v whose cumulative rank rn satisfies den*rn >= num*n
+            target = -(-num * n // den)  # ceil(num*n/den)
+            return int(v[np.searchsorted(cum, target, side="left")])
+
+        return pd.DataFrame({
+            "pri": [g["pri"].iloc[0]],
+            "lo": np.array([v[0]], np.int64),
+            "q1": np.array([at(1, 4)], np.int64),
+            "med": np.array([at(1, 2)], np.int64),
+            "q3": np.array([at(3, 4)], np.int64),
+            "hi": np.array([v[-1]], np.int64),
+            "n": np.array([n], np.int64),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["pri", "v"], num_partitions=4)
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("pri", num_partitions=2)
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (cumulative spend by months since first order)
+# ---------------------------------------------------------------------------
+
+_LTV_SQL = (
+    "WITH f AS (SELECT o_custkey, min(date_trunc('month', o_orderdate)) "
+    "AS cohort FROM orders GROUP BY o_custkey), "
+    "j AS (SELECT f.cohort, CAST((year(o.o_orderdate) - year(f.cohort)) "
+    "* 12 + (month(o.o_orderdate) - month(f.cohort)) AS BIGINT) AS m, "
+    "CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents "
+    "FROM orders o JOIN f ON o.o_custkey = f.o_custkey), "
+    "g AS (SELECT cohort, m, CAST(sum(cents) AS BIGINT) AS spend "
+    "FROM j GROUP BY 1, 2) "
+    "SELECT cohort, m AS months_since, CAST(sum(spend) OVER (PARTITION "
+    "BY cohort ORDER BY m) AS BIGINT) AS cum_spend_cents FROM g"
+)
+
+
+@register("cohort_ltv_curve", _LTV_SQL)
+def cohort_ltv_curve(sf_dir: str):
+    """Lifetime-value curve: cumulative spend per acquisition cohort by
+    months since first order.  First-order months fold per customer in
+    one exchange (dimension-bounded), broadcast back over a second
+    fact scan, spend collapses to the tiny (cohort, month) grid, and
+    the cumulative scan runs on that bounded grid - the fact table
+    never sorts."""
+    import pandas as pd
+
+    first = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+        .map_batches(
+            lambda b: pa.table({
+                "o_custkey": b["o_custkey"],
+                "mo": pc.cast(
+                    pc.floor_temporal(b["o_orderdate"], unit="month"),
+                    pa.int64(),
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey", num_partitions=4)
+        .aggregate(Min("mo", alias_name="cohort"))
+        .materialize()  # bounded: one row per customer
+    )
+    cohort_of = {}
+    for t in map(ray.get, first.to_arrow_refs()):
+        if t.num_columns:
+            for r in t.to_pylist():
+                cohort_of[r["o_custkey"]] = r["cohort"]
+    ref = ray.put(cohort_of)
+
+    def grid_partial(b: pa.Table) -> pa.Table:
+        co = ray.get(ref)
+        ck = b["o_custkey"].to_pylist()
+        od = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        cohorts = np.array([co[k] for k in ck], np.int64)
+        om = od.astype("datetime64[M]")
+        cm = cohorts.astype("datetime64[us]").astype("datetime64[M]")
+        m = (om.view(np.int64) - cm.view(np.int64)).astype(np.int64)
+        df = (
+            pd.DataFrame({
+                "cohort": cm.astype("datetime64[us]").view(np.int64),
+                "m": m, "spend": cents,
+            })
+            .groupby(["cohort", "m"], sort=False)["spend"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    grid = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(grid_partial, batch_format="pyarrow")
+        .groupby(["cohort", "m"], num_partitions=4)
+        .aggregate(Sum("spend", alias_name="spend"))
+        .materialize()  # bounded: |cohorts| x |months|
+    )
+    rows = [
+        r
+        for t in map(ray.get, grid.to_arrow_refs())
+        if t.num_columns
+        for r in t.to_pylist()
+    ]
+    rows.sort(key=lambda r: (r["cohort"], r["m"]))
+    out_c, out_m, out_s = [], [], []
+    acc: dict[int, int] = {}
+    for r in rows:
+        acc[r["cohort"]] = acc.get(r["cohort"], 0) + r["spend"]
+        out_c.append(r["cohort"])
+        out_m.append(r["m"])
+        out_s.append(acc[r["cohort"]])
+    return ray.data.from_arrow(pa.table({
+        "cohort": pa.array(
+            np.array(out_c, np.int64).astype("datetime64[us]")
+        ),
+        "months_since": pa.array(out_m, pa.int64()),
+        "cum_spend_cents": pa.array(out_s, pa.int64()),
+    }))
