@@ -10787,41 +10787,44 @@ def weighted_median_price_by_flag(sf_dir: str):
     """Quantity-weighted median price per return flag: smallest price v
     whose cumulative weight reaches half the total (2*cw >= tot,
     all-integer, no interpolation).  Map-side combiners first collapse
-    each block to its DISTINCT (flag, price) weight sums, so the
-    exchange carries the distinct-value table, not the fact table; the
-    per-flag cumulative scan then runs over that bounded table (scale
-    note: for value domains too large for one group, swap the scan for
-    the two-pass histogram selection used by value_median_mad_by_type)."""
+    each block to its DISTINCT (flag, price) weight sums; the exchange
+    then goes to a COARSE price bucket where one pandas groupby
+    re-combines (Ray's aggregate pays ~10us per group - pathological on
+    the near-singleton (flag, price) domain at sf0.1, PERF.md), and the
+    per-flag cumulative scan runs over the bounded distinct-value
+    table."""
     import pandas as pd
-
-    SEP = "\x1f"
 
     def partial(b: pa.Table) -> pa.Table:
         v = pc.cast(
             pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
         ).to_numpy(zero_copy_only=False)
         w = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
-        df = pd.DataFrame({
-            "k": [
-                f"{f}{SEP}{x}" for f, x in zip(
-                    b["l_returnflag"].to_pylist(), v
-                )
-            ],
-            "w": w,
-        })
-        g = df.groupby("k", sort=False)["w"].sum().reset_index()
-        return pa.table({
-            "k": pa.array(g["k"], pa.string()),
-            "w": pa.array(g["w"].to_numpy(np.int64)),
-        })
+        df = (
+            pd.DataFrame({
+                "flag": b["l_returnflag"].to_pylist(), "v": v, "w": w,
+            })
+            .groupby(["flag", "v"], sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column(
+            "__b", pc.bit_wise_and(out["v"], 63)
+        )
 
-    def split(b: pa.Table) -> pa.Table:
-        ks = b["k"].to_pylist()
-        return pa.table({
-            "flag": pa.array([k.split(SEP)[0] for k in ks], pa.string()),
-            "v": pa.array([int(k.split(SEP)[1]) for k in ks], pa.int64()),
-            "w": b["w"],
-        })
+    def combine(g: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame({
+                "flag": g["flag"].to_pylist(),
+                "v": g["v"].to_numpy(zero_copy_only=False),
+                "w": g["w"].to_numpy(zero_copy_only=False),
+            })
+            .groupby(["flag", "v"], sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("v", kind="mergesort")
@@ -10839,9 +10842,8 @@ def weighted_median_price_by_flag(sf_dir: str):
             columns=["l_returnflag", "l_extendedprice", "l_quantity"],
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("k", num_partitions=4)
-        .aggregate(Sum("w", alias_name="w"))
-        .map_batches(split, batch_format="pyarrow")
+        .groupby("__b", num_partitions=64)
+        .map_groups(combine, batch_format="pyarrow")
         .groupby("flag", num_partitions=3)
         .map_groups(pick, batch_format="pandas")
     )
