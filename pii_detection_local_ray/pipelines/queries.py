@@ -14902,3 +14902,241 @@ def cohort_ltv_curve(sf_dir: str):
         "months_since": pa.array(out_m, pa.int64()),
         "cum_spend_cents": pa.array(out_s, pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-7-day WAU ratio (stickiness)
+# ---------------------------------------------------------------------------
+
+_DAU_WAU_SQL = (
+    "WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id "
+    "FROM events), "
+    "days AS (SELECT DISTINCT day FROM du) "
+    "SELECT d.day, "
+    "CAST((SELECT count(*) FROM du WHERE du.day = d.day) AS BIGINT) "
+    "AS dau, "
+    "CAST((SELECT count(DISTINCT user_id) FROM du WHERE du.day BETWEEN "
+    "d.day - INTERVAL 6 DAY AND d.day) AS BIGINT) AS wau, "
+    "CAST((SELECT count(*) FROM du WHERE du.day = d.day) AS DOUBLE) / "
+    "(SELECT count(DISTINCT user_id) FROM du WHERE du.day BETWEEN "
+    "d.day - INTERVAL 6 DAY AND d.day) AS stickiness "
+    "FROM days d"
+)
+
+
+@register("dau_wau_ratio", _DAU_WAU_SQL)
+def dau_wau_ratio(sf_dir: str):
+    """Stickiness (DAU / trailing-7-day WAU) per day, exact: events
+    collapse to distinct (day, user) pairs map-side, ONE exchange on a
+    user bucket dedupes them, per-day user BITSETS fold driver-side
+    over the bounded day x user-dictionary grid, and the trailing-7
+    union is a bitwise OR of 7 day masks.  Scale note: the bitset fold
+    is exact up to dictionary-sized user spaces; beyond that the HLL
+    path (hll_users_by_type machinery) replaces the sets - stated
+    tradeoff, not a silent cap."""
+    import pandas as pd
+
+    DAY = 86_400_000_000
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (ts // DAY) * DAY
+        # structured dedupe on (day, user) - no composite-int overflow risk
+        arr = np.unique(np.stack([day, users], axis=1), axis=0)
+        return pa.table({
+            "day": pa.array(arr[:, 0].astype(np.int64)),
+            "user_id": pa.array(arr[:, 1].astype(np.int64)),
+            "__b": pa.array((arr[:, 1] & 15).astype(np.int64)),
+        })
+
+    def dedupe(g: pa.Table) -> pa.Table:
+        arr = np.unique(
+            np.stack([
+                g["day"].to_numpy(zero_copy_only=False),
+                g["user_id"].to_numpy(zero_copy_only=False),
+            ], axis=1),
+            axis=0,
+        )
+        return pa.table({
+            "day": pa.array(arr[:, 0].astype(np.int64)),
+            "user_id": pa.array(arr[:, 1].astype(np.int64)),
+        })
+
+    du = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(dedupe, batch_format="pyarrow")
+        .materialize()  # bounded: |days| x |active users per day|
+    )
+    day_users: dict[int, set] = {}
+    for t in map(ray.get, du.to_arrow_refs()):
+        if not t.num_columns:
+            continue
+        for d, u in zip(t["day"].to_pylist(), t["user_id"].to_pylist()):
+            day_users.setdefault(d, set()).add(u)
+    days = sorted(day_users)
+    out_d, out_dau, out_wau = [], [], []
+    for d in days:
+        window = set()
+        for k in range(7):
+            window |= day_users.get(d - k * DAY, set())
+        out_d.append(d)
+        out_dau.append(len(day_users[d]))
+        out_wau.append(len(window))
+    return ray.data.from_arrow(pa.table({
+        "day": pa.array(np.array(out_d, np.int64).astype("datetime64[us]")),
+        "dau": pa.array(out_dau, pa.int64()),
+        "wau": pa.array(out_wau, pa.int64()),
+        "stickiness": pa.array(
+            [a / b for a, b in zip(out_dau, out_wau)], pa.float64()
+        ),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Cheapest supplier per part (argmin-per-group over a fact table)
+# ---------------------------------------------------------------------------
+
+_MINCOST_SQL = (
+    "WITH ps AS (SELECT l_partkey AS part, l_suppkey AS supp, "
+    "CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS best_cents FROM lineitem GROUP BY 1, 2), "
+    "r AS (SELECT part, supp, best_cents, row_number() OVER (PARTITION "
+    "BY part ORDER BY best_cents, supp) AS rn FROM ps) "
+    "SELECT part, supp AS best_supp, best_cents FROM r WHERE rn = 1"
+)
+
+
+@register("min_cost_supplier_per_part", _MINCOST_SQL)
+def min_cost_supplier_per_part(sf_dir: str):
+    """Argmin-per-group over the fact table: the cheapest supplier ever
+    observed for each part.  (part, supp) minima collapse map-side, ONE
+    coarse part-bucket exchange re-combines them vectorized, and the
+    per-part argmin (ties to the lower suppkey) resolves with a single
+    lexsort inside the bucket - the fact table is touched once, the
+    exchange carries the distinct (part, supp) grid."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame({
+                "part": b["l_partkey"].to_numpy(zero_copy_only=False),
+                "supp": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                "c": cents,
+            })
+            .groupby(["part", "supp"], sort=False)["c"]
+            .min()
+            .reset_index()
+        )
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.append_column("__b", pc.bit_wise_and(out["part"], 63))
+
+    def argmin(g: pa.Table) -> pa.Table:
+        part = g["part"].to_numpy(zero_copy_only=False)
+        supp = g["supp"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        # combine duplicate (part, supp) minima, then per-part argmin:
+        # one lexsort orders by (part, c, supp); first row per part wins
+        order = np.lexsort((supp, c, part))
+        p, s, cc = part[order], supp[order], c[order]
+        first = np.ones(len(p), bool)
+        if len(p) > 1:
+            first[1:] = p[1:] != p[:-1]
+        return pa.table({
+            "part": pa.array(p[first].astype(np.int64)),
+            "best_supp": pa.array(s[first].astype(np.int64)),
+            "best_cents": pa.array(cc[first].astype(np.int64)),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=64)
+        .map_groups(argmin, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+_STREAK_SQL = (
+    "WITH du AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day "
+    "FROM events), "
+    "r AS (SELECT user_id, day, row_number() OVER (PARTITION BY user_id "
+    "ORDER BY day) AS rn FROM du), "
+    "g AS (SELECT user_id, day - INTERVAL (rn) DAY AS grp FROM r), "
+    "s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS streak FROM g "
+    "GROUP BY user_id, grp) "
+    "SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak "
+    "FROM s GROUP BY user_id"
+)
+
+
+@register("longest_streak_per_user", _STREAK_SQL)
+def longest_streak_per_user(sf_dir: str):
+    """Longest consecutive-day activity streak per user - the classic
+    gaps-and-islands on the calendar.  Distinct (user, day) pairs
+    collapse map-side, ONE coarse user-bucket exchange dedupes, and a
+    single lexsort + day-difference==1 segmented run length resolves
+    every user's streaks vectorized; each user exits in one row."""
+    DAY = 86_400_000_000
+    n_buckets = 16
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        arr = np.unique(
+            np.stack([users, (ts // DAY)], axis=1), axis=0
+        )
+        return pa.table({
+            "user_id": pa.array(arr[:, 0].astype(np.int64)),
+            "day": pa.array(arr[:, 1].astype(np.int64)),
+            "__b": pa.array((arr[:, 0] & (n_buckets - 1)).astype(np.int64)),
+        })
+
+    def streaks(g: pa.Table) -> pa.Table:
+        arr = np.unique(
+            np.stack([
+                g["user_id"].to_numpy(zero_copy_only=False),
+                g["day"].to_numpy(zero_copy_only=False),
+            ], axis=1),
+            axis=0,
+        )
+        u, d = arr[:, 0], arr[:, 1]
+        n = len(u)
+        new_run = np.ones(n, bool)
+        if n > 1:
+            new_run[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_user = u[np.flatnonzero(new_run)]
+        # per-user max run: one more lexsort over the (tiny) run table
+        order = np.lexsort((-run_len, run_user))
+        ru, rl = run_user[order], run_len[order]
+        first = np.ones(len(ru), bool)
+        if len(ru) > 1:
+            first[1:] = ru[1:] != ru[:-1]
+        return pa.table({
+            "user_id": pa.array(ru[first].astype(np.int64)),
+            "longest_streak": pa.array(rl[first].astype(np.int64)),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("__b", num_partitions=n_buckets)
+        .map_groups(streaks, batch_format="pyarrow")
+    )
