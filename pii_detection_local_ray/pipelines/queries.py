@@ -15140,3 +15140,190 @@ def longest_streak_per_user(sf_dir: str):
         .groupby("__b", num_partitions=n_buckets)
         .map_groups(streaks, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two document rankings
+# ---------------------------------------------------------------------------
+
+_RRF_SQL = (
+    # two full rankings (by chars, by whitespace tokens), RRF with k=60
+    # in fixed point: score = sum floor(1e12 / (60 + rank))
+    "WITH f AS (SELECT doc_id, length(text) AS c, "
+    "length(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) "
+    "AS t FROM documents), "
+    "r AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) "
+    "AS r1, row_number() OVER (ORDER BY t DESC, doc_id) AS r2 FROM f) "
+    "SELECT doc_id, CAST(1000000000000 // (60 + r1) + "
+    "1000000000000 // (60 + r2) AS BIGINT) AS rrf_fp "
+    "FROM r ORDER BY rrf_fp DESC, doc_id LIMIT 10"
+)
+
+
+@register("rrf_fusion_top10", _RRF_SQL)
+def rrf_fusion_top10(sf_dir: str):
+    """Reciprocal-rank fusion (the standard multi-retriever ensembling
+    step): two independent full-corpus rankings fuse as
+    sum(1e12 // (60 + rank)) in pure integers.  Exact ranks WITHOUT a
+    global sort: the value histogram gives each tie class its base rank
+    (strictly-greater count, broadcast once), a coarse value-bucket
+    exchange assigns within-class doc_id order vectorized, the two rank
+    streams hash-join on a doc bucket, and per-block top-10 prunes
+    bound the driver merge to 10 rows per block - the corpus never
+    sorts and never reaches the driver."""
+    import pandas as pd
+
+    def feat(b: pa.Table) -> pa.Table:
+        nt = np.array(
+            [len((t or "").split()) for t in b["text"].to_pylist()],
+            np.int64,
+        )
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "c": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            "t": pa.array(nt),
+        })
+
+    feats = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        feat, batch_format="pyarrow"
+    ).materialize()
+
+    def ranks_for(col: str) -> ray.data.Dataset:
+        # histogram -> per-value count of strictly-greater rows (DESC)
+        h = (
+            feats.select_columns([col])
+            .groupby(col, num_partitions=4)
+            .count()
+            .materialize()  # bounded: distinct values
+        )
+        rows = [
+            r
+            for t in map(ray.get, h.to_arrow_refs())
+            if t.num_columns
+            for r in t.to_pylist()
+        ]
+        rows.sort(key=lambda r: -r[col])
+        above = {}
+        acc = 0
+        for r in rows:
+            above[r[col]] = acc
+            acc += r["count()"]
+        above_ref = ray.put(above)
+
+        def bucket(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"], "v": b[col],
+                "__b": pc.bit_wise_and(b[col], 15),
+            })
+
+        def assign(g: pa.Table) -> pa.Table:
+            ab = ray.get(above_ref)
+            ids = g["doc_id"].to_numpy(zero_copy_only=False)
+            v = g["v"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -v))
+            sv, sid = v[order], ids[order]
+            starts = np.ones(len(sv), bool)
+            if len(sv) > 1:
+                starts[1:] = sv[1:] != sv[:-1]
+            seg = np.cumsum(starts) - 1
+            sidx = np.flatnonzero(starts)
+            within = np.arange(len(sv)) - sidx[seg]
+            base = np.array([ab[x] for x in sv[sidx]], np.int64)[seg]
+            return pa.table({
+                "doc_id": pa.array(sid.astype(np.int64)),
+                "rank": pa.array(base + within + 1),
+            })
+
+        return (
+            feats.select_columns(["doc_id", col])
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("__b", num_partitions=16)
+            .map_groups(assign, batch_format="pyarrow")
+        )
+
+    def tag(name):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"], "which": pa.array(
+                    [name] * len(b), pa.string()
+                ),
+                "rank": b["rank"],
+                "__d": pc.bit_wise_and(b["doc_id"], 15),
+            })
+        return fn
+
+    both = ranks_for("c").map_batches(
+        tag("c"), batch_format="pyarrow"
+    ).union(
+        ranks_for("t").map_batches(tag("t"), batch_format="pyarrow")
+    )
+
+    def fuse_top(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        rk = g["rank"].to_numpy(zero_copy_only=False)
+        uid, inv = np.unique(ids, return_inverse=True)
+        score = np.zeros(len(uid), np.int64)
+        np.add.at(score, inv, 10**12 // (60 + rk))
+        top = np.lexsort((uid, -score))[:10]
+        return pa.table({
+            "doc_id": pa.array(uid[top].astype(np.int64)),
+            "rrf_fp": pa.array(score[top]),
+        })
+
+    fused = (
+        both.groupby("__d", num_partitions=16)
+        .map_groups(fuse_top, batch_format="pyarrow")
+        .materialize()  # bounded: <= 10 rows per bucket
+    )
+    rows = [
+        r
+        for t in map(ray.get, fused.to_arrow_refs())
+        if t.num_columns
+        for r in t.to_pylist()
+    ]
+    rows.sort(key=lambda r: (-r["rrf_fp"], r["doc_id"]))
+    rows = rows[:10]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "rrf_fp": pa.array([r["rrf_fp"] for r in rows], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Positional-index phrase query
+# ---------------------------------------------------------------------------
+
+_PHRASE_SQL = (
+    "SELECT doc_id FROM documents WHERE regexp_matches(lower(text), "
+    "'(^|[^a-z0-9])query[^a-z0-9]+window([^a-z0-9]|$)')"
+)
+
+
+@register("index_phrase_query", _PHRASE_SQL)
+def index_phrase_query(sf_dir: str):
+    """Phrase retrieval over a POSITIONAL inverted index: docs where
+    'window' immediately follows 'query' in token order.  Blocks emit
+    (doc, position) postings for the query vocabulary only; adjacency
+    resolves per doc via one searchsorted of pos+1 lists - the
+    positional-index sibling of index_and_query (conjunctive) and
+    bm25_top10 (ranked).  Result schema-pinned (can be empty)."""
+    from ..functions.dsir import _tokenize
+
+    T1, T2 = "query", "window"
+
+    def adjacent(b: pa.Table) -> pa.Table:
+        out = []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = _tokenize(t or "")
+            p1 = [k for k, w in enumerate(toks) if w == T1]
+            if not p1:
+                continue
+            p2 = {k for k, w in enumerate(toks) if w == T2}
+            if any(k + 1 in p2 for k in p1):
+                out.append(i)
+        return pa.table({"doc_id": pa.array(out, pa.int64())})
+
+    res = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        adjacent, batch_format="pyarrow"
+    )
+    return _schema_safe(res, pa.schema([("doc_id", pa.int64())]))
