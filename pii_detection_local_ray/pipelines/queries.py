@@ -15327,3 +15327,375 @@ def index_phrase_query(sf_dir: str):
         adjacent, batch_format="pyarrow"
     )
     return _schema_safe(res, pa.schema([("doc_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns (feature relevance)
+# ---------------------------------------------------------------------------
+
+_MI_SQL = (
+    # MI = sum_ij p_ij ln(p_ij/(p_i p_j)); carried as the order-free
+    # int64 sum of c_ij * floor(1e9 * ln((c_ij*N)/(c_i*c_j))) - the
+    # ratio is ONE double division of two exact int64 products and ln()
+    # is libm on both engines (lnfp parity pytest-pinned elsewhere)
+    "WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n "
+    "FROM documents GROUP BY 1, 2), "
+    "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c), "
+    "ml AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1), "
+    "ms AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1) "
+    "SELECT (SELECT total FROM t) AS n_total, "
+    "CAST(sum(c.n * CAST(floor(1e9 * ln(CAST(c.n * (SELECT total FROM t) "
+    "AS DOUBLE) / CAST(ml.nl * ms.ns AS DOUBLE))) AS BIGINT)) AS BIGINT) "
+    "AS mi_fp "
+    "FROM c JOIN ml USING (lang) JOIN ms USING (source)"
+)
+
+
+@register("mutual_info_lang_source", _MI_SQL)
+def mutual_info_lang_source(sf_dir: str):
+    """Mutual information between the lang and source columns - the
+    information-theoretic sibling of chi2_lang_source, used to rank
+    metadata features for mixture planning.  ONE bounded exchange: each
+    block collapses to its distinct (lang, source) counts via Arrow
+    group_by, the |langs| x |sources| cell table folds under a small
+    groupby, and the MI fold runs driver-side over that bounded matrix
+    in exact int64 fixed point (mi_nats = mi_fp / (n_total * 1e9))."""
+    docs = _docs(sf_dir, ["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table({
+            "lang": g["lang"], "source": g["source"],
+            "n": g["count_all"].cast(pa.int64()),
+        })
+
+    cells = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"], num_partitions=4)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # bounded: |langs| x |sources| rows
+    )
+    import pandas as pd
+
+    parts = [t for t in map(ray.get, cells.to_arrow_refs()) if t.num_rows]
+    cell = pa.concat_tables(parts)
+    n = cell["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lc, _ = pd.factorize(cell["lang"].to_numpy(zero_copy_only=False))
+    sc, _ = pd.factorize(cell["source"].to_numpy(zero_copy_only=False))
+    total = int(n.sum())
+    nl = np.zeros(lc.max() + 1, np.int64)
+    ns = np.zeros(sc.max() + 1, np.int64)
+    np.add.at(nl, lc, n)
+    np.add.at(ns, sc, n)
+    ratio = (n * total).astype(np.float64) / (
+        nl[lc] * ns[sc]
+    ).astype(np.float64)
+    lnfp = np.floor(1e9 * np.log(ratio)).astype(np.int64)
+    _guard_int64_products(
+        [int(np.abs(n * lnfp).max()) * len(n)], "mutual_info_lang_source"
+    )
+    return ray.data.from_arrow(pa.table({
+        "n_total": pa.array([total], pa.int64()),
+        "mi_fp": pa.array([int((n * lnfp).sum())], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage per user (merged activity time)
+# ---------------------------------------------------------------------------
+
+_COVERAGE_SQL = (
+    # each event opens a 5-minute window; covered time is the measure of
+    # the UNION of windows = sum over sorted events of min(gap, W) with
+    # the last event contributing W.  Tie order within equal ts is
+    # irrelevant: the sorted gap multiset is determined by the ts
+    # multiset alone
+    "WITH w AS (SELECT user_id, epoch_us(ts) AS t, "
+    "lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS nxt "
+    "FROM events) "
+    "SELECT user_id, CAST(sum(CASE WHEN nxt IS NULL THEN 300000000 "
+    "ELSE least(nxt - t, 300000000) END) AS BIGINT) AS covered_us "
+    "FROM w GROUP BY user_id"
+)
+
+
+@register("user_activity_coverage", _COVERAGE_SQL)
+def user_activity_coverage(sf_dir: str):
+    """Union-of-intervals coverage: total microseconds covered by the
+    union of per-event [ts, ts+5min) windows per user - the classic
+    interval-merge operator (billable-time / uptime accounting).  One
+    coarse user-bucket exchange; inside each bucket one lexsort gives
+    every user's merged coverage via a shifted-gap compare, all int64."""
+    W = 300_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("__b", pc.bit_wise_and(b["user_id"], 15))
+
+    def coverage(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        o = np.lexsort((t, u))
+        u, t = u[o], t[o]
+        same = np.empty(len(u), bool)
+        same[:-1] = u[1:] == u[:-1]
+        same[-1] = False
+        dt = np.zeros(len(t), np.int64)
+        dt[:-1] = t[1:] - t[:-1]
+        contrib = np.where(same, np.minimum(dt, W), W)
+        uniq, inv = np.unique(u, return_inverse=True)
+        cov = np.zeros(len(uniq), np.int64)
+        np.add.at(cov, inv, contrib)
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "covered_us": pa.array(cov),
+        })
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(coverage, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-quantity-order revenue per brand (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+_SMALLQTY_SQL = (
+    # qualifying rows: l_quantity < 0.5 * avg(l_quantity) per part,
+    # tested exactly in integers as 2*q*n < sum_qty
+    "WITH s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS revenue_cents "
+    "FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey "
+    "JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE 2 * CAST(l.l_quantity AS BIGINT) * s.n < s.sq "
+    "GROUP BY 1"
+)
+
+
+@register("small_qty_part_revenue", _SMALLQTY_SQL)
+def small_qty_part_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    half the part's average, by brand.  The correlated aggregate
+    becomes a part-grain stats pass (map-side factorize partials, then
+    a coarse partkey-bucket np combine - never a per-part aggregate),
+    broadcast once with the part->brand dimension via ray.put; the
+    second fact scan tests 2*q*n < sum_qty vectorized.  The broadcast
+    is part-dimension-bounded (guarded); at a scale where the part
+    dimension itself outgrows memory the stats pass instead hash-joins
+    back to the fact (functions/joins.py)."""
+    import pandas as pd
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def qpartial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        q = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(pk)
+        n = np.bincount(codes).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, q)
+        return pa.table({
+            "l_partkey": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(n), "sq": pa.array(s),
+            "__b": pa.array(uniq.astype(np.int64) & 63),
+        })
+
+    def qcombine(g: pa.Table) -> pa.Table:
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        n = np.zeros(len(uniq), np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, g["n"].to_numpy(zero_copy_only=False))
+        np.add.at(s, inv, g["sq"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_partkey": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(n), "sq": pa.array(s),
+        })
+
+    stats = (
+        li.map_batches(qpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(qcombine, batch_format="pyarrow")
+        .materialize()  # bounded by the part dimension
+    )
+    parts = [t for t in map(ray.get, stats.to_arrow_refs()) if t.num_rows]
+    st = pa.concat_tables(parts)
+    assert st.num_rows <= 5_000_000, "part stats exceed broadcast guard"
+    pk = st["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk)
+    part_tbl = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    bk = part_tbl["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    border = np.argsort(bk)
+    ref = ray.put((
+        pk[order],
+        st["n"].to_numpy(zero_copy_only=False)[order],
+        st["sq"].to_numpy(zero_copy_only=False)[order],
+        bk[border],
+        part_tbl["p_brand"].to_numpy(zero_copy_only=False)[border],
+    ))
+
+    def fact(b: pa.Table) -> pa.Table:
+        keys, n, sq, bkeys, brand = ray.get(ref)
+        fpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        q = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        idx = np.searchsorted(keys, fpk)
+        mask = 2 * q * n[idx] < sq[idx]
+        bidx = np.searchsorted(bkeys, fpk[mask])
+        br = brand[bidx]
+        codes, uniq = pd.factorize(br)
+        cnt = np.bincount(codes).astype(np.int64)
+        rev = np.zeros(len(uniq), np.int64)
+        np.add.at(rev, codes, cents[mask])
+        return pa.table({
+            "p_brand": pa.array(list(uniq), pa.string()),
+            "n_items": pa.array(cnt), "revenue_cents": pa.array(rev),
+        })
+
+    res = (
+        li.map_batches(fact, batch_format="pyarrow")
+        .groupby("p_brand", num_partitions=4)
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
+    return _schema_safe(res, pa.schema([
+        ("p_brand", pa.string()), ("n_items", pa.int64()),
+        ("revenue_cents", pa.int64()),
+    ]))
+
+
+# ---------------------------------------------------------------------------
+# Large-volume customers (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+_BIGORDERS_SQL = (
+    "WITH s AS (SELECT l_orderkey, "
+    "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT c.c_name, o.o_custkey, o.o_orderkey, "
+    "CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents, "
+    "s.sum_qty "
+    "FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "WHERE s.sum_qty > 300"
+)
+
+
+@register("large_volume_customers", _BIGORDERS_SQL)
+def large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape: customers whose orders exceed 300 total units.
+    Order-grain quantity sums fold through the coarse-bucket combine
+    (never a per-orderkey aggregate - the known near-singleton-group
+    pathology); the > 300 survivors are the heavy-hitter TAIL, so the
+    qualifying (orderkey, sum) set is tiny by construction and
+    broadcasts to the orders scan; customer names resolve through the
+    dimension broadcast.  Result schema-pinned (empty at tiny scale)."""
+    import pandas as pd
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qpartial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(ok)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, q)
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64)),
+            "sq": pa.array(s),
+            "__b": pa.array(uniq.astype(np.int64) & 255),
+        })
+
+    def qcombine(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, g["sq"].to_numpy(zero_copy_only=False))
+        keep = s > 300
+        return pa.table({
+            "l_orderkey": pa.array(uniq[keep].astype(np.int64)),
+            "sum_qty": pa.array(s[keep]),
+        })
+
+    big = (
+        li.map_batches(qpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(qcombine, batch_format="pyarrow")
+        .materialize()  # heavy-hitter tail: tiny by construction
+    )
+    parts = [t for t in map(ray.get, big.to_arrow_refs()) if t.num_rows]
+    schema = pa.schema([
+        ("c_name", pa.string()), ("o_custkey", pa.int64()),
+        ("o_orderkey", pa.int64()), ("total_cents", pa.int64()),
+        ("sum_qty", pa.int64()),
+    ])
+    if not parts:
+        return ray.data.from_arrow(schema.empty_table())
+    bt = pa.concat_tables(parts)
+    assert bt.num_rows <= 100_000, "qualifying-order set exceeds guard"
+    ok = bt["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ok)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    corder = np.argsort(ck)
+    ref = ray.put((
+        ok[order],
+        bt["sum_qty"].to_numpy(zero_copy_only=False)[order],
+        ck[corder],
+        cust["c_name"].to_numpy(zero_copy_only=False)[corder],
+    ))
+
+    def pick(b: pa.Table) -> pa.Table:
+        keys, sq, ckeys, cname = ray.get(ref)
+        okf = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        mask = np.isin(okf, keys)
+        okf = okf[mask]
+        idx = np.searchsorted(keys, okf)
+        cu = b["o_custkey"].to_numpy(zero_copy_only=False)[mask]
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False)[mask] * 100.0
+        ).astype(np.int64)
+        cidx = np.searchsorted(ckeys, cu)
+        return pa.table({
+            "c_name": pa.array(list(cname[cidx]), pa.string()),
+            "o_custkey": pa.array(cu.astype(np.int64)),
+            "o_orderkey": pa.array(okf.astype(np.int64)),
+            "total_cents": pa.array(cents),
+            "sum_qty": pa.array(sq[idx]),
+        })
+
+    res = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(pick, batch_format="pyarrow")
+    return _schema_safe(res, schema)
