@@ -15699,3 +15699,327 @@ def large_volume_customers(sf_dir: str):
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     ).map_batches(pick, batch_format="pyarrow")
     return _schema_safe(res, schema)
+
+
+# ---------------------------------------------------------------------------
+# A/B test: two-proportion z-statistic on hash-assigned cohorts
+# ---------------------------------------------------------------------------
+
+_ABTEST_SQL = (
+    # deterministic assignment via the md5 '0x'||substr idiom; z^2 =
+    # (cA*nB - cB*nA)^2 * N / (nA*nB*C*(N-C)) keeps every intermediate
+    # an exact int64 and spends ONE double division at the end
+    "WITH u AS (SELECT user_id, CAST(CASE WHEN count(*) FILTER "
+    "(event_type = 'purchase') >= 14 THEN 1 ELSE 0 END AS BIGINT) "
+    "AS conv FROM events GROUP BY 1), "
+    "g AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+    "1, 13)) AS BIGINT) % 2 AS grp, conv FROM u), "
+    "s AS (SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS n_a, CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS n_b, CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) "
+    "AS BIGINT) AS conv_a, CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 "
+    "END) AS BIGINT) AS conv_b FROM g) "
+    "SELECT n_a, n_b, conv_a, conv_b, "
+    "CAST((conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a) "
+    "* (n_a + n_b) AS DOUBLE) / CAST(n_a * n_b * (conv_a + conv_b) * "
+    "(n_a + n_b - conv_a - conv_b) AS DOUBLE) AS z_squared FROM s"
+)
+
+
+@register("ab_test_two_proportion", _ABTEST_SQL)
+def ab_test_two_proportion(sf_dir: str):
+    """Two-proportion z-test for an A/B experiment: users hash-assigned
+    to cohorts (md5 parity - the same deterministic-uniform idiom the
+    samplers use), conversion = ever fired a purchase event.  The fact
+    scan collapses to distinct (user, converted) map-side, a coarse
+    user-bucket combine ORs the flags, and the four cohort counts fold
+    to one row; z^2 forms from exact int64 products (guarded) with a
+    single double division - partition-invariant end to end."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def upartial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        isp = (
+            pc.equal(b["event_type"], "purchase")
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        codes, uniq = pd.factorize(u)
+        np_purch = np.zeros(len(uniq), np.int64)
+        np.add.at(np_purch, codes, isp)
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "n_purch": pa.array(np_purch),
+            "__b": pa.array(uniq.astype(np.int64) & 15),
+        })
+
+    def ucombine(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        np_purch = np.zeros(len(uniq), np.int64)
+        np.add.at(np_purch, inv, g["n_purch"].to_numpy(zero_copy_only=False))
+        conv = (np_purch >= 14).astype(np.int64)
+        grp = np.array([
+            int(hashlib.md5(str(x).encode()).hexdigest()[:13], 16) % 2
+            for x in uniq
+        ])
+        n_a = int((grp == 0).sum())
+        n_b = int((grp == 1).sum())
+        c_a = int(conv[grp == 0].sum())
+        c_b = int(conv[grp == 1].sum())
+        return pa.table({
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "conv_a": pa.array([c_a], pa.int64()),
+            "conv_b": pa.array([c_b], pa.int64()),
+        })
+
+    tot = (
+        ev.map_batches(upartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(ucombine, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"),
+            Sum("conv_a", alias_name="conv_a"),
+            Sum("conv_b", alias_name="conv_b"),
+        )
+    )
+    n_a, n_b = int(tot["n_a"]), int(tot["n_b"])
+    c_a, c_b = int(tot["conv_a"]), int(tot["conv_b"])
+    num = (c_a * n_b - c_b * n_a) ** 2 * (n_a + n_b)
+    den = n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)
+    _guard_int64_products([num, den], "ab_test_two_proportion")
+    return ray.data.from_arrow(pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "conv_a": pa.array([c_a], pa.int64()),
+        "conv_b": pa.array([c_b], pa.int64()),
+        "z_squared": pa.array([float(num) / float(den)], pa.float64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Character 4-gram uniqueness ratio (compressibility proxy)
+# ---------------------------------------------------------------------------
+
+_FOURGRAM_SQL = (
+    "SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_unique, "
+    "CAST(count(*) AS BIGINT) AS n_grams, "
+    "CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS unique_ratio "
+    "FROM (SELECT doc_id, substr(text, CAST(i AS INTEGER), 4) AS g "
+    "FROM (SELECT doc_id, text, unnest(generate_series(1, "
+    "length(text) - 3)) AS i FROM documents WHERE length(text) >= 4)) "
+    "GROUP BY doc_id"
+)
+
+
+@register("char_fourgram_ratio_docs", _FOURGRAM_SQL)
+def char_fourgram_ratio_docs(sf_dir: str):
+    """Distinct-4-gram ratio per document - the cheap compressibility /
+    templated-text proxy (low ratio = repetitive boilerplate; the
+    deterministic stand-in for a zlib-ratio filter, which SQL cannot
+    mirror).  Zero shuffle: each doc's code-point array (utf-32 view,
+    so multi-byte characters count like SQL substr) slides into a
+    (n-3, 4) window matrix and one np.unique on the void view counts
+    distinct grams - no Python loop over grams."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def ratio(b: pa.Table) -> pa.Table:
+        ids, uq, ng = [], [], []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            t = t or ""
+            if len(t) < 4:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            w = np.lib.stride_tricks.sliding_window_view(cp, 4)
+            v = np.ascontiguousarray(w).view("V16").ravel()
+            ids.append(i)
+            uq.append(len(np.unique(v)))
+            ng.append(len(v))
+        uq = np.asarray(uq, np.int64)
+        ng = np.asarray(ng, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_unique": pa.array(uq),
+            "n_grams": pa.array(ng),
+            "unique_ratio": pa.array(uq.astype(np.float64) / ng),
+        })
+
+    return docs.map_batches(ratio, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the host graph (bounded peel rounds)
+# ---------------------------------------------------------------------------
+
+def _kcore_sql(k: int = 5, rounds: int = 8) -> str:
+    # one MATERIALIZED CTE pair per peel round (plain CTEs inline per
+    # reference, which explodes exponentially over chained rounds):
+    # nodes with degree >= k over the surviving edges, then edges
+    # restricted to surviving endpoints - the fixed unrolling of the
+    # peeling recursion (DuckDB recursive CTEs cannot aggregate in the
+    # recursive term).  Graph: sparse periphery (i%160, i%157) + a
+    # planted 10-clique (i%10, i//10%10 for i<100) on the capped id
+    # space i = doc_id % 500, so the instance is scale-invariant
+    parts = [
+        "WITH ids AS MATERIALIZED (SELECT doc_id % 500 AS i "
+        "FROM documents), "
+        "raw AS (SELECT i % 160 AS a, i % 157 AS b FROM ids "
+        "UNION ALL SELECT i % 10, (i // 10) % 10 FROM ids "
+        "WHERE i < 100), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS lo, "
+        "GREATEST(a, b) AS hi FROM raw WHERE a <> b)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", n{r} AS MATERIALIZED (SELECT v FROM "
+            f"(SELECT lo AS v FROM e{r-1} "
+            f"UNION ALL SELECT hi FROM e{r-1}) GROUP BY v "
+            f"HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f", e{r} AS MATERIALIZED (SELECT e.lo, e.hi FROM e{r-1} e "
+            f"JOIN n{r} x ON x.v = e.lo JOIN n{r} y ON y.v = e.hi)"
+        )
+    parts.append(
+        f" SELECT v AS node FROM n{rounds} ORDER BY v"
+    )
+    return "".join(parts)
+
+
+@register("kcore_hosts", _kcore_sql())
+def kcore_hosts(sf_dir: str):
+    """5-core of the planted 160-host graph (10-clique core + sparse
+    periphery): iterative peeling drops nodes with degree < 5,
+    restricts edges to survivors, and repeats to fixpoint - a 5-round
+    cascade on this instance.  The distinct-edge exchange is
+    distributed (same shape as the triangle/BFS/CC queries); peeling
+    then runs over the materialized node-dimension-bounded edge table
+    (<= 400 rows here, guarded) - at web scale each round is the
+    degree-groupby + keep-set semi-join already used by
+    functions/graph.py BFS rounds.  Fixpoint is asserted within the
+    oracle's unrolled round budget so both sides provably converge."""
+    def plant_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False) % 500
+        a1, b1 = ids % 160, ids % 157
+        cl = ids[ids < 100]
+        a2, b2 = cl % 10, (cl // 10) % 10
+        a = np.concatenate([a1, a2])
+        bb = np.concatenate([b1, b2])
+        m = a != bb
+        return pa.table({
+            "lo": pa.array(np.minimum(a[m], bb[m]).astype(np.int64)),
+            "hi": pa.array(np.maximum(a[m], bb[m]).astype(np.int64)),
+        })
+
+    edges = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant_edges, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .count()
+        .select_columns(["lo", "hi"])
+        .materialize()  # bounded: <= 2016 distinct edges on 64 hosts
+    )
+    parts = [t for t in map(ray.get, edges.to_arrow_refs()) if t.num_rows]
+    schema = pa.schema([("node", pa.int64())])
+    if not parts:
+        return ray.data.from_arrow(schema.empty_table())
+    et = pa.concat_tables(parts)
+    assert et.num_rows <= 1_000_000, "edge table exceeds peel guard"
+    lo = et["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = et["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+    K, ROUNDS, NN = 5, 8, 160
+    converged = False
+    for _ in range(ROUNDS):
+        deg = np.bincount(lo, minlength=NN) + np.bincount(hi, minlength=NN)
+        alive = np.flatnonzero(deg >= K)
+        keep = np.isin(lo, alive) & np.isin(hi, alive)
+        if keep.all():
+            converged = True
+            break
+        lo, hi = lo[keep], hi[keep]
+    assert converged or len(lo) == 0, (
+        "k-core peel did not converge within the oracle's round budget"
+    )
+    deg = np.bincount(lo, minlength=NN) + np.bincount(hi, minlength=NN)
+    nodes = np.unique(np.concatenate([lo, hi])) if len(lo) else np.array(
+        [], np.int64
+    )
+    nodes = nodes[deg[nodes] >= K]
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(np.sort(nodes).astype(np.int64)),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Time to first conversion per user
+# ---------------------------------------------------------------------------
+
+_TTFP_SQL = (
+    "WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_us, "
+    "min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) "
+    "AS first_purchase_us FROM events GROUP BY 1) "
+    "SELECT user_id, CAST(first_purchase_us - first_us AS BIGINT) "
+    "AS latency_us FROM f WHERE first_purchase_us IS NOT NULL"
+)
+
+
+@register("time_to_first_purchase", _TTFP_SQL)
+def time_to_first_purchase(sf_dir: str):
+    """Activation latency: microseconds from a user's first event of
+    any kind to their first purchase (converters only).  Map-side
+    partials carry per-block (user, min_any, min_purchase) with an
+    int64 sentinel for 'no purchase in this block', one coarse-bucket
+    min-combine resolves both firsts, non-converters drop at the end -
+    the funnel-latency primitive under sessionization."""
+    import pandas as pd
+
+    SENT = np.int64(2**62)
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def fpartial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        t = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        isp = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        codes, uniq = pd.factorize(u)
+        fa = np.full(len(uniq), SENT)
+        fp = np.full(len(uniq), SENT)
+        np.minimum.at(fa, codes, t)
+        np.minimum.at(fp, codes[isp], t[isp])
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "fa": pa.array(fa), "fp": pa.array(fp),
+            "__b": pa.array(uniq.astype(np.int64) & 15),
+        })
+
+    def fcombine(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        fa = np.full(len(uniq), SENT)
+        fp = np.full(len(uniq), SENT)
+        np.minimum.at(fa, inv, g["fa"].to_numpy(zero_copy_only=False))
+        np.minimum.at(fp, inv, g["fp"].to_numpy(zero_copy_only=False))
+        conv = fp < SENT
+        return pa.table({
+            "user_id": pa.array(uniq[conv].astype(np.int64)),
+            "latency_us": pa.array(fp[conv] - fa[conv]),
+        })
+
+    res = (
+        ev.map_batches(fpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(fcombine, batch_format="pyarrow")
+    )
+    return _schema_safe(res, pa.schema([
+        ("user_id", pa.int64()), ("latency_us", pa.int64()),
+    ]))
