@@ -16023,3 +16023,305 @@ def time_to_first_purchase(sf_dir: str):
     return _schema_safe(res, pa.schema([
         ("user_id", pa.int64()), ("latency_us", pa.int64()),
     ]))
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index of order value per market segment
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = (
+    # Theil T = [sum x ln x - (sum x) ln(mean)] / (n * mean): the query
+    # ships the exact integer components; per-row term floor(1e3 * x *
+    # ln(x)) is deterministic double math (cents exact in a double, ln
+    # = libm both engines) and the int64 sum is order-free
+    "WITH x AS (SELECT c.c_mktsegment, "
+    "CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents "
+    "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey) "
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(cents) AS BIGINT) AS sum_cents, "
+    "CAST(sum(CAST(floor(1000.0 * CAST(cents AS DOUBLE) * "
+    "ln(CAST(cents AS DOUBLE))) AS BIGINT)) AS BIGINT) AS sum_xlnx_fp "
+    "FROM x GROUP BY c_mktsegment"
+)
+
+
+@register("theil_index_by_segment", _THEIL_SQL)
+def theil_index_by_segment(sf_dir: str):
+    """Theil-T inequality components of order value per market segment
+    (the entropy-based sibling of doc_source_skew_gini): the customer
+    dimension broadcasts once, the fact scan folds (n, sum_cents,
+    sum x*ln(x) fixed-point) partials per block, and the |segments|-row
+    exchange finishes - Theil = sum_xlnx_fp/(1e3*sum_cents) -
+    ln(sum_cents/n) at the consumer."""
+    import pandas as pd
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ck)
+    ref = ray.put((
+        ck[order],
+        cust["c_mktsegment"].to_numpy(zero_copy_only=False)[order],
+    ))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, seg = ray.get(ref)
+        cu = b["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        sg = seg[np.searchsorted(keys, cu)]
+        xd = cents.astype(np.float64)
+        term = np.floor(1000.0 * xd * np.log(xd)).astype(np.int64)
+        codes, uniq = pd.factorize(sg)
+        n = np.bincount(codes).astype(np.int64)
+        sc = np.zeros(len(uniq), np.int64)
+        st = np.zeros(len(uniq), np.int64)
+        np.add.at(sc, codes, cents)
+        np.add.at(st, codes, term)
+        return pa.table({
+            "c_mktsegment": pa.array(list(uniq), pa.string()),
+            "n": pa.array(n), "sum_cents": pa.array(sc),
+            "sum_xlnx_fp": pa.array(st),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment", num_partitions=4)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sum_xlnx_fp", alias_name="sum_xlnx_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate per user (single-event sessions)
+# ---------------------------------------------------------------------------
+
+_BOUNCE_SQL = (
+    # session partition sizes depend only on the sorted ts multiset
+    # (tied timestamps share a session: gap 0), so any tie order gives
+    # identical counts
+    "WITH l AS (SELECT user_id, epoch_us(ts) AS t, "
+    "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS p "
+    "FROM events), "
+    "n AS (SELECT user_id, t, CASE WHEN p IS NULL OR t - p > 1800000000 "
+    "THEN 1 ELSE 0 END AS b FROM l), "
+    "sid AS (SELECT user_id, CAST(sum(b) OVER (PARTITION BY user_id "
+    "ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s FROM n), "
+    "per AS (SELECT user_id, s, count(*) AS c FROM sid GROUP BY 1, 2) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions, "
+    "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce, "
+    "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) "
+    "AS bounce_rate FROM per GROUP BY user_id"
+)
+
+
+@register("session_bounce_rate", _BOUNCE_SQL)
+def session_bounce_rate(sf_dir: str):
+    """Bounce rate per user: share of 30-minute-gap sessions containing
+    exactly one event.  One coarse user-bucket exchange; inside each
+    bucket a single lexsort yields session boundaries (first-of-user or
+    gap > 30 min), run lengths via boundary-index diffs, and both
+    per-user counts - no per-session shuffle."""
+    W = 1_800_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("__b", pc.bit_wise_and(b["user_id"], 15))
+
+    def bounce(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        o = np.lexsort((t, u))
+        u, t = u[o], t[o]
+        new = np.ones(len(u), bool)
+        new[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > W)
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(u)))
+        su = u[starts]  # session -> user
+        uniq, inv = np.unique(su, return_inverse=True)
+        ns = np.bincount(inv).astype(np.int64)
+        nb = np.zeros(len(uniq), np.int64)
+        np.add.at(nb, inv, (sizes == 1).astype(np.int64))
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "n_sessions": pa.array(ns),
+            "n_bounce": pa.array(nb),
+            "bounce_rate": pa.array(nb.astype(np.float64) / ns),
+        })
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(bounce, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast error (MASE components on the hourly grid)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_SQL = (
+    # integer sums of absolute error on the gap-filled hourly count grid:
+    # seasonal lag 24 vs naive lag 1; ratio = one double division
+    "WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events), "
+    "r AS (SELECT min(h) AS h0, max(h) AS h1 FROM b), "
+    "grid AS (SELECT unnest(generate_series(r.h0, r.h1)) AS h FROM r), "
+    "c AS (SELECT g.h, CAST(coalesce(cnt, 0) AS BIGINT) AS c FROM grid g "
+    "LEFT JOIN (SELECT h, count(*) AS cnt FROM b GROUP BY h) x "
+    "ON x.h = g.h), "
+    "l AS (SELECT h, c, lag(c, 1) OVER (ORDER BY h) AS c1, "
+    "lag(c, 24) OVER (ORDER BY h) AS c24 FROM c) "
+    "SELECT CAST(sum(abs(c - c1)) FILTER (c1 IS NOT NULL) AS BIGINT) "
+    "AS sae_naive, "
+    "CAST(sum(abs(c - c24)) FILTER (c24 IS NOT NULL) AS BIGINT) "
+    "AS sae_seasonal, "
+    "CAST(sum(abs(c - c24)) FILTER (c24 IS NOT NULL) AS DOUBLE) / "
+    "sum(abs(c - c1)) FILTER (c1 IS NOT NULL) AS mase_ratio FROM l"
+)
+
+
+@register("seasonal_naive_error", _SEASONAL_SQL)
+def seasonal_naive_error(sf_dir: str):
+    """Forecastability probe: sum of absolute errors of the lag-24
+    (seasonal) vs lag-1 (naive) predictors over the gap-filled hourly
+    event-count grid - the MASE numerator/denominator pair.  The fact
+    scan folds per-block hour counts (bounded by the time range), the
+    grid materializes driver-side (720 cells), both error sums are
+    exact integers."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        h = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64) // 3_600_000_000
+        )
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(uniq.astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    hours = (
+        ev.map_batches(hpartial, batch_format="pyarrow")
+        .groupby("h", num_partitions=4)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # bounded by the corpus time range in hours
+    )
+    parts = [t for t in map(ray.get, hours.to_arrow_refs()) if t.num_rows]
+    ht = pa.concat_tables(parts)
+    h = ht["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = ht["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h0, h1 = int(h.min()), int(h.max())
+    grid = np.zeros(h1 - h0 + 1, np.int64)
+    grid[h - h0] = cnt
+    sae_naive = int(np.abs(np.diff(grid)).sum())
+    d24 = np.abs(grid[24:] - grid[:-24])
+    sae_seasonal = int(d24.sum())
+    return ray.data.from_arrow(pa.table({
+        "sae_naive": pa.array([sae_naive], pa.int64()),
+        "sae_seasonal": pa.array([sae_seasonal], pa.int64()),
+        "mase_ratio": pa.array(
+            [float(sae_seasonal) / float(sae_naive)], pa.float64()
+        ),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization error (per-dimension, exact fixed point)
+# ---------------------------------------------------------------------------
+
+_QUANTERR_SQL = (
+    # values enter fixed point as floor(x * 1e7) (float32 -> double is
+    # exact); q = (x-min)*255 // range and the reconstruction are pure
+    # int64, so SSE and max-|err| are exact integers per dimension
+    "WITH t1 AS (SELECT vec_id, embedding, "
+    "unnest(generate_series(1, 64)) AS i FROM embeddings), "
+    "v AS (SELECT CAST(i AS BIGINT) AS dim, CAST(floor("
+    "CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1e7) AS BIGINT) "
+    "AS xfp FROM t1), "
+    "mm AS (SELECT dim, min(xfp) AS lo, max(xfp) AS hi FROM v "
+    "GROUP BY dim), "
+    "q AS (SELECT v.dim, xfp, lo, hi - lo AS rng, "
+    "(xfp - lo) * 255 // (hi - lo) AS code FROM v JOIN mm USING (dim)), "
+    "e AS (SELECT dim, xfp - (lo + code * rng // 255) AS err FROM q) "
+    "SELECT dim, CAST(sum(err * err) AS BIGINT) AS sse_fp, "
+    "CAST(max(abs(err)) AS BIGINT) AS max_abs_err_fp "
+    "FROM e GROUP BY dim"
+)
+
+
+@register("embedding_quantization_error", _QUANTERR_SQL)
+def embedding_quantization_error(sf_dir: str):
+    """Int8 (256-level) per-dimension linear quantization error over
+    the embedding table - the accuracy audit run before shipping a
+    quantized ANN index.  Pass 1 folds per-dim min/max partials (64-row
+    exchange, broadcast back); pass 2 quantizes, reconstructs and folds
+    SSE / max-|err| per dim - every step int64 fixed point, so both
+    engines agree bit-for-bit."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def to_fp(b: pa.Table) -> np.ndarray:
+        flat = pc.list_flatten(b["embedding"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        return np.floor(flat * 1e7).astype(np.int64).reshape(-1, 64)
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        m = to_fp(b)
+        return pa.table({
+            "dim": pa.array(np.arange(1, 65, dtype=np.int64)),
+            "lo": pa.array(m.min(axis=0)),
+            "hi": pa.array(m.max(axis=0)),
+        })
+
+    mm = (
+        emb.map_batches(mm_partial, batch_format="pyarrow")
+        .groupby("dim", num_partitions=4)
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .materialize()  # 64 rows
+    )
+    parts = [t for t in map(ray.get, mm.to_arrow_refs()) if t.num_rows]
+    mt = pa.concat_tables(parts)
+    dims = mt["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = np.zeros(64, np.int64)
+    hi = np.zeros(64, np.int64)
+    lo[dims - 1] = mt["lo"].to_numpy(zero_copy_only=False)
+    hi[dims - 1] = mt["hi"].to_numpy(zero_copy_only=False)
+    rng = hi - lo
+    assert (rng > 0).all(), "degenerate dimension: zero range"
+    ref = ray.put((lo, rng))
+
+    def qerr(b: pa.Table) -> pa.Table:
+        lo_, rng_ = ray.get(ref)
+        m = to_fp(b)
+        code = (m - lo_) * 255 // rng_
+        err = m - (lo_ + code * rng_ // 255)
+        return pa.table({
+            "dim": pa.array(np.arange(1, 65, dtype=np.int64)),
+            "sse_fp": pa.array((err * err).sum(axis=0)),
+            "max_abs_err_fp": pa.array(np.abs(err).max(axis=0)),
+        })
+
+    return (
+        emb.map_batches(qerr, batch_format="pyarrow")
+        .groupby("dim", num_partitions=4)
+        .aggregate(
+            Sum("sse_fp", alias_name="sse_fp"),
+            Max("max_abs_err_fp", alias_name="max_abs_err_fp"),
+        )
+    )
