@@ -16325,3 +16325,321 @@ def embedding_quantization_error(sf_dir: str):
             Max("max_abs_err_fp", alias_name="max_abs_err_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini mean difference per event type (O(V log V) of an O(n^2) stat)
+# ---------------------------------------------------------------------------
+
+_GMD_SQL = (
+    # sum_ij |x_i - x_j| = 2 * sum_i (2*rn - n - 1) * x_(i); ties
+    # permute equal values so row_number's arbitrary tie order cannot
+    # change the sum.  DuckDB window SUM(BIGINT) yields HUGEINT - cast
+    "WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) "
+    "AS c FROM events), "
+    "r AS (SELECT event_type, c, row_number() OVER (PARTITION BY "
+    "event_type ORDER BY c) AS rn, count(*) OVER (PARTITION BY "
+    "event_type) AS n FROM v) "
+    "SELECT event_type, CAST(max(n) AS BIGINT) AS n, "
+    "CAST(2 * sum((2 * rn - n - 1) * c) AS BIGINT) AS sum_absdiff_cents, "
+    "CAST(2 * sum((2 * rn - n - 1) * c) AS DOUBLE) / "
+    "(max(n) * (max(n) - 1)) AS gmd_cents FROM r GROUP BY event_type"
+)
+
+
+@register("gini_mean_difference_by_type", _GMD_SQL)
+def gini_mean_difference_by_type(sf_dir: str):
+    """Exact Gini mean difference (mean |x_i - x_j| over all pairs) of
+    value per event type WITHOUT the quadratic pair join: the fact scan
+    folds distinct (type, cents) multiplicities map-side, one coarse
+    cents-bucket exchange combines them, and the driver finishes over
+    the distinct-value domain - a value v with multiplicity m and p
+    smaller samples contributes v*m*(2p + m - n), from one prefix sum
+    over the sorted domain.  All int64 (guarded)."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def vpartial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        c = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        key = pd.MultiIndex.from_arrays([et, c])
+        codes, uniq = pd.factorize(key)
+        cnt = np.bincount(codes).astype(np.int64)
+        ets = np.array([u[0] for u in uniq], dtype=object)
+        cs = np.array([u[1] for u in uniq], dtype=np.int64)
+        return pa.table({
+            "event_type": pa.array(list(ets), pa.string()),
+            "c": pa.array(cs), "m": pa.array(cnt),
+            "__b": pa.array(cs & 255),
+        })
+
+    def vcombine(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        key = pd.MultiIndex.from_arrays([et, c])
+        codes, uniq = pd.factorize(key)
+        m = np.zeros(len(uniq), np.int64)
+        np.add.at(m, codes, g["m"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_type": pa.array([u[0] for u in uniq], pa.string()),
+            "c": pa.array(
+                np.array([u[1] for u in uniq], np.int64)
+            ),
+            "m": pa.array(m),
+        })
+
+    dom = (
+        ev.map_batches(vpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(vcombine, batch_format="pyarrow")
+        .materialize()  # bounded by the distinct (type, cents) domain
+    )
+    parts = [t for t in map(ray.get, dom.to_arrow_refs()) if t.num_rows]
+    dt = pa.concat_tables(parts)
+    assert dt.num_rows <= 5_000_000, "value domain exceeds driver guard"
+    et = dt["event_type"].to_numpy(zero_copy_only=False)
+    c = dt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = dt["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tcodes, tuniq = pd.factorize(et)
+    out_t, out_n, out_s = [], [], []
+    for ti, tname in enumerate(tuniq):
+        sel = tcodes == ti
+        cv, mv = c[sel], m[sel]
+        o = np.argsort(cv, kind="stable")
+        cv, mv = cv[o], mv[o]
+        n = int(mv.sum())
+        p = np.concatenate(([0], np.cumsum(mv)[:-1]))
+        _guard_int64_products(
+            [int(np.abs(cv).max()) * n * n], "gini_mean_difference"
+        )
+        s = 2 * int((cv * mv * (2 * p + mv - n)).sum())
+        out_t.append(str(tname))
+        out_n.append(n)
+        out_s.append(s)
+    out_n = np.asarray(out_n, np.int64)
+    out_s = np.asarray(out_s, np.int64)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "n": pa.array(out_n),
+        "sum_absdiff_cents": pa.array(out_s),
+        "gmd_cents": pa.array(
+            out_s.astype(np.float64) / (out_n * (out_n - 1))
+        ),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Fano factor (burstiness) of hourly event counts per type
+# ---------------------------------------------------------------------------
+
+_FANO_SQL = (
+    # variance/mean of per-hour counts on the GLOBAL gap-filled grid:
+    # zero hours contribute only to n_hours, so integer moments over
+    # the nonzero cells + the global hour count are sufficient
+    "WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h "
+    "FROM events), "
+    "r AS (SELECT max(h) - min(h) + 1 AS n_hours FROM b), "
+    "c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c "
+    "FROM b GROUP BY 1, 2) "
+    "SELECT event_type, (SELECT n_hours FROM r) AS n_hours, "
+    "CAST(sum(c) AS BIGINT) AS sum_c, "
+    "CAST(sum(c * c) AS BIGINT) AS ssq_c, "
+    "CAST((SELECT n_hours FROM r) * sum(c * c) - sum(c) * sum(c) "
+    "AS DOUBLE) / ((SELECT n_hours FROM r) * sum(c)) AS fano "
+    "FROM c GROUP BY event_type"
+)
+
+
+@register("fano_factor_by_type", _FANO_SQL)
+def fano_factor_by_type(sf_dir: str):
+    """Burstiness probe: Fano factor (variance-to-mean ratio) of hourly
+    arrival counts per event type - ~1 for Poisson traffic, >1 for
+    bursty bots.  One (type, hour) count exchange bounded by
+    |types| x time-range; moments are exact integers, the ratio one
+    double division (n*ssq - s^2 guarded)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        h = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64) // 3_600_000_000
+        )
+        key = pd.MultiIndex.from_arrays([et, h])
+        codes, uniq = pd.factorize(key)
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array([u[0] for u in uniq], pa.string()),
+            "h": pa.array(np.array([u[1] for u in uniq], np.int64)),
+            "c": pa.array(cnt),
+        })
+
+    cells = (
+        ev.map_batches(hpartial, batch_format="pyarrow")
+        .groupby(["event_type", "h"], num_partitions=8)
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # bounded: |types| x hours
+    )
+    parts = [t for t in map(ray.get, cells.to_arrow_refs()) if t.num_rows]
+    ct = pa.concat_tables(parts)
+    import pandas as pd
+
+    et = ct["event_type"].to_numpy(zero_copy_only=False)
+    h = ct["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = ct["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_hours = int(h.max() - h.min() + 1)
+    codes, uniq = pd.factorize(et)
+    s = np.zeros(len(uniq), np.int64)
+    q = np.zeros(len(uniq), np.int64)
+    np.add.at(s, codes, c)
+    np.add.at(q, codes, c * c)
+    _guard_int64_products(
+        [n_hours * int(q.max()), int(s.max()) ** 2], "fano_factor_by_type"
+    )
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array([str(u) for u in uniq], pa.string()),
+        "n_hours": pa.array(np.full(len(uniq), n_hours, np.int64)),
+        "sum_c": pa.array(s),
+        "ssq_c": pa.array(q),
+        "fano": pa.array(
+            (n_hours * q - s * s).astype(np.float64)
+            / (np.float64(n_hours) * s)
+        ),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level language mixing through the real langid stage
+# ---------------------------------------------------------------------------
+
+_PARAMIX_SQL = (
+    # planted: each doc carries 3 paragraphs drawn by doc_id arithmetic
+    # from the fixed python/go/markdown snippets; the distinct-language
+    # count is therefore exactly expressible
+    "SELECT doc_id, CAST(len(list_distinct([CAST(doc_id % 3 AS INTEGER), "
+    "CAST((doc_id // 3) % 3 AS INTEGER), "
+    "CAST((doc_id // 9) % 3 AS INTEGER)])) AS BIGINT) AS n_langs "
+    "FROM documents"
+)
+
+
+@register("paragraph_lang_mix_docs", _PARAMIX_SQL)
+def paragraph_lang_mix_docs(sf_dir: str):
+    """Paragraph-level language mixing: every doc is split into
+    paragraphs, EACH paragraph runs through the real langid actor path,
+    and the per-doc distinct-language count comes back from a
+    doc-bucket combine - the mixed-language-document filter of a
+    multilingual corpus pipeline (planted snippets keep the verdict
+    SQL-expressible, as in langid_docs)."""
+    def plant(b: pa.Table) -> pa.Table:
+        ids = np.repeat(
+            b["doc_id"].to_numpy(zero_copy_only=False), 3
+        ).astype(np.int64)
+        sel = np.empty(len(ids), np.int64)
+        sel[0::3] = ids[0::3] % 3
+        sel[1::3] = (ids[1::3] // 3) % 3
+        sel[2::3] = (ids[2::3] // 9) % 3
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "content": pa.array(
+                [_LANGID_SNIPPETS[int(k)] for k in sel], pa.string()
+            ),
+        })
+
+    def ndistinct(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        lg = g["langid"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": ids, "langid": lg})
+        out = df.groupby("doc_id")["langid"].nunique()
+        return pa.table({
+            "doc_id": pa.array(out.index.to_numpy(np.int64)),
+            "n_langs": pa.array(out.to_numpy(np.int64)),
+        })
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("__b", pc.bit_wise_and(b["doc_id"], 15))
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(_langid_task, batch_format="pyarrow")
+        .select_columns(["doc_id", "langid"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(ndistinct, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-k events per user (last-K ring-buffer semantics)
+# ---------------------------------------------------------------------------
+
+_LATEST3_SQL = (
+    "SELECT user_id, event_id, epoch_us(ts) AS t_us FROM ("
+    "SELECT user_id, event_id, ts, row_number() OVER (PARTITION BY "
+    "user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+    "WHERE rn <= 3"
+)
+
+
+@register("user_latest3_events", _LATEST3_SQL)
+def user_latest3_events(sf_dir: str):
+    """Last-3 events per user - the bounded ring-buffer / session-recap
+    primitive.  Block-local top-3 per user (one lexsort per block)
+    enter the exchange, a coarse user-bucket combine re-selects the
+    global top-3, ties broken by event_id descending on both sides.
+    The exchange carries <= 3 rows per (user, block)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def top3(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        t = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        o = np.lexsort((-e, -t, u))
+        us, es, ts_ = u[o], e[o], t[o]
+        pos = np.ones(len(us), np.int64)
+        # rank within user run: position since run start
+        starts = np.flatnonzero(
+            np.concatenate(([True], us[1:] != us[:-1]))
+        )
+        run_id = np.cumsum(
+            np.concatenate(([0], (us[1:] != us[:-1]).astype(np.int64)))
+        )
+        pos = np.arange(len(us)) - starts[run_id]
+        keep = pos < 3
+        return pa.table({
+            "user_id": pa.array(us[keep].astype(np.int64)),
+            "event_id": pa.array(es[keep].astype(np.int64)),
+            "t_us": pa.array(ts_[keep]),
+            "__b": pa.array(us[keep].astype(np.int64) & 15),
+        })
+
+    def recombine(g: pa.Table) -> pa.Table:
+        sub = pa.table({
+            "user_id": g["user_id"], "event_id": g["event_id"],
+            "ts": g["t_us"].cast(pa.timestamp("us")),
+        })
+        out = top3(sub)
+        return out.drop_columns(["__b"])
+
+    return (
+        ev.map_batches(top3, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(recombine, batch_format="pyarrow")
+    )
