@@ -16643,3 +16643,378 @@ def user_latest3_events(sf_dir: str):
         .groupby("__b", num_partitions=16)
         .map_groups(recombine, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-join cardinality estimate without executing the join
+# ---------------------------------------------------------------------------
+
+_JOINSIZE_SQL = (
+    "WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT CAST(sum(c * c) AS BIGINT) AS join_rows, "
+    "CAST(count(*) AS BIGINT) AS n_keys, "
+    "CAST(max(c) AS BIGINT) AS max_key_mult FROM c"
+)
+
+
+@register("join_size_estimate", _JOINSIZE_SQL)
+def join_size_estimate(sf_dir: str):
+    """Planner statistic: the EXACT cardinality of the lineitem
+    self-equi-join on l_partkey (sum of squared key multiplicities)
+    plus key count and worst-key multiplicity - computed from the
+    count-vector exchange alone, never materializing a single joined
+    row.  The pre-flight skew/size check before committing to a
+    shuffle join (pairs with join_skew_diagnostic)."""
+    import pandas as pd
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+    )
+
+    def cpartial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(pk)
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.table({
+            "k": pa.array(uniq.astype(np.int64)), "c": pa.array(cnt),
+            "__b": pa.array(uniq.astype(np.int64) & 63),
+        })
+
+    def ccombine(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        c = np.zeros(len(uniq), np.int64)
+        np.add.at(c, inv, g["c"].to_numpy(zero_copy_only=False))
+        _guard_int64_products(
+            [int(c.max()) ** 2 * len(c)], "join_size_estimate"
+        )
+        return pa.table({
+            "join_rows": pa.array([int((c * c).sum())], pa.int64()),
+            "n_keys": pa.array([len(c)], pa.int64()),
+            "max_key_mult": pa.array([int(c.max())], pa.int64()),
+        })
+
+    tot = (
+        li.map_batches(cpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(ccombine, batch_format="pyarrow")
+        .aggregate(
+            Sum("join_rows", alias_name="join_rows"),
+            Sum("n_keys", alias_name="n_keys"),
+            Max("max_key_mult", alias_name="max_key_mult"),
+        )
+    )
+    return ray.data.from_arrow(pa.table({
+        "join_rows": pa.array([int(tot["join_rows"])], pa.int64()),
+        "n_keys": pa.array([int(tot["n_keys"])], pa.int64()),
+        "max_key_mult": pa.array([int(tot["max_key_mult"])], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Range-partition planning: sampled boundaries + achieved band counts
+# ---------------------------------------------------------------------------
+
+_RANGEPLAN_SQL = (
+    # sample = md5(orderkey) % 20 == 0 (the deterministic-uniform
+    # idiom); boundaries = sample order-value cents at 1-based ranks
+    "WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c "
+    "FROM orders WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS "
+    "VARCHAR)), 1, 13)) AS BIGINT) % 20 = 0), "
+    "r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn, "
+    "count(*) OVER () AS n FROM s), "
+    "b AS (SELECT max(CASE WHEN rn = (n + 3) // 4 THEN c END) AS b1, "
+    "max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS b2, "
+    "max(CASE WHEN rn = (3 * n + 3) // 4 THEN c END) AS b3 FROM r), "
+    "f AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c "
+    "FROM orders) "
+    "SELECT CAST(band AS BIGINT) AS band, CAST(lo_cents AS BIGINT) AS lo_cents, "
+    "CAST(n_rows AS BIGINT) AS n_rows FROM ("
+    "SELECT 0 AS band, -1 AS lo_cents, "
+    "(SELECT count(*) FROM f, b WHERE c < b1) AS n_rows "
+    "UNION ALL SELECT 1, (SELECT b1 FROM b), "
+    "(SELECT count(*) FROM f, b WHERE c >= b1 AND c < b2) "
+    "UNION ALL SELECT 2, (SELECT b2 FROM b), "
+    "(SELECT count(*) FROM f, b WHERE c >= b2 AND c < b3) "
+    "UNION ALL SELECT 3, (SELECT b3 FROM b), "
+    "(SELECT count(*) FROM f, b WHERE c >= b3))"
+)
+
+
+@register("range_partition_plan", _RANGEPLAN_SQL)
+def range_partition_plan(sf_dir: str):
+    """Range-partitioner planning (what ds.sort does internally, made
+    explicit and auditable): a deterministic hash sample of the fact,
+    exact quartile boundaries of the sample, then one full scan folding
+    achieved per-band counts - the skew audit run before a range
+    repartition.  The sample is 1/20 of keys (guarded driver
+    collection; at petabyte scale the divisor deepens - the plan needs
+    only thousands of sample points)."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def sample(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_pylist()
+        keep = np.array([
+            int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16) % 20
+            == 0
+            for k in ok
+        ])
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"c": pa.array(cents[keep])})
+
+    samp = orders.map_batches(sample, batch_format="pyarrow").materialize()
+    parts = [t for t in map(ray.get, samp.to_arrow_refs()) if t.num_rows]
+    sc = np.sort(
+        pa.concat_tables(parts)["c"].to_numpy(zero_copy_only=False)
+    )
+    assert len(sc) <= 5_000_000, "sample exceeds driver guard"
+    n = len(sc)
+    b1 = int(sc[(n + 3) // 4 - 1])
+    b2 = int(sc[(n + 1) // 2 - 1])
+    b3 = int(sc[(3 * n + 3) // 4 - 1])
+    ref = ray.put((b1, b2, b3))
+
+    def bands(b: pa.Table) -> pa.Table:
+        x1, x2, x3 = ray.get(ref)
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        band = (
+            (cents >= x1).astype(np.int64)
+            + (cents >= x2)
+            + (cents >= x3)
+        )
+        cnt = np.bincount(band, minlength=4).astype(np.int64)
+        return pa.table({
+            "band": pa.array(np.arange(4, dtype=np.int64)),
+            "n_rows": pa.array(cnt),
+        })
+
+    tot = (
+        orders.map_batches(bands, batch_format="pyarrow")
+        .groupby("band", num_partitions=4)
+        .aggregate(Sum("n_rows", alias_name="n_rows"))
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, tot.to_arrow_refs()) if t.num_rows]
+    bt = pa.concat_tables(parts)
+    bands_ = bt["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = np.zeros(4, np.int64)
+    rows[bands_] = bt["n_rows"].to_numpy(zero_copy_only=False)
+    return ray.data.from_arrow(pa.table({
+        "band": pa.array(np.arange(4, dtype=np.int64)),
+        "lo_cents": pa.array(np.array([-1, b1, b2, b3], np.int64)),
+        "n_rows": pa.array(rows),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-duplicate detection (truncated-copy dedup)
+# ---------------------------------------------------------------------------
+
+_PREFIXDUP_SQL = (
+    # planted: id%25==7 carries the full template, id%25==8 its 40-char
+    # prefix (shared j = id//25 selects the same k); the oracle
+    # self-joins the MODIFIED text with starts_with
+    "WITH t AS (SELECT doc_id, CASE CAST(doc_id % 25 AS INTEGER) "
+    "WHEN 7 THEN 'PFXDOC ' || CAST((doc_id // 25) % 8 AS VARCHAR) || "
+    "' ' || repeat('x y z ', 30) "
+    "WHEN 8 THEN substr('PFXDOC ' || CAST((doc_id // 25) % 8 AS "
+    "VARCHAR) || ' ' || repeat('x y z ', 30), 1, 40) "
+    "ELSE text END AS t2 FROM documents) "
+    "SELECT DISTINCT a.doc_id FROM t a JOIN t b ON a.doc_id <> b.doc_id "
+    "AND length(a.t2) < length(b.t2) AND starts_with(b.t2, a.t2)"
+)
+
+
+@register("prefix_dup_docs", _PREFIXDUP_SQL)
+def prefix_dup_docs(sf_dir: str):
+    """Truncated-copy detection: documents whose ENTIRE text is a
+    strict prefix of another document (the partial-crawl / cut-off
+    duplicate class exact dedup misses).  No pair join: docs block on
+    their first-16-char hash (sound because every doc is longer than
+    16 chars - asserted - so a prefix and its extension share the
+    block), and within a block the sorted-order property gives the
+    answer from ADJACENT unique strings only: if x is a prefix of any
+    member, its immediate distinct successor also extends x."""
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, txt):
+            m = i % 25
+            if m in (7, 8):
+                base = f"PFXDOC {(i // 25) % 8} " + "x y z " * 30
+                out.append(base if m == 7 else base[:40])
+            else:
+                out.append(t or "")
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "t2": pa.array(out, pa.string()),
+        })
+
+    def add_block(b: pa.Table) -> pa.Table:
+        t2 = b["t2"].to_pylist()
+        assert all(len(t) >= 16 for t in t2), (
+            "prefix blocking requires every doc longer than the block key"
+        )
+        blk = np.array([
+            int(hashlib.md5(t[:16].encode()).hexdigest()[:8], 16) & 63
+            for t in t2
+        ], np.int64)
+        return b.append_column("__b", pa.array(blk))
+
+    def find(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        txt = np.array(g["t2"].to_pylist(), dtype=object)
+        uniq = np.unique(txt.astype(str))
+        is_pref = {
+            u: (i + 1 < len(uniq) and uniq[i + 1].startswith(u))
+            for i, u in enumerate(uniq)
+        }
+        keep = np.array([is_pref[t] for t in txt.astype(str)], bool)
+        return pa.table({
+            "doc_id": pa.array(np.sort(ids[keep]).astype(np.int64)),
+        })
+
+    res = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(add_block, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(find, batch_format="pyarrow")
+    )
+    return _schema_safe(res, pa.schema([("doc_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Nation-to-nation trade volume matrix (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = (
+    "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+    "CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS revenue_cents "
+    "FROM lineitem l "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation ns ON ns.n_nationkey = s.s_nationkey "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation nc ON nc.n_nationkey = c.c_nationkey "
+    "GROUP BY 1, 2"
+)
+
+
+@register("nation_trade_matrix", _Q7_SQL)
+def nation_trade_matrix(sf_dir: str):
+    """TPC-H Q7 shape: revenue between every (supplier nation, customer
+    nation) pair.  Dimensions (supplier->nation, customer->nation)
+    broadcast once; the ONLY shuffle is the fact-fact hash join
+    lineitem⋈orders on the order key, with lineitem pre-collapsed to
+    (orderkey, supp_nation) grain map-side so the exchange carries
+    partial sums, not items; the 25x25 pair matrix folds after."""
+    import pandas as pd
+    from ..functions.joins import hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nname = dict(zip(
+        nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()
+    ))
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk)
+    snat = np.array([
+        nname[int(k)] for k in
+        supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    ], dtype=object)
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    co = np.argsort(ck)
+    cnat = np.array([
+        nname[int(k)] for k in
+        cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    ], dtype=object)
+    ref = ray.put((sk[so], snat[so], ck[co], cnat[co]))
+
+    def lpartial(b: pa.Table) -> pa.Table:
+        skeys, snames, _, _ = ray.get(ref)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        sup = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        sn = snames[np.searchsorted(skeys, sup)]
+        key = pd.MultiIndex.from_arrays([ok, sn])
+        codes, uniq = pd.factorize(key)
+        cnt = np.bincount(codes).astype(np.int64)
+        rev = np.zeros(len(uniq), np.int64)
+        np.add.at(rev, codes, cents)
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.array([u[0] for u in uniq], np.int64)
+            ),
+            "supp_nation": pa.array(
+                [u[1] for u in uniq], pa.string()
+            ),
+            "n_items": pa.array(cnt),
+            "revenue_cents": pa.array(rev),
+        })
+
+    def otag(b: pa.Table) -> pa.Table:
+        _, _, ckeys, cnames = ray.get(ref)
+        cu = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "cust_nation": pa.array(
+                list(cnames[np.searchsorted(ckeys, cu)]), pa.string()
+            ),
+        })
+
+    lpart = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(lpartial, batch_format="pyarrow")
+    otagged = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(otag, batch_format="pyarrow")
+    joined = hash_join(
+        lpart, otagged, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=16,
+    )
+
+    def pairfold(b: pa.Table) -> pa.Table:
+        sn = b["supp_nation"].to_numpy(zero_copy_only=False)
+        cn = b["cust_nation"].to_numpy(zero_copy_only=False)
+        key = pd.MultiIndex.from_arrays([sn, cn])
+        codes, uniq = pd.factorize(key)
+        n = np.zeros(len(uniq), np.int64)
+        r = np.zeros(len(uniq), np.int64)
+        np.add.at(n, codes, b["n_items"].to_numpy(zero_copy_only=False))
+        np.add.at(
+            r, codes, b["revenue_cents"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({
+            "supp_nation": pa.array([u[0] for u in uniq], pa.string()),
+            "cust_nation": pa.array([u[1] for u in uniq], pa.string()),
+            "n_items": pa.array(n),
+            "revenue_cents": pa.array(r),
+        })
+
+    return (
+        joined.map_batches(pairfold, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation"], num_partitions=8)
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
