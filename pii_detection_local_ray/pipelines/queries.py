@@ -17018,3 +17018,271 @@ def nation_trade_matrix(sf_dir: str):
             Sum("revenue_cents", alias_name="revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-shipment orders by priority (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(count(*) FILTER (late) AS BIGINT) AS n_late FROM ("
+    "SELECT o.o_orderpriority, max(l.l_shipdate) > o.o_orderdate + "
+    "INTERVAL 90 DAY AS late FROM orders o JOIN lineitem l "
+    "ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate) GROUP BY 1"
+)
+
+
+@register("order_priority_late_ship", _Q4_SQL)
+def order_priority_late_ship(sf_dir: str):
+    """TPC-H Q4 shape: per order priority, how many orders shipped any
+    item more than 90 days after the order date.  The EXISTS collapses
+    to an order-grain max-shipdate (map-side partials + coarse-bucket
+    combine - never a per-orderkey aggregate); one fact-fact hash join
+    meets orders, and the |priorities|-row fold finishes."""
+    import pandas as pd
+    from ..functions.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def mpartial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        t = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        codes, uniq = pd.factorize(ok)
+        mx = np.full(len(uniq), np.int64(-(2**62)))
+        np.maximum.at(mx, codes, t)
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64)),
+            "max_ship_us": pa.array(mx),
+            "__b": pa.array(uniq.astype(np.int64) & 63),
+        })
+
+    def mcombine(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uniq), np.int64(-(2**62)))
+        np.maximum.at(
+            mx, inv, g["max_ship_us"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64)),
+            "max_ship_us": pa.array(mx),
+        })
+
+    omax = (
+        li.map_batches(mpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=8)
+        .map_groups(mcombine, batch_format="pyarrow")
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = hash_join(
+        omax, orders, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=8,
+    )
+    NINETY_DAYS_US = 90 * 86_400_000_000
+
+    def pfold(b: pa.Table) -> pa.Table:
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        od = (
+            b["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        late = (
+            b["max_ship_us"].to_numpy(zero_copy_only=False)
+            > od + NINETY_DAYS_US
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(pr)
+        n = np.bincount(codes).astype(np.int64)
+        nl = np.zeros(len(uniq), np.int64)
+        np.add.at(nl, codes, late)
+        return pa.table({
+            "o_orderpriority": pa.array(list(uniq), pa.string()),
+            "n_orders": pa.array(n), "n_late": pa.array(nl),
+        })
+
+    import pandas as pd
+
+    folded = joined.map_batches(
+        pfold, batch_format="pyarrow"
+    ).materialize()  # bounded: <= |priorities| rows per block
+    parts = [t for t in map(ray.get, folded.to_arrow_refs()) if t.num_rows]
+    ft = pa.concat_tables(parts)
+    pr = ft["o_orderpriority"].to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(pr)
+    n = np.zeros(len(uniq), np.int64)
+    nl = np.zeros(len(uniq), np.int64)
+    np.add.at(n, codes, ft["n_orders"].to_numpy(zero_copy_only=False))
+    np.add.at(nl, codes, ft["n_late"].to_numpy(zero_copy_only=False))
+    return ray.data.from_arrow(pa.table({
+        "o_orderpriority": pa.array([str(u) for u in uniq], pa.string()),
+        "n_orders": pa.array(n), "n_late": pa.array(nl),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive multi-arm predicate revenue (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = (
+    # revenue in cent-hundredths: price cents x (100 - discount
+    # hundredths) keeps the discounted product an exact integer
+    "SELECT CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "AS revenue_c100 "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 "
+    "AND l.l_quantity BETWEEN 1 AND 20) "
+    "OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30 "
+    "AND l.l_quantity BETWEEN 10 AND 35) "
+    "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50 "
+    "AND l.l_quantity BETWEEN 20 AND 50)"
+)
+
+
+@register("q19_disjunctive_revenue", _Q19_SQL)
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: discounted revenue under three OR'd
+    (brand, size-band, quantity-band) predicate arms.  The part
+    dimension broadcasts its (brand-code, size) columns once; each arm
+    evaluates as a vectorized mask on the fact scan; discounted revenue
+    stays an exact integer (cents x discount-hundredths)."""
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    po = np.argsort(pk)
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)[po]
+    size = part["p_size"].to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )[po]
+    ref = ray.put((pk[po], brand, size))
+
+    def arms(b: pa.Table) -> pa.Table:
+        keys, br, sz = ray.get(ref)
+        fpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, fpk)
+        fbr, fsz = br[idx], sz[idx]
+        q = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.round(
+            b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        m = (
+            ((fbr == "Brand#3") & (fsz >= 1) & (fsz <= 15)
+             & (q >= 1) & (q <= 20))
+            | ((fbr == "Brand#13") & (fsz >= 10) & (fsz <= 30)
+               & (q >= 10) & (q <= 35))
+            | ((fbr == "Brand#23") & (fsz >= 20) & (fsz <= 50)
+               & (q >= 20) & (q <= 50))
+        )
+        rev = cents[m] * (100 - disc[m])
+        return pa.table({
+            "n_items": pa.array([int(m.sum())], pa.int64()),
+            "revenue_c100": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    tot = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(arms, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_c100", alias_name="revenue_c100"),
+        )
+    )
+    return ray.data.from_arrow(pa.table({
+        "n_items": pa.array([int(tot["n_items"])], pa.int64()),
+        "revenue_c100": pa.array([int(tot["revenue_c100"])], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# k-NN label agreement over embeddings (label-noise audit)
+# ---------------------------------------------------------------------------
+
+_KNN_AGREE_SQL = (
+    # exact int64 dot products on floor(x*1e7) fixed point; top-5 by
+    # (score DESC, neighbor id ASC); agreement = neighbors sharing the
+    # anchor's label
+    "WITH v AS (SELECT vec_id, label, "
+    "unnest(generate_series(1, 64)) AS i, "
+    "CAST(floor(CAST(embedding[CAST(unnest(generate_series(1, 64)) "
+    "AS INTEGER)] AS DOUBLE) * 1e7) AS BIGINT) AS xfp FROM embeddings), "
+    "s AS (SELECT a.vec_id AS qa, b.vec_id AS qb, "
+    "CAST(sum(a.xfp * b.xfp) AS BIGINT) AS score "
+    "FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id "
+    "GROUP BY 1, 2), "
+    "r AS (SELECT qa, qb, row_number() OVER (PARTITION BY qa "
+    "ORDER BY score DESC, qb) AS rn FROM s), "
+    "lab AS (SELECT vec_id, label FROM embeddings) "
+    "SELECT r.qa AS vec_id, CAST(sum(CASE WHEN lb.label = la.label "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_agree "
+    "FROM r JOIN lab la ON la.vec_id = r.qa "
+    "JOIN lab lb ON lb.vec_id = r.qb WHERE r.rn <= 5 GROUP BY r.qa"
+)
+
+
+@register("knn_label_agreement", _KNN_AGREE_SQL)
+def knn_label_agreement(sf_dir: str):
+    """Label-noise audit: for every embedding, how many of its 5
+    nearest neighbors (exact int64 fixed-point inner product - no
+    float summation-order hazard) share its label.  The vector matrix
+    broadcasts once via ray.put; each batch computes its block of the
+    Gram matrix with one integer matmul and selects top-5 row-wise -
+    the all-pairs sibling of knn_top5's query-set search (at corpus
+    scale the broadcast side is the ANN index, not the raw matrix)."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = emb["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mfp = np.floor(
+        pc.list_flatten(emb["embedding"]).to_numpy(zero_copy_only=False)
+        .astype(np.float64) * 1e7
+    ).astype(np.int64).reshape(len(ids), -1)
+    o = np.argsort(ids)
+    ids, labels, mfp = ids[o], labels[o], mfp[o]
+    _guard_int64_products(
+        [int(np.abs(mfp).max()) ** 2 * mfp.shape[1]], "knn_label_agreement"
+    )
+    ref = ray.put((ids, labels, mfp))
+
+    def agree(b: pa.Table) -> pa.Table:
+        aid, alab, am = ray.get(ref)
+        q = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = np.floor(
+            pc.list_flatten(b["embedding"]).to_numpy(zero_copy_only=False)
+            .astype(np.float64) * 1e7
+        ).astype(np.int64).reshape(len(q), -1)
+        scores = qm @ am.T
+        self_pos = np.searchsorted(aid, q)
+        scores[np.arange(len(q)), self_pos] = np.int64(-(2**62))
+        # top-5 by (score DESC, id ASC): ids are pre-sorted ascending,
+        # stable mergesort on -score preserves id order within ties
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :5]
+        agree_n = (alab[top] == lab[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(q), "n_agree": pa.array(agree_n),
+        })
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .map_batches(agree, batch_format="pyarrow")
+    )
