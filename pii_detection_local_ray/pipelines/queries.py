@@ -17286,3 +17286,418 @@ def knn_label_agreement(sf_dir: str):
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
         .map_batches(agree, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-based TF-IDF: top terms per language (BERTopic-style c-TF-IDF)
+# ---------------------------------------------------------------------------
+
+_CTFIDF_SQL = (
+    "WITH d AS (SELECT lang, list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents), "
+    "nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n FROM d), "
+    "ex AS (SELECT lang, unnest(ws) AS w FROM d), "
+    "tf AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS tf FROM ex "
+    "GROUP BY 1, 2), "
+    "dfs AS (SELECT w, CAST(count(DISTINCT lang) AS BIGINT) AS df "
+    "FROM ex GROUP BY w), "
+    "sc AS (SELECT tf.lang, tf.w AS term, tf.tf * CAST(floor(1e6 * "
+    "ln(CAST((SELECT n FROM nl) AS DOUBLE) / df) + 0.5) AS BIGINT) "
+    "AS score_fp FROM tf JOIN dfs USING (w)), "
+    "rk AS (SELECT lang, term, score_fp, row_number() OVER (PARTITION "
+    "BY lang ORDER BY score_fp DESC, term) AS rank FROM sc) "
+    "SELECT lang, term, score_fp, CAST(rank AS BIGINT) AS rank "
+    "FROM rk WHERE rank <= 5"
+)
+
+
+@register("ctfidf_top_terms_per_lang", _CTFIDF_SQL)
+def ctfidf_top_terms_per_lang(sf_dir: str):
+    """Class-based TF-IDF (the BERTopic topic-labeling statistic): the
+    5 most characteristic terms per language, scored tf_class x
+    ln(N_classes / class-df).  The (lang, word) exchange buckets by
+    WORD hash so every word's class-df resolves inside one bucket;
+    each bucket emits its per-lang top-5 candidates and the tiny
+    candidate pool re-ranks driver-side."""
+    import pandas as pd
+    from ..functions.dsir import _tokenize
+
+    docs = _docs(sf_dir, ["lang", "text"])
+    n_langs = len(
+        _docs(sf_dir, ["lang"])
+        .groupby("lang", num_partitions=2).count().take_all()
+    )
+
+    def tfpartial(b: pa.Table) -> pa.Table:
+        langs, words = [], []
+        for lg, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            for w in _tokenize(t or ""):
+                langs.append(lg)
+                words.append(w)
+        key = pd.MultiIndex.from_arrays([langs, words])
+        codes, uniq = pd.factorize(key)
+        cnt = np.bincount(codes).astype(np.int64)
+        ws = [u[1] for u in uniq]
+        blk = np.array([
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & 63
+            for w in ws
+        ], np.int64)
+        return pa.table({
+            "lang": pa.array([u[0] for u in uniq], pa.string()),
+            "w": pa.array(ws, pa.string()),
+            "tf": pa.array(cnt),
+            "__b": pa.array(blk),
+        })
+
+    def score_top(g: pa.Table) -> pa.Table:
+        lg = g["lang"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        key = pd.MultiIndex.from_arrays([lg, w])
+        codes, uniq = pd.factorize(key)
+        tf = np.zeros(len(uniq), np.int64)
+        np.add.at(tf, codes, g["tf"].to_numpy(zero_copy_only=False))
+        ul = np.array([u[0] for u in uniq], dtype=object)
+        uw = np.array([u[1] for u in uniq], dtype=object)
+        wcodes, wuniq = pd.factorize(uw)
+        df = np.zeros(len(wuniq), np.int64)
+        np.add.at(df, wcodes, 1)  # each (lang, word) is distinct here
+        idf_fp = np.floor(
+            1e6 * np.log(np.float64(n_langs) / df.astype(np.float64))
+            + 0.5
+        ).astype(np.int64)
+        score = tf * idf_fp[wcodes]
+        out = []
+        for lang in np.unique(ul.astype(str)):
+            sel = np.flatnonzero(ul == lang)
+            order = sel[np.lexsort((uw[sel].astype(str), -score[sel]))]
+            out.append((lang, order[:5]))
+        langs = [lg_ for lg_, idxs in out for _ in idxs]
+        idx = np.concatenate([idxs for _, idxs in out]) if out else (
+            np.array([], np.int64)
+        )
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "term": pa.array(list(uw[idx].astype(str)), pa.string()),
+            "score_fp": pa.array(score[idx]),
+        })
+
+    cand = (
+        docs.map_batches(tfpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(score_top, batch_format="pyarrow")
+        .materialize()  # <= 5 langs x 5 terms x 64 buckets
+    )
+    parts = [t for t in map(ray.get, cand.to_arrow_refs()) if t.num_rows]
+    ct = pa.concat_tables(parts)
+    lg = ct["lang"].to_numpy(zero_copy_only=False).astype(str)
+    tm = ct["term"].to_numpy(zero_copy_only=False).astype(str)
+    sc = ct["score_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = {"lang": [], "term": [], "score_fp": [], "rank": []}
+    for lang in np.unique(lg):
+        sel = np.flatnonzero(lg == lang)
+        order = sel[np.lexsort((tm[sel], -sc[sel]))][:5]
+        for r, i in enumerate(order, 1):
+            rows["lang"].append(lang)
+            rows["term"].append(tm[i])
+            rows["score_fp"].append(int(sc[i]))
+            rows["rank"].append(r)
+    return ray.data.from_arrow(pa.table({
+        "lang": pa.array(rows["lang"], pa.string()),
+        "term": pa.array(rows["term"], pa.string()),
+        "score_fp": pa.array(rows["score_fp"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings accounting: duplicate tokens per source
+# ---------------------------------------------------------------------------
+
+_DEDUP_SAVINGS_SQL = (
+    "WITH t AS (SELECT doc_id, source, md5(text) AS h, "
+    "CAST(len(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS tok FROM documents), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) "
+    "AS rn FROM t) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dup_docs, "
+    "CAST(sum(CASE WHEN rn > 1 THEN tok ELSE 0 END) AS BIGINT) "
+    "AS dup_tokens FROM r GROUP BY source"
+)
+
+
+@register("dedup_token_savings_by_source", _DEDUP_SAVINGS_SQL)
+def dedup_token_savings_by_source(sf_dir: str):
+    """Dedup savings report: per source, how many documents and tokens
+    exact dedup (keep lowest doc_id per content hash) would remove -
+    the accounting pass a training-data pipeline publishes next to the
+    dedup itself.  Only (hash, doc_id, source, token-count) rows enter
+    the exchange - content never shuffles (exact_dedup_docs invariant);
+    losers fold to per-source partials inside each hash bucket."""
+    import pandas as pd
+    from ..functions.dsir import _tokenize
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_pylist()
+        h = [hashlib.md5((t or "").encode()).hexdigest() for t in txt]
+        tok = np.array(
+            [len(_tokenize(t or "")) for t in txt], np.int64
+        )
+        blk = np.array([int(x[:8], 16) & 63 for x in h], np.int64)
+        return pa.table({
+            "h": pa.array(h, pa.string()),
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "source": pa.array(src, pa.string()),
+            "tok": pa.array(tok),
+            "__b": pa.array(blk),
+        })
+
+    def savings(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        src = g["source"].to_numpy(zero_copy_only=False)
+        tok = g["tok"].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(h)
+        keeper = np.zeros(codes.max() + 1, np.int64)
+        np.ndarray.fill(keeper, np.int64(2**62))
+        np.minimum.at(keeper, codes, ids)
+        dup = ids != keeper[codes]
+        scodes, suniq = pd.factorize(src)
+        n = np.bincount(scodes).astype(np.int64)
+        nd = np.zeros(len(suniq), np.int64)
+        dt = np.zeros(len(suniq), np.int64)
+        np.add.at(nd, scodes, dup.astype(np.int64))
+        np.add.at(dt, scodes, np.where(dup, tok, 0))
+        return pa.table({
+            "source": pa.array(list(suniq), pa.string()),
+            "n_docs": pa.array(n),
+            "n_dup_docs": pa.array(nd),
+            "dup_tokens": pa.array(dt),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(hpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(savings, batch_format="pyarrow")
+        .groupby("source", num_partitions=4)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dup_docs", alias_name="n_dup_docs"),
+            Sum("dup_tokens", alias_name="dup_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-bigram diversity ratio per source (distinct-n, Li et al.)
+# ---------------------------------------------------------------------------
+
+_DISTINCT2_SQL = (
+    "WITH d AS (SELECT source, list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM documents), "
+    "e AS (SELECT source, ws[CAST(i AS INTEGER)] || ' ' || "
+    "ws[CAST(i AS INTEGER) + 1] AS bg FROM (SELECT source, ws, "
+    "unnest(generate_series(1, len(ws) - 1)) AS i FROM d "
+    "WHERE len(ws) >= 2)) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct, "
+    "CAST(count(DISTINCT bg) AS DOUBLE) / count(*) AS distinct_ratio "
+    "FROM e GROUP BY source"
+)
+
+
+@register("distinct_bigram_ratio_by_source", _DISTINCT2_SQL)
+def distinct_bigram_ratio_by_source(sf_dir: str):
+    """Generation-diversity metric distinct-2 (Li et al. 2016) per
+    source: distinct word bigrams / total word bigrams.  Total counts
+    fold as |sources|-row partials with no shuffle; distinct counts
+    ship only block-locally-deduped (source, bigram) pairs, bucketed by
+    bigram hash so the global distinct resolves per bucket - posting
+    lists never materialize (the vocab-Jaccard/hapax exchange shape)."""
+    import pandas as pd
+    from ..functions.dsir import _tokenize
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def bpartial(b: pa.Table) -> pa.Table:
+        srcs, bgs = [], []
+        tot: dict = {}
+        for s, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            ws = _tokenize(t or "")
+            tot[s] = tot.get(s, 0) + max(0, len(ws) - 1)
+            for a, c in zip(ws, ws[1:]):
+                srcs.append(s)
+                bgs.append(a + " " + c)
+        key = pd.MultiIndex.from_arrays([srcs, bgs])
+        _, uniq = pd.factorize(key)
+        us = [u[0] for u in uniq]
+        ub = [u[1] for u in uniq]
+        blk = np.array([
+            int(hashlib.md5(x.encode()).hexdigest()[:8], 16) & 63
+            for x in ub
+        ], np.int64)
+        pairs = pa.table({
+            "source": pa.array(us, pa.string()),
+            "bg": pa.array(ub, pa.string()),
+            "__b": pa.array(blk),
+            "n_total": pa.array(np.zeros(len(us), np.int64)),
+        })
+        totals = pa.table({
+            "source": pa.array(list(tot.keys()), pa.string()),
+            "bg": pa.array([""] * len(tot), pa.string()),
+            "__b": pa.array(np.full(len(tot), 64, np.int64)),
+            "n_total": pa.array(
+                np.array(list(tot.values()), np.int64)
+            ),
+        })
+        return pa.concat_tables([pairs, totals])
+
+    def bcombine(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = g["source"].to_numpy(zero_copy_only=False)
+        if int(g["__b"][0].as_py()) == 64:  # totals bucket
+            codes, uniq = pd.factorize(src)
+            nt = np.zeros(len(uniq), np.int64)
+            np.add.at(
+                nt, codes, g["n_total"].to_numpy(zero_copy_only=False)
+            )
+            return pa.table({
+                "source": pa.array(list(uniq), pa.string()),
+                "n_bigrams": pa.array(nt),
+                "n_distinct": pa.array(np.zeros(len(uniq), np.int64)),
+            })
+        bg = g["bg"].to_numpy(zero_copy_only=False)
+        key = pd.MultiIndex.from_arrays([src, bg])
+        _, uniq = pd.factorize(key)
+        us = np.array([u[0] for u in uniq], dtype=object)
+        scodes, suniq = pd.factorize(us)
+        nd = np.bincount(scodes).astype(np.int64)
+        return pa.table({
+            "source": pa.array(list(suniq), pa.string()),
+            "n_bigrams": pa.array(np.zeros(len(suniq), np.int64)),
+            "n_distinct": pa.array(nd),
+        })
+
+    per = (
+        docs.map_batches(bpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(bcombine, batch_format="pyarrow")
+        .groupby("source", num_partitions=4)
+        .aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("n_distinct", alias_name="n_distinct"),
+        )
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, per.to_arrow_refs()) if t.num_rows]
+    pt = pa.concat_tables(parts)
+    nb = pt["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nd = pt["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "source": pt["source"],
+        "n_bigrams": pa.array(nb),
+        "n_distinct": pa.array(nd),
+        "distinct_ratio": pa.array(nd.astype(np.float64) / nb),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Embedding split drift per label (train/holdout centroid distance)
+# ---------------------------------------------------------------------------
+
+_SPLITDRIFT_SQL = (
+    # per (label, dim) integer sums/counts for the even/odd vec_id
+    # halves; per-dim centroid gap quantized floor(100 * (sA/nA -
+    # sB/nB)) - each division correctly rounded, so both engines
+    # quantize identically - then an exact int64 sum of squares
+    "WITH v AS (SELECT vec_id, label, "
+    "unnest(generate_series(1, 64)) AS i, "
+    "CAST(floor(CAST(embedding[CAST(unnest(generate_series(1, 64)) "
+    "AS INTEGER)] AS DOUBLE) * 1e7) AS BIGINT) AS xfp FROM embeddings), "
+    "m AS (SELECT label, i, "
+    "CAST(count(*) FILTER (vec_id % 2 = 0) AS BIGINT) AS na, "
+    "CAST(sum(xfp) FILTER (vec_id % 2 = 0) AS BIGINT) AS sa, "
+    "CAST(count(*) FILTER (vec_id % 2 = 1) AS BIGINT) AS nb, "
+    "CAST(sum(xfp) FILTER (vec_id % 2 = 1) AS BIGINT) AS sb "
+    "FROM v GROUP BY 1, 2), "
+    "q AS (SELECT label, CAST(floor(100.0 * (CAST(sa AS DOUBLE) / na "
+    "- CAST(sb AS DOUBLE) / nb)) AS BIGINT) AS dq FROM m) "
+    "SELECT CAST(label AS BIGINT) AS label, "
+    "CAST(sum(dq * dq) AS BIGINT) AS dist2_q FROM q GROUP BY label"
+)
+
+
+@register("embedding_split_drift_by_label", _SPLITDRIFT_SQL)
+def embedding_split_drift_by_label(sf_dir: str):
+    """Train/holdout drift audit: squared centroid distance between the
+    even- and odd-id halves of every label's embeddings (should be
+    near zero when the split is unbiased).  One bounded (label, dim)
+    moment exchange (<= |labels| x 64 rows); the centroid gap
+    quantizes to int64 before squaring so the final sum is exact."""
+    import pandas as pd
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def mpartial(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.floor(
+            pc.list_flatten(b["embedding"]).to_numpy(zero_copy_only=False)
+            .astype(np.float64) * 1e7
+        ).astype(np.int64).reshape(len(ids), -1)
+        even = ids % 2 == 0
+        codes, uniq = pd.factorize(lab)
+        k, d = len(uniq), m.shape[1]
+        na = np.zeros(k, np.int64)
+        nb = np.zeros(k, np.int64)
+        np.add.at(na, codes, even.astype(np.int64))
+        np.add.at(nb, codes, (~even).astype(np.int64))
+        sa = np.zeros((k, d), np.int64)
+        sb = np.zeros((k, d), np.int64)
+        np.add.at(sa, codes[even], m[even])
+        np.add.at(sb, codes[~even], m[~even])
+        lab_col = np.repeat(uniq.astype(np.int64), d)
+        dim_col = np.tile(np.arange(1, d + 1, dtype=np.int64), k)
+        return pa.table({
+            "label": pa.array(lab_col),
+            "i": pa.array(dim_col),
+            "na": pa.array(np.repeat(na, d)),
+            "sa": pa.array(sa.ravel()),
+            "nb": pa.array(np.repeat(nb, d)),
+            "sb": pa.array(sb.ravel()),
+        })
+
+    mom = (
+        emb.map_batches(mpartial, batch_format="pyarrow")
+        .groupby(["label", "i"], num_partitions=4)
+        .aggregate(
+            Sum("na", alias_name="na"), Sum("sa", alias_name="sa"),
+            Sum("nb", alias_name="nb"), Sum("sb", alias_name="sb"),
+        )
+        .materialize()  # bounded: |labels| x 64 rows
+    )
+    parts = [t for t in map(ray.get, mom.to_arrow_refs()) if t.num_rows]
+    mt = pa.concat_tables(parts)
+    lab = mt["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    na = mt["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sa = mt["sa"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = mt["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sb = mt["sb"].to_numpy(zero_copy_only=False).astype(np.int64)
+    assert (na > 0).all() and (nb > 0).all(), "empty split half"
+    dq = np.floor(
+        100.0 * (sa.astype(np.float64) / na - sb.astype(np.float64) / nb)
+    ).astype(np.int64)
+    _guard_int64_products(
+        [int(np.abs(dq).max()) ** 2 * 64], "embedding_split_drift"
+    )
+    uniq, inv = np.unique(lab, return_inverse=True)
+    d2 = np.zeros(len(uniq), np.int64)
+    np.add.at(d2, inv, dq * dq)
+    return ray.data.from_arrow(pa.table({
+        "label": pa.array(uniq), "dist2_q": pa.array(d2),
+    }))
