@@ -17701,3 +17701,299 @@ def embedding_split_drift_by_label(sf_dir: str):
     return ray.data.from_arrow(pa.table({
         "label": pa.array(uniq), "dist2_q": pa.array(d2),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy words with an exact verification pass
+# ---------------------------------------------------------------------------
+
+_MG_SQL = (
+    "WITH ex AS (SELECT unnest(list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS w FROM documents), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex) "
+    "SELECT w AS word, CAST(count(*) AS BIGINT) AS n_word FROM ex "
+    "GROUP BY w HAVING count(*) * 33 > (SELECT n FROM n)"
+)
+
+
+@register("mg_heavy_words_verified", _MG_SQL)
+def mg_heavy_words_verified(sf_dir: str):
+    """Sketch-then-verify heavy hitters: every block runs a 32-counter
+    Misra-Gries summary over its words (fixed memory, any vocabulary);
+    the UNION of block candidates provably contains every word with
+    global frequency > n/33 (pigeonhole: such a word is block-heavy in
+    at least one block, and MG retains all block-heavy items), so one
+    exact counting pass over the broadcast candidate set finishes with
+    zero false negatives and the HAVING filter removes false
+    positives.  The fixed-memory scale path behind heavy_hitter_sources'
+    exact counts."""
+    from ..functions.dsir import _tokenize
+
+    K = 32
+    docs = _docs(sf_dir, ["text"])
+
+    def mg_block(b: pa.Table) -> pa.Table:
+        counters: dict = {}
+        for t in b["text"].to_pylist():
+            for w in _tokenize(t or ""):
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < K:
+                    counters[w] = 1
+                else:
+                    dead = [k for k, v in counters.items() if v == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        return pa.table({
+            "word": pa.array(sorted(counters), pa.string()),
+        })
+
+    cand_ds = docs.map_batches(mg_block, batch_format="pyarrow").materialize()
+    parts = [t for t in map(ray.get, cand_ds.to_arrow_refs()) if t.num_rows]
+    cands = sorted({
+        w for t in parts for w in t["word"].to_pylist()
+    })
+    assert len(cands) <= 100_000, "candidate union exceeds guard"
+    ref = ray.put(set(cands))
+
+    def verify(b: pa.Table) -> pa.Table:
+        keep = ray.get(ref)
+        local: dict = {}
+        n = 0
+        for t in b["text"].to_pylist():
+            for w in _tokenize(t or ""):
+                n += 1
+                if w in keep:
+                    local[w] = local.get(w, 0) + 1
+        words = sorted(local)
+        return pa.table({
+            "word": pa.array(words + ["\x00total"], pa.string()),
+            "n_word": pa.array(
+                [local[w] for w in words] + [n], pa.int64()
+            ),
+        })
+
+    counts = (
+        docs.map_batches(verify, batch_format="pyarrow")
+        .groupby("word", num_partitions=4)
+        .aggregate(Sum("n_word", alias_name="n_word"))
+        .materialize()  # bounded: <= candidates + 1 rows
+    )
+    parts = [t for t in map(ray.get, counts.to_arrow_refs()) if t.num_rows]
+    ct = pa.concat_tables(parts)
+    words = ct["word"].to_numpy(zero_copy_only=False).astype(str)
+    nw = ct["n_word"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(nw[words == "\x00total"][0])
+    m = (words != "\x00total") & (nw * 33 > total)
+    order = np.argsort(words[m])
+    return ray.data.from_arrow(pa.table({
+        "word": pa.array(list(words[m][order]), pa.string()),
+        "n_word": pa.array(nw[m][order]),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Farthest-point (k-center greedy) coreset selection over embeddings
+# ---------------------------------------------------------------------------
+
+def _kcenter_sql(k: int = 5) -> str:
+    # pair squared-L2 table in exact int64 fixed point, MATERIALIZED
+    # once; each greedy round picks the point maximizing its min
+    # distance to the chosen set (ties -> smaller vec_id)
+    parts = [
+        "WITH v AS MATERIALIZED (SELECT vec_id, "
+        "unnest(generate_series(1, 64)) AS i, "
+        "CAST(floor(CAST(embedding[CAST(unnest(generate_series(1, 64)) "
+        "AS INTEGER)] AS DOUBLE) * 1e7) AS BIGINT) AS xfp "
+        "FROM embeddings), "
+        "p AS MATERIALIZED (SELECT a.vec_id AS qa, b.vec_id AS qb, "
+        "CAST(sum((a.xfp - b.xfp) * (a.xfp - b.xfp)) AS BIGINT) AS d2 "
+        "FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id "
+        "GROUP BY 1, 2), "
+        "c0 AS (SELECT min(vec_id) AS vid FROM embeddings)"
+    ]
+    for r in range(1, k):
+        chosen = " UNION ALL ".join(
+            f"SELECT vid FROM c{j}" for j in range(r)
+        )
+        parts.append(
+            f", ch{r} AS ({chosen})"
+            f", md{r} AS (SELECT qa, min(d2) AS mind FROM p "
+            f"WHERE qb IN (SELECT vid FROM ch{r}) "
+            f"AND qa NOT IN (SELECT vid FROM ch{r}) GROUP BY qa)"
+            f", c{r} AS (SELECT qa AS vid FROM md{r} "
+            f"ORDER BY mind DESC, qa LIMIT 1)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {j} AS sel_round, vid FROM c{j}" for j in range(k)
+    )
+    return (
+        "".join(parts)
+        + f" SELECT CAST(sel_round AS BIGINT) AS sel_round, "
+        f"CAST(vid AS BIGINT) AS vec_id FROM ({sel})"
+    )
+
+
+@register("kcenter_embeddings", _kcenter_sql())
+def kcenter_embeddings(sf_dir: str):
+    """Farthest-point sampling (greedy k-center, the coreset /
+    diverse-subset selector): 5 rounds, each broadcasting the chosen
+    vectors and scanning the corpus once for the point with the
+    maximum min-distance (exact int64 squared L2; ties to the smaller
+    id) - block-local argmax partials, global pick at the driver.
+    O(k) passes, never a pairwise matrix on the Ray side (the oracle
+    materializes pairs only because SQL lacks the streaming argmax)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def to_fp(b: pa.Table):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.floor(
+            pc.list_flatten(b["embedding"]).to_numpy(zero_copy_only=False)
+            .astype(np.float64) * 1e7
+        ).astype(np.int64).reshape(len(ids), -1)
+        return ids, m
+
+    first = int(emb.min("vec_id"))
+    chosen_ids = [first]
+
+    def fetch_vec(target_ids):
+        refs = []
+
+        def grab(b: pa.Table) -> pa.Table:
+            ids, m = to_fp(b)
+            mask = np.isin(ids, target_ids)
+            return pa.table({
+                "vec_id": pa.array(ids[mask]),
+                "v": pa.array(list(m[mask]), pa.list_(pa.int64())),
+            })
+
+        got = emb.map_batches(grab, batch_format="pyarrow").take_all()
+        return {r["vec_id"]: np.array(r["v"], np.int64) for r in got}
+
+    vecs = fetch_vec(np.array(chosen_ids))
+    sel_rounds = [0]
+    for r in range(1, 5):
+        cm = np.stack([vecs[i] for i in chosen_ids])
+        ref = ray.put((np.array(chosen_ids, np.int64), cm))
+
+        def far(b: pa.Table) -> pa.Table:
+            cid, cmat = ray.get(ref)
+            ids, m = to_fp(b)
+            keep = ~np.isin(ids, cid)
+            ids, m = ids[keep], m[keep]
+            if not len(ids):
+                return pa.table({
+                    "vec_id": pa.array([], pa.int64()),
+                    "mind": pa.array([], pa.int64()),
+                })
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                - 2 * (m @ cmat.T)
+                + (cmat * cmat).sum(axis=1)[None, :]
+            )
+            mind = d2.min(axis=1)
+            best = np.lexsort((ids, -mind))[0]
+            return pa.table({
+                "vec_id": pa.array([int(ids[best])], pa.int64()),
+                "mind": pa.array([int(mind[best])], pa.int64()),
+            })
+
+        cands = emb.map_batches(far, batch_format="pyarrow").take_all()
+        cands.sort(key=lambda x: (-x["mind"], x["vec_id"]))
+        nxt = int(cands[0]["vec_id"])
+        chosen_ids.append(nxt)
+        sel_rounds.append(r)
+        vecs.update(fetch_vec(np.array([nxt])))
+    return ray.data.from_arrow(pa.table({
+        "sel_round": pa.array(sel_rounds, pa.int64()),
+        "vec_id": pa.array(chosen_ids, pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral predictability: transition conditional entropy
+# ---------------------------------------------------------------------------
+
+_TRANS_ENT_SQL = (
+    # H = sum_ij (c_ij/n) ln(c_i/c_ij): shipped as exact integers
+    # n_trans and ent_fp = sum c_ij * floor(1e9 * ln(c_i/c_ij))
+    "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), "
+    "c AS (SELECT user_id, event_type AS i, nxt AS j, "
+    "CAST(count(*) AS BIGINT) AS cij FROM o WHERE nxt IS NOT NULL "
+    "GROUP BY 1, 2, 3), "
+    "ci AS (SELECT user_id, i, CAST(sum(cij) AS BIGINT) AS ci FROM c "
+    "GROUP BY 1, 2) "
+    "SELECT c.user_id, CAST(sum(cij) AS BIGINT) AS n_trans, "
+    "CAST(sum(cij * CAST(floor(1e9 * ln(CAST(ci.ci AS DOUBLE) / cij)) "
+    "AS BIGINT)) AS BIGINT) AS ent_fp "
+    "FROM c JOIN ci ON ci.user_id = c.user_id AND ci.i = c.i "
+    "GROUP BY c.user_id"
+)
+
+
+@register("user_transition_entropy", _TRANS_ENT_SQL)
+def user_transition_entropy(sf_dir: str):
+    """Behavioral predictability score: conditional entropy of each
+    user's event-type transition chain (0 = fully scripted bot, high =
+    diverse organic use).  One coarse user-bucket exchange; inside a
+    bucket a single lexsort yields every user's bigram counts, and the
+    entropy folds in order-free int64 fixed point (lnfp of an integer
+    ratio, the geomean/char-entropy idiom)."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("__b", pc.bit_wise_and(b["user_id"], 15))
+
+    def ent(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        t = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        ty = g["event_type"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((e, t, u))
+        u, ty = u[o], ty[o]
+        same = u[1:] == u[:-1]
+        uu, ti, tj = u[:-1][same], ty[:-1][same], ty[1:][same]
+        key = pd.MultiIndex.from_arrays([uu, ti, tj])
+        codes, uniq = pd.factorize(key)
+        cij = np.bincount(codes).astype(np.int64)
+        ku = np.array([x[0] for x in uniq], np.int64)
+        # row-marginal key as a MultiIndex, NOT a joined string:
+        # pd.factorize on object strings truncates at an embedded NUL
+        # (C-string hashing), silently merging distinct keys
+        icodes, _ = pd.factorize(pd.MultiIndex.from_arrays([
+            ku, np.array([x[1] for x in uniq], dtype=object),
+        ]))
+        ci = np.zeros(icodes.max() + 1, np.int64)
+        np.add.at(ci, icodes, cij)
+        lnfp = np.floor(
+            1e9 * np.log(
+                ci[icodes].astype(np.float64) / cij.astype(np.float64)
+            )
+        ).astype(np.int64)
+        ucodes, uuniq = pd.factorize(ku)
+        n = np.zeros(len(uuniq), np.int64)
+        s = np.zeros(len(uuniq), np.int64)
+        np.add.at(n, ucodes, cij)
+        np.add.at(s, ucodes, cij * lnfp)
+        return pa.table({
+            "user_id": pa.array(uuniq.astype(np.int64)),
+            "n_trans": pa.array(n),
+            "ent_fp": pa.array(s),
+        })
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(ent, batch_format="pyarrow")
+    )
