@@ -17997,3 +17997,226 @@ def user_transition_entropy(sf_dir: str):
         .groupby("__b", num_partitions=16)
         .map_groups(ent, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-24h p95 of event value per hour (SRE latency-style percentile)
+# ---------------------------------------------------------------------------
+
+_T24P95_SQL = (
+    # exact rank selection: p95 = smallest cents whose cumulative count
+    # within the trailing 24 whole hours reaches ceil(0.95 * n)
+    "WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h, "
+    "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+    "r AS (SELECT min(h) AS h0, max(h) AS h1 FROM b), "
+    "grid AS (SELECT unnest(generate_series((SELECT h0 FROM r) + 23, "
+    "(SELECT h1 FROM r))) AS h), "
+    "w AS (SELECT g.h, b.c FROM grid g JOIN b ON b.h "
+    "BETWEEN g.h - 23 AND g.h), "
+    "n AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY h), "
+    "cum AS (SELECT h, c, count(*) AS cnt FROM w GROUP BY h, c), "
+    "cc AS (SELECT h, c, sum(cnt) OVER (PARTITION BY h ORDER BY c) "
+    "AS rc FROM cum) "
+    "SELECT CAST(cc.h AS BIGINT) AS h, CAST(min(c) AS BIGINT) "
+    "AS p95_cents FROM cc JOIN n USING (h) "
+    "WHERE rc >= (n.n * 95 + 99) // 100 GROUP BY cc.h"
+)
+
+
+@register("trailing24h_p95_value", _T24P95_SQL)
+def trailing24h_p95_value(sf_dir: str):
+    """Rolling operational percentile: exact p95 of event value over
+    the trailing 24 hours, one row per whole hour.  The fact scan folds
+    (hour, cents) multiplicities map-side into one bounded exchange
+    (time-range x distinct-value domain, guarded); the driver then
+    slides the 24-hour window with one np.partition rank selection per
+    output hour - events are never re-scanned per window and never
+    joined 24x as the SQL mirror must."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        h = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64) // 3_600_000_000
+        )
+        c = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        key = pd.MultiIndex.from_arrays([h, c])
+        codes, uniq = pd.factorize(key)
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.table({
+            "h": pa.array(np.array([u[0] for u in uniq], np.int64)),
+            "c": pa.array(np.array([u[1] for u in uniq], np.int64)),
+            "cnt": pa.array(cnt),
+        })
+
+    cells = (
+        ev.map_batches(hpartial, batch_format="pyarrow")
+        .groupby(["h", "c"], num_partitions=8)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # bounded: hours x distinct cents
+    )
+    parts = [t for t in map(ray.get, cells.to_arrow_refs()) if t.num_rows]
+    ct = pa.concat_tables(parts)
+    assert ct.num_rows <= 5_000_000, "hour-value domain exceeds guard"
+    h = ct["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = ct["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = ct["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h0, h1 = int(h.min()), int(h.max())
+    per_hour = {
+        hh: np.repeat(c[h == hh], cnt[h == hh]) for hh in np.unique(h)
+    }
+    out_h, out_p = [], []
+    for hh in range(h0 + 23, h1 + 1):
+        vals = np.concatenate([
+            per_hour[k] for k in range(hh - 23, hh + 1) if k in per_hour
+        ]) if any(k in per_hour for k in range(hh - 23, hh + 1)) else None
+        if vals is None or not len(vals):
+            continue
+        k = (len(vals) * 95 + 99) // 100 - 1
+        out_h.append(hh)
+        out_p.append(int(np.partition(vals, k)[k]))
+    return ray.data.from_arrow(pa.table({
+        "h": pa.array(out_h, pa.int64()),
+        "p95_cents": pa.array(out_p, pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer budget: characters per token by language
+# ---------------------------------------------------------------------------
+
+_CPT_SQL = (
+    "SELECT lang, CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+    "CAST(sum(len(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens, "
+    "CAST(sum(length(text)) AS DOUBLE) / "
+    "sum(len(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> len(x) > 0))) AS chars_per_token "
+    "FROM documents GROUP BY lang"
+)
+
+
+@register("chars_per_token_by_lang", _CPT_SQL)
+def chars_per_token_by_lang(sf_dir: str):
+    """Tokenizer fertility/budget planning: characters per token by
+    language (the statistic that sizes context windows and per-language
+    token costs).  Zero-shuffle |langs|-row partials, one tiny
+    exchange, single double division."""
+    import pandas as pd
+    from ..functions.dsir import _tokenize
+
+    def partial(b: pa.Table) -> pa.Table:
+        lg = b["lang"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_pylist()
+        nc = np.array([len(t or "") for t in txt], np.int64)
+        nt = np.array([len(_tokenize(t or "")) for t in txt], np.int64)
+        codes, uniq = pd.factorize(lg)
+        sc = np.zeros(len(uniq), np.int64)
+        st = np.zeros(len(uniq), np.int64)
+        np.add.at(sc, codes, nc)
+        np.add.at(st, codes, nt)
+        return pa.table({
+            "lang": pa.array(list(uniq), pa.string()),
+            "n_chars": pa.array(sc), "n_tokens": pa.array(st),
+        })
+
+    agg = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang", num_partitions=4)
+        .aggregate(
+            Sum("n_chars", alias_name="n_chars"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    nc = at["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nt = at["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "lang": at["lang"],
+        "n_chars": pa.array(nc),
+        "n_tokens": pa.array(nt),
+        "chars_per_token": pa.array(nc.astype(np.float64) / nt),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation planner per event type (stratified sampling design)
+# ---------------------------------------------------------------------------
+
+_NEYMAN_SQL = (
+    # N_h * sigma_h = sqrt(n*ssq - s^2) exactly (population variance
+    # cancellation), so the allocation numerator is ONE sqrt of an
+    # exact int64 - no cross-row float sums anywhere
+    "WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT) * "
+    "CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssq "
+    "FROM events GROUP BY event_type) "
+    "SELECT event_type, n, CAST(n * ssq - s * s AS BIGINT) AS var_num, "
+    "sqrt(CAST(n * ssq - s * s AS DOUBLE)) AS alloc_num FROM m"
+)
+
+
+@register("neyman_allocation_by_type", _NEYMAN_SQL)
+def neyman_allocation_by_type(sf_dir: str):
+    """Stratified-sampling design: the Neyman allocation numerator
+    N_h*sigma_h per event type, via the identity N*sigma =
+    sqrt(N*SSQ - S^2) - one IEEE sqrt of an exact integer, so both
+    engines agree bitwise.  Map-side integer moments, |types|-row
+    exchange; the consumer normalizes numerators into sample shares."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def mpartial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        c = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(et)
+        n = np.bincount(codes).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        q = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, c)
+        np.add.at(q, codes, c * c)
+        return pa.table({
+            "event_type": pa.array(list(uniq), pa.string()),
+            "n": pa.array(n), "s": pa.array(s), "ssq": pa.array(q),
+        })
+
+    agg = (
+        ev.map_batches(mpartial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("ssq", alias_name="ssq"),
+        )
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    n = at["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = at["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q = at["ssq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _guard_int64_products(
+        [int(n.max()) * int(q.max()), int(np.abs(s).max()) ** 2],
+        "neyman_allocation_by_type",
+    )
+    var_num = n * q - s * s
+    return ray.data.from_arrow(pa.table({
+        "event_type": at["event_type"],
+        "n": pa.array(n),
+        "var_num": pa.array(var_num),
+        "alloc_num": pa.array(np.sqrt(var_num.astype(np.float64))),
+    }))
