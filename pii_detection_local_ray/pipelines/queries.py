@@ -18220,3 +18220,268 @@ def neyman_allocation_by_type(sf_dir: str):
         "var_num": pa.array(var_num),
         "alloc_num": pa.array(np.sqrt(var_num.astype(np.float64))),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths from a source host (Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+
+def _bellman_sql(rounds: int = 8) -> str:
+    # directed planted graph on the capped id space (scale-invariant):
+    # src = i%30, dst = (i//30)%30, weight 1 + i%7, parallel edges keep
+    # the min weight; one MATERIALIZED relax round per CTE pair
+    parts = [
+        "WITH ids AS MATERIALIZED (SELECT doc_id % 500 AS i "
+        "FROM documents), "
+        "e AS MATERIALIZED (SELECT i % 30 AS src, (i // 30) % 30 AS dst, "
+        "CAST(min(1 + i % 7) AS BIGINT) AS w FROM ids "
+        "WHERE i % 30 <> (i // 30) % 30 GROUP BY 1, 2), "
+        "d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) "
+        "AS dist)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT node, CAST(min(dist) AS "
+            f"BIGINT) AS dist FROM ("
+            f"SELECT e.dst AS node, d.dist + e.w AS dist "
+            f"FROM e JOIN d{r-1} d ON d.node = e.src "
+            f"UNION ALL SELECT node, dist FROM d{r-1}) GROUP BY node)"
+        )
+    parts.append(
+        f" SELECT node, dist FROM d{rounds} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+@register("host_shortest_paths", _bellman_sql())
+def host_shortest_paths(sf_dir: str):
+    """Weighted single-source shortest paths over the planted 30-host
+    graph: Bellman-Ford relaxation rounds (the weighted sibling of
+    host_bfs_depths).  The distinct-min-weight edge exchange is
+    distributed; relaxation then iterates over the node-dimension-
+    bounded edge table with convergence asserted inside the oracle's
+    unrolled round budget - at web scale each round is the
+    dist⋈edges hash join + min-groupby the PageRank query already
+    runs distributed."""
+    import pandas as pd
+
+    def plant(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False) % 500
+        src, dst, w = i % 30, (i // 30) % 30, 1 + i % 7
+        m = src != dst
+        return pa.table({
+            "src": pa.array(src[m].astype(np.int64)),
+            "dst": pa.array(dst[m].astype(np.int64)),
+            "w": pa.array(w[m].astype(np.int64)),
+        })
+
+    edges = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .groupby(["src", "dst"], num_partitions=4)
+        .aggregate(Min("w", alias_name="w"))
+        .materialize()  # bounded: <= 870 directed edges on 30 hosts
+    )
+    parts = [t for t in map(ray.get, edges.to_arrow_refs()) if t.num_rows]
+    et = pa.concat_tables(parts)
+    src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = et["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    INF = np.int64(2**62)
+    dist = np.full(30, INF)
+    dist[0] = 0
+    ROUNDS = 8
+    for r in range(ROUNDS):
+        relax = dist[src] + np.where(dist[src] >= INF, 0, w)
+        nd = dist.copy()
+        np.minimum.at(nd, dst, np.where(dist[src] >= INF, INF, relax))
+        if (nd == dist).all():
+            break
+        dist = nd
+    else:
+        raise AssertionError(
+            "Bellman-Ford did not converge within the oracle round budget"
+        )
+    reach = np.flatnonzero(dist < INF)
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(reach.astype(np.int64)),
+        "dist": pa.array(dist[reach]),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator on hash cohorts
+# ---------------------------------------------------------------------------
+
+_DID_SQL = (
+    # cohort = md5 parity, period = before/after the exact midpoint of
+    # the event time range; y = purchase value cents.  The estimate is
+    # four correctly-rounded divisions combined left-to-right - both
+    # engines evaluate the identical double expression
+    "WITH r AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 "
+    "FROM events), "
+    "p AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+    "1, 13)) AS BIGINT) % 2 AS grp, "
+    "CASE WHEN epoch_us(ts) * 2 >= (SELECT t0 + t1 FROM r) THEN 1 "
+    "ELSE 0 END AS period, "
+    "CAST(round(value * 100) AS BIGINT) AS c FROM events "
+    "WHERE event_type = 'purchase'), "
+    "m AS (SELECT CAST(sum(CASE WHEN grp = 0 AND period = 0 THEN 1 "
+    "ELSE 0 END) AS BIGINT) AS na1, CAST(sum(CASE WHEN grp = 0 AND "
+    "period = 0 THEN c ELSE 0 END) AS BIGINT) AS sa1, "
+    "CAST(sum(CASE WHEN grp = 0 AND period = 1 THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS na2, CAST(sum(CASE WHEN grp = 0 AND period = 1 THEN c "
+    "ELSE 0 END) AS BIGINT) AS sa2, "
+    "CAST(sum(CASE WHEN grp = 1 AND period = 0 THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS nb1, CAST(sum(CASE WHEN grp = 1 AND period = 0 THEN c "
+    "ELSE 0 END) AS BIGINT) AS sb1, "
+    "CAST(sum(CASE WHEN grp = 1 AND period = 1 THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS nb2, CAST(sum(CASE WHEN grp = 1 AND period = 1 THEN c "
+    "ELSE 0 END) AS BIGINT) AS sb2 FROM p) "
+    "SELECT na1, sa1, na2, sa2, nb1, sb1, nb2, sb2, "
+    "CAST(sa2 AS DOUBLE) / na2 - CAST(sa1 AS DOUBLE) / na1 "
+    "- CAST(sb2 AS DOUBLE) / nb2 + CAST(sb1 AS DOUBLE) / nb1 "
+    "AS did_cents FROM m"
+)
+
+
+@register("did_estimator", _DID_SQL)
+def did_estimator(sf_dir: str):
+    """Difference-in-differences: change in mean purchase value across
+    the time midpoint, treatment vs control cohort (md5 parity) - the
+    quasi-experimental effect estimator.  One scan folds the eight
+    integer cells (map-side partials, single combine); the estimate is
+    four exact divisions combined in a fixed order."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+    mm = ev.map_batches(
+        lambda b: pa.table({
+            "t": pa.array(
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").view(np.int64)
+            ),
+        }),
+        batch_format="pyarrow",
+    ).aggregate(Min("t", alias_name="t0"), Max("t", alias_name="t1"))
+    t0t1 = int(mm["t0"]) + int(mm["t1"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        isp = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        u = b["user_id"].to_numpy(zero_copy_only=False)[isp]
+        t = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)[isp]
+        )
+        c = np.round(
+            b["value"].to_numpy(zero_copy_only=False)[isp] * 100.0
+        ).astype(np.int64)
+        grp = np.array([
+            int(hashlib.md5(str(x).encode()).hexdigest()[:13], 16) % 2
+            for x in u
+        ], np.int64)
+        period = (t * 2 >= t0t1).astype(np.int64)
+        cell = grp * 2 + period
+        n = np.bincount(cell, minlength=4).astype(np.int64)
+        s = np.zeros(4, np.int64)
+        np.add.at(s, cell, c)
+        return pa.table({
+            "na1": pa.array([n[0]]), "sa1": pa.array([s[0]]),
+            "na2": pa.array([n[1]]), "sa2": pa.array([s[1]]),
+            "nb1": pa.array([n[2]]), "sb1": pa.array([s[2]]),
+            "nb2": pa.array([n[3]]), "sb2": pa.array([s[3]]),
+        })
+
+    tot = ev.map_batches(cells, batch_format="pyarrow").aggregate(
+        *[Sum(k, alias_name=k) for k in (
+            "na1", "sa1", "na2", "sa2", "nb1", "sb1", "nb2", "sb2"
+        )]
+    )
+    v = {k: int(tot[k]) for k in (
+        "na1", "sa1", "na2", "sa2", "nb1", "sb1", "nb2", "sb2"
+    )}
+    did = (
+        v["sa2"] / v["na2"] - v["sa1"] / v["na1"]
+        - v["sb2"] / v["nb2"] + v["sb1"] / v["nb1"]
+    )
+    cols = {k: pa.array([v[k]], pa.int64()) for k in v}
+    cols["did_cents"] = pa.array([did], pa.float64())
+    return ray.data.from_arrow(pa.table(cols))
+
+
+# ---------------------------------------------------------------------------
+# Filter-funnel yield per source (cumulative rule survival)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_YIELD_SQL = (
+    "WITH f AS (SELECT source, "
+    "CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS r1, "
+    "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> len(x) > 0)) AS nt, length(text) AS nc, "
+    "1 + length(text) - length(replace(text, chr(10), '')) AS nl "
+    "FROM documents), "
+    "g AS (SELECT source, r1, CASE WHEN r1 = 1 AND nt > 0 AND "
+    "nc <= 12 * nt THEN 1 ELSE 0 END AS r12, "
+    "CASE WHEN r1 = 1 AND nt > 0 AND nc <= 12 * nt AND nl < 40 "
+    "THEN 1 ELSE 0 END AS r123 FROM f) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(r1) AS BIGINT) AS pass_len, "
+    "CAST(sum(r12) AS BIGINT) AS pass_len_density, "
+    "CAST(sum(r123) AS BIGINT) AS pass_all "
+    "FROM g GROUP BY source"
+)
+
+
+@register("filter_funnel_by_source", _FUNNEL_YIELD_SQL)
+def filter_funnel_by_source(sf_dir: str):
+    """Quality-filter yield accounting: per source, survival through
+    the cumulative rule chain (min length -> chars-per-token density
+    -> line-count cap) - the report a corpus pipeline publishes to
+    explain where each source's data went.  Zero shuffle: vectorized
+    rule masks fold to |sources|-row partials, one tiny exchange."""
+    import pandas as pd
+    from ..functions.dsir import _tokenize
+
+    def rules(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_pylist()
+        nc = np.array([len(t or "") for t in txt], np.int64)
+        nt = np.array([len(_tokenize(t or "")) for t in txt], np.int64)
+        nl = np.array(
+            [1 + (t or "").count("\n") for t in txt], np.int64
+        )
+        r1 = nc >= 200
+        r12 = r1 & (nt > 0) & (nc <= 12 * nt)
+        r123 = r12 & (nl < 40)
+        codes, uniq = pd.factorize(src)
+        n = np.bincount(codes).astype(np.int64)
+        out = {}
+        for name, mask in (
+            ("pass_len", r1), ("pass_len_density", r12),
+            ("pass_all", r123),
+        ):
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, codes, mask.astype(np.int64))
+            out[name] = acc
+        return pa.table({
+            "source": pa.array(list(uniq), pa.string()),
+            "n_docs": pa.array(n),
+            "pass_len": pa.array(out["pass_len"]),
+            "pass_len_density": pa.array(out["pass_len_density"]),
+            "pass_all": pa.array(out["pass_all"]),
+        })
+
+    return (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(rules, batch_format="pyarrow")
+        .groupby("source", num_partitions=4)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("pass_len", alias_name="pass_len"),
+            Sum("pass_len_density", alias_name="pass_len_density"),
+            Sum("pass_all", alias_name="pass_all"),
+        )
+    )
