@@ -18485,3 +18485,300 @@ def filter_funnel_by_source(sf_dir: str):
             Sum("pass_all", alias_name="pass_all"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier curve: time to second purchase with right censoring
+# ---------------------------------------------------------------------------
+
+_KM_SQL = (
+    # ln S(t) = sum over event days <= t of ln((n_risk - d)/n_risk) in
+    # int64 fixed point; days where every at-risk subject fails are
+    # excluded on both sides (ln 0); window SUM(BIGINT) -> cast HUGEINT
+    "WITH pur AS (SELECT user_id, epoch_us(ts) AS t, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events "
+    "WHERE event_type = 'purchase'), "
+    "f AS (SELECT user_id, max(CASE WHEN rn = 1 THEN t END) AS t1, "
+    "max(CASE WHEN rn = 2 THEN t END) AS t2 FROM pur GROUP BY user_id), "
+    "c AS (SELECT max(epoch_us(ts)) AS cend FROM events), "
+    "d AS (SELECT CASE WHEN t2 IS NOT NULL THEN (t2 - t1) // "
+    "86400000000 ELSE ((SELECT cend FROM c) - t1) // 86400000000 END "
+    "AS dur, CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev FROM f), "
+    "days AS (SELECT dur AS day, CAST(sum(ev) AS BIGINT) AS d FROM d "
+    "GROUP BY dur HAVING sum(ev) > 0), "
+    "risk AS (SELECT day, d, (SELECT CAST(count(*) AS BIGINT) FROM d "
+    "WHERE dur >= day) AS n_risk FROM days), "
+    "t AS (SELECT day, n_risk, d, CAST(floor(1e9 * ln(CAST(n_risk - d "
+    "AS DOUBLE) / n_risk)) AS BIGINT) AS lnterm_fp FROM risk "
+    "WHERE n_risk > d) "
+    "SELECT CAST(day AS BIGINT) AS day, n_risk, d, lnterm_fp, "
+    "CAST(sum(lnterm_fp) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) "
+    "AS BIGINT) AS ln_s_fp FROM t"
+)
+
+
+@register("km_second_purchase", _KM_SQL)
+def km_second_purchase(sf_dir: str):
+    """Kaplan-Meier survival curve for time-to-second-purchase with
+    right censoring at the corpus horizon - the repeat-conversion
+    curve.  Per-user (first, second) purchase times fold as mergeable
+    two-smallest partials through one coarse user-bucket exchange; the
+    duration table is subject-bounded (guarded) and the KM product
+    telescopes as an order-free int64 log sum."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    cend = int(ev.map_batches(
+        lambda b: pa.table({"t": pa.array(
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )}),
+        batch_format="pyarrow",
+    ).max("t"))
+
+    SENT = np.int64(2**62)
+
+    def two_smallest(u, t, e):
+        """per-user smallest two purchase times, ties by event_id."""
+        o = np.lexsort((e, t, u))
+        u, t = u[o], t[o]
+        first_mask = np.ones(len(u), bool)
+        first_mask[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first_mask)
+        uniq = u[starts]
+        t1 = t[starts]
+        second_idx = starts + 1
+        has2 = np.zeros(len(uniq), bool)
+        t2 = np.full(len(uniq), SENT)
+        valid = second_idx < len(u)
+        same = np.zeros(len(uniq), bool)
+        same[valid] = u[second_idx[valid]] == uniq[valid]
+        has2 = valid & same
+        t2[has2] = t[second_idx[has2]]
+        return uniq, t1, t2
+
+    def fpartial(b: pa.Table) -> pa.Table:
+        isp = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        u = b["user_id"].to_numpy(zero_copy_only=False)[isp]
+        t = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)[isp]
+        )
+        e = b["event_id"].to_numpy(zero_copy_only=False)[isp]
+        uniq, t1, t2 = two_smallest(u, t, e)
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "t1": pa.array(t1), "t2": pa.array(t2),
+            "__b": pa.array(uniq.astype(np.int64) & 15),
+        })
+
+    def fcombine(g: pa.Table) -> pa.Table:
+        # merge two-smallest partials: the union of each user's block
+        # candidates contains the global two smallest
+        u = np.concatenate([
+            g["user_id"].to_numpy(zero_copy_only=False),
+            g["user_id"].to_numpy(zero_copy_only=False),
+        ])
+        t = np.concatenate([
+            g["t1"].to_numpy(zero_copy_only=False),
+            g["t2"].to_numpy(zero_copy_only=False),
+        ])
+        keep = t < SENT
+        u, t = u[keep], t[keep]
+        e = np.zeros(len(u), np.int64)
+        uniq, t1, t2 = two_smallest(u, t, e)
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "t1": pa.array(t1), "t2": pa.array(t2),
+        })
+
+    firsts = (
+        ev.map_batches(fpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(fcombine, batch_format="pyarrow")
+        .materialize()  # subject-bounded
+    )
+    parts = [t for t in map(ray.get, firsts.to_arrow_refs()) if t.num_rows]
+    ft = pa.concat_tables(parts)
+    assert ft.num_rows <= 5_000_000, "subject table exceeds guard"
+    t1 = ft["t1"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t2 = ft["t2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    has2 = t2 < SENT
+    DAY = 86_400_000_000
+    dur = np.where(has2, (t2 - t1) // DAY, (cend - t1) // DAY)
+    evn = has2.astype(np.int64)
+    days = np.unique(dur[evn == 1])
+    out = {"day": [], "n_risk": [], "d": [], "lnterm_fp": [],
+           "ln_s_fp": []}
+    cum = 0
+    dur_sorted = np.sort(dur)
+    for day in days:
+        n_risk = int(len(dur_sorted) - np.searchsorted(
+            dur_sorted, day, side="left"
+        ))
+        d = int(((dur == day) & (evn == 1)).sum())
+        if n_risk <= d:
+            continue
+        lnterm = int(np.floor(
+            1e9 * np.log(np.float64(n_risk - d) / n_risk)
+        ))
+        cum += lnterm
+        out["day"].append(int(day))
+        out["n_risk"].append(n_risk)
+        out["d"].append(d)
+        out["lnterm_fp"].append(lnterm)
+        out["ln_s_fp"].append(cum)
+    return ray.data.from_arrow(pa.table({
+        k: pa.array(v, pa.int64()) for k, v in out.items()
+    }))
+
+
+# ---------------------------------------------------------------------------
+# TwoNN intrinsic-dimension estimator over embeddings
+# ---------------------------------------------------------------------------
+
+_TWONN_SQL = (
+    # Facco et al. 2017: mu_i = ln(r2/r1) = 0.5 * ln(d2/d1) on exact
+    # int64 squared distances, shipped in fixed point per vector
+    "WITH v AS MATERIALIZED (SELECT vec_id, "
+    "unnest(generate_series(1, 64)) AS i, "
+    "CAST(floor(CAST(embedding[CAST(unnest(generate_series(1, 64)) "
+    "AS INTEGER)] AS DOUBLE) * 1e7) AS BIGINT) AS xfp FROM embeddings), "
+    "p AS MATERIALIZED (SELECT a.vec_id AS qa, "
+    "CAST(sum((a.xfp - b.xfp) * (a.xfp - b.xfp)) AS BIGINT) AS d2, "
+    "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+    "CAST(sum((a.xfp - b.xfp) * (a.xfp - b.xfp)) AS BIGINT), b.vec_id) "
+    "AS rn FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id "
+    "GROUP BY a.vec_id, b.vec_id) "
+    "SELECT qa AS vec_id, max(CASE WHEN rn = 1 THEN d2 END) AS d1, "
+    "max(CASE WHEN rn = 2 THEN d2 END) AS d2, "
+    "CAST(floor(1e9 * 0.5 * ln(CAST(max(CASE WHEN rn = 2 THEN d2 END) "
+    "AS DOUBLE) / max(CASE WHEN rn = 1 THEN d2 END))) AS BIGINT) "
+    "AS mu_fp FROM p WHERE rn <= 2 GROUP BY qa"
+)
+
+
+@register("twonn_intrinsic_dim", _TWONN_SQL)
+def twonn_intrinsic_dim(sf_dir: str):
+    """TwoNN intrinsic-dimension statistics (Facco et al. 2017): for
+    every embedding the exact squared distances to its two nearest
+    neighbors and mu = ln(r2/r1) in int64 fixed point (the estimator is
+    n / sum mu at the consumer).  One integer matmul per batch against
+    the broadcast matrix - same scale shape as knn_label_agreement;
+    equal-distance ties cannot perturb mu because only the VALUES d1,
+    d2 enter it."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mfp = np.floor(
+        pc.list_flatten(emb["embedding"]).to_numpy(zero_copy_only=False)
+        .astype(np.float64) * 1e7
+    ).astype(np.int64).reshape(len(ids), -1)
+    o = np.argsort(ids)
+    ids, mfp = ids[o], mfp[o]
+    norms = (mfp * mfp).sum(axis=1)
+    ref = ray.put((ids, mfp, norms))
+
+    def twonn(b: pa.Table) -> pa.Table:
+        aid, am, an = ray.get(ref)
+        q = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = np.floor(
+            pc.list_flatten(b["embedding"]).to_numpy(zero_copy_only=False)
+            .astype(np.float64) * 1e7
+        ).astype(np.int64).reshape(len(q), -1)
+        d2 = (
+            (qm * qm).sum(axis=1)[:, None] - 2 * (qm @ am.T) + an[None, :]
+        )
+        self_pos = np.searchsorted(aid, q)
+        d2[np.arange(len(q)), self_pos] = np.int64(2**62)
+        part = np.partition(d2, 1, axis=1)
+        d1, dd2 = part[:, 0], part[:, 1]
+        assert (d1 > 0).all(), "duplicate embedding: zero first-NN"
+        mu = np.floor(
+            1e9 * 0.5 * np.log(dd2.astype(np.float64) / d1)
+        ).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(q), "d1": pa.array(d1),
+            "d2": pa.array(dd2), "mu_fp": pa.array(mu),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).map_batches(twonn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence interval for per-source keep rate
+# ---------------------------------------------------------------------------
+
+_WILSON_SQL = (
+    # identical double expression trees on both engines: each step is a
+    # correctly-rounded IEEE op on identical inputs, so the bounds are
+    # bit-equal
+    "WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS k FROM documents GROUP BY source) "
+    "SELECT source, n, k, "
+    "(CAST(k AS DOUBLE) / n + 3.8416 / (2 * CAST(n AS DOUBLE)) - 1.96 "
+    "* sqrt((CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) "
+    "+ 3.8416 / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) "
+    "/ CAST(n AS DOUBLE))) / (1 + 3.8416 / CAST(n AS DOUBLE)) "
+    "AS wilson_lo, "
+    "(CAST(k AS DOUBLE) / n + 3.8416 / (2 * CAST(n AS DOUBLE)) + 1.96 "
+    "* sqrt((CAST(k AS DOUBLE) / n * (1 - CAST(k AS DOUBLE) / n) "
+    "+ 3.8416 / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) "
+    "/ CAST(n AS DOUBLE))) / (1 + 3.8416 / CAST(n AS DOUBLE)) "
+    "AS wilson_hi FROM s"
+)
+
+
+@register("wilson_keep_rate_by_source", _WILSON_SQL)
+def wilson_keep_rate_by_source(sf_dir: str):
+    """Uncertainty-aware yield report: the 95% Wilson score interval of
+    each source's keep rate (length >= 200 rule) - what a filtering
+    dashboard shows instead of a bare ratio.  Integer (k, n) fold with
+    zero extra shuffle; the interval is a fixed chain of correctly-
+    rounded IEEE ops on exact integers, mirrored verbatim in SQL."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        keep = np.array([
+            len(t or "") >= 200 for t in b["text"].to_pylist()
+        ], np.int64)
+        codes, uniq = pd.factorize(src)
+        n = np.bincount(codes).astype(np.int64)
+        k = np.zeros(len(uniq), np.int64)
+        np.add.at(k, codes, keep)
+        return pa.table({
+            "source": pa.array(list(uniq), pa.string()),
+            "n": pa.array(n), "k": pa.array(k),
+        })
+
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=4)
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    n = at["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    k = at["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+    p = k / n
+    z2 = 3.8416
+    center = p + z2 / (2 * n)
+    half = 1.96 * np.sqrt((p * (1 - p) + z2 / (4 * n * n)) / n)
+    denom = 1 + z2 / n
+    return ray.data.from_arrow(pa.table({
+        "source": at["source"],
+        "n": at["n"].cast(pa.int64()),
+        "k": at["k"].cast(pa.int64()),
+        "wilson_lo": pa.array((center - half) / denom),
+        "wilson_hi": pa.array((center + half) / denom),
+    }))
