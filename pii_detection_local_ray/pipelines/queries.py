@@ -18782,3 +18782,171 @@ def wilson_keep_rate_by_source(sf_dir: str):
         "wilson_lo": pa.array((center - half) / denom),
         "wilson_hi": pa.array((center + half) / denom),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Ordered-subsequence pattern match (signup -> purchase -> error)
+# ---------------------------------------------------------------------------
+
+_SUBSEQ_SQL = (
+    "WITH p AS (SELECT user_id, event_type, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS pos FROM events), "
+    "s1 AS (SELECT user_id, min(pos) AS p1 FROM p "
+    "WHERE event_type = 'signup' GROUP BY 1), "
+    "s2 AS (SELECT p.user_id, min(pos) AS p2 FROM p JOIN s1 "
+    "ON s1.user_id = p.user_id WHERE event_type = 'purchase' "
+    "AND pos > p1 GROUP BY 1), "
+    "s3 AS (SELECT p.user_id, min(pos) AS p3 FROM p JOIN s2 "
+    "ON s2.user_id = p.user_id WHERE event_type = 'error' "
+    "AND pos > p2 GROUP BY 1) "
+    "SELECT user_id FROM s3"
+)
+
+
+@register("subsequence_match_users", _SUBSEQ_SQL)
+def subsequence_match_users(sf_dir: str):
+    """Sequential-pattern mining primitive: users whose event stream
+    contains signup -> purchase -> error IN ORDER (not necessarily
+    adjacent) - the greedy earliest-match automaton, which is exact
+    for subsequence containment.  One coarse user-bucket exchange;
+    each user's sorted stream is scanned once with three searchsorted
+    probes instead of the oracle's three correlated min-joins."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    PATTERN = ("signup", "purchase", "error")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("__b", pc.bit_wise_and(b["user_id"], 15))
+
+    def match(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        t = (
+            g["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        ty = g["event_type"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((e, t, u))
+        u, ty = u[o], ty[o]
+        starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1]))
+        )
+        ends = np.append(starts[1:], len(u))
+        hits = []
+        for s, epos in zip(starts, ends):
+            seq = ty[s:epos]
+            # earliest-match automaton: positions of each pattern type
+            cursor = -1
+            ok = True
+            for want in PATTERN:
+                nxt = np.flatnonzero(seq[cursor + 1:] == want)
+                if not len(nxt):
+                    ok = False
+                    break
+                cursor = cursor + 1 + int(nxt[0])
+            if ok:
+                hits.append(int(u[s]))
+        return pa.table({
+            "user_id": pa.array(sorted(hits), pa.int64()),
+        })
+
+    res = (
+        ev.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(match, batch_format="pyarrow")
+    )
+    return _schema_safe(res, pa.schema([("user_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Composite quality score with global min-max normalization + top-20
+# ---------------------------------------------------------------------------
+
+_COMPOSITE_SQL = (
+    # each signal min-max normalizes to [0, 1e6] with integer floor
+    # division; equal weights; deterministic doc_id tie-break
+    "WITH f AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS x1, "
+    "CAST(len(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS x2, "
+    "CAST(len(list_distinct(list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS BIGINT) AS x3 "
+    "FROM documents), "
+    "mm AS (SELECT min(x1) AS l1, max(x1) AS h1, min(x2) AS l2, "
+    "max(x2) AS h2, min(x3) AS l3, max(x3) AS h3 FROM f), "
+    "sc AS (SELECT doc_id, (x1 - l1) * 1000000 // (h1 - l1) "
+    "+ (x2 - l2) * 1000000 // (h2 - l2) "
+    "+ (x3 - l3) * 1000000 // (h3 - l3) AS score_fp FROM f, mm) "
+    "SELECT doc_id, CAST(score_fp AS BIGINT) AS score_fp FROM sc "
+    "ORDER BY score_fp DESC, doc_id LIMIT 20"
+)
+
+
+@register("composite_quality_top20", _COMPOSITE_SQL)
+def composite_quality_top20(sf_dir: str):
+    """Composite document scoring: three signals (chars, tokens,
+    distinct tokens)
+    min-max normalized to an integer grid, summed, global top-20 - the
+    select-best-documents pattern behind curated fine-tuning sets.
+    Pass 1 folds the six min/max extrema (6-value broadcast); pass 2
+    scores vectorized and each block emits only its local top-20, so
+    the final merge sees <= 20 x blocks rows."""
+    from ..functions.dsir import _tokenize
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def sig(b: pa.Table) -> pa.Table:
+        txt = b["text"].to_pylist()
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "x1": pa.array(
+                np.array([len(t or "") for t in txt], np.int64)
+            ),
+            "x2": pa.array(np.array(
+                [len(_tokenize(t or "")) for t in txt], np.int64
+            )),
+            "x3": pa.array(np.array(
+                [len(set(_tokenize(t or ""))) for t in txt], np.int64
+            )),
+        })
+
+    sigs = docs.map_batches(sig, batch_format="pyarrow")
+    mm = sigs.aggregate(
+        Min("x1", alias_name="l1"), Max("x1", alias_name="h1"),
+        Min("x2", alias_name="l2"), Max("x2", alias_name="h2"),
+        Min("x3", alias_name="l3"), Max("x3", alias_name="h3"),
+    )
+    l1, h1 = int(mm["l1"]), int(mm["h1"])
+    l2, h2 = int(mm["l2"]), int(mm["h2"])
+    l3, h3 = int(mm["l3"]), int(mm["h3"])
+    assert h1 > l1 and h2 > l2 and h3 > l3, "degenerate signal range"
+
+    def score_top(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = (
+            (b["x1"].to_numpy(zero_copy_only=False) - l1)
+            * 1_000_000 // (h1 - l1)
+            + (b["x2"].to_numpy(zero_copy_only=False) - l2)
+            * 1_000_000 // (h2 - l2)
+            + (b["x3"].to_numpy(zero_copy_only=False) - l3)
+            * 1_000_000 // (h3 - l3)
+        )
+        top = np.lexsort((ids, -s))[:20]
+        return pa.table({
+            "doc_id": pa.array(ids[top].astype(np.int64)),
+            "score_fp": pa.array(s[top]),
+        })
+
+    cand = sigs.map_batches(
+        score_top, batch_format="pyarrow"
+    ).materialize()  # <= 20 rows per block
+    parts = [t for t in map(ray.get, cand.to_arrow_refs()) if t.num_rows]
+    ct = pa.concat_tables(parts)
+    ids = ct["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = ct["score_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+    top = np.lexsort((ids, -s))[:20]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids[top]),
+        "score_fp": pa.array(s[top]),
+    }))
