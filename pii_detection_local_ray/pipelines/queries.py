@@ -18950,3 +18950,266 @@ def composite_quality_top20(sf_dir: str):
         "doc_id": pa.array(ids[top]),
         "score_fp": pa.array(s[top]),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Jackknife leave-one-out means over deterministic user pseudo-blocks
+# ---------------------------------------------------------------------------
+
+_JACKKNIFE_SQL = (
+    # 16 deterministic pseudo-blocks (user_id & 15); each row carries
+    # the exact integer block moments and ONE double division for the
+    # leave-one-out mean - no cross-row float sums
+    "WITH b AS (SELECT CAST(user_id % 16 AS BIGINT) AS blk, "
+    "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+    "m AS (SELECT blk, CAST(count(*) AS BIGINT) AS n_b, "
+    "CAST(sum(c) AS BIGINT) AS s_b FROM b GROUP BY blk), "
+    "t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(s_b) AS "
+    "BIGINT) AS s FROM m) "
+    "SELECT blk, n_b, s_b, "
+    "CAST((SELECT s FROM t) - s_b AS DOUBLE) / ((SELECT n FROM t) "
+    "- n_b) AS loo_mean_cents FROM m"
+)
+
+
+@register("jackknife_loo_means", _JACKKNIFE_SQL)
+def jackknife_loo_means(sf_dir: str):
+    """Deterministic jackknife: leave-one-block-out means of event
+    value over 16 user-keyed pseudo-blocks - the resampling-free
+    variance estimate for a distributed mean (the consumer squares the
+    spread of loo means).  Map-side integer partials collapse each
+    batch to <= 16 rows; one tiny exchange; each row spends exactly one
+    double division."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        blk = (
+            b["user_id"].to_numpy(zero_copy_only=False) % 16
+        ).astype(np.int64)
+        c = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        n = np.bincount(blk, minlength=16).astype(np.int64)
+        s = np.zeros(16, np.int64)
+        np.add.at(s, blk, c)
+        return pa.table({
+            "blk": pa.array(np.arange(16, dtype=np.int64)),
+            "n_b": pa.array(n), "s_b": pa.array(s),
+        })
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("blk", num_partitions=4)
+        .aggregate(
+            Sum("n_b", alias_name="n_b"), Sum("s_b", alias_name="s_b"),
+        )
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    blk = at["blk"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_b = at["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_b = at["s_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = n_b > 0
+    blk, n_b, s_b = blk[keep], n_b[keep], s_b[keep]
+    N, S = int(n_b.sum()), int(s_b.sum())
+    return ray.data.from_arrow(pa.table({
+        "blk": pa.array(blk),
+        "n_b": pa.array(n_b),
+        "s_b": pa.array(s_b),
+        "loo_mean_cents": pa.array(
+            (S - s_b).astype(np.float64) / (N - n_b)
+        ),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Log-odds-ratio shifted terms between corpus halves (Monroe et al.)
+# ---------------------------------------------------------------------------
+
+_LOGODDS_SQL = (
+    # Fightin' Words with a +1 prior, in exact int64 fixed point:
+    # z_fp = [ln(k1+1) - ln(n1-k1+1)] - [ln(k2+1) - ln(n2-k2+1)],
+    # each ln an lnfp of an exact integer
+    "WITH d AS (SELECT doc_id % 2 AS half, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> len(x) > 0)) AS w FROM documents), "
+    "t AS (SELECT CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS n1, CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS n2 FROM d), "
+    "k AS (SELECT w, CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS k1, CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS k2 FROM d GROUP BY w), "
+    "z AS (SELECT w, k1, k2, "
+    "CAST(floor(1e9 * ln(CAST(k1 + 1 AS DOUBLE))) AS BIGINT) "
+    "- CAST(floor(1e9 * ln(CAST((SELECT n1 FROM t) - k1 + 1 AS "
+    "DOUBLE))) AS BIGINT) "
+    "- CAST(floor(1e9 * ln(CAST(k2 + 1 AS DOUBLE))) AS BIGINT) "
+    "+ CAST(floor(1e9 * ln(CAST((SELECT n2 FROM t) - k2 + 1 AS "
+    "DOUBLE))) AS BIGINT) AS z_fp FROM k) "
+    "SELECT w AS term, k1, k2, CAST(z_fp AS BIGINT) AS z_fp "
+    "FROM z ORDER BY abs(z_fp) DESC, term LIMIT 20"
+)
+
+
+@register("log_odds_shifted_terms", _LOGODDS_SQL)
+def log_odds_shifted_terms(sf_dir: str):
+    """Fightin' Words (Monroe et al. 2008): the 20 terms whose +1-prior
+    log-odds shift between the even and odd corpus halves is largest -
+    the drift/contrast vocabulary detector.  Word-hash buckets resolve
+    each word's (k1, k2) locally; the two half totals broadcast as two
+    ints; every bucket prunes to its top-20 by |z| so the driver merge
+    is tiny.  All z terms are int64 lnfp values - exact."""
+    import pandas as pd
+    from ..functions.dsir import _tokenize
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        halves, words = [], []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            h = i % 2
+            for w in _tokenize(t or ""):
+                halves.append(h)
+                words.append(w)
+        key = pd.MultiIndex.from_arrays([halves, words])
+        codes, uniq = pd.factorize(key)
+        cnt = np.bincount(codes).astype(np.int64)
+        hs = np.array([u[0] for u in uniq], np.int64)
+        ws = [u[1] for u in uniq]
+        blk = np.array([
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & 63
+            for w in ws
+        ], np.int64)
+        return pa.table({
+            "half": pa.array(hs), "w": pa.array(ws, pa.string()),
+            "cnt": pa.array(cnt), "__b": pa.array(blk),
+        })
+
+    counted = docs.map_batches(counts, batch_format="pyarrow")
+    tot = counted.map_batches(
+        lambda b: pa.table({
+            "n1": pa.array([int(
+                b["cnt"].to_numpy(zero_copy_only=False)[
+                    b["half"].to_numpy(zero_copy_only=False) == 0
+                ].sum()
+            )], pa.int64()),
+            "n2": pa.array([int(
+                b["cnt"].to_numpy(zero_copy_only=False)[
+                    b["half"].to_numpy(zero_copy_only=False) == 1
+                ].sum()
+            )], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).aggregate(Sum("n1", alias_name="n1"), Sum("n2", alias_name="n2"))
+    n1, n2 = int(tot["n1"]), int(tot["n2"])
+
+    def lnfp(x):
+        return np.floor(1e9 * np.log(x.astype(np.float64))).astype(
+            np.int64
+        )
+
+    def ztop(g: pa.Table) -> pa.Table:
+        h = g["half"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        wcodes, wuniq = pd.factorize(w)
+        k1 = np.zeros(len(wuniq), np.int64)
+        k2 = np.zeros(len(wuniq), np.int64)
+        np.add.at(k1, wcodes[h == 0], cnt[h == 0])
+        np.add.at(k2, wcodes[h == 1], cnt[h == 1])
+        z = (
+            lnfp(k1 + 1) - lnfp(n1 - k1 + 1)
+            - lnfp(k2 + 1) + lnfp(n2 - k2 + 1)
+        )
+        top = np.lexsort(
+            (wuniq.astype(str), -np.abs(z))
+        )[:20]
+        return pa.table({
+            "term": pa.array(list(wuniq[top].astype(str)), pa.string()),
+            "k1": pa.array(k1[top]), "k2": pa.array(k2[top]),
+            "z_fp": pa.array(z[top]),
+        })
+
+    cand = (
+        counted.groupby("__b", num_partitions=16)
+        .map_groups(ztop, batch_format="pyarrow")
+        .materialize()  # <= 20 rows per bucket
+    )
+    parts = [t for t in map(ray.get, cand.to_arrow_refs()) if t.num_rows]
+    ct = pa.concat_tables(parts)
+    tm = ct["term"].to_numpy(zero_copy_only=False).astype(str)
+    z = ct["z_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+    top = np.lexsort((tm, -np.abs(z)))[:20]
+    return ray.data.from_arrow(pa.table({
+        "term": pa.array(list(tm[top]), pa.string()),
+        "k1": pa.array(
+            ct["k1"].to_numpy(zero_copy_only=False)[top]
+        ),
+        "k2": pa.array(
+            ct["k2"].to_numpy(zero_copy_only=False)[top]
+        ),
+        "z_fp": pa.array(z[top]),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Two-hop neighborhood size per host
+# ---------------------------------------------------------------------------
+
+_TWOHOP_SQL = (
+    "WITH e AS (SELECT DISTINCT doc_id % 20 AS src, "
+    "(doc_id // 20) % 20 AS dst FROM documents WHERE doc_id % 20 <> "
+    "(doc_id // 20) % 20) "
+    "SELECT CAST(e1.src AS BIGINT) AS node, "
+    "CAST(count(DISTINCT e2.dst) AS BIGINT) AS n_two_hop "
+    "FROM e e1 JOIN e e2 ON e2.src = e1.dst AND e2.dst <> e1.src "
+    "GROUP BY e1.src"
+)
+
+
+@register("host_two_hop_counts", _TWOHOP_SQL)
+def host_two_hop_counts(sf_dir: str):
+    """Two-hop reach per host (friends-of-friends audience size): the
+    distinct-edge exchange is distributed, then the edge⋈edge motif
+    join and distinct fold run over the node-dimension-bounded table
+    (<= 380 directed edges on 20 hosts, guarded) - the same
+    materialize-bounded convention as the triangle/clustering
+    queries."""
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        a, bb = ids % 20, (ids // 20) % 20
+        m = a != bb
+        return pa.table({
+            "src": pa.array(a[m].astype(np.int64)),
+            "dst": pa.array(bb[m].astype(np.int64)),
+        })
+
+    edges = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(plant, batch_format="pyarrow")
+        .groupby(["src", "dst"], num_partitions=4)
+        .count()
+        .select_columns(["src", "dst"])
+        .materialize()  # bounded: <= 380 directed edges
+    )
+    parts = [t for t in map(ray.get, edges.to_arrow_refs()) if t.num_rows]
+    et = pa.concat_tables(parts)
+    assert et.num_rows <= 1_000_000, "edge table exceeds guard"
+    src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    adj = np.zeros((20, 20), bool)
+    adj[src, dst] = True
+    two = adj @ adj  # (a, c) reachable via some b
+    np.fill_diagonal(two, False)
+    n2 = two.sum(axis=1).astype(np.int64)
+    has_out = adj.any(axis=1)
+    nodes = np.flatnonzero(has_out & (n2 > 0))
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes.astype(np.int64)),
+        "n_two_hop": pa.array(n2[nodes]),
+    }))
