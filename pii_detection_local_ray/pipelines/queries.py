@@ -19213,3 +19213,150 @@ def host_two_hop_counts(sf_dir: str):
         "node": pa.array(nodes.astype(np.int64)),
         "n_two_hop": pa.array(n2[nodes]),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Boolean expression-tree retrieval over token sets
+# ---------------------------------------------------------------------------
+
+_BOOLQ_SQL = (
+    # planted: id%11==3 satisfies the AND arm, ==4 the NOT arm, ==5 is
+    # blocked by the NOT
+    "WITH p AS (SELECT doc_id, CASE CAST(doc_id % 11 AS INTEGER) "
+    "WHEN 3 THEN text || ' data model' WHEN 4 THEN text || ' index' "
+    "WHEN 5 THEN text || ' index window' ELSE text END AS t2 "
+    "FROM documents), "
+    "d AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    "lower(t2), '[^a-z0-9]+'), x -> len(x) > 0) AS ws FROM p) "
+    "SELECT doc_id FROM d WHERE (list_contains(ws, 'data') AND "
+    "list_contains(ws, 'model')) OR (list_contains(ws, 'index') AND "
+    "NOT list_contains(ws, 'window'))"
+)
+
+
+@register("boolean_query_docs", _BOOLQ_SQL)
+def boolean_query_docs(sf_dir: str):
+    """Boolean expression-tree retrieval ((data AND model) OR (index
+    AND NOT window)) - the AND/OR/NOT sibling of index_and_query
+    (conjunctive) and index_phrase_query (positional).  Zero shuffle:
+    each doc's token SET evaluates the tree in one pass; only the
+    query vocabulary is tested.  Result schema-pinned (can be empty)."""
+    from ..functions.dsir import _tokenize
+
+    _PLANT = {3: " data model", 4: " index", 5: " index window"}
+
+    def evaluate(b: pa.Table) -> pa.Table:
+        out = []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            t2 = (t or "") + _PLANT.get(i % 11, "")
+            s = set(_tokenize(t2))
+            if ("data" in s and "model" in s) or (
+                "index" in s and "window" not in s
+            ):
+                out.append(i)
+        return pa.table({"doc_id": pa.array(out, pa.int64())})
+
+    res = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        evaluate, batch_format="pyarrow"
+    )
+    return _schema_safe(res, pa.schema([("doc_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation: order totals vs lineitem sums
+# ---------------------------------------------------------------------------
+
+_RECON_SQL = (
+    "WITH s AS (SELECT l_orderkey, CAST(sum(CAST(round("
+    "l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS li_cents "
+    "FROM lineitem GROUP BY 1), "
+    "j AS (SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS oc, "
+    "s.li_cents FROM orders o JOIN s ON s.l_orderkey = o.o_orderkey) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CASE WHEN oc = li_cents THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_exact, "
+    "CAST(max(abs(oc - li_cents)) AS BIGINT) AS max_abs_diff, "
+    "CAST(sum(abs(oc - li_cents)) AS BIGINT) AS sum_abs_diff FROM j"
+)
+
+
+@register("order_total_reconciliation", _RECON_SQL)
+def order_total_reconciliation(sf_dir: str):
+    """Cross-table financial reconciliation: every order's stored
+    total vs the sum of its lineitem prices, reported as exact-match
+    count and absolute-difference mass - the ledger-integrity audit
+    that runs after any ingest.  Order-grain lineitem sums fold
+    through the coarse-bucket combine, one fact-fact hash join meets
+    orders, and the single-row verdict folds map-side."""
+    import pandas as pd
+    from ..functions.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+
+    def spartial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        c = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(ok)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, c)
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64)),
+            "li_cents": pa.array(s),
+            "__b": pa.array(uniq.astype(np.int64) & 63),
+        })
+
+    def scombine(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, g["li_cents"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_orderkey": pa.array(uniq.astype(np.int64)),
+            "li_cents": pa.array(s),
+        })
+
+    osum = (
+        li.map_batches(spartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=8)
+        .map_groups(scombine, batch_format="pyarrow")
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    joined = hash_join(
+        osum, orders, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=8,
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        oc = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        lc = b["li_cents"].to_numpy(zero_copy_only=False)
+        d = np.abs(oc - lc)
+        return pa.table({
+            "n_orders": pa.array([len(d)], pa.int64()),
+            "n_exact": pa.array([int((d == 0).sum())], pa.int64()),
+            "max_abs_diff": pa.array(
+                [int(d.max()) if len(d) else 0], pa.int64()
+            ),
+            "sum_abs_diff": pa.array([int(d.sum())], pa.int64()),
+        })
+
+    tot = joined.map_batches(fold, batch_format="pyarrow").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("n_exact", alias_name="n_exact"),
+        Max("max_abs_diff", alias_name="max_abs_diff"),
+        Sum("sum_abs_diff", alias_name="sum_abs_diff"),
+    )
+    return ray.data.from_arrow(pa.table({
+        "n_orders": pa.array([int(tot["n_orders"])], pa.int64()),
+        "n_exact": pa.array([int(tot["n_exact"])], pa.int64()),
+        "max_abs_diff": pa.array([int(tot["max_abs_diff"])], pa.int64()),
+        "sum_abs_diff": pa.array([int(tot["sum_abs_diff"])], pa.int64()),
+    }))
