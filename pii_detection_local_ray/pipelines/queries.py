@@ -19360,3 +19360,299 @@ def order_total_reconciliation(sf_dir: str):
         "max_abs_diff": pa.array([int(tot["max_abs_diff"])], pa.int64()),
         "sum_abs_diff": pa.array([int(tot["sum_abs_diff"])], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Weekday vs weekend value lift per event type
+# ---------------------------------------------------------------------------
+
+_WKND_SQL = (
+    # DuckDB dayofweek: 0 = Sunday, 6 = Saturday; epoch day 0
+    # (1970-01-01) was a Thursday = 4, so dow = (epoch_day + 4) % 7
+    # with weekend = {0, 6} - computed identically on both sides from
+    # the integer epoch day
+    "WITH b AS (SELECT event_type, CAST((epoch_us(ts) // 86400000000 "
+    "+ 4) % 7 AS BIGINT) AS dow, CAST(round(value * 100) AS BIGINT) "
+    "AS c FROM events) "
+    "SELECT event_type, "
+    "CAST(sum(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_weekend, "
+    "CAST(sum(CASE WHEN dow IN (0, 6) THEN c ELSE 0 END) AS BIGINT) "
+    "AS s_weekend, "
+    "CAST(sum(CASE WHEN dow IN (0, 6) THEN 0 ELSE 1 END) AS BIGINT) "
+    "AS n_weekday, "
+    "CAST(sum(CASE WHEN dow IN (0, 6) THEN 0 ELSE c END) AS BIGINT) "
+    "AS s_weekday, "
+    "(CAST(sum(CASE WHEN dow IN (0, 6) THEN c ELSE 0 END) AS DOUBLE) "
+    "/ sum(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END)) / "
+    "(CAST(sum(CASE WHEN dow IN (0, 6) THEN 0 ELSE c END) AS DOUBLE) "
+    "/ sum(CASE WHEN dow IN (0, 6) THEN 0 ELSE 1 END)) AS lift "
+    "FROM b GROUP BY event_type"
+)
+
+
+@register("weekday_weekend_lift_by_type", _WKND_SQL)
+def weekday_weekend_lift_by_type(sf_dir: str):
+    """Weekend-vs-weekday mean-value lift per event type - the seasonal
+    business metric behind staffing/bid curves.  Calendar weekend
+    derives from the integer epoch day (no timezone library), partials
+    fold map-side to |types| rows, the lift is two exact means and one
+    division in fixed order."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        dow = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64) // 86_400_000_000
+            + 4
+        ) % 7
+        wknd = (dow == 0) | (dow == 6)
+        c = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(et)
+        k = len(uniq)
+        nw = np.zeros(k, np.int64)
+        sw = np.zeros(k, np.int64)
+        nd = np.zeros(k, np.int64)
+        sd = np.zeros(k, np.int64)
+        np.add.at(nw, codes[wknd], 1)
+        np.add.at(sw, codes[wknd], c[wknd])
+        np.add.at(nd, codes[~wknd], 1)
+        np.add.at(sd, codes[~wknd], c[~wknd])
+        return pa.table({
+            "event_type": pa.array(list(uniq), pa.string()),
+            "n_weekend": pa.array(nw), "s_weekend": pa.array(sw),
+            "n_weekday": pa.array(nd), "s_weekday": pa.array(sd),
+        })
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .aggregate(
+            Sum("n_weekend", alias_name="n_weekend"),
+            Sum("s_weekend", alias_name="s_weekend"),
+            Sum("n_weekday", alias_name="n_weekday"),
+            Sum("s_weekday", alias_name="s_weekday"),
+        )
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    nw = at["n_weekend"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sw = at["s_weekend"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nd = at["n_weekday"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sd = at["s_weekday"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lift = (
+        sw.astype(np.float64) / nw
+    ) / (sd.astype(np.float64) / nd)
+    return ray.data.from_arrow(pa.table({
+        "event_type": at["event_type"],
+        "n_weekend": pa.array(nw), "s_weekend": pa.array(sw),
+        "n_weekday": pa.array(nd), "s_weekday": pa.array(sd),
+        "lift": pa.array(lift),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Numeric-token ratio per document (code-corpus quality signal)
+# ---------------------------------------------------------------------------
+
+_NUMTOK_SQL = (
+    "WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ws "
+    "FROM documents) "
+    "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_filter(ws, x -> regexp_matches(x, '^[0-9]+$'))) "
+    "AS BIGINT) AS n_numeric, "
+    "CAST(len(list_filter(ws, x -> regexp_matches(x, '^[0-9]+$'))) "
+    "AS DOUBLE) / len(ws) AS numeric_ratio "
+    "FROM d WHERE len(ws) > 0"
+)
+
+
+@register("numeric_token_ratio_docs", _NUMTOK_SQL)
+def numeric_token_ratio_docs(sf_dir: str):
+    """Numeric-token density per document - the data-table/serial-dump
+    detector in code-corpus filtering (a doc that is mostly numbers is
+    rarely prose or code worth training on).  Zero shuffle, one
+    vectorized regex per token stream."""
+    from ..functions.dsir import _tokenize
+
+    def ratio(b: pa.Table) -> pa.Table:
+        ids, nt, nn = [], [], []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ws = _tokenize(t or "")
+            if not ws:
+                continue
+            ids.append(i)
+            nt.append(len(ws))
+            nn.append(sum(1 for w in ws if w.isdigit()))
+        nt = np.asarray(nt, np.int64)
+        nn = np.asarray(nn, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt),
+            "n_numeric": pa.array(nn),
+            "numeric_ratio": pa.array(nn.astype(np.float64) / nt),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ratio, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Suppliers above their nation's average balance (correlated subquery)
+# ---------------------------------------------------------------------------
+
+_SUPP_AVG_SQL = (
+    # comparison cross-multiplied into exact integers: s*n > sum;
+    # region-level grouping keeps groups non-singleton at every scale
+    "WITH r AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, "
+    "n.n_regionkey FROM supplier s JOIN nation n "
+    "ON n.n_nationkey = s.s_nationkey), "
+    "a AS (SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS s "
+    "FROM r GROUP BY 1) "
+    "SELECT r.s_suppkey, r.s_name, "
+    "CAST(round(r.s_acctbal * 100) AS BIGINT) AS acctbal_cents "
+    "FROM r JOIN a ON a.n_regionkey = r.n_regionkey "
+    "WHERE CAST(round(r.s_acctbal * 100) AS BIGINT) * a.n > a.s"
+)
+
+
+@register("supplier_above_region_avg", _SUPP_AVG_SQL)
+def supplier_above_region_avg(sf_dir: str):
+    """Correlated-subquery shape on the supplier dimension: suppliers
+    whose balance exceeds their REGION's average, tested exactly via
+    cross-multiplication (cents * n > sum) - the dimension-side
+    sibling of orders_above_customer_avg.  The nation->region map
+    broadcasts, region stats fold in one bounded exchange and
+    broadcast back over a second scan."""
+    import pandas as pd
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    n2r = np.zeros(
+        int(max(nat["n_nationkey"].to_pylist())) + 1, np.int64
+    )
+    for k, r in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()
+    ):
+        n2r[k] = r
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+
+    def npartial(b: pa.Table) -> pa.Table:
+        nk = n2r[
+            b["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        ]
+        c = np.round(
+            b["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(nk)
+        n = np.bincount(codes).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, c)
+        return pa.table({
+            "nk": pa.array(uniq), "n": pa.array(n), "s": pa.array(s),
+        })
+
+    agg = (
+        sup.map_batches(npartial, batch_format="pyarrow")
+        .groupby("nk", num_partitions=4)
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .materialize()  # bounded: |nations|
+    )
+    parts = [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    nk = at["nk"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nk)
+    ref = ray.put((
+        nk[order],
+        at["n"].to_numpy(zero_copy_only=False)[order],
+        at["s"].to_numpy(zero_copy_only=False)[order],
+    ))
+
+    def pick(b: pa.Table) -> pa.Table:
+        keys, n, s = ray.get(ref)
+        fnk = n2r[
+            b["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+        ]
+        c = np.round(
+            b["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        idx = np.searchsorted(keys, fnk)
+        m = c * n[idx] > s[idx]
+        return pa.table({
+            "s_suppkey": pc.filter(b["s_suppkey"], pa.array(m)),
+            "s_name": pc.filter(b["s_name"], pa.array(m)),
+            "acctbal_cents": pa.array(c[m]),
+        })
+
+    res = sup.map_batches(pick, batch_format="pyarrow")
+    return _schema_safe(res, pa.schema([
+        ("s_suppkey", pa.int64()), ("s_name", pa.string()),
+        ("acctbal_cents", pa.int64()),
+    ]))
+
+
+# ---------------------------------------------------------------------------
+# Revenue by quantity band (decile-style integer banding)
+# ---------------------------------------------------------------------------
+
+_QBAND_SQL = (
+    "SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS BIGINT) "
+    "AS qty_band, CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS revenue_cents FROM lineitem GROUP BY 1"
+)
+
+
+@register("lineitem_quantity_band_revenue", _QBAND_SQL)
+def lineitem_quantity_band_revenue(sf_dir: str):
+    """Revenue by quantity band (1-10, 11-20, ...): the integer-banded
+    histogram rollup - zero-shuffle partials to 5 bands, one tiny
+    exchange."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.round(
+            b["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        band = (q - 1) // 10
+        c = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(band, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({
+            "qty_band": pa.array(uniq),
+            "n_items": pa.array(n),
+            "revenue_cents": pa.array(s),
+        })
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("qty_band", num_partitions=4)
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+    )
