@@ -19656,3 +19656,239 @@ def lineitem_quantity_band_revenue(sf_dir: str):
             Sum("revenue_cents", alias_name="revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between language char-trigram distributions
+# ---------------------------------------------------------------------------
+
+_JSD_SQL = (
+    # KL(P||M) terms: p/m = 2*a*Nb / (a*Nb + b*Na), an integer ratio,
+    # so every contribution is c * floor(1e9 * ln(ratio)) - exact and
+    # order-free.  jsd_fp = (klp/Na + klq/Nb) / 2 left to the consumer
+    "WITH g AS (SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS t "
+    "FROM (SELECT lang, text, unnest(generate_series(1, "
+    "length(text) - 2)) AS i FROM documents WHERE length(text) >= 3)), "
+    "k AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM g "
+    "GROUP BY 1, 2), "
+    "n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nt FROM k GROUP BY 1), "
+    "pairs AS (SELECT a.lang AS la, b.lang AS lb, a.nt AS na, "
+    "b.nt AS nb FROM n a JOIN n b ON a.lang < b.lang), "
+    "terma AS (SELECT p.la, p.lb, CAST(sum(ka.c * CAST(floor(1e9 * "
+    "ln(CAST(2 * ka.c * p.nb AS DOUBLE) / (ka.c * p.nb + "
+    "coalesce(kb.c, 0) * p.na))) AS BIGINT)) AS BIGINT) AS klp_fp "
+    "FROM pairs p JOIN k ka ON ka.lang = p.la LEFT JOIN k kb "
+    "ON kb.lang = p.lb AND kb.t = ka.t GROUP BY 1, 2), "
+    "termb AS (SELECT p.la, p.lb, CAST(sum(kb.c * CAST(floor(1e9 * "
+    "ln(CAST(2 * kb.c * p.na AS DOUBLE) / (kb.c * p.na + "
+    "coalesce(ka.c, 0) * p.nb))) AS BIGINT)) AS BIGINT) AS klq_fp "
+    "FROM pairs p JOIN k kb ON kb.lang = p.lb LEFT JOIN k ka "
+    "ON ka.lang = p.la AND ka.t = kb.t GROUP BY 1, 2) "
+    "SELECT p.la AS lang_a, p.lb AS lang_b, p.na AS n_a, p.nb AS n_b, "
+    "terma.klp_fp, termb.klq_fp FROM pairs p "
+    "JOIN terma ON terma.la = p.la AND terma.lb = p.lb "
+    "JOIN termb ON termb.la = p.la AND termb.lb = p.lb"
+)
+
+
+@register("jsd_char_trigrams_langs", _JSD_SQL)
+def jsd_char_trigrams_langs(sf_dir: str):
+    """Jensen-Shannon divergence components between every language
+    pair's character-trigram distributions - the corpus-similarity
+    matrix behind mixture planning and contamination triage.  Trigram
+    counts fold map-side and bucket by TRIGRAM hash, so each bucket
+    holds every language's count for its trigrams and emits per-pair
+    partial KL sums (exact int64 lnfp of integer ratios); per-lang
+    totals broadcast as |langs| ints.  KL terms never leave fixed
+    point; the final jsd = (klp/Na + klq/Nb)/2 belongs to the consumer."""
+    import pandas as pd
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def tpartial(b: pa.Table) -> pa.Table:
+        langs, tris = [], []
+        for lg, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            t = t or ""
+            if len(t) < 3:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            w = np.lib.stride_tricks.sliding_window_view(cp, 3)
+            v = np.ascontiguousarray(w).view("V12").ravel()
+            uniq, cnt = np.unique(v, return_counts=True)
+            for u, n in zip(uniq, cnt):
+                langs.append(lg)
+                tris.append((bytes(u), int(n)))
+        key = pd.MultiIndex.from_arrays(
+            [langs, [x[0] for x in tris]]
+        )
+        codes, uniq = pd.factorize(key)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, codes, np.array([x[1] for x in tris], np.int64))
+        tb = [u[1] for u in uniq]
+        blk = np.array([
+            int(hashlib.md5(x).hexdigest()[:8], 16) & 63 for x in tb
+        ], np.int64)
+        return pa.table({
+            "lang": pa.array([u[0] for u in uniq], pa.string()),
+            "t": pa.array(tb, pa.binary()),
+            "c": pa.array(cnt),
+            "__b": pa.array(blk),
+        })
+
+    counted = docs.map_batches(tpartial, batch_format="pyarrow")
+    tot = counted.map_batches(
+        lambda b: b.group_by("lang").aggregate([("c", "sum")]).rename_columns(
+            ["lang", "c"]
+        ),
+        batch_format="pyarrow",
+    ).groupby("lang", num_partitions=2).aggregate(Sum("c", alias_name="c"))
+    tt = tot.take_all()
+    n_by_lang = {r["lang"]: int(r["c"]) for r in tt}
+    langs_sorted = sorted(n_by_lang)
+    pair_list = [
+        (a, b) for i, a in enumerate(langs_sorted)
+        for b in langs_sorted[i + 1:]
+    ]
+    nref = ray.put(n_by_lang)
+
+    def pairterms(g: pa.Table) -> pa.Table:
+        nl = ray.get(nref)
+        lg = g["lang"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        key = pd.MultiIndex.from_arrays([lg, t])
+        codes, uniq = pd.factorize(key)
+        cc = np.zeros(len(uniq), np.int64)
+        np.add.at(cc, codes, c)
+        bylang: dict = {}
+        for (l_, tt_), cv in zip(uniq, cc):
+            bylang.setdefault(l_, {})[tt_] = int(cv)
+        rows = {"lang_a": [], "lang_b": [], "klp_fp": [], "klq_fp": []}
+        for la, lb in pair_list:
+            na, nb = nl[la], nl[lb]
+            ka = bylang.get(la, {})
+            kb = bylang.get(lb, {})
+            klp = 0
+            for tt_, a in ka.items():
+                bcnt = kb.get(tt_, 0)
+                klp += a * int(np.floor(1e9 * np.log(
+                    np.float64(2 * a * nb) / (a * nb + bcnt * na)
+                )))
+            klq = 0
+            for tt_, bcnt in kb.items():
+                a = ka.get(tt_, 0)
+                klq += bcnt * int(np.floor(1e9 * np.log(
+                    np.float64(2 * bcnt * na) / (bcnt * na + a * nb)
+                )))
+            rows["lang_a"].append(la)
+            rows["lang_b"].append(lb)
+            rows["klp_fp"].append(klp)
+            rows["klq_fp"].append(klq)
+        return pa.table({
+            "lang_a": pa.array(rows["lang_a"], pa.string()),
+            "lang_b": pa.array(rows["lang_b"], pa.string()),
+            "klp_fp": pa.array(rows["klp_fp"], pa.int64()),
+            "klq_fp": pa.array(rows["klq_fp"], pa.int64()),
+        })
+
+    terms = (
+        counted.groupby("__b", num_partitions=16)
+        .map_groups(pairterms, batch_format="pyarrow")
+        .groupby(["lang_a", "lang_b"], num_partitions=4)
+        .aggregate(
+            Sum("klp_fp", alias_name="klp_fp"),
+            Sum("klq_fp", alias_name="klq_fp"),
+        )
+        .materialize()  # |lang pairs| rows
+    )
+    parts = [t for t in map(ray.get, terms.to_arrow_refs()) if t.num_rows]
+    pt = pa.concat_tables(parts)
+    la = pt["lang_a"].to_numpy(zero_copy_only=False)
+    lb = pt["lang_b"].to_numpy(zero_copy_only=False)
+    return ray.data.from_arrow(pa.table({
+        "lang_a": pt["lang_a"], "lang_b": pt["lang_b"],
+        "n_a": pa.array(
+            np.array([n_by_lang[x] for x in la], np.int64)
+        ),
+        "n_b": pa.array(
+            np.array([n_by_lang[x] for x in lb], np.int64)
+        ),
+        "klp_fp": pt["klp_fp"].cast(pa.int64()),
+        "klq_fp": pt["klq_fp"].cast(pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance audit (trace vs off-diagonal mass)
+# ---------------------------------------------------------------------------
+
+_COVAUDIT_SQL = (
+    # covariance numerators n*G_ij - s_i*s_j stay exact int64 at the
+    # 1e5 fixed-point scale; the audit compares diagonal mass (signal
+    # variance) to absolute off-diagonal mass (redundancy)
+    "WITH v AS (SELECT vec_id, CAST(i AS BIGINT) AS i, "
+    "CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1e5) "
+    "AS BIGINT) AS x FROM (SELECT vec_id, embedding, "
+    "unnest(generate_series(1, 64)) AS i FROM embeddings)), "
+    "n AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n "
+    "FROM embeddings), "
+    "s AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM v GROUP BY i), "
+    "g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) "
+    "AS gij FROM v a JOIN v b ON a.vec_id = b.vec_id GROUP BY 1, 2), "
+    "c AS (SELECT g.i, g.j, (SELECT n FROM n) * g.gij - sa.s * sb.s "
+    "AS cov_num FROM g JOIN s sa ON sa.i = g.i JOIN s sb "
+    "ON sb.i = g.j) "
+    "SELECT CAST(sum(CASE WHEN i = j THEN cov_num ELSE 0 END) AS "
+    "BIGINT) AS trace_num, "
+    "CAST(sum(CASE WHEN i <> j THEN abs(cov_num) ELSE 0 END) AS "
+    "BIGINT) AS offdiag_abs_num FROM c"
+)
+
+
+@register("embedding_covariance_audit", _COVAUDIT_SQL)
+def embedding_covariance_audit(sf_dir: str):
+    """Redundancy audit of the embedding space: exact integer
+    covariance numerators (n*Gram - outer(s, s)) reduced to diagonal
+    mass vs absolute off-diagonal mass - high off-diagonal share means
+    the dimensions are correlated and a whitening/PCA step would pay.
+    One integer Gram partial (64x64) per block plus the 64 sums; the
+    matrix fold is a single tiny exchange."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def gpartial(b: pa.Table) -> pa.Table:
+        m = np.floor(
+            pc.list_flatten(b["embedding"]).to_numpy(zero_copy_only=False)
+            .astype(np.float64) * 1e5
+        ).astype(np.int64).reshape(-1, 64)
+        g = m.T @ m
+        s = m.sum(axis=0)
+        return pa.table({
+            "n": pa.array([len(m)], pa.int64()),
+            "g": pa.array([g.ravel().tolist()], pa.list_(pa.int64())),
+            "s": pa.array([s.tolist()], pa.list_(pa.int64())),
+        })
+
+    acc = emb.map_batches(gpartial, batch_format="pyarrow").materialize()
+    parts = [t for t in map(ray.get, acc.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    n = int(
+        at["n"].to_numpy(zero_copy_only=False).astype(np.int64).sum()
+    )
+    g = np.zeros((64, 64), np.int64)
+    s = np.zeros(64, np.int64)
+    for row in at.to_pylist():
+        g += np.array(row["g"], np.int64).reshape(64, 64)
+        s += np.array(row["s"], np.int64)
+    _guard_int64_products(
+        [n * int(np.abs(g).max()), int(np.abs(s).max()) ** 2],
+        "embedding_covariance_audit",
+    )
+    cov = n * g - np.outer(s, s)
+    trace = int(np.trace(cov))
+    off = int(np.abs(cov).sum() - np.abs(np.diag(cov)).sum())
+    return ray.data.from_arrow(pa.table({
+        "trace_num": pa.array([trace], pa.int64()),
+        "offdiag_abs_num": pa.array([off], pa.int64()),
+    }))
