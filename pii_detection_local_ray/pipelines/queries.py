@@ -19892,3 +19892,162 @@ def embedding_covariance_audit(sf_dir: str):
         "trace_num": pa.array([trace], pa.int64()),
         "offdiag_abs_num": pa.array([off], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Homoglyph (confusable-script) duplicate detection
+# ---------------------------------------------------------------------------
+
+# Cyrillic -> Latin confusable skeleton (the common lookalikes)
+_CONFUSABLES = {
+    "а": "a", "е": "e", "о": "o", "р": "p",
+    "с": "c", "х": "x", "у": "y",
+}
+_HOMOGLYPH_SQL = (
+    # planted: id%30==9 carries the Cyrillic-skinned template, ==10 the
+    # Latin original for the same j = id//30; skeleton = translate()
+    # of the confusable set, dup classes = skeleton values seen twice
+    "WITH t AS (SELECT doc_id, CASE CAST(doc_id % 30 AS INTEGER) "
+    "WHEN 9 THEN 'раy ' || CAST((doc_id // 30) % 9 AS "
+    "VARCHAR) || ' nоw саsh bоnus' "
+    "WHEN 10 THEN 'pay ' || CAST((doc_id // 30) % 9 AS VARCHAR) || "
+    "' now cash bonus' ELSE text END AS t2 FROM documents), "
+    "s AS (SELECT doc_id, translate(t2, "
+    "'аеорсху', 'aeopcxy') AS sk "
+    "FROM t), "
+    "d AS (SELECT sk FROM s GROUP BY sk HAVING count(*) > 1) "
+    "SELECT s.doc_id FROM s JOIN d ON d.sk = s.sk"
+)
+
+
+@register("homoglyph_dup_docs", _HOMOGLYPH_SQL)
+def homoglyph_dup_docs(sf_dir: str):
+    """Confusable-script duplicate detection: documents whose Unicode-
+    confusable SKELETON (Cyrillic lookalikes folded to Latin) collides
+    with another document's - the spam/evasion dedup class that exact
+    hashing misses.  Same exchange shape as exact dedup: only
+    (skeleton-hash, doc_id) rows shuffle, grouped by hash bucket,
+    classes with >= 2 members emit their doc ids."""
+    _TR = str.maketrans(_CONFUSABLES)
+
+    def plant_skeleton(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, txt):
+            m = i % 30
+            j = (i // 30) % 9
+            if m == 9:
+                t2 = f"раy {j} nоw саsh bоnus"
+            elif m == 10:
+                t2 = f"pay {j} now cash bonus"
+            else:
+                t2 = t or ""
+            out.append(
+                hashlib.md5(t2.translate(_TR).encode()).hexdigest()
+            )
+        blk = np.array([int(h[:8], 16) & 63 for h in out], np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "h": pa.array(out, pa.string()),
+            "__b": pa.array(blk),
+        })
+
+    def classes(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(h)
+        cnt = np.bincount(codes)
+        keep = cnt[codes] > 1
+        return pa.table({
+            "doc_id": pa.array(np.sort(ids[keep]).astype(np.int64)),
+        })
+
+    res = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant_skeleton, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(classes, batch_format="pyarrow")
+    )
+    return _schema_safe(res, pa.schema([("doc_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width text format round trip (mainframe interchange)
+# ---------------------------------------------------------------------------
+
+_FW_SQL = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS total_cents FROM orders GROUP BY o_orderpriority"
+)
+
+
+@register("fixed_width_roundtrip_orders", _FW_SQL)
+def fixed_width_roundtrip_orders(sf_dir: str):
+    """Fixed-width (copybook-style) text format exercised end to end
+    AS a query: orders serialize to space-padded fixed-width shards
+    (sources/readers.write_fixed_width, one file per block), stream
+    back through read_fixed_width's offset slicer, and aggregate -
+    hash-equal to the same rollup over the original parquet, proving
+    the format round-trips losslessly.  Unique temp dir per run,
+    removed afterwards."""
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_fixed_width, write_fixed_width
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def render(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderpriority": b["o_orderpriority"],
+            "cents": pa.array(cents),
+        })
+
+    out_dir = tempfile.mkdtemp(prefix="fw_orders_")
+    try:
+        widths = {"o_orderkey": 12, "o_orderpriority": 16, "cents": 14}
+        write_fixed_width(
+            orders.map_batches(render, batch_format="pyarrow"),
+            out_dir, widths,
+        )
+        back = read_fixed_width(
+            out_dir, widths, int_cols=("o_orderkey", "cents")
+        )
+
+        def fold(b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+            c = b["cents"].to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(pr)
+            n = np.bincount(codes).astype(np.int64)
+            s = np.zeros(len(uniq), np.int64)
+            np.add.at(s, codes, c)
+            return pa.table({
+                "o_orderpriority": pa.array(list(uniq), pa.string()),
+                "n": pa.array(n), "total_cents": pa.array(s),
+            })
+
+        res = (
+            back.map_batches(fold, batch_format="pyarrow")
+            .groupby("o_orderpriority", num_partitions=4)
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Sum("total_cents", alias_name="total_cents"),
+            )
+            .materialize()
+        )
+        return res
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

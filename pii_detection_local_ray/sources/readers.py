@@ -154,3 +154,80 @@ def read_xlsx_units(paths, text_cols: list[str] | None = None) -> ray.data.Datas
         return unpivot_cells(batch, cols_sel)
 
     return ds.map_batches(_un, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width text format (mainframe / COBOL copybook style)
+# ---------------------------------------------------------------------------
+
+def write_fixed_width(
+    ds: ray.data.Dataset, out_dir, widths: dict[str, int]
+) -> None:
+    """Serialize ``ds`` to fixed-width text shards (one file per block):
+    every column rendered as str, left-justified and space-padded to its
+    declared width, truncation is an error (widths are a contract, not a
+    best effort).  Numeric round-trip fidelity is the caller's concern -
+    render integers/strings only."""
+    import os
+
+    os.makedirs(str(out_dir), exist_ok=True)
+    cols = list(widths)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        import uuid
+
+        lines = []
+        arrs = {c: b[c].to_pylist() for c in cols}
+        for k in range(b.num_rows):
+            parts = []
+            for c in cols:
+                s = str(arrs[c][k])
+                if len(s) > widths[c]:
+                    raise ValueError(
+                        f"value {s!r} exceeds width {widths[c]} of {c}"
+                    )
+                parts.append(s.ljust(widths[c]))
+            lines.append("".join(parts))
+        name = f"{out_dir}/part-{uuid.uuid4().hex}.fw"
+        with open(name, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        return pa.table({"path": pa.array([name], pa.string())})
+
+    # consume: one shard per input block
+    ds.map_batches(write_block, batch_format="pyarrow").materialize()
+
+
+def read_fixed_width(
+    paths, widths: dict[str, int], int_cols: tuple[str, ...] = ()
+) -> ray.data.Dataset:
+    """Parse fixed-width text shards back into typed columns: each line
+    slices at the cumulative width offsets, fields rstrip their pad,
+    ``int_cols`` cast to int64.  Distributed: read_binary_files streams
+    the shards and each block parses vectorized per line."""
+    offsets = []
+    pos = 0
+    for c, wd in widths.items():
+        offsets.append((c, pos, pos + wd))
+        pos += wd
+
+    def parse(b: pa.Table) -> pa.Table:
+        out: dict[str, list] = {c: [] for c, _, _ in offsets}
+        for raw in b["bytes"].to_pylist():
+            for line in raw.decode("utf-8").splitlines():
+                if not line.strip():
+                    continue
+                for c, lo, hi in offsets:
+                    out[c].append(line[lo:hi].rstrip())
+        cols = {}
+        for c, _, _ in offsets:
+            if c in int_cols:
+                cols[c] = pa.array(
+                    [int(x) for x in out[c]], pa.int64()
+                )
+            else:
+                cols[c] = pa.array(out[c], pa.string())
+        return pa.table(cols)
+
+    return ray.data.read_binary_files(paths).map_batches(
+        parse, batch_format="pyarrow"
+    )

@@ -1,0 +1,53 @@
+"""Fixed-width text format: round trip, padding, typing, width contract."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from pii_detection_local_ray.sources.readers import (
+    read_fixed_width,
+    write_fixed_width,
+)
+
+WIDTHS = {"k": 6, "name": 10, "cents": 12}
+
+
+def _ds(rows):
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "name": pa.array([r[1] for r in rows], pa.string()),
+        "cents": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+
+
+def test_roundtrip_types_and_padding(ray_session, tmp_path):
+    rows = [(1, "alpha", 123), (22, "b", -45), (333, "gamma gap", 0)]
+    write_fixed_width(_ds(rows), tmp_path, WIDTHS)
+    back = read_fixed_width(
+        str(tmp_path), WIDTHS, int_cols=("k", "cents")
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(back["k"]) == [1, 22, 333]
+    assert list(back["name"]) == ["alpha", "b", "gamma gap"]
+    assert list(back["cents"]) == [123, -45, 0]
+    assert str(back["k"].dtype) == "int64"
+    assert str(back["name"].dtype) == "object"
+
+
+def test_width_contract_raises(ray_session, tmp_path):
+    with pytest.raises(Exception) as ei:
+        write_fixed_width(
+            _ds([(1, "this name is far too long", 1)]), tmp_path, WIDTHS
+        )
+    assert "exceeds width" in str(ei.value)
+
+
+def test_internal_spaces_preserved_trailing_stripped(
+    ray_session, tmp_path
+):
+    rows = [(7, "a  b", 9)]
+    write_fixed_width(_ds(rows), tmp_path, WIDTHS)
+    back = read_fixed_width(
+        str(tmp_path), WIDTHS, int_cols=("k", "cents")
+    ).to_pandas()
+    assert back["name"][0] == "a  b"
