@@ -20051,3 +20051,165 @@ def fixed_width_roundtrip_orders(sf_dir: str):
         return res
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-part price spread (max - min) top-10
+# ---------------------------------------------------------------------------
+
+_SPREAD_SQL = (
+    "SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+    "- min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS spread_cents FROM lineitem GROUP BY l_partkey "
+    "ORDER BY spread_cents DESC, l_partkey LIMIT 10"
+)
+
+
+@register("part_price_spread_top10", _SPREAD_SQL)
+def part_price_spread_top10(sf_dir: str):
+    """Price-dispersion screen: the 10 parts with the widest
+    extended-price spread.  Min/max are mergeable, so the fact scan
+    folds per-block (part, n, min, max) partials, a coarse part-bucket
+    combine finishes each part AND prunes to its local top-10, and the
+    driver merges <= 10 x buckets candidates."""
+    import pandas as pd
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        c = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(pk)
+        n = np.bincount(codes).astype(np.int64)
+        lo = np.full(len(uniq), np.int64(2**62))
+        hi = np.full(len(uniq), np.int64(-(2**62)))
+        np.minimum.at(lo, codes, c)
+        np.maximum.at(hi, codes, c)
+        return pa.table({
+            "l_partkey": pa.array(uniq.astype(np.int64)),
+            "n_items": pa.array(n), "lo": pa.array(lo),
+            "hi": pa.array(hi),
+            "__b": pa.array(uniq.astype(np.int64) & 63),
+        })
+
+    def combine_top(g: pa.Table) -> pa.Table:
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        n = np.zeros(len(uniq), np.int64)
+        lo = np.full(len(uniq), np.int64(2**62))
+        hi = np.full(len(uniq), np.int64(-(2**62)))
+        np.add.at(n, inv, g["n_items"].to_numpy(zero_copy_only=False))
+        np.minimum.at(lo, inv, g["lo"].to_numpy(zero_copy_only=False))
+        np.maximum.at(hi, inv, g["hi"].to_numpy(zero_copy_only=False))
+        spread = hi - lo
+        top = np.lexsort((uniq, -spread))[:10]
+        return pa.table({
+            "l_partkey": pa.array(uniq[top].astype(np.int64)),
+            "n_items": pa.array(n[top]),
+            "spread_cents": pa.array(spread[top]),
+        })
+
+    cand = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(combine_top, batch_format="pyarrow")
+        .materialize()  # <= 10 rows per bucket
+    )
+    parts = [t for t in map(ray.get, cand.to_arrow_refs()) if t.num_rows]
+    ct = pa.concat_tables(parts)
+    pk = ct["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sp = ct["spread_cents"].to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    top = np.lexsort((pk, -sp))[:10]
+    return ray.data.from_arrow(pa.table({
+        "l_partkey": pa.array(pk[top]),
+        "n_items": pa.array(
+            ct["n_items"].to_numpy(zero_copy_only=False)[top]
+        ),
+        "spread_cents": pa.array(sp[top]),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrunk error rate per user
+# ---------------------------------------------------------------------------
+
+_SHRUNK_SQL = (
+    # shrunk = (k + 20 * K/N) / (n + 20) with K/N the global rate:
+    # one double division for the prior mean, one for the posterior,
+    # identical expression trees both engines
+    "WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS "
+    "BIGINT) AS k FROM events GROUP BY user_id), "
+    "g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) "
+    "AS kk FROM u) "
+    "SELECT user_id, n, k, "
+    "(k + 20 * (CAST((SELECT kk FROM g) AS DOUBLE) / "
+    "(SELECT nn FROM g))) / (n + 20) AS shrunk_rate FROM u"
+)
+
+
+@register("user_error_rate_shrunk", _SHRUNK_SQL)
+def user_error_rate_shrunk(sf_dir: str):
+    """Empirical-Bayes smoothing: each user's error rate shrunk toward
+    the global rate with prior strength 20 - the low-volume-entity
+    metric stabilizer (a 1-event user no longer reads as 0% or 100%).
+    Per-user integer counts fold through one bucket exchange; the
+    global prior folds from the same partials; two divisions per row
+    in fixed order."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def upartial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        err = pc.equal(b["event_type"], "error").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(u)
+        n = np.bincount(codes).astype(np.int64)
+        k = np.zeros(len(uniq), np.int64)
+        np.add.at(k, codes, err)
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(n), "k": pa.array(k),
+            "__b": pa.array(uniq.astype(np.int64) & 15),
+        })
+
+    def ucombine(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        n = np.zeros(len(uniq), np.int64)
+        k = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, g["n"].to_numpy(zero_copy_only=False))
+        np.add.at(k, inv, g["k"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(n), "k": pa.array(k),
+        })
+
+    per = (
+        ev.map_batches(upartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(ucombine, batch_format="pyarrow")
+        .materialize()  # user-bounded
+    )
+    parts = [t for t in map(ray.get, per.to_arrow_refs()) if t.num_rows]
+    ut = pa.concat_tables(parts)
+    n = ut["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ut["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    prior = np.float64(int(k.sum())) / int(n.sum())
+    return ray.data.from_arrow(pa.table({
+        "user_id": ut["user_id"].cast(pa.int64()),
+        "n": pa.array(n), "k": pa.array(k),
+        "shrunk_rate": pa.array((k + 20 * prior) / (n + 20)),
+    }))
