@@ -16923,61 +16923,60 @@ def nation_trade_matrix(sf_dir: str):
     from ..functions.joins import hash_join
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
-    nname = dict(zip(
-        nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()
-    ))
+    nkeys = np.array(nat["n_nationkey"].to_pylist(), np.int64)
+    nnames = np.array(nat["n_name"].to_pylist(), dtype=object)
+    code_of = np.zeros(int(nkeys.max()) + 1, np.int64)
+    code_of[nkeys] = np.arange(len(nkeys))
     supp = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     )
     sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     so = np.argsort(sk)
-    snat = np.array([
-        nname[int(k)] for k in
-        supp["s_nationkey"].to_numpy(zero_copy_only=False)
-    ], dtype=object)
+    # nation CODES (small ints) ride the exchange; names resolve once
+    # at the 625-row matrix
+    snat = code_of[
+        supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+    ][so]
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     co = np.argsort(ck)
-    cnat = np.array([
-        nname[int(k)] for k in
-        cust["c_nationkey"].to_numpy(zero_copy_only=False)
-    ], dtype=object)
-    ref = ray.put((sk[so], snat[so], ck[co], cnat[co]))
+    cnat = code_of[
+        cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+    ][co]
+    ref = ray.put((sk[so], snat, ck[co], cnat))
 
     def lpartial(b: pa.Table) -> pa.Table:
-        skeys, snames, _, _ = ray.get(ref)
+        skeys, scodes, _, _ = ray.get(ref)
         ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
         sup = b["l_suppkey"].to_numpy(zero_copy_only=False)
         cents = np.round(
             b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
-        sn = snames[np.searchsorted(skeys, sup)]
-        key = pd.MultiIndex.from_arrays([ok, sn])
-        codes, uniq = pd.factorize(key)
-        cnt = np.bincount(codes).astype(np.int64)
+        sn = scodes[np.searchsorted(skeys, sup)]
+        comp = ok * 32 + sn  # composite int key: orderkey x nation code
+        uniq, inv = np.unique(comp, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
         rev = np.zeros(len(uniq), np.int64)
-        np.add.at(rev, codes, cents)
+        np.add.at(rev, inv, cents)
         return pa.table({
-            "l_orderkey": pa.array(
-                np.array([u[0] for u in uniq], np.int64)
-            ),
-            "supp_nation": pa.array(
-                [u[1] for u in uniq], pa.string()
-            ),
+            "l_orderkey": pa.array(uniq // 32),
+            "sn_code": pa.array(uniq % 32),
             "n_items": pa.array(cnt),
             "revenue_cents": pa.array(rev),
         })
 
     def otag(b: pa.Table) -> pa.Table:
-        _, _, ckeys, cnames = ray.get(ref)
+        _, _, ckeys, ccodes = ray.get(ref)
         cu = b["o_custkey"].to_numpy(zero_copy_only=False)
         return pa.table({
             "o_orderkey": b["o_orderkey"],
-            "cust_nation": pa.array(
-                list(cnames[np.searchsorted(ckeys, cu)]), pa.string()
-            ),
+            "cn_code": pa.array(ccodes[np.searchsorted(ckeys, cu)]),
         })
 
     lpart = ray.data.read_parquet(
@@ -16993,31 +16992,49 @@ def nation_trade_matrix(sf_dir: str):
     )
 
     def pairfold(b: pa.Table) -> pa.Table:
-        sn = b["supp_nation"].to_numpy(zero_copy_only=False)
-        cn = b["cust_nation"].to_numpy(zero_copy_only=False)
-        key = pd.MultiIndex.from_arrays([sn, cn])
-        codes, uniq = pd.factorize(key)
+        comp = (
+            b["sn_code"].to_numpy(zero_copy_only=False) * 32
+            + b["cn_code"].to_numpy(zero_copy_only=False)
+        )
+        uniq, inv = np.unique(comp, return_inverse=True)
         n = np.zeros(len(uniq), np.int64)
         r = np.zeros(len(uniq), np.int64)
-        np.add.at(n, codes, b["n_items"].to_numpy(zero_copy_only=False))
+        np.add.at(n, inv, b["n_items"].to_numpy(zero_copy_only=False))
         np.add.at(
-            r, codes, b["revenue_cents"].to_numpy(zero_copy_only=False)
+            r, inv, b["revenue_cents"].to_numpy(zero_copy_only=False)
         )
         return pa.table({
-            "supp_nation": pa.array([u[0] for u in uniq], pa.string()),
-            "cust_nation": pa.array([u[1] for u in uniq], pa.string()),
+            "pair": pa.array(uniq),
             "n_items": pa.array(n),
             "revenue_cents": pa.array(r),
         })
 
-    return (
+    mat = (
         joined.map_batches(pairfold, batch_format="pyarrow")
-        .groupby(["supp_nation", "cust_nation"], num_partitions=8)
+        .groupby("pair", num_partitions=4)
         .aggregate(
             Sum("n_items", alias_name="n_items"),
             Sum("revenue_cents", alias_name="revenue_cents"),
         )
+        .materialize()  # <= 625 rows
     )
+    parts = [t for t in map(ray.get, mat.to_arrow_refs()) if t.num_rows]
+    mt = pa.concat_tables(parts)
+    pair = mt["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "supp_nation": pa.array(
+            list(nnames[pair // 32]), pa.string()
+        ),
+        "cust_nation": pa.array(
+            list(nnames[pair % 32]), pa.string()
+        ),
+        "n_items": pa.array(
+            mt["n_items"].to_numpy(zero_copy_only=False)
+        ),
+        "revenue_cents": pa.array(
+            mt["revenue_cents"].to_numpy(zero_copy_only=False)
+        ),
+    }))
 
 
 # ---------------------------------------------------------------------------
@@ -17063,22 +17080,14 @@ def order_priority_late_ship(sf_dir: str):
             "__b": pa.array(uniq.astype(np.int64) & 63),
         })
 
-    def mcombine(g: pa.Table) -> pa.Table:
-        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(ok, return_inverse=True)
-        mx = np.full(len(uniq), np.int64(-(2**62)))
-        np.maximum.at(
-            mx, inv, g["max_ship_us"].to_numpy(zero_copy_only=False)
-        )
-        return pa.table({
-            "l_orderkey": pa.array(uniq.astype(np.int64)),
-            "max_ship_us": pa.array(mx),
-        })
-
-    omax = (
-        li.map_batches(mpartial, batch_format="pyarrow")
-        .groupby("__b", num_partitions=8)
-        .map_groups(mcombine, batch_format="pyarrow")
+    # per-block partials go STRAIGHT into the hash join - a separate
+    # per-order combine exchange would re-shuffle nearly the whole
+    # fact (orders rarely share a block, so partials barely collapse);
+    # the join already co-partitions by order key, so every order's
+    # partial rows land in ONE output block and the per-order max
+    # resolves there.  batch_size=None = whole blocks as batches.
+    omax = li.map_batches(mpartial, batch_format="pyarrow").drop_columns(
+        ["__b"]
     )
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -17086,33 +17095,38 @@ def order_priority_late_ship(sf_dir: str):
     )
     joined = hash_join(
         omax, orders, on="l_orderkey", right_on="o_orderkey",
-        num_partitions=8,
+        num_partitions=16,
     )
     NINETY_DAYS_US = 90 * 86_400_000_000
 
     def pfold(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
         pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
         od = (
             b["o_orderdate"].to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").view(np.int64)
         )
-        late = (
-            b["max_ship_us"].to_numpy(zero_copy_only=False)
-            > od + NINETY_DAYS_US
-        ).astype(np.int64)
-        codes, uniq = pd.factorize(pr)
+        mx = b["max_ship_us"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        omx = np.full(len(uniq), np.int64(-(2**62)))
+        np.maximum.at(omx, inv, mx)
+        # orderdate/priority are constant within an order: take firsts
+        first = np.zeros(len(uniq), np.int64)
+        first[inv[::-1]] = np.arange(len(ok) - 1, -1, -1)
+        late = (omx > od[first] + NINETY_DAYS_US).astype(np.int64)
+        codes, puniq = pd.factorize(pr[first])
         n = np.bincount(codes).astype(np.int64)
-        nl = np.zeros(len(uniq), np.int64)
+        nl = np.zeros(len(puniq), np.int64)
         np.add.at(nl, codes, late)
         return pa.table({
-            "o_orderpriority": pa.array(list(uniq), pa.string()),
+            "o_orderpriority": pa.array(list(puniq), pa.string()),
             "n_orders": pa.array(n), "n_late": pa.array(nl),
         })
 
     import pandas as pd
 
     folded = joined.map_batches(
-        pfold, batch_format="pyarrow"
+        pfold, batch_format="pyarrow", batch_size=None
     ).materialize()  # bounded: <= |priorities| rows per block
     parts = [t for t in map(ray.get, folded.to_arrow_refs()) if t.num_rows]
     ft = pa.concat_tables(parts)
@@ -17855,24 +17869,21 @@ def kcenter_embeddings(sf_dir: str):
         ).astype(np.int64).reshape(len(ids), -1)
         return ids, m
 
-    first = int(emb.min("vec_id"))
-    chosen_ids = [first]
+    # one pass: block-local (min id, vector) partials -> global min
+    def first_partial(b: pa.Table) -> pa.Table:
+        ids, m = to_fp(b)
+        k = int(np.argmin(ids))
+        return pa.table({
+            "vec_id": pa.array([int(ids[k])], pa.int64()),
+            "v": pa.array([m[k].tolist()], pa.list_(pa.int64())),
+        })
 
-    def fetch_vec(target_ids):
-        refs = []
-
-        def grab(b: pa.Table) -> pa.Table:
-            ids, m = to_fp(b)
-            mask = np.isin(ids, target_ids)
-            return pa.table({
-                "vec_id": pa.array(ids[mask]),
-                "v": pa.array(list(m[mask]), pa.list_(pa.int64())),
-            })
-
-        got = emb.map_batches(grab, batch_format="pyarrow").take_all()
-        return {r["vec_id"]: np.array(r["v"], np.int64) for r in got}
-
-    vecs = fetch_vec(np.array(chosen_ids))
+    firsts = emb.map_batches(
+        first_partial, batch_format="pyarrow"
+    ).take_all()
+    firsts.sort(key=lambda r: r["vec_id"])
+    chosen_ids = [int(firsts[0]["vec_id"])]
+    vecs = {chosen_ids[0]: np.array(firsts[0]["v"], np.int64)}
     sel_rounds = [0]
     for r in range(1, 5):
         cm = np.stack([vecs[i] for i in chosen_ids])
@@ -17887,6 +17898,7 @@ def kcenter_embeddings(sf_dir: str):
                 return pa.table({
                     "vec_id": pa.array([], pa.int64()),
                     "mind": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.list_(pa.int64())),
                 })
             d2 = (
                 (m * m).sum(axis=1)[:, None]
@@ -17895,9 +17907,11 @@ def kcenter_embeddings(sf_dir: str):
             )
             mind = d2.min(axis=1)
             best = np.lexsort((ids, -mind))[0]
+            # candidate vector rides along: no second fetch pass
             return pa.table({
                 "vec_id": pa.array([int(ids[best])], pa.int64()),
                 "mind": pa.array([int(mind[best])], pa.int64()),
+                "v": pa.array([m[best].tolist()], pa.list_(pa.int64())),
             })
 
         cands = emb.map_batches(far, batch_format="pyarrow").take_all()
@@ -17905,7 +17919,7 @@ def kcenter_embeddings(sf_dir: str):
         nxt = int(cands[0]["vec_id"])
         chosen_ids.append(nxt)
         sel_rounds.append(r)
-        vecs.update(fetch_vec(np.array([nxt])))
+        vecs[nxt] = np.array(cands[0]["v"], np.int64)
     return ray.data.from_arrow(pa.table({
         "sel_round": pa.array(sel_rounds, pa.int64()),
         "vec_id": pa.array(chosen_ids, pa.int64()),
@@ -19310,35 +19324,33 @@ def order_total_reconciliation(sf_dir: str):
             "__b": pa.array(uniq.astype(np.int64) & 63),
         })
 
-    def scombine(g: pa.Table) -> pa.Table:
-        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(ok, return_inverse=True)
-        s = np.zeros(len(uniq), np.int64)
-        np.add.at(s, inv, g["li_cents"].to_numpy(zero_copy_only=False))
-        return pa.table({
-            "l_orderkey": pa.array(uniq.astype(np.int64)),
-            "li_cents": pa.array(s),
-        })
-
-    osum = (
-        li.map_batches(spartial, batch_format="pyarrow")
-        .groupby("__b", num_partitions=8)
-        .map_groups(scombine, batch_format="pyarrow")
+    # per-block partials feed the join directly (the separate combine
+    # exchange would re-shuffle nearly the whole fact); the join
+    # co-partitions by order key, so each order's partial rows resolve
+    # within one output block (batch_size=None = whole blocks)
+    osum = li.map_batches(spartial, batch_format="pyarrow").drop_columns(
+        ["__b"]
     )
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     joined = hash_join(
         osum, orders, on="l_orderkey", right_on="o_orderkey",
-        num_partitions=8,
+        num_partitions=16,
     )
 
     def fold(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
         oc = np.round(
             b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
         lc = b["li_cents"].to_numpy(zero_copy_only=False)
-        d = np.abs(oc - lc)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        osums = np.zeros(len(uniq), np.int64)
+        np.add.at(osums, inv, lc)
+        first = np.zeros(len(uniq), np.int64)
+        first[inv[::-1]] = np.arange(len(ok) - 1, -1, -1)
+        d = np.abs(oc[first] - osums)
         return pa.table({
             "n_orders": pa.array([len(d)], pa.int64()),
             "n_exact": pa.array([int((d == 0).sum())], pa.int64()),
@@ -19348,7 +19360,9 @@ def order_total_reconciliation(sf_dir: str):
             "sum_abs_diff": pa.array([int(d.sum())], pa.int64()),
         })
 
-    tot = joined.map_batches(fold, batch_format="pyarrow").aggregate(
+    tot = joined.map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    ).aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("n_exact", alias_name="n_exact"),
         Max("max_abs_diff", alias_name="max_abs_diff"),
@@ -19706,32 +19720,39 @@ def jsd_char_trigrams_langs(sf_dir: str):
     docs = _docs(sf_dir, ["lang", "text"])
 
     def tpartial(b: pa.Table) -> pa.Table:
-        langs, tris = [], []
+        # vectorized: concatenate every doc's code points once per
+        # lang, one structured np.unique per (lang, trigram) - no
+        # Python loop over trigrams
+        bylang: dict = {}
         for lg, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
             t = t or ""
             if len(t) < 3:
                 continue
             cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
             w = np.lib.stride_tricks.sliding_window_view(cp, 3)
-            v = np.ascontiguousarray(w).view("V12").ravel()
+            bylang.setdefault(lg, []).append(np.ascontiguousarray(w))
+        langs_out, tri_out, cnt_out = [], [], []
+        for lg, mats in bylang.items():
+            allw = np.concatenate(mats)
+            v = allw.view("V12").ravel()
             uniq, cnt = np.unique(v, return_counts=True)
-            for u, n in zip(uniq, cnt):
-                langs.append(lg)
-                tris.append((bytes(u), int(n)))
-        key = pd.MultiIndex.from_arrays(
-            [langs, [x[0] for x in tris]]
+            raw = uniq.tobytes()
+            langs_out.extend([lg] * len(uniq))
+            tri_out.extend(
+                raw[k * 12:(k + 1) * 12] for k in range(len(uniq))
+            )
+            cnt_out.append(cnt.astype(np.int64))
+        cnt_all = (
+            np.concatenate(cnt_out) if cnt_out else np.array([], np.int64)
         )
-        codes, uniq = pd.factorize(key)
-        cnt = np.zeros(len(uniq), np.int64)
-        np.add.at(cnt, codes, np.array([x[1] for x in tris], np.int64))
-        tb = [u[1] for u in uniq]
         blk = np.array([
-            int(hashlib.md5(x).hexdigest()[:8], 16) & 63 for x in tb
+            int.from_bytes(hashlib.md5(x).digest()[:4], "big") & 63
+            for x in tri_out
         ], np.int64)
         return pa.table({
-            "lang": pa.array([u[0] for u in uniq], pa.string()),
-            "t": pa.array(tb, pa.binary()),
-            "c": pa.array(cnt),
+            "lang": pa.array(langs_out, pa.string()),
+            "t": pa.array(tri_out, pa.binary()),
+            "c": pa.array(cnt_all),
             "__b": pa.array(blk),
         })
 
