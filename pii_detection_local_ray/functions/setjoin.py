@@ -97,48 +97,42 @@ def ppjoin_pairs(
     """All pairs with token-set Jaccard >= threshold_p/threshold_q,
     exact.  Returns (id_a, id_b, ix, un) with id_a < id_b."""
     t = threshold_p / threshold_q
-    # materialized once: df pass, join probe side, and the verify stage
-    # all re-read it (re-executing the explode three times otherwise)
+    # materialized once: the prefix pass and the verify stage both
+    # re-read it (re-executing the explode twice otherwise)
     toks = doc_token_sets(ds, id_col, text_col, shingle_w).materialize()
     n_toks = toks.count()
+    if n_toks == 0:
+        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
     # shuffle width follows DATA VOLUME: every hash-shuffle partition
     # costs an aggregator actor (~0.4 s spawn), so a 30k-row exchange
     # over 16 partitions is pure overhead; large inputs still fan out
     scale_parts = max(1, min(num_partitions, n_toks // 20_000))
 
-    def df_partial(b: pa.Table) -> pa.Table:
-        g = b.select(["tok"]).group_by("tok").aggregate([([], "count_all")])
-        return g.rename_columns(["tok", "n"])
-
-    from ray.data.aggregate import Sum
-
-    df = pin_schema(
-        toks.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("tok", num_partitions=scale_parts)
-        .aggregate(Sum("n", alias_name="df")),
-        pa.schema([("tok", pa.string()), ("df", pa.int64())]),
-    ).materialize()
-    # join partitions sized to the key count: a join partition that
-    # receives zero rows on BOTH sides finalizes as a schema-less table
-    # and breaks Arrow key resolution (repo-wide convention, joins.py)
-    n_vocab = df.count()
-    if n_vocab == 0:
-        return ray.data.from_arrow(_PAIRS_SCHEMA.empty_table())
-    join_parts = max(1, min(scale_parts, n_vocab // 64))
-
-    toksdf = hash_join(toks, df, on="tok", num_partitions=join_parts)
-
-    # per-doc prefixes via a COARSE-bucket exchange (the linededup
-    # convention): one map_groups call handles ~1/16 of the docs and
-    # vectorizes the per-doc prefix cut over sort offsets, instead of
-    # paying map_groups overhead once per document.
+    # Global token order = md5 hash (token string tiebreak).  The
+    # prefix lemma holds under ANY total order; ascending-df ordering
+    # is a bucket-size optimization that matters on Zipf vocabularies,
+    # but the shingled token universe is FLAT (df ~1-2), so a
+    # pseudo-random hash order gives the same bucket profile while
+    # deleting the df exchange AND the token-df fact join - the two
+    # widest shuffles of the df-ordered variant (PERF.md).  Hot tokens
+    # still trip the max_bucket guard loudly.
     def add_docbucket(b: pa.Table) -> pa.Table:
+        import hashlib
+
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        return b.append_column("db", pa.array(ids % 16, pa.int64()))
+        h = np.array([
+            int.from_bytes(
+                hashlib.md5(s.encode()).digest()[:8], "big"
+            ) >> 1
+            for s in b["tok"].to_pylist()
+        ], np.int64)
+        return b.append_column(
+            "db", pa.array(ids % 16, pa.int64())
+        ).append_column("ho", pa.array(h))
 
     def prefix_of_bucket(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        dfs = g["df"].to_numpy(zero_copy_only=False)
+        dfs = g["ho"].to_numpy(zero_copy_only=False)
         words = np.array(g["tok"].to_pylist())
         order = np.lexsort((words, dfs, ids))
         ids_s, words_s = ids[order], words[order]
@@ -159,7 +153,7 @@ def ppjoin_pairs(
         })
 
     postings = (
-        toksdf.map_batches(add_docbucket, batch_format="pyarrow")
+        toks.map_batches(add_docbucket, batch_format="pyarrow")
         .groupby("db", num_partitions=min(8, max(1, scale_parts)))
         .map_groups(prefix_of_bucket, batch_format="pyarrow")
     )

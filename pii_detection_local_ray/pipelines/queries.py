@@ -8313,9 +8313,11 @@ def ntile_value_quartiles(sf_dir: str):
 
 @register(
     "setjoin_near_dups",
-    # brute-force oracle: distinct word-trigram shingles per doc over
+    # brute-force oracle: distinct word-5-gram shingles per doc over
     # the planted corpus, exact pair intersections, integer threshold
-    # test 2*ix >= un  <=>  Jaccard >= 1/2
+    # test 2*ix >= un  <=>  Jaccard >= 1/2.  5-gram shingles keep the
+    # token universe discriminative on natural text (3-grams recur
+    # across unrelated docs and blow the candidate set up 40x)
     "WITH allv AS ("
     "  SELECT doc_id, text FROM documents"
     "  UNION ALL"
@@ -8325,8 +8327,9 @@ def ntile_value_quartiles(sf_dir: str):
     "), toks AS ("
     "  SELECT DISTINCT doc_id, tok FROM ("
     "    SELECT doc_id, unnest(list_transform("
-    "      generate_series(1, len(w) - 2),"
-    "      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok"
+    "      generate_series(1, len(w) - 4),"
+    "      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || "
+    "w[i+3] || ' ' || w[i+4])) AS tok"
     "    FROM (SELECT doc_id, list_filter(regexp_split_to_array("
     "      lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w FROM allv))"
     "), sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),"
@@ -8363,7 +8366,7 @@ def setjoin_near_dups(sf_dir: str):
     planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         plant, batch_format="pyarrow"
     )
-    pairs = ppjoin_pairs(planted, threshold_p=1, threshold_q=2, shingle_w=3)
+    pairs = ppjoin_pairs(planted, threshold_p=1, threshold_q=2, shingle_w=5)
     return _schema_safe(
         pairs,
         pa.schema([
