@@ -20237,3 +20237,166 @@ def user_error_rate_shrunk(sf_dir: str):
         "n": pa.array(n), "k": pa.array(k),
         "shrunk_rate": pa.array((k + 20 * prior) / (n + 20)),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Char-bigram surprisal per document (corpus-self language-model score)
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_SQL = (
+    # surprisal of bigram g = ln(N_total / count(g)); per-doc sum in
+    # int64 fixed point (lnfp of an integer ratio), exact and order-free
+    "WITH g AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) "
+    "AS bg FROM (SELECT doc_id, text, unnest(generate_series(1, "
+    "length(text) - 1)) AS i FROM documents WHERE length(text) >= 2)), "
+    "v AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY bg), "
+    "n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM v) "
+    "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "CAST(sum(CAST(floor(1e9 * ln(CAST((SELECT nt FROM n) AS DOUBLE) "
+    "/ v.c)) AS BIGINT)) AS BIGINT) AS surprisal_fp "
+    "FROM g JOIN v USING (bg) GROUP BY g.doc_id"
+)
+
+
+@register("char_bigram_surprisal_docs", _SURPRISAL_SQL)
+def char_bigram_surprisal_docs(sf_dir: str):
+    """Self-trained char-bigram surprisal per document - the
+    lightest-weight fluency/perplexity proxy (gibberish and encoded
+    blobs score high, templated text low).  Pass 1 folds the bounded
+    char-bigram vocabulary (one small exchange); the count table
+    broadcasts once; pass 2 scores every doc vectorized in int64 fixed
+    point - mean surprisal = surprisal_fp / (n_bigrams * 1e9) nats at
+    the consumer."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_bigrams(t: str) -> np.ndarray:
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        w = np.lib.stride_tricks.sliding_window_view(cp, 2)
+        return np.ascontiguousarray(w).view("V8").ravel()
+
+    def vpartial(b: pa.Table) -> pa.Table:
+        mats = [
+            to_bigrams(t) for t in b["text"].to_pylist()
+            if t and len(t) >= 2
+        ]
+        if not mats:
+            return pa.table({
+                "bg": pa.array([], pa.binary()),
+                "c": pa.array([], pa.int64()),
+            })
+        uniq, cnt = np.unique(np.concatenate(mats), return_counts=True)
+        raw = uniq.tobytes()
+        return pa.table({
+            "bg": pa.array(
+                [raw[k * 8:(k + 1) * 8] for k in range(len(uniq))],
+                pa.binary(),
+            ),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    vocab = (
+        docs.map_batches(vpartial, batch_format="pyarrow")
+        .groupby("bg", num_partitions=4)
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()  # bounded: distinct char bigrams
+    )
+    parts = [t for t in map(ray.get, vocab.to_arrow_refs()) if t.num_rows]
+    vt = pa.concat_tables(parts)
+    keys = np.frombuffer(
+        b"".join(vt["bg"].to_pylist()), dtype="V8"
+    )
+    cnts = vt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys.view(np.uint64))
+    keys_s = keys.view(np.uint64)[order]
+    total = int(cnts.sum())
+    lnfp = np.floor(
+        1e9 * np.log(np.float64(total) / cnts[order].astype(np.float64))
+    ).astype(np.int64)
+    ref = ray.put((keys_s, lnfp))
+
+    def score(b: pa.Table) -> pa.Table:
+        ks, lf = ray.get(ref)
+        ids, nb, sfp = [], [], []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if not t or len(t) < 2:
+                continue
+            v = to_bigrams(t).view(np.uint64)
+            idx = np.searchsorted(ks, v)
+            ids.append(i)
+            nb.append(len(v))
+            sfp.append(int(lf[idx].sum()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "surprisal_fp": pa.array(sfp, pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Identifier-continuity integrity audit
+# ---------------------------------------------------------------------------
+
+_IDGAP_SQL = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct, "
+    "CAST(max(doc_id) - min(doc_id) + 1 - count(DISTINCT doc_id) "
+    "AS BIGINT) AS n_missing, "
+    "CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_dup_ids "
+    "FROM documents"
+)
+
+
+@register("doc_id_gap_integrity", _IDGAP_SQL)
+def doc_id_gap_integrity(sf_dir: str):
+    """Surrogate-key integrity audit: row count, distinct ids, holes in
+    the [min, max] range, duplicate ids - the ingest sanity check that
+    catches dropped shards and double-loads.  Distinct counting without
+    a distinct shuffle: block-local sorted-unique id arrays enter a
+    coarse id-bucket combine, each bucket reports its exact distinct
+    count and min/max, one tiny fold finishes."""
+    import pandas as pd
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def ipartial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(uniq),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "__b": pa.array(uniq & 15),
+        })
+
+    def icombine(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, inv, g["cnt"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "n_rows": pa.array([int(cnt.sum())], pa.int64()),
+            "n_distinct": pa.array([len(uniq)], pa.int64()),
+            "lo": pa.array([int(uniq.min())], pa.int64()),
+            "hi": pa.array([int(uniq.max())], pa.int64()),
+        })
+
+    tot = (
+        docs.map_batches(ipartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(icombine, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_distinct", alias_name="n_distinct"),
+            Min("lo", alias_name="lo"), Max("hi", alias_name="hi"),
+        )
+    )
+    n_rows = int(tot["n_rows"])
+    n_distinct = int(tot["n_distinct"])
+    span = int(tot["hi"]) - int(tot["lo"]) + 1
+    return ray.data.from_arrow(pa.table({
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "n_distinct": pa.array([n_distinct], pa.int64()),
+        "n_missing": pa.array([span - n_distinct], pa.int64()),
+        "n_dup_ids": pa.array([n_rows - n_distinct], pa.int64()),
+    }))
