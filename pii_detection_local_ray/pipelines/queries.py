@@ -20400,3 +20400,313 @@ def doc_id_gap_integrity(sf_dir: str):
         "n_missing": pa.array([span - n_distinct], pa.int64()),
         "n_dup_ids": pa.array([n_rows - n_distinct], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram (dedup yield shape)
+# ---------------------------------------------------------------------------
+
+_DUPHIST_SQL = (
+    # planted: ids with id%40 in (11,12) collapse onto 6 shared
+    # templates, so the histogram has real multi-doc bars
+    "WITH t AS (SELECT CASE WHEN doc_id % 40 IN (11, 12) THEN "
+    "'DUPTPL ' || CAST((doc_id // 40) % 6 AS VARCHAR) ELSE text END "
+    "AS t2 FROM documents), "
+    "c AS (SELECT md5(t2) AS h, CAST(count(*) AS BIGINT) AS sz "
+    "FROM t GROUP BY h) "
+    "SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters "
+    "FROM c GROUP BY sz"
+)
+
+
+@register("dup_cluster_size_histogram", _DUPHIST_SQL)
+def dup_cluster_size_histogram(sf_dir: str):
+    """Shape of the exact-duplicate distribution: how many content
+    clusters exist at each multiplicity - the first chart a dedup run
+    reports (a heavy tail means template spam, a flat 1-bar means the
+    corpus is already unique).  Hash-only exchange (content never
+    shuffles), cluster sizes resolve per hash bucket, the bounded
+    size-histogram folds once more."""
+    import pandas as pd
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = [
+            hashlib.md5((
+                f"DUPTPL {(i // 40) % 6}" if i % 40 in (11, 12) else
+                (t or "")
+            ).encode()).hexdigest()
+            for i, t in zip(ids, b["text"].to_pylist())
+        ]
+        codes, uniq = pd.factorize(np.array(h, dtype=object))
+        cnt = np.bincount(codes).astype(np.int64)
+        blk = np.array([int(x[:8], 16) & 63 for x in uniq], np.int64)
+        return pa.table({
+            "h": pa.array(list(uniq), pa.string()),
+            "cnt": pa.array(cnt),
+            "__b": pa.array(blk),
+        })
+
+    def sizes(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(h)
+        sz = np.zeros(len(uniq), np.int64)
+        np.add.at(sz, codes, g["cnt"].to_numpy(zero_copy_only=False))
+        su, sc = np.unique(sz, return_counts=True)
+        return pa.table({
+            "cluster_size": pa.array(su),
+            "n_clusters": pa.array(sc.astype(np.int64)),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(hpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(sizes, batch_format="pyarrow")
+        .groupby("cluster_size", num_partitions=2)
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length distribution per language (tokenizer diagnostics)
+# ---------------------------------------------------------------------------
+
+_TOKLEN_SQL = (
+    "WITH t AS (SELECT lang, unnest(list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS w "
+    "FROM documents) "
+    "SELECT lang, CAST(least(length(w), 12) AS BIGINT) AS len_bucket, "
+    "CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2"
+)
+
+
+@register("token_length_distribution_by_lang", _TOKLEN_SQL)
+def token_length_distribution_by_lang(sf_dir: str):
+    """Word-length histogram per language (capped at 12+) - the
+    tokenizer-design diagnostic behind subword vocabulary sizing.
+    Zero-shuffle: each block folds its |langs| x 13 matrix, one tiny
+    exchange sums."""
+    import pandas as pd
+    from ..functions.dsir import _tokenize
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs, lens = [], []
+        for lg, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            for w in _tokenize(t or ""):
+                langs.append(lg)
+                lens.append(min(len(w), 12))
+        key = pd.MultiIndex.from_arrays([langs, lens])
+        codes, uniq = pd.factorize(key)
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.table({
+            "lang": pa.array([u[0] for u in uniq], pa.string()),
+            "len_bucket": pa.array(
+                np.array([u[1] for u in uniq], np.int64)
+            ),
+            "n": pa.array(cnt),
+        })
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "len_bucket"], num_partitions=4)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding hubness audit (k-NN in-degree distribution)
+# ---------------------------------------------------------------------------
+
+_HUBNESS_SQL = (
+    # 5-NN lists from exact int64 dot products (knn_label_agreement's
+    # pair table); hubness = how often a vector appears in OTHERS' top-5
+    "WITH v AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i, "
+    "CAST(floor(CAST(embedding[CAST(unnest(generate_series(1, 64)) "
+    "AS INTEGER)] AS DOUBLE) * 1e7) AS BIGINT) AS xfp FROM embeddings), "
+    "s AS (SELECT a.vec_id AS qa, b.vec_id AS qb, "
+    "CAST(sum(a.xfp * b.xfp) AS BIGINT) AS score "
+    "FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id "
+    "GROUP BY 1, 2), "
+    "r AS (SELECT qa, qb FROM (SELECT qa, qb, row_number() OVER "
+    "(PARTITION BY qa ORDER BY score DESC, qb) AS rn FROM s) "
+    "WHERE rn <= 5), "
+    "deg AS (SELECT qb AS vec_id, CAST(count(*) AS BIGINT) AS indeg "
+    "FROM r GROUP BY qb), "
+    "alln AS (SELECT e.vec_id, coalesce(d.indeg, 0) AS indeg "
+    "FROM embeddings e LEFT JOIN deg d ON d.vec_id = e.vec_id) "
+    "SELECT CAST(indeg AS BIGINT) AS indeg, "
+    "CAST(count(*) AS BIGINT) AS n_vectors FROM alln GROUP BY indeg"
+)
+
+
+@register("embedding_hubness_audit", _HUBNESS_SQL)
+def embedding_hubness_audit(sf_dir: str):
+    """Hubness (Radovanovic et al. 2010): the distribution of k-NN
+    in-degrees - a right-skewed tail means a few 'hub' vectors pollute
+    every neighbor list and ANN-based dedup/retrieval degrades.  One
+    integer matmul per batch against the broadcast matrix emits each
+    block's top-5 lists; in-degrees fold over a bounded exchange; the
+    histogram includes the zero-in-degree vectors."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mfp = np.floor(
+        pc.list_flatten(emb["embedding"]).to_numpy(zero_copy_only=False)
+        .astype(np.float64) * 1e7
+    ).astype(np.int64).reshape(len(ids), -1)
+    o = np.argsort(ids)
+    ids, mfp = ids[o], mfp[o]
+    ref = ray.put((ids, mfp))
+
+    def top5(b: pa.Table) -> pa.Table:
+        aid, am = ray.get(ref)
+        q = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = np.floor(
+            pc.list_flatten(b["embedding"]).to_numpy(zero_copy_only=False)
+            .astype(np.float64) * 1e7
+        ).astype(np.int64).reshape(len(q), -1)
+        scores = qm @ am.T
+        self_pos = np.searchsorted(aid, q)
+        scores[np.arange(len(q)), self_pos] = np.int64(-(2**62))
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :5]
+        nb = aid[top].ravel()
+        uniq, cnt = np.unique(nb, return_counts=True)
+        return pa.table({
+            "vec_id": pa.array(uniq),
+            "indeg": pa.array(cnt.astype(np.int64)),
+        })
+
+    deg = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .map_batches(top5, batch_format="pyarrow")
+        .groupby("vec_id", num_partitions=4)
+        .aggregate(Sum("indeg", alias_name="indeg"))
+        .materialize()  # <= n_vectors rows
+    )
+    parts = [t for t in map(ray.get, deg.to_arrow_refs()) if t.num_rows]
+    dt = pa.concat_tables(parts)
+    got = dict(zip(
+        dt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        dt["indeg"].to_numpy(zero_copy_only=False).astype(np.int64),
+    ))
+    alldeg = np.array([got.get(int(i), 0) for i in ids], np.int64)
+    du, dc = np.unique(alldeg, return_counts=True)
+    return ray.data.from_arrow(pa.table({
+        "indeg": pa.array(du),
+        "n_vectors": pa.array(dc.astype(np.int64)),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth points
+# ---------------------------------------------------------------------------
+
+_HEAPS_SQL = (
+    # V(N) at two prefixes of the doc_id order: token totals and exact
+    # distinct-word counts for ids < 250 and for all docs
+    "WITH t AS (SELECT doc_id, unnest(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> len(x) > 0)) AS w FROM documents) "
+    "SELECT CAST(sum(CASE WHEN doc_id % 500 < 250 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_tokens_half, "
+    "CAST(count(DISTINCT CASE WHEN doc_id % 500 < 250 THEN w END) AS "
+    "BIGINT) AS vocab_half, "
+    "CAST(count(*) AS BIGINT) AS n_tokens_full, "
+    "CAST(count(DISTINCT w) AS BIGINT) AS vocab_full FROM t"
+)
+
+
+@register("heaps_law_points", _HEAPS_SQL)
+def heaps_law_points(sf_dir: str):
+    """Heaps'-law growth probe: corpus token count and exact vocabulary
+    size at the half-corpus prefix and the full corpus - the two points
+    that fit V = K*N^beta and forecast vocabulary at 100x data.
+    Distinct counting without a distinct shuffle: per-block deduped
+    (word, in-half flag) pairs bucket by word hash; each bucket counts
+    its exact contribution to both vocabularies."""
+    from ..functions.dsir import _tokenize
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def wpartial(b: pa.Table) -> pa.Table:
+        words: dict = {}
+        tok_half = 0
+        tok_full = 0
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            half = i % 500 < 250
+            for w in _tokenize(t or ""):
+                tok_full += 1
+                prev = words.get(w, False)
+                if half:
+                    tok_half += 1
+                    words[w] = True
+                elif w not in words:
+                    words[w] = prev
+        ws = sorted(words)
+        blk = np.array([
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & 63
+            for w in ws
+        ], np.int64)
+        t1 = pa.table({
+            "w": pa.array(ws, pa.string()),
+            "in_half": pa.array(
+                np.array([words[w] for w in ws], np.int64)
+            ),
+            "tok_half": pa.array(np.zeros(len(ws), np.int64)),
+            "tok_full": pa.array(np.zeros(len(ws), np.int64)),
+            "__b": pa.array(blk),
+        })
+        t2 = pa.table({
+            "w": pa.array([""], pa.string()),
+            "in_half": pa.array([0], pa.int64()),
+            "tok_half": pa.array([tok_half], pa.int64()),
+            "tok_full": pa.array([tok_full], pa.int64()),
+            "__b": pa.array([64], pa.int64()),
+        })
+        return pa.concat_tables([t1, t2])
+
+    def wcombine(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if int(g["__b"][0].as_py()) == 64:
+            return pa.table({
+                "vocab_half": pa.array([0], pa.int64()),
+                "vocab_full": pa.array([0], pa.int64()),
+                "n_tokens_half": pa.array([int(
+                    g["tok_half"].to_numpy(zero_copy_only=False).sum()
+                )], pa.int64()),
+                "n_tokens_full": pa.array([int(
+                    g["tok_full"].to_numpy(zero_copy_only=False).sum()
+                )], pa.int64()),
+            })
+        w = g["w"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(w)
+        inh = np.zeros(len(uniq), np.int64)
+        np.maximum.at(
+            inh, codes, g["in_half"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({
+            "vocab_half": pa.array([int(inh.sum())], pa.int64()),
+            "vocab_full": pa.array([len(uniq)], pa.int64()),
+            "n_tokens_half": pa.array([0], pa.int64()),
+            "n_tokens_full": pa.array([0], pa.int64()),
+        })
+
+    tot = (
+        docs.map_batches(wpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(wcombine, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_tokens_half", alias_name="n_tokens_half"),
+            Sum("vocab_half", alias_name="vocab_half"),
+            Sum("n_tokens_full", alias_name="n_tokens_full"),
+            Sum("vocab_full", alias_name="vocab_full"),
+        )
+    )
+    return ray.data.from_arrow(pa.table({
+        "n_tokens_half": pa.array([int(tot["n_tokens_half"])], pa.int64()),
+        "vocab_half": pa.array([int(tot["vocab_half"])], pa.int64()),
+        "n_tokens_full": pa.array([int(tot["n_tokens_full"])], pa.int64()),
+        "vocab_full": pa.array([int(tot["vocab_full"])], pa.int64()),
+    }))
