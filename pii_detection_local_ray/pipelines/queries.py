@@ -20710,3 +20710,217 @@ def heaps_law_points(sf_dir: str):
         "n_tokens_full": pa.array([int(tot["n_tokens_full"])], pa.int64()),
         "vocab_full": pa.array([int(tot["vocab_full"])], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage point: smallest k with 80% token coverage
+# ---------------------------------------------------------------------------
+
+_VOCAB80_SQL = (
+    # rank words by (count DESC, word) and find the first rank whose
+    # running coverage reaches 80% of all tokens (5*cum >= 4*total)
+    "WITH t AS (SELECT unnest(list_filter(regexp_split_to_array("
+    "lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS w "
+    "FROM documents), "
+    "c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY w), "
+    "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk, "
+    "CAST(sum(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING) "
+    "AS BIGINT) AS cum FROM c), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, "
+    "CAST(count(*) AS BIGINT) AS vocab FROM c) "
+    "SELECT CAST(min(rk) AS BIGINT) AS k80, "
+    "(SELECT total FROM tot) AS total_tokens, "
+    "(SELECT vocab FROM tot) AS vocab_size "
+    "FROM r WHERE 5 * cum >= 4 * (SELECT total FROM tot)"
+)
+
+
+@register("vocab_coverage_80", _VOCAB80_SQL)
+def vocab_coverage_80(sf_dir: str):
+    """Tokenizer budget curve point: the smallest head-vocabulary size
+    whose cumulative frequency covers 80% of all tokens - what decides
+    a subword vocab size.  Word counts fold map-side and combine in
+    word-hash buckets; the (count, word)-sorted prefix scan runs over
+    the vocabulary-bounded table driver-side (guarded) with exact
+    integer 5*cum >= 4*total arithmetic; ties break by word so both
+    engines rank identically."""
+    import pandas as pd
+    from ..functions.dsir import _tokenize
+
+    def wpartial(b: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for t in b["text"].to_pylist():
+            for w in _tokenize(t or ""):
+                cnt[w] = cnt.get(w, 0) + 1
+        ws = sorted(cnt)
+        blk = np.array([
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) & 63
+            for w in ws
+        ], np.int64)
+        return pa.table({
+            "w": pa.array(ws, pa.string()),
+            "n": pa.array(
+                np.array([cnt[w] for w in ws], np.int64)
+            ),
+            "__b": pa.array(blk),
+        })
+
+    def wcombine(g: pa.Table) -> pa.Table:
+        w = g["w"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(w)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, codes, g["n"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "w": pa.array(list(uniq), pa.string()),
+            "n": pa.array(n),
+        })
+
+    vocab = (
+        _docs(sf_dir, ["text"])
+        .map_batches(wpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(wcombine, batch_format="pyarrow")
+        .materialize()  # vocabulary-bounded
+    )
+    parts = [t for t in map(ray.get, vocab.to_arrow_refs()) if t.num_rows]
+    vt = pa.concat_tables(parts)
+    assert vt.num_rows <= 5_000_000, "vocabulary exceeds driver guard"
+    w = vt["w"].to_numpy(zero_copy_only=False).astype(str)
+    n = vt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((w, -n))
+    cum = np.cumsum(n[order])
+    total = int(cum[-1])
+    k80 = int(np.searchsorted(5 * cum, 4 * total) + 1)
+    return ray.data.from_arrow(pa.table({
+        "k80": pa.array([k80], pa.int64()),
+        "total_tokens": pa.array([total], pa.int64()),
+        "vocab_size": pa.array([len(n)], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Last-digit uniformity audit (fabricated-data detector)
+# ---------------------------------------------------------------------------
+
+_LASTDIGIT_SQL = (
+    # chi^2 vs uniform over the last cent digit: (10*obs - n)^2 cells
+    # stay exact integers
+    "WITH d AS (SELECT CAST(round(value * 100) AS BIGINT) % 10 AS dig "
+    "FROM events), "
+    "c AS (SELECT dig, CAST(count(*) AS BIGINT) AS obs FROM d "
+    "GROUP BY dig), "
+    "n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c) "
+    "SELECT CAST(dig AS BIGINT) AS digit, obs, "
+    "CAST((10 * obs - (SELECT n FROM n)) * (10 * obs - (SELECT n "
+    "FROM n)) AS BIGINT) AS chi2_num FROM c"
+)
+
+
+@register("last_digit_uniformity", _LASTDIGIT_SQL)
+def last_digit_uniformity(sf_dir: str):
+    """Fabrication audit: last-cent-digit distribution of event values
+    with exact integer chi-square numerators vs uniform (fabricated
+    amounts under-use 0/5 endings; the complement of the Benford
+    first-digit test).  Ten-cell fold, zero extra shuffle."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def dpartial(b: pa.Table) -> pa.Table:
+        dig = (
+            np.round(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64) % 10
+        )
+        cnt = np.bincount(dig, minlength=10).astype(np.int64)
+        return pa.table({
+            "digit": pa.array(np.arange(10, dtype=np.int64)),
+            "obs": pa.array(cnt),
+        })
+
+    agg = (
+        ev.map_batches(dpartial, batch_format="pyarrow")
+        .groupby("digit", num_partitions=2)
+        .aggregate(Sum("obs", alias_name="obs"))
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    dig = at["digit"].to_numpy(zero_copy_only=False).astype(np.int64)
+    obs = at["obs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = obs > 0
+    dig, obs = dig[keep], obs[keep]
+    n = int(obs.sum())
+    _guard_int64_products(
+        [(10 * int(obs.max()) + n) ** 2], "last_digit_uniformity"
+    )
+    return ray.data.from_arrow(pa.table({
+        "digit": pa.array(dig),
+        "obs": pa.array(obs),
+        "chi2_num": pa.array((10 * obs - n) ** 2),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate prefix detector: top-10 16-char document prefixes
+# ---------------------------------------------------------------------------
+
+_PREFIX16_SQL = (
+    "SELECT substr(text, 1, 16) AS prefix16, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM documents "
+    "GROUP BY 1 ORDER BY n_docs DESC, prefix16 LIMIT 10"
+)
+
+
+@register("common_prefix16_top10", _PREFIX16_SQL)
+def common_prefix16_top10(sf_dir: str):
+    """Boilerplate-header detector: the 10 most common 16-character
+    document prefixes (license banners, generated-file headers, scrape
+    chrome all surface here before any other dedup signal).  Prefix
+    counts fold map-side, combine in prefix-hash buckets with a local
+    top-10 prune, driver merges <= 10 x buckets rows."""
+    import pandas as pd
+
+    def ppartial(b: pa.Table) -> pa.Table:
+        pre = [
+            (t or "")[:16] for t in b["text"].to_pylist()
+        ]
+        codes, uniq = pd.factorize(np.array(pre, dtype=object))
+        cnt = np.bincount(codes).astype(np.int64)
+        blk = np.array([
+            int(hashlib.md5(x.encode()).hexdigest()[:8], 16) & 15
+            for x in uniq
+        ], np.int64)
+        return pa.table({
+            "prefix16": pa.array(list(uniq), pa.string()),
+            "n_docs": pa.array(cnt),
+            "__b": pa.array(blk),
+        })
+
+    def ptop(g: pa.Table) -> pa.Table:
+        pre = g["prefix16"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(pre)
+        n = np.zeros(len(uniq), np.int64)
+        np.add.at(n, codes, g["n_docs"].to_numpy(zero_copy_only=False))
+        top = np.lexsort((uniq.astype(str), -n))[:10]
+        return pa.table({
+            "prefix16": pa.array(list(uniq[top]), pa.string()),
+            "n_docs": pa.array(n[top]),
+        })
+
+    cand = (
+        _docs(sf_dir, ["text"])
+        .map_batches(ppartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(ptop, batch_format="pyarrow")
+        .materialize()  # <= 10 rows per bucket
+    )
+    parts = [t for t in map(ray.get, cand.to_arrow_refs()) if t.num_rows]
+    ct = pa.concat_tables(parts)
+    pre = ct["prefix16"].to_numpy(zero_copy_only=False).astype(str)
+    n = ct["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    top = np.lexsort((pre, -n))[:10]
+    return ray.data.from_arrow(pa.table({
+        "prefix16": pa.array(list(pre[top]), pa.string()),
+        "n_docs": pa.array(n[top]),
+    }))
