@@ -20924,3 +20924,162 @@ def common_prefix16_top10(sf_dir: str):
         "prefix16": pa.array(list(pre[top]), pa.string()),
         "n_docs": pa.array(n[top]),
     }))
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph reciprocity (ANN-graph quality audit)
+# ---------------------------------------------------------------------------
+
+_RECIP_SQL = (
+    "WITH v AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i, "
+    "CAST(floor(CAST(embedding[CAST(unnest(generate_series(1, 64)) "
+    "AS INTEGER)] AS DOUBLE) * 1e7) AS BIGINT) AS xfp FROM embeddings), "
+    "s AS (SELECT a.vec_id AS qa, b.vec_id AS qb, "
+    "CAST(sum(a.xfp * b.xfp) AS BIGINT) AS score "
+    "FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id "
+    "GROUP BY 1, 2), "
+    "r AS (SELECT qa, qb FROM (SELECT qa, qb, row_number() OVER "
+    "(PARTITION BY qa ORDER BY score DESC, qb) AS rn FROM s) "
+    "WHERE rn <= 5), "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual FROM r a "
+    "JOIN r b ON b.qa = a.qb AND b.qb = a.qa) "
+    "SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_edges, "
+    "(SELECT n_mutual FROM m) AS n_mutual, "
+    "CAST((SELECT n_mutual FROM m) AS DOUBLE) / "
+    "(SELECT count(*) FROM r) AS reciprocity"
+)
+
+
+@register("knn_graph_reciprocity", _RECIP_SQL)
+def knn_graph_reciprocity(sf_dir: str):
+    """Reciprocity of the exact 5-NN graph: the share of directed
+    neighbor edges whose reverse edge also exists - low reciprocity
+    predicts poor HNSW/ANN-graph recall and flags hub pollution (the
+    companion number to embedding_hubness_audit).  Top-5 lists come
+    from the broadcast integer matmul; directed edges exchange keyed
+    by their UNORDERED pair hash, so each bucket counts mutual pairs
+    locally; one tiny fold finishes."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mfp = np.floor(
+        pc.list_flatten(emb["embedding"]).to_numpy(zero_copy_only=False)
+        .astype(np.float64) * 1e7
+    ).astype(np.int64).reshape(len(ids), -1)
+    o = np.argsort(ids)
+    ids, mfp = ids[o], mfp[o]
+    ref = ray.put((ids, mfp))
+
+    def edges(b: pa.Table) -> pa.Table:
+        aid, am = ray.get(ref)
+        q = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qm = np.floor(
+            pc.list_flatten(b["embedding"]).to_numpy(zero_copy_only=False)
+            .astype(np.float64) * 1e7
+        ).astype(np.int64).reshape(len(q), -1)
+        scores = qm @ am.T
+        self_pos = np.searchsorted(aid, q)
+        scores[np.arange(len(q)), self_pos] = np.int64(-(2**62))
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :5]
+        src = np.repeat(q, 5)
+        dst = aid[top].ravel()
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        return pa.table({
+            "lo": pa.array(lo), "hi": pa.array(hi),
+            "fwd": pa.array((src < dst).astype(np.int64)),
+            "__b": pa.array((lo * 31 + hi) & 15),
+        })
+
+    def mutual(g: pa.Table) -> pa.Table:
+        lo = g["lo"].to_numpy(zero_copy_only=False)
+        hi = g["hi"].to_numpy(zero_copy_only=False)
+        fwd = g["fwd"].to_numpy(zero_copy_only=False)
+        comp = lo * (1 << 32) + hi
+        uniq, inv = np.unique(comp, return_inverse=True)
+        has_f = np.zeros(len(uniq), np.int64)
+        has_r = np.zeros(len(uniq), np.int64)
+        np.maximum.at(has_f, inv, fwd)
+        np.maximum.at(has_r, inv, 1 - fwd)
+        both = int(((has_f == 1) & (has_r == 1)).sum())
+        return pa.table({
+            "n_edges": pa.array([len(lo)], pa.int64()),
+            "n_mutual": pa.array([2 * both], pa.int64()),
+        })
+
+    tot = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .map_batches(edges, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(mutual, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_edges", alias_name="n_edges"),
+            Sum("n_mutual", alias_name="n_mutual"),
+        )
+    )
+    n_edges = int(tot["n_edges"])
+    n_mutual = int(tot["n_mutual"])
+    return ray.data.from_arrow(pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_mutual": pa.array([n_mutual], pa.int64()),
+        "reciprocity": pa.array(
+            [float(n_mutual) / n_edges], pa.float64()
+        ),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch union (register max-merge identity, end to end)
+# ---------------------------------------------------------------------------
+
+_HLL_UNION_SQL = (
+    # registers computed directly over the UNION item set equal the
+    # elementwise max of the two per-set sketches (the HLL merge
+    # identity) - the oracle takes the direct route, the engine merges
+    "WITH pairs AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS w "
+    "FROM events WHERE event_type IN ('purchase', 'click')), "
+    "h AS (SELECT md5(w) AS hx FROM pairs), "
+    "r AS (SELECT CAST(CONCAT('0x', substr(hx, 1, 2)) AS BIGINT) AS "
+    "bucket, substr(hx, 3, 13) AS tail, "
+    "len(regexp_extract(substr(hx, 3, 13), '^0*')) AS z FROM h), "
+    "rk AS (SELECT bucket, CASE WHEN z = 13 THEN 53 ELSE 4 * z + "
+    "(CASE WHEN n >= 8 THEN 0 WHEN n >= 4 THEN 1 WHEN n >= 2 THEN 2 "
+    "ELSE 3 END) + 1 END AS rank FROM (SELECT bucket, z, CASE WHEN "
+    "z = 13 THEN 0 ELSE CAST(CONCAT('0x', substr(tail, z + 1, 1)) AS "
+    "BIGINT) END AS n FROM r)) "
+    "SELECT bucket, CAST(max(rank) AS BIGINT) AS max_rank FROM rk "
+    "GROUP BY bucket"
+)
+
+
+@register("hll_union_registers", _HLL_UNION_SQL)
+def hll_union_registers(sf_dir: str):
+    """HLL merge operator end to end: the purchase-user sketch and the
+    click-user sketch are built INDEPENDENTLY (two streams, never
+    co-shuffled) and merged by elementwise register max - bit-equal to
+    a sketch built over the union set, which is what the oracle
+    computes directly.  This is the property that lets per-shard /
+    per-day sketches roll up without touching raw ids again."""
+    from ..functions.sketch import hll_registers
+
+    def users_of(etype: str):
+        def pick(b: pa.Table) -> pa.Table:
+            m = pc.equal(b["event_type"], etype)
+            u = b.filter(m)["user_id"].to_pylist()
+            return pa.table({
+                "w": pa.array([str(x) for x in u], pa.string()),
+            })
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        ).map_batches(pick, batch_format="pyarrow")
+
+    ra = hll_registers(users_of("purchase"), "w")
+    rb = hll_registers(users_of("click"), "w")
+    from ray.data.aggregate import Max as MaxAgg
+
+    merged = (
+        ra.union(rb)
+        .groupby("bucket", num_partitions=2)
+        .aggregate(MaxAgg("max_rank", alias_name="max_rank"))
+    )
+    return merged
