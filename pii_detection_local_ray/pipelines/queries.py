@@ -21083,3 +21083,185 @@ def hll_union_registers(sf_dir: str):
         .aggregate(MaxAgg("max_rank", alias_name="max_rank"))
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Persistence-baseline confusion matrix (temporal holdout evaluation)
+# ---------------------------------------------------------------------------
+
+_PERSIST_SQL = (
+    # weeks = 7-day buckets from the global min ts; prediction for week
+    # w+1 is "was active in week w"; confusion counts fold over every
+    # (user, week w in 0..2) cell
+    "WITH r AS (SELECT min(epoch_us(ts)) AS t0 FROM events), "
+    "a AS (SELECT DISTINCT user_id, CAST((epoch_us(ts) - (SELECT t0 "
+    "FROM r)) // 604800000000 AS BIGINT) AS wk FROM events), "
+    "u AS (SELECT DISTINCT user_id FROM events), "
+    "g AS (SELECT u.user_id, wk.wk FROM u, "
+    "(SELECT unnest(generate_series(0, 2)) AS wk) wk), "
+    "c AS (SELECT g.user_id, g.wk, "
+    "CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS pred, "
+    "CASE WHEN n.user_id IS NULL THEN 0 ELSE 1 END AS act "
+    "FROM g LEFT JOIN a p ON p.user_id = g.user_id AND p.wk = g.wk "
+    "LEFT JOIN a n ON n.user_id = g.user_id AND n.wk = g.wk + 1) "
+    "SELECT CAST(sum(pred * act) AS BIGINT) AS tp, "
+    "CAST(sum(pred * (1 - act)) AS BIGINT) AS fp, "
+    "CAST(sum((1 - pred) * act) AS BIGINT) AS fn, "
+    "CAST(sum((1 - pred) * (1 - act)) AS BIGINT) AS tn FROM c"
+)
+
+
+@register("persistence_baseline_confusion", _PERSIST_SQL)
+def persistence_baseline_confusion(sf_dir: str):
+    """Churn-model floor: the confusion matrix of the persistence
+    baseline (active this week => predicted active next week) over
+    three week transitions - any real model must beat these numbers.
+    Distinct (user, week) activity folds into per-user 4-bit masks
+    through one coarse user-bucket exchange; the four counts are pure
+    bit arithmetic on the masks."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    t0 = int(ev.map_batches(
+        lambda b: pa.table({"t": pa.array(
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )}),
+        batch_format="pyarrow",
+    ).min("t"))
+    WEEK = 604_800_000_000
+
+    def mpartial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        wk = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64) - t0
+        ) // WEEK
+        wk = np.clip(wk, 0, 62)
+        codes, uniq = pd.factorize(u)
+        mask = np.zeros(len(uniq), np.int64)
+        np.bitwise_or.at(mask, codes, np.int64(1) << wk)
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "mask": pa.array(mask),
+            "__b": pa.array(uniq.astype(np.int64) & 15),
+        })
+
+    def confusion(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        mask = np.zeros(len(uniq), np.int64)
+        np.bitwise_or.at(
+            mask, inv, g["mask"].to_numpy(zero_copy_only=False)
+        )
+        tp = fp = fn = tn = 0
+        for w in range(3):
+            pred = (mask >> w) & 1
+            act = (mask >> (w + 1)) & 1
+            tp += int((pred & act).sum())
+            fp += int((pred & (1 - act)).sum())
+            fn += int(((1 - pred) & act).sum())
+            tn += int(((1 - pred) & (1 - act)).sum())
+        return pa.table({
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "tn": pa.array([tn], pa.int64()),
+        })
+
+    tot = (
+        ev.map_batches(mpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(confusion, batch_format="pyarrow")
+        .aggregate(
+            Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
+            Sum("fn", alias_name="fn"), Sum("tn", alias_name="tn"),
+        )
+    )
+    return ray.data.from_arrow(pa.table({
+        k: pa.array([int(tot[k])], pa.int64())
+        for k in ("tp", "fp", "fn", "tn")
+    }))
+
+
+# ---------------------------------------------------------------------------
+# KS test of inter-arrival gaps vs the fitted exponential
+# ---------------------------------------------------------------------------
+
+_KSEXP_SQL = (
+    # D = max over sorted distinct gaps of max(|i/n - F|, |(i-d)/n - F|)
+    # with F = 1 - exp(-g * n / S); carried as the int64 max of
+    # floor(1e9 * |diff|) per point (exp/division identical IEEE ops on
+    # identical inputs both engines)
+    "WITH o AS (SELECT epoch_us(ts) AS t FROM events "
+    "WHERE event_type = 'purchase'), "
+    "g AS (SELECT t - lag(t) OVER (ORDER BY t) AS gp FROM o), "
+    "gg AS (SELECT CAST(gp AS BIGINT) AS gp FROM g WHERE gp IS NOT "
+    "NULL AND gp > 0), "
+    "st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(gp) AS "
+    "BIGINT) AS s FROM gg), "
+    "r AS (SELECT gp, CAST(count(*) AS BIGINT) AS d, "
+    "CAST(sum(count(*)) OVER (ORDER BY gp ROWS UNBOUNDED PRECEDING) "
+    "AS BIGINT) AS cum FROM gg GROUP BY gp), "
+    "pt AS (SELECT gp, cum, cum - d AS below, "
+    "1 - exp(-(CAST(gp AS DOUBLE) * (SELECT n FROM st)) / "
+    "(SELECT s FROM st)) AS fexp FROM r) "
+    "SELECT (SELECT n FROM st) AS n_gaps, "
+    "CAST(max(CAST(floor(1e9 * greatest("
+    "abs(CAST(cum AS DOUBLE) / (SELECT n FROM st) - fexp), "
+    "abs(CAST(below AS DOUBLE) / (SELECT n FROM st) - fexp))) AS "
+    "BIGINT)) AS BIGINT) AS ks_d_fp FROM pt"
+)
+
+
+@register("gaps_ks_vs_exponential", _KSEXP_SQL)
+def gaps_ks_vs_exponential(sf_dir: str):
+    """Poisson-arrival check: the exact KS distance between purchase
+    inter-arrival gaps and the exponential fitted by mean - large D
+    means bursty/scheduled traffic, not memoryless arrivals.  The
+    distinct-gap multiplicity exchange is bounded; the supremum scans
+    both one-sided gaps at every step point in int64 fixed point (exp
+    and the divisions are single correctly-rounded IEEE ops on
+    identical integer inputs, so both engines quantize alike)."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def tpartial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], "purchase")
+        t = (
+            b.filter(m)["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        return pa.table({"t": pa.array(np.sort(t))})
+
+    # gaps need the GLOBAL sorted sequence: timestamps are bounded by
+    # the purchase count here (guarded); at true scale the gap pass
+    # re-scans per range partition with boundary exchange
+    ts_ds = ev.map_batches(tpartial, batch_format="pyarrow").materialize()
+    parts = [t for t in map(ray.get, ts_ds.to_arrow_refs()) if t.num_rows]
+    t = np.sort(np.concatenate([
+        p["t"].to_numpy(zero_copy_only=False) for p in parts
+    ]))
+    assert len(t) <= 5_000_000, "purchase stream exceeds driver guard"
+    gp = np.diff(t)
+    gp = gp[gp > 0]
+    n, s = len(gp), int(gp.sum())
+    vals, cnt = np.unique(gp, return_counts=True)
+    cum = np.cumsum(cnt)
+    below = cum - cnt
+    fexp = 1.0 - np.exp(
+        -(vals.astype(np.float64) * n) / s
+    )
+    d_fp = np.floor(1e9 * np.maximum(
+        np.abs(cum.astype(np.float64) / n - fexp),
+        np.abs(below.astype(np.float64) / n - fexp),
+    )).astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "n_gaps": pa.array([n], pa.int64()),
+        "ks_d_fp": pa.array([int(d_fp.max())], pa.int64()),
+    }))
