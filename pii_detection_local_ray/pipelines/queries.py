@@ -21265,3 +21265,154 @@ def gaps_ks_vs_exponential(sf_dir: str):
         "n_gaps": pa.array([n], pa.int64()),
         "ks_d_fp": pa.array([int(d_fp.max())], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator over event values (heavy-tail diagnostics)
+# ---------------------------------------------------------------------------
+
+_HILL_SQL = (
+    # top-101 order statistics by (cents DESC, event_id): the Hill
+    # estimator needs sum ln(x_i / x_(k+1)) over the top k=100, carried
+    # as int64 lnfp of integer ratios; alpha_hat = k * 1e9 / sum_ln_fp
+    "WITH r AS (SELECT CAST(round(value * 100) AS BIGINT) AS c, "
+    "row_number() OVER (ORDER BY round(value * 100) DESC, event_id) "
+    "AS rn FROM events), "
+    "thr AS (SELECT c AS xk FROM r WHERE rn = 101) "
+    "SELECT CAST(count(*) AS BIGINT) AS k, "
+    "(SELECT CAST(xk AS BIGINT) FROM thr) AS x_k1_cents, "
+    "CAST(sum(CAST(floor(1e9 * ln(CAST(c AS DOUBLE) / (SELECT xk "
+    "FROM thr))) AS BIGINT)) AS BIGINT) AS sum_ln_fp "
+    "FROM r WHERE rn <= 100"
+)
+
+
+@register("hill_tail_index_value", _HILL_SQL)
+def hill_tail_index_value(sf_dir: str):
+    """Hill estimator components for the value distribution's tail
+    (alpha_hat = k*1e9/sum_ln_fp at the consumer) - decides whether
+    means/variances are even finite before anyone trusts an average.
+    Block-local top-101 partials (by cents desc, event_id) merge at
+    the driver: the global top-101 is exact, everything else never
+    leaves its block; the log sum is order-free int64."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def top_partial(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        c = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        top = np.lexsort((e, -c))[:101]
+        return pa.table({
+            "event_id": pa.array(e[top].astype(np.int64)),
+            "c": pa.array(c[top]),
+        })
+
+    cand = ev.map_batches(
+        top_partial, batch_format="pyarrow"
+    ).materialize()  # <= 101 rows per block
+    parts = [t for t in map(ray.get, cand.to_arrow_refs()) if t.num_rows]
+    ct = pa.concat_tables(parts)
+    e = ct["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = ct["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    top = np.lexsort((e, -c))[:101]
+    c = c[top]
+    assert len(c) == 101, "corpus smaller than the tail window"
+    xk = int(c[100])
+    lead = c[:100]
+    sum_ln = int(np.floor(
+        1e9 * np.log(lead.astype(np.float64) / xk)
+    ).astype(np.int64).sum())
+    return ray.data.from_arrow(pa.table({
+        "k": pa.array([100], pa.int64()),
+        "x_k1_cents": pa.array([xk], pa.int64()),
+        "sum_ln_fp": pa.array([sum_ln], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Conversion rate by activity band (engagement-monetization curve)
+# ---------------------------------------------------------------------------
+
+_CONVBAND_SQL = (
+    "WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(CASE WHEN count(*) FILTER (event_type = 'purchase') >= 14 "
+    "THEN 1 ELSE 0 END AS BIGINT) AS conv FROM events GROUP BY 1) "
+    "SELECT CAST(n_events // 10 AS BIGINT) AS activity_band, "
+    "CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(sum(conv) AS BIGINT) AS n_converted, "
+    "CAST(sum(conv) AS DOUBLE) / count(*) AS conv_rate "
+    "FROM u GROUP BY 1"
+)
+
+
+@register("conversion_by_activity_band", _CONVBAND_SQL)
+def conversion_by_activity_band(sf_dir: str):
+    """Engagement-monetization curve: conversion rate (14+ purchases,
+    the ab_test threshold) by total-activity band of 10 events - the
+    chart that justifies activation spend.  Per-user counts fold in
+    one bucket exchange; banding and rates are integer arithmetic plus
+    one division per band."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def upartial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        isp = pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(u)
+        n = np.bincount(codes).astype(np.int64)
+        k = np.zeros(len(uniq), np.int64)
+        np.add.at(k, codes, isp)
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(n), "k": pa.array(k),
+            "__b": pa.array(uniq.astype(np.int64) & 15),
+        })
+
+    def bands(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        n = np.zeros(len(uniq), np.int64)
+        k = np.zeros(len(uniq), np.int64)
+        np.add.at(n, inv, g["n"].to_numpy(zero_copy_only=False))
+        np.add.at(k, inv, g["k"].to_numpy(zero_copy_only=False))
+        band = n // 10
+        conv = (k >= 14).astype(np.int64)
+        bu, binv = np.unique(band, return_inverse=True)
+        nu = np.bincount(binv).astype(np.int64)
+        nc = np.zeros(len(bu), np.int64)
+        np.add.at(nc, binv, conv)
+        return pa.table({
+            "activity_band": pa.array(bu),
+            "n_users": pa.array(nu),
+            "n_converted": pa.array(nc),
+        })
+
+    agg = (
+        ev.map_batches(upartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(bands, batch_format="pyarrow")
+        .groupby("activity_band", num_partitions=2)
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_converted", alias_name="n_converted"),
+        )
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    nu = at["n_users"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nc = at["n_converted"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "activity_band": at["activity_band"].cast(pa.int64()),
+        "n_users": pa.array(nu),
+        "n_converted": pa.array(nc),
+        "conv_rate": pa.array(nc.astype(np.float64) / nu),
+    }))
