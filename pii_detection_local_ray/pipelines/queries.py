@@ -21416,3 +21416,196 @@ def conversion_by_activity_band(sf_dir: str):
         "n_converted": pa.array(nc),
         "conv_rate": pa.array(nc.astype(np.float64) / nu),
     }))
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-size histogram (banding-parameter audit)
+# ---------------------------------------------------------------------------
+
+_LSH_HIST_SQL = (
+    "WITH sig AS (" + _minhash_sig_sql() + "), "
+    "bk AS (SELECT doc_id, CAST(perm // 4 AS BIGINT) AS band, "
+    "string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key "
+    "FROM sig GROUP BY doc_id, perm // 4), "
+    "bu AS (SELECT band, key, CAST(count(*) AS BIGINT) AS sz "
+    "FROM bk GROUP BY band, key) "
+    "SELECT sz AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets "
+    "FROM bu GROUP BY sz"
+)
+
+
+@register("lsh_bucket_size_histogram", _LSH_HIST_SQL)
+def lsh_bucket_size_histogram(sf_dir: str):
+    """Banding-parameter audit for MinHash LSH: the distribution of
+    bucket sizes across all 16 bands (rows-per-band 4) - a heavy
+    bucket tail means the bands are too coarse and candidate
+    verification will quadratically explode; all-1 means they are too
+    fine to recall.  Signatures come from the same MinHashBatch kernel
+    the dedup path uses (bitwise-certified by minhash_sig_docs);
+    bucket identity is the exact 4-minhash tuple, sizes resolve per
+    bucket-hash group."""
+    import pandas as pd
+    from ..functions.dedup import MinHashBatch
+
+    mb_holder: dict = {}
+
+    def sigs(b: pa.Table) -> pa.Table:
+        mb = mb_holder.setdefault("mb", MinHashBatch())
+        out = mb(b)
+        ids = out["doc_id"].to_numpy(zero_copy_only=False)
+        keys, bands = [], []
+        for i, sig in zip(ids, out["minhash"].to_pylist()):
+            arr = np.array(sig, dtype=np.uint64).reshape(16, 4)
+            for bd in range(16):
+                keys.append(
+                    hashlib.md5(
+                        bytes([bd]) + arr[bd].tobytes()
+                    ).hexdigest()
+                )
+                bands.append(bd)
+        blk = np.array([int(k[:8], 16) & 63 for k in keys], np.int64)
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "__b": pa.array(blk),
+        })
+
+    def sizes(g: pa.Table) -> pa.Table:
+        k = g["key"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(k)
+        sz = np.bincount(codes).astype(np.int64)
+        su, sc = np.unique(sz, return_counts=True)
+        return pa.table({
+            "bucket_size": pa.array(su),
+            "n_buckets": pa.array(sc.astype(np.int64)),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(sigs, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(sizes, batch_format="pyarrow")
+        .groupby("bucket_size", num_partitions=2)
+        .aggregate(Sum("n_buckets", alias_name="n_buckets"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of a weighted corpus
+# ---------------------------------------------------------------------------
+
+_ESS_SQL = (
+    "WITH w AS (SELECT CAST(n_chars AS BIGINT) AS w FROM documents) "
+    "SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(w) AS BIGINT) AS sum_w, "
+    "CAST(sum(w * w) AS BIGINT) AS sum_w2, "
+    "CAST(sum(w) AS DOUBLE) * sum(w) / sum(w * w) AS ess "
+    "FROM w"
+)
+
+
+@register("effective_sample_size", _ESS_SQL)
+def effective_sample_size(sf_dir: str):
+    """Kish effective sample size of the length-weighted corpus
+    ((sum w)^2 / sum w^2) - how many equal-weight documents the
+    weighted mixture is actually worth; the sanity number printed next
+    to any importance-resampling (DSIR) run.  Integer moments fold
+    map-side, one double expression at the end."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(w)], pa.int64()),
+            "sum_w": pa.array([int(w.sum())], pa.int64()),
+            "sum_w2": pa.array([int((w * w).sum())], pa.int64()),
+        })
+
+    tot = docs.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_w", alias_name="sum_w"),
+        Sum("sum_w2", alias_name="sum_w2"),
+    )
+    n, s, q = int(tot["n"]), int(tot["sum_w"]), int(tot["sum_w2"])
+    _guard_int64_products([s * s // max(q, 1)], "effective_sample_size")
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "sum_w": pa.array([s], pa.int64()),
+        "sum_w2": pa.array([q], pa.int64()),
+        "ess": pa.array([float(s) * s / q], pa.float64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median confidence interval (order statistics)
+# ---------------------------------------------------------------------------
+
+_MEDCI_SQL = (
+    # 95% CI ranks from the binomial normal approximation: lo =
+    # floor((n - 1.96*sqrt(n))/2), hi = ceil((n + 1.96*sqrt(n))/2 + 1),
+    # clamped to [1, n] - identical double arithmetic on both engines;
+    # values at ranks are well-defined under ties
+    "WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS c "
+    "FROM events), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v), "
+    "r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v), "
+    "k AS (SELECT greatest(CAST(floor((n - 1.96 * sqrt(CAST(n AS "
+    "DOUBLE))) / 2) AS BIGINT), 1) AS klo, "
+    "least(CAST(ceil((n + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2 + 1) "
+    "AS BIGINT), n) AS khi, (n + 1) // 2 AS kmed FROM n) "
+    "SELECT (SELECT n FROM n) AS n, "
+    "(SELECT c FROM r, k WHERE rn = klo) AS ci_lo_cents, "
+    "(SELECT c FROM r, k WHERE rn = kmed) AS median_cents, "
+    "(SELECT c FROM r, k WHERE rn = khi) AS ci_hi_cents"
+)
+
+
+@register("median_ci_value", _MEDCI_SQL)
+def median_ci_value(sf_dir: str):
+    """Distribution-free 95% confidence interval for the median event
+    value via binomial order-statistic ranks - the uncertainty band a
+    dashboard should draw around any median.  Rank selection runs on
+    the bounded distinct-cents multiplicity exchange (no global sort);
+    the three ranks come from one sqrt on both engines."""
+    import pandas as pd
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def cpartial(b: pa.Table) -> pa.Table:
+        c = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({
+            "c": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    dom = (
+        ev.map_batches(cpartial, batch_format="pyarrow")
+        .groupby("c", num_partitions=4)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # bounded: distinct cents domain
+    )
+    parts = [t for t in map(ray.get, dom.to_arrow_refs()) if t.num_rows]
+    dt = pa.concat_tables(parts)
+    c = dt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = dt["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(c)
+    c, cnt = c[o], cnt[o]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    klo = max(int(np.floor((n - 1.96 * np.sqrt(np.float64(n))) / 2)), 1)
+    khi = min(int(np.ceil((n + 1.96 * np.sqrt(np.float64(n))) / 2 + 1)), n)
+    kmed = (n + 1) // 2
+
+    def at_rank(k):
+        return int(c[np.searchsorted(cum, k)])
+
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "ci_lo_cents": pa.array([at_rank(klo)], pa.int64()),
+        "median_cents": pa.array([at_rank(kmed)], pa.int64()),
+        "ci_hi_cents": pa.array([at_rank(khi)], pa.int64()),
+    }))
