@@ -21609,3 +21609,155 @@ def median_ci_value(sf_dir: str):
         "median_cents": pa.array([at_rank(kmed)], pa.int64()),
         "ci_hi_cents": pa.array([at_rank(khi)], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V between order priority and customer segment
+# ---------------------------------------------------------------------------
+
+_CRAMER_SQL = (
+    # chi2 cells as exact integers ((N*o - r*c)^2 scaled): cell term =
+    # (n_total*obs - row*col)^2 / (n_total*row*col) summed in fixed
+    # point; v2 = chi2/(n*(min(R,K)-1)) left in integer components
+    "WITH j AS (SELECT o.o_orderpriority AS pr, c.c_mktsegment AS seg "
+    "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey), "
+    "cell AS (SELECT pr, seg, CAST(count(*) AS BIGINT) AS obs FROM j "
+    "GROUP BY 1, 2), "
+    "rw AS (SELECT pr, CAST(sum(obs) AS BIGINT) AS r FROM cell "
+    "GROUP BY 1), "
+    "cl AS (SELECT seg, CAST(sum(obs) AS BIGINT) AS k FROM cell "
+    "GROUP BY 1), "
+    "n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cell) "
+    "SELECT (SELECT n FROM n) AS n_total, "
+    "CAST(sum(CAST(floor(1e9 * ((CAST((SELECT n FROM n) AS DOUBLE) * "
+    "obs - CAST(r AS DOUBLE) * k) * (CAST((SELECT n FROM n) AS DOUBLE) "
+    "* obs - CAST(r AS DOUBLE) * k)) / (CAST((SELECT n FROM n) AS "
+    "DOUBLE) * r * k)) AS BIGINT)) AS BIGINT) AS chi2_fp "
+    "FROM cell JOIN rw USING (pr) JOIN cl USING (seg)"
+)
+
+
+@register("cramers_v_priority_segment", _CRAMER_SQL)
+def cramers_v_priority_segment(sf_dir: str):
+    """Association strength between order priority and customer market
+    segment: the chi-square statistic in int64 fixed point over the
+    bounded 5x5 contingency table (V = sqrt(chi2 / (n*(min(R,K)-1)))
+    at the consumer).  The customer segment broadcasts once, cells
+    fold map-side, the fixed-point fold runs over 25 rows."""
+    import pandas as pd
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    co = np.argsort(ck)
+    ref = ray.put((
+        ck[co],
+        cust["c_mktsegment"].to_numpy(zero_copy_only=False)[co],
+    ))
+
+    def cells(b: pa.Table) -> pa.Table:
+        keys, seg = ray.get(ref)
+        cu = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        sg = seg[np.searchsorted(keys, cu)]
+        key = pd.MultiIndex.from_arrays([pr, sg])
+        codes, uniq = pd.factorize(key)
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.table({
+            "pr": pa.array([u[0] for u in uniq], pa.string()),
+            "seg": pa.array([u[1] for u in uniq], pa.string()),
+            "obs": pa.array(cnt),
+        })
+
+    cell = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .map_batches(cells, batch_format="pyarrow")
+        .groupby(["pr", "seg"], num_partitions=4)
+        .aggregate(Sum("obs", alias_name="obs"))
+        .materialize()  # bounded: |priorities| x |segments|
+    )
+    parts = [t for t in map(ray.get, cell.to_arrow_refs()) if t.num_rows]
+    ct = pa.concat_tables(parts)
+    pr = ct["pr"].to_numpy(zero_copy_only=False)
+    sg = ct["seg"].to_numpy(zero_copy_only=False)
+    obs = ct["obs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pc_, pu = pd.factorize(pr)
+    sc_, su = pd.factorize(sg)
+    r = np.zeros(len(pu), np.int64)
+    k = np.zeros(len(su), np.int64)
+    np.add.at(r, pc_, obs)
+    np.add.at(k, sc_, obs)
+    n = int(obs.sum())
+    num = np.float64(n) * obs - r[pc_].astype(np.float64) * k[sc_]
+    chi = np.floor(
+        1e9 * (num * num) / (np.float64(n) * r[pc_] * k[sc_])
+    ).astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "n_total": pa.array([n], pa.int64()),
+        "chi2_fp": pa.array([int(chi.sum())], pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Terminal-punctuation share per source (mid-sentence truncation QA)
+# ---------------------------------------------------------------------------
+
+_TERMPUNCT_SQL = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN regexp_matches(text, '[.!?)\\x22]\\s*$') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_terminal, "
+    "CAST(sum(CASE WHEN regexp_matches(text, '[.!?)\\x22]\\s*$') "
+    "THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS terminal_share "
+    "FROM documents GROUP BY source"
+)
+
+
+@register("terminal_punct_share_by_source", _TERMPUNCT_SQL)
+def terminal_punct_share_by_source(sf_dir: str):
+    """Truncation QA: the share of documents ending in terminal
+    punctuation per source - a low share flags a scraper or window
+    cutting documents mid-sentence (the doc-level complement of the
+    per-line C4 filter).  Zero shuffle, one compiled regex per batch."""
+    import pandas as pd
+
+    pat = re.compile(r'[.!?)"]\s*$')
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        term = np.array([
+            1 if pat.search(t or "") else 0
+            for t in b["text"].to_pylist()
+        ], np.int64)
+        codes, uniq = pd.factorize(src)
+        n = np.bincount(codes).astype(np.int64)
+        k = np.zeros(len(uniq), np.int64)
+        np.add.at(k, codes, term)
+        return pa.table({
+            "source": pa.array(list(uniq), pa.string()),
+            "n_docs": pa.array(n), "n_terminal": pa.array(k),
+        })
+
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=4)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_terminal", alias_name="n_terminal"),
+        )
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    n = at["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = at["n_terminal"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ray.data.from_arrow(pa.table({
+        "source": at["source"],
+        "n_docs": pa.array(n),
+        "n_terminal": pa.array(k),
+        "terminal_share": pa.array(k.astype(np.float64) / n),
+    }))
