@@ -21761,3 +21761,164 @@ def terminal_punct_share_by_source(sf_dir: str):
         "n_terminal": pa.array(k),
         "terminal_share": pa.array(k.astype(np.float64) / n),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Relational division: sources whose EVERY doc passes the length rule
+# ---------------------------------------------------------------------------
+
+_DIVISION_SQL = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY source "
+    "HAVING min(CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END) = 1"
+)
+
+
+@register("sources_all_docs_pass", _DIVISION_SQL)
+def sources_all_docs_pass(sf_dir: str):
+    """Relational division (the FOR ALL quantifier): sources where
+    EVERY document clears the 100-char floor - the whole-source
+    certification a curation pipeline needs before whitelisting a
+    feed.  Map-side (source, n, min-flag) partials, |sources|-row
+    exchange, schema-pinned (can be empty)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        ok = np.array([
+            1 if len(t or "") >= 100 else 0
+            for t in b["text"].to_pylist()
+        ], np.int64)
+        codes, uniq = pd.factorize(src)
+        n = np.bincount(codes).astype(np.int64)
+        mn = np.ones(len(uniq), np.int64)
+        np.minimum.at(mn, codes, ok)
+        return pa.table({
+            "source": pa.array(list(uniq), pa.string()),
+            "n_docs": pa.array(n), "all_ok": pa.array(mn),
+        })
+
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=4)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("all_ok", alias_name="all_ok"),
+        )
+        .materialize()
+    )
+    parts = [t for t in map(ray.get, agg.to_arrow_refs()) if t.num_rows]
+    at = pa.concat_tables(parts)
+    keep = at["all_ok"].to_numpy(zero_copy_only=False).astype(bool)
+    res = pa.table({
+        "source": pc.filter(at["source"], pa.array(keep)),
+        "n_docs": pa.array(
+            at["n_docs"].to_numpy(zero_copy_only=False)[keep]
+        ),
+    })
+    if res.num_rows == 0:
+        res = pa.schema([
+            ("source", pa.string()), ("n_docs", pa.int64()),
+        ]).empty_table()
+    return ray.data.from_arrow(res)
+
+
+# ---------------------------------------------------------------------------
+# Cross-half trigram OOV rate (generalization-gap probe)
+# ---------------------------------------------------------------------------
+
+_OOV_SQL = (
+    # train vocabulary = distinct word trigrams of even docs; OOV rate
+    # = held-out (odd-doc) trigram tokens whose type is unseen
+    "WITH t AS (SELECT doc_id % 2 AS half, unnest(list_transform("
+    "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || "
+    "' ' || w[i+2])) AS g FROM (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> len(x) > 0) AS w FROM documents) WHERE len(w) >= 3), "
+    "tr AS (SELECT DISTINCT g FROM t WHERE half = 0), "
+    "ho AS (SELECT g FROM t WHERE half = 1) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_holdout, "
+    "CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_oov, "
+    "CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / "
+    "count(*) AS oov_rate "
+    "FROM ho LEFT JOIN tr ON tr.g = ho.g"
+)
+
+
+@register("trigram_oov_second_half", _OOV_SQL)
+def trigram_oov_second_half(sf_dir: str):
+    """Generalization-gap probe: what fraction of held-out (odd-doc)
+    word-trigram tokens were never seen in the training (even-doc)
+    half - high OOV predicts that n-gram features or dedup signatures
+    trained on one shard will not transfer.  Block-local (trigram,
+    half-flags, holdout-count) partials bucket by trigram hash; each
+    bucket settles its trigrams' train-presence and holdout counts
+    exactly; two integers fold out."""
+    import pandas as pd
+    from ..functions.dsir import _tokenize
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def gpartial(b: pa.Table) -> pa.Table:
+        stats: dict = {}
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ws = _tokenize(t or "")
+            half = i % 2
+            for a, bb, c in zip(ws, ws[1:], ws[2:]):
+                g = f"{a} {bb} {c}"
+                tr, ho = stats.get(g, (0, 0))
+                if half == 0:
+                    stats[g] = (1, ho)
+                else:
+                    stats[g] = (tr, ho + 1)
+        gs = sorted(stats)
+        blk = np.array([
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) & 63
+            for g in gs
+        ], np.int64)
+        return pa.table({
+            "g": pa.array(gs, pa.string()),
+            "in_train": pa.array(
+                np.array([stats[g][0] for g in gs], np.int64)
+            ),
+            "n_holdout": pa.array(
+                np.array([stats[g][1] for g in gs], np.int64)
+            ),
+            "__b": pa.array(blk),
+        })
+
+    def settle(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k = g["g"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(k)
+        tr = np.zeros(len(uniq), np.int64)
+        ho = np.zeros(len(uniq), np.int64)
+        np.maximum.at(
+            tr, codes, g["in_train"].to_numpy(zero_copy_only=False)
+        )
+        np.add.at(
+            ho, codes, g["n_holdout"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({
+            "n_holdout": pa.array([int(ho.sum())], pa.int64()),
+            "n_oov": pa.array([int(ho[tr == 0].sum())], pa.int64()),
+        })
+
+    tot = (
+        docs.map_batches(gpartial, batch_format="pyarrow")
+        .groupby("__b", num_partitions=16)
+        .map_groups(settle, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_holdout", alias_name="n_holdout"),
+            Sum("n_oov", alias_name="n_oov"),
+        )
+    )
+    nh, no = int(tot["n_holdout"]), int(tot["n_oov"])
+    return ray.data.from_arrow(pa.table({
+        "n_holdout": pa.array([nh], pa.int64()),
+        "n_oov": pa.array([no], pa.int64()),
+        "oov_rate": pa.array([float(no) / nh], pa.float64()),
+    }))
