@@ -21922,3 +21922,286 @@ def trigram_oov_second_half(sf_dir: str):
         "n_oov": pa.array([no], pa.int64()),
         "oov_rate": pa.array([float(no) / nh], pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Code-structure wave: indentation style, tech-debt markers, shebang gate
+# (The Stack / StarCoder-class source-code filters; functions/codequality.py)
+# ---------------------------------------------------------------------------
+
+_INDENT_SQL = (
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents), "
+    "p AS (SELECT doc_id, list_transform(range(1, len(ws) + 1), "
+    "i -> CASE WHEN doc_id % 3 = 0 THEN repeat(chr(9), (i-1) % 4) "
+    "ELSE repeat(' ', 2 * ((i-1) % 4)) END || ws[i]) AS lines FROM w), "
+    "t AS (SELECT doc_id, array_to_string(lines, chr(10)) AS content "
+    "FROM p), "
+    "lx AS (SELECT doc_id, unnest(string_split(content, chr(10))) AS l "
+    "FROM t), "
+    "agg AS (SELECT doc_id, "
+    "sum(CASE WHEN starts_with(l, chr(9)) THEN 1 ELSE 0 END) AS tabs, "
+    "sum(CASE WHEN starts_with(l, ' ') THEN 1 ELSE 0 END) AS spaces, "
+    "max(CASE WHEN starts_with(l, ' ') OR starts_with(l, chr(9)) "
+    "THEN length(l) - length(ltrim(l, ' ' || chr(9))) ELSE 0 END) AS deep "
+    "FROM lx GROUP BY doc_id) "
+    "SELECT doc_id, CAST(tabs AS BIGINT) AS n_tab_lines, "
+    "CAST(spaces AS BIGINT) AS n_space_lines, "
+    "CAST(deep AS BIGINT) AS max_indent_cols, "
+    "CASE WHEN tabs > spaces THEN 'tabs' WHEN spaces > tabs THEN 'spaces' "
+    "WHEN tabs > 0 THEN 'mixed' ELSE 'none' END AS indent_style "
+    "FROM agg"
+)
+
+
+@register("indent_style_docs", _INDENT_SQL)
+def indent_style_docs(sf_dir: str):
+    """Indentation-style inference (tabs vs spaces, max indent depth)
+    over planted indentation: line j of each doc is indented to level
+    j%4 — with TABs on every 3rd doc, 2-space units elsewhere.  The
+    engine classifies lines generically by first character and measures
+    the leading {' ',TAB} run (functions/codequality.indent_stats_batch);
+    the oracle re-plants and re-parses the same content with string
+    functions, certifying the line classifier and the depth measure.
+    Stateless map_batches; zero shuffles."""
+    from ..functions import codequality as fcq
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            ws = [w for w in (t or "").split(" ") if w]
+            unit = "\t" if i % 3 == 0 else "  "
+            out.append(
+                "\n".join(unit * (j % 4) + w for j, w in enumerate(ws))
+            )
+        return pa.table({"doc_id": b["doc_id"], "content": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(fcq.indent_stats_batch, batch_format="pyarrow")
+        .select_columns([
+            "doc_id", "n_tab_lines", "n_space_lines", "max_indent_cols",
+            "indent_style",
+        ])
+    )
+
+
+_MARKER_SQL = (
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents), "
+    "p AS (SELECT doc_id, list_transform(range(1, len(ws) + 1), "
+    "i -> CASE WHEN (i-1) % 13 = 0 THEN '# TODO ' || ws[i] "
+    "WHEN (i-1) % 17 = 0 THEN '# FIXME ' || ws[i] "
+    "WHEN (i-1) % 19 = 0 THEN '# HACK ' || ws[i] "
+    "ELSE ws[i] END) AS lines FROM w), "
+    "t AS (SELECT doc_id, array_to_string(lines, chr(10)) AS content "
+    "FROM p) "
+    "SELECT doc_id, "
+    "CAST((length(content) - length(replace(content, 'TODO', ''))) // 4 "
+    "AS BIGINT) AS todo_n, "
+    "CAST((length(content) - length(replace(content, 'FIXME', ''))) // 5 "
+    "AS BIGINT) AS fixme_n, "
+    "CAST((length(content) - length(replace(content, 'HACK', ''))) // 4 "
+    "AS BIGINT) AS hack_n, "
+    "CASE WHEN length(content) > 0 THEN "
+    "CAST((length(content) - length(replace(content, 'TODO', ''))) // 4 "
+    "+ (length(content) - length(replace(content, 'FIXME', ''))) // 5 "
+    "+ (length(content) - length(replace(content, 'HACK', ''))) // 4 "
+    "AS DOUBLE) / CAST(length(content) AS DOUBLE) ELSE 0.0 END "
+    "AS marker_density "
+    "FROM t"
+)
+
+
+@register("todo_density_docs", _MARKER_SQL)
+def todo_density_docs(sf_dir: str):
+    """Tech-debt marker density (TODO/FIXME/HACK) over planted comment
+    lines (every 13th word line becomes '# TODO <w>', 17th '# FIXME',
+    19th '# HACK' — first match wins, as in the oracle's CASE).  The
+    engine counts generically with one vectorized pc.count_substring
+    scan per marker (functions/codequality.marker_count_batch); the
+    oracle counts the same content via length-of-replace arithmetic, so
+    any word that happens to contain a marker is counted identically on
+    both sides.  Stateless; zero shuffles."""
+    from ..functions import codequality as fcq
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = []
+        for _i, t in zip(ids, texts):
+            ws = [w for w in (t or "").split(" ") if w]
+            lines = []
+            for j, w in enumerate(ws):
+                if j % 13 == 0:
+                    lines.append("# TODO " + w)
+                elif j % 17 == 0:
+                    lines.append("# FIXME " + w)
+                elif j % 19 == 0:
+                    lines.append("# HACK " + w)
+                else:
+                    lines.append(w)
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": b["doc_id"], "content": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(fcq.marker_count_batch, batch_format="pyarrow")
+        .select_columns([
+            "doc_id", "todo_n", "fixme_n", "hack_n", "marker_density",
+        ])
+    )
+
+
+_SHEBANG_SQL = (
+    "WITH t AS (SELECT doc_id, CASE "
+    "WHEN doc_id % 5 = 0 THEN '#!/usr/bin/env python3' || chr(10) || text "
+    "WHEN doc_id % 5 = 1 THEN '#!/bin/sh' || chr(10) || text "
+    "WHEN doc_id % 5 = 2 THEN '<?xml version=\"1.0\"?>' || chr(10) || text "
+    "ELSE text END AS content FROM documents), "
+    "f AS (SELECT doc_id, string_split(content, chr(10))[1] AS fl FROM t) "
+    "SELECT doc_id, starts_with(fl, '#!') AS has_shebang, "
+    "CASE WHEN starts_with(fl, '#!') THEN "
+    "coalesce(regexp_extract(fl, '([^/ ]+)$', 1), '') ELSE '' END AS interp, "
+    "starts_with(lower(fl), '<?xml') OR starts_with(lower(fl), '<!doctype') "
+    "AS is_markup "
+    "FROM f"
+)
+
+
+@register("shebang_docs", _SHEBANG_SQL)
+def shebang_docs(sf_dir: str):
+    """First-line file-type gate: shebang detection + interpreter
+    basename + markup prolog, over planted first lines (python3 env
+    shebang on doc_id%5==0, /bin/sh on ==1, an XML prolog on ==2).
+    The engine extracts the first line with ONE vectorized
+    split_pattern(max_splits=1) and classifies it generically
+    (functions/codequality.shebang_batch); the interpreter comes from
+    the same '([^/ ]+)$' regex RE2 and Python re agree on.  Stateless;
+    zero shuffles."""
+    from ..functions import codequality as fcq
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            if i % 5 == 0:
+                out.append("#!/usr/bin/env python3\n" + t)
+            elif i % 5 == 1:
+                out.append("#!/bin/sh\n" + t)
+            elif i % 5 == 2:
+                out.append('<?xml version="1.0"?>\n' + t)
+            else:
+                out.append(t)
+        return pa.table({"doc_id": b["doc_id"], "content": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(fcq.shebang_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "has_shebang", "interp", "is_markup"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA contributions (doc length across sources)
+# ---------------------------------------------------------------------------
+
+_ANOVA_SQL = (
+    # Per-group rows with int64-exact moments; the float steps (one
+    # division for each mean, the squared-deviation products) are
+    # mirrored op-for-op and emitted per group in fixed point, so no
+    # order-dependent cross-group float total exists on either side.
+    "WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(n_chars) AS BIGINT) AS s, "
+    "CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) "
+    "AS ssq FROM documents GROUP BY source), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, "
+    "CAST(sum(s) AS BIGINT) AS st FROM g) "
+    "SELECT g.source AS source, g.n AS n_docs, "
+    "CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) AS mean_chars, "
+    "CAST(floor(1e6 * (CAST(g.n AS DOUBLE) * "
+    "((CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) "
+    "- CAST(tot.st AS DOUBLE) / CAST(tot.nt AS DOUBLE)) "
+    "* (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) "
+    "- CAST(tot.st AS DOUBLE) / CAST(tot.nt AS DOUBLE))))) AS BIGINT) "
+    "AS between_fp, "
+    "CAST(floor(1e6 * (CAST(g.ssq AS DOUBLE) - CAST(g.s AS DOUBLE) * "
+    "(CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)))) AS BIGINT) AS within_fp "
+    "FROM g CROSS JOIN tot"
+)
+
+
+@register("anova_nchars_by_source", _ANOVA_SQL)
+def anova_nchars_by_source(sf_dir: str):
+    """One-way ANOVA decomposition of document length across sources,
+    emitted as per-group between/within sum-of-squares contributions in
+    int64 fixed point (x1e6) — the corpus-balance diagnostic that tells
+    an ingest whether sources differ in length distribution enough to
+    need per-source quality thresholds.  One distributed moment pass
+    (block-local (source, n, s, ssq) partials -> Sum over <=|sources|
+    rows); the float expression tree is mirrored op-for-op against the
+    oracle; all int64 products guarded (_guard_int64_products)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = b["source"].to_numpy(zero_copy_only=False)
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(src)
+        n = np.zeros(len(uniq), np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        ssq = np.zeros(len(uniq), np.int64)
+        np.add.at(n, codes, 1)
+        np.add.at(s, codes, x)
+        np.add.at(ssq, codes, x * x)
+        return pa.table({
+            "source": pa.array(uniq, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "ssq": pa.array(ssq, pa.int64()),
+        })
+
+    cells = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=4)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ssq", alias_name="ssq"),
+        )
+        .take_all()
+    )
+    nt = sum(int(r["n"]) for r in cells)
+    st = sum(int(r["s"]) for r in cells)
+    _guard_int64_products(
+        [int(r["ssq"]) for r in cells] + [st, nt], "anova_nchars_by_source"
+    )
+    grand = float(st) / float(nt)
+    rows = []
+    for r in sorted(cells, key=lambda r: r["source"]):
+        n, s, ssq = int(r["n"]), int(r["s"]), int(r["ssq"])
+        mean = float(s) / float(n)
+        d = mean - grand
+        between = float(n) * (d * d)
+        within = float(ssq) - float(s) * mean
+        b_fp, w_fp = math.floor(1e6 * between), math.floor(1e6 * within)
+        _guard_int64_products([b_fp, w_fp], "anova_nchars_by_source")
+        rows.append((r["source"], n, mean, b_fp, w_fp))
+    return ray.data.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "mean_chars": pa.array([r[2] for r in rows], pa.float64()),
+        "between_fp": pa.array([r[3] for r in rows], pa.int64()),
+        "within_fp": pa.array([r[4] for r in rows], pa.int64()),
+    }))
