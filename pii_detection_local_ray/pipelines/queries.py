@@ -22205,3 +22205,218 @@ def anova_nchars_by_source(sf_dir: str):
         "between_fp": pa.array([r[3] for r in rows], pa.int64()),
         "within_fp": pa.array([r[4] for r in rows], pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Code-hygiene wave 2: normalized-code dedup, branch-keyword density,
+# cross-doc function-signature clones (functions/codequality.py)
+# ---------------------------------------------------------------------------
+
+_NORMDEDUP_SQL = (
+    # Plant (row-local, mirrored by the Ray plant): doc_id%5==0 and ==1
+    # carry the SAME canonical payload written two different raw ways
+    # (comment placement + whitespace width differ), keyed into 7
+    # cross-doc groups by doc_id%7; every other doc is its own text with
+    # doubled spaces under a unique comment header.
+    "WITH t AS (SELECT doc_id, CASE "
+    "WHEN doc_id % 5 = 0 THEN '# hdr ' || doc_id || chr(10) "
+    "|| 'shared canonical payload' || chr(10) || 'tail ' || (doc_id % 7) "
+    "WHEN doc_id % 5 = 1 THEN 'shared   canonical' || chr(9) "
+    "|| 'payload  ' || chr(10) || '# note ' || doc_id || chr(10) "
+    "|| 'tail ' || (doc_id % 7) "
+    "ELSE '# c ' || doc_id || chr(10) || replace(text, ' ', '  ') "
+    "END AS content FROM documents), "
+    "n AS (SELECT doc_id, array_to_string(list_transform("
+    "list_filter(string_split(content, chr(10)), "
+    "l -> trim(l, ' ' || chr(9) || chr(13)) <> '' "
+    "AND NOT starts_with(trim(l, ' ' || chr(9) || chr(13)), '#')), "
+    "l -> trim(regexp_replace(l, '[ ' || chr(9) || ']+', ' ', 'g'), "
+    "' ' || chr(9) || chr(13))), chr(10)) AS canon FROM t) "
+    "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
+    "CAST(count(*) AS BIGINT) AS dup_count, "
+    "CAST(length(canon) AS BIGINT) AS canon_len "
+    "FROM n GROUP BY canon"
+)
+
+
+@register("normalized_code_dedup", _NORMDEDUP_SQL)
+def normalized_code_dedup(sf_dir: str):
+    """Near-exact code dedup on the comment-stripped, whitespace-
+    collapsed canonical form (The Stack v2's dedup key: files differing
+    only in comments / blank lines / indent width are duplicates).  One
+    row per canonical form: (min doc_id, dup_count, canon_len).  The
+    canonicalizer is functions/codequality.normalize_code_batch; the
+    group key on the exchange is the canon's sha256 (64 hex chars — the
+    canonical TEXT never shuffles), the same bounded-exchange design as
+    functions/dedup.exact_dedup_groups.  canon_len rides the groupby as
+    a Min aggregate (every member of a group shares it by construction),
+    so the oracle needs no hash function."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions import codequality as fcq
+    from ..functions.dedup import add_content_hash
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 5 == 0:
+                out.append(
+                    f"# hdr {i}\nshared canonical payload\ntail {i % 7}"
+                )
+            elif i % 5 == 1:
+                out.append(
+                    f"shared   canonical\tpayload  \n# note {i}\ntail {i % 7}"
+                )
+            else:
+                out.append(f"# c {i}\n" + (t or "").replace(" ", "  "))
+        return pa.table({"doc_id": b["doc_id"], "content": pa.array(out)})
+
+    def hash_canon(b: pa.Table) -> pa.Table:
+        b = fcq.normalize_code_batch(b, "content")
+        n_len = pc.cast(pc.utf8_length(b["canon"]), pa.int64())
+        b = add_content_hash(b, "canon", out_col="canon_hash")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "canon_hash": b["canon_hash"],
+            "canon_len": n_len,
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(hash_canon, batch_format="pyarrow")
+        .groupby("canon_hash")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Count(alias_name="dup_count"),
+            Min("canon_len", alias_name="canon_len"),
+        )
+        .drop_columns(["canon_hash"])
+    )
+
+
+_BRANCH_SQL = (
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+    "x -> x <> '') AS ws FROM documents), "
+    "p AS (SELECT doc_id, list_transform(range(1, len(ws) + 1), "
+    "i -> CASE WHEN (i-1) % 7 = 0 THEN 'if ' || ws[i] || ':' "
+    "WHEN (i-1) % 11 = 0 THEN 'for ' || ws[i] || ':' "
+    "WHEN (i-1) % 13 = 0 THEN 'while ' || ws[i] || ':' "
+    "ELSE ws[i] END) AS lines FROM w), "
+    "t AS (SELECT doc_id, array_to_string(lines, chr(10)) AS content "
+    "FROM p) "
+    "SELECT doc_id, "
+    "CAST((length(content) - length(replace(content, chr(10) || 'if ', "
+    "''))) // 4 + CASE WHEN starts_with(content, 'if ') THEN 1 ELSE 0 "
+    "END AS BIGINT) AS n_if, "
+    "CAST((length(content) - length(replace(content, chr(10) || 'for ', "
+    "''))) // 5 + CASE WHEN starts_with(content, 'for ') THEN 1 ELSE 0 "
+    "END AS BIGINT) AS n_for, "
+    "CAST((length(content) - length(replace(content, chr(10) || "
+    "'while ', ''))) // 7 + CASE WHEN starts_with(content, 'while ') "
+    "THEN 1 ELSE 0 END AS BIGINT) AS n_while, "
+    "CAST((length(content) - length(replace(content, chr(10) || 'if ', "
+    "''))) // 4 + CASE WHEN starts_with(content, 'if ') THEN 1 ELSE 0 END "
+    "+ (length(content) - length(replace(content, chr(10) || 'for ', "
+    "''))) // 5 + CASE WHEN starts_with(content, 'for ') THEN 1 ELSE 0 END "
+    "+ (length(content) - length(replace(content, chr(10) || 'while ', "
+    "''))) // 7 + CASE WHEN starts_with(content, 'while ') THEN 1 ELSE 0 "
+    "END AS DOUBLE) / CAST(length(content) "
+    "- length(replace(content, chr(10), '')) + 1 AS DOUBLE) "
+    "AS branch_density "
+    "FROM t"
+)
+
+
+@register("branch_density_docs", _BRANCH_SQL)
+def branch_density_docs(sf_dir: str):
+    """Branching-keyword density (cyclomatic-complexity proxy) over
+    planted control-flow lines: every 7th word line becomes 'if w:',
+    11th 'for w:', 13th 'while w:' (first match wins, same CASE order
+    both sides).  The engine counts '\\n'-anchored keyword starts with
+    one vectorized count_substring per keyword plus a starts_with for
+    line 1 (functions/codequality.branch_keyword_stats_batch); the
+    oracle counts the same patterns with length-of-replace arithmetic —
+    a corpus word that legitimately starts a line with 'if ' counts
+    identically on both sides.  Stateless; zero shuffles."""
+    from ..functions import codequality as fcq
+
+    def plant(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        out = []
+        for t in texts:
+            ws = [w for w in (t or "").split(" ") if w]
+            lines = []
+            for j, w in enumerate(ws):
+                if j % 7 == 0:
+                    lines.append("if " + w + ":")
+                elif j % 11 == 0:
+                    lines.append("for " + w + ":")
+                elif j % 13 == 0:
+                    lines.append("while " + w + ":")
+                else:
+                    lines.append(w)
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": b["doc_id"], "content": pa.array(out)})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(fcq.branch_keyword_stats_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_if", "n_for", "n_while",
+                         "branch_density"])
+    )
+
+
+_DEFCLONE_SQL = (
+    "WITH t AS (SELECT doc_id, 'def fn' || (doc_id % 23) || '(a, b):' "
+    "|| chr(10) || text AS content FROM documents), "
+    "lx AS (SELECT unnest(string_split(content, chr(10))) AS sig FROM t) "
+    "SELECT sig, CAST(count(*) AS BIGINT) AS n_occurrences "
+    "FROM lx WHERE starts_with(sig, 'def ') "
+    "GROUP BY sig ORDER BY n_occurrences DESC, sig ASC LIMIT 10"
+)
+
+
+@register("def_clone_top10", _DEFCLONE_SQL)
+def def_clone_top10(sf_dir: str):
+    """Cross-document function-signature clone report (SourcererCC-class
+    signal at line granularity): the 10 most-duplicated 'def ' lines
+    with occurrence counts, over planted signatures ('def fn{doc_id%23}
+    (a, b):' as each doc's first line).  The engine extracts def-lines
+    with a per-batch flat scan, counts them with ONE distributed
+    groupby on the signature text (23 keys here; at corpus scale the
+    signature is a fine hash key like every other dedup exchange), and
+    takes the global top-10 with a deterministic (count desc, sig asc)
+    tiebreak mirrored by the oracle's ORDER BY."""
+
+    def extract(b: pa.Table) -> pa.Table:
+        sigs = []
+        for t in b["content"].to_pylist():
+            for line in (t or "").split("\n"):
+                if line.startswith("def "):
+                    sigs.append(line)
+        return pa.table({"sig": pa.array(sigs, pa.string())})
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = [f"def fn{i % 23}(a, b):\n" + (t or "")
+               for i, t in zip(ids, texts)]
+        return pa.table({"content": pa.array(out, pa.string())})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["sig", "n_occurrences"])
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("sig")
+        .count()
+        .map_batches(rename, batch_format="pyarrow")
+        .sort(["n_occurrences", "sig"], descending=[True, False])
+        .limit(10)
+    )
