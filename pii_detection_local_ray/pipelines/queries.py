@@ -22420,3 +22420,356 @@ def def_clone_top10(sf_dir: str):
         .sort(["n_occurrences", "sig"], descending=[True, False])
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: tight banded filter + single exact aggregate
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+    "CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) "
+    "AS discount_revenue_c100 "
+    "FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 4 "
+    "AND l_quantity < 24"
+)
+
+
+@register("q6_banded_revenue", _Q6_SQL)
+def q6_banded_revenue(sf_dir: str):
+    """TPC-H Q6 shape: the canonical scan-dominated query - one tight
+    banded predicate (ship-year, discount band, quantity cap) and one
+    exact aggregate, no join.  The whole query is a column-pruned read
+    plus a vectorized Arrow mask; the exchange carries exactly one
+    (count, sum) pair per block.  Revenue is price-cents x
+    discount-hundredths, an exact int64 (float summation order cannot
+    diverge from the oracle)."""
+    from datetime import datetime
+
+    lo = pa.scalar(datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], lo),
+                pc.less(b["l_shipdate"], hi),
+            ),
+            pc.less(b["l_quantity"], 24.0),
+        )
+        b = b.filter(m)
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        band = pc.and_(pc.greater_equal(pct, 2), pc.less_equal(pct, 4))
+        b = b.filter(band)
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        rev = pc.multiply(cents, pct)
+        return pa.table({
+            "n_items": pa.array([len(b)], pa.int64()),
+            "discount_revenue_c100": pa.array(
+                [pc.sum(rev).as_py() or 0], pa.int64()
+            ),
+        })
+
+    tot = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_shipdate", "l_quantity", "l_discount", "l_extendedprice",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("discount_revenue_c100", alias_name="discount_revenue_c100"),
+        )
+    )
+    return ray.data.from_arrow(pa.table({
+        "n_items": pa.array([int(tot["n_items"])], pa.int64()),
+        "discount_revenue_c100": pa.array(
+            [int(tot["discount_revenue_c100"])], pa.int64()
+        ),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share by ship month
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = (
+    "SELECT CAST(month(l.l_shipdate) AS BIGINT) AS ship_month, "
+    "CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN "
+    "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT)) ELSE 0 END) "
+    "AS BIGINT) AS promo_c100, "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "AS total_c100, "
+    "CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN "
+    "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT)) ELSE 0 END) "
+    "AS DOUBLE) / CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) "
+    "AS promo_share "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l.l_shipdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY month(l.l_shipdate)"
+)
+
+
+@register("promo_revenue_by_month", _Q14_SQL)
+def promo_revenue_by_month(sf_dir: str):
+    """TPC-H Q14 shape: promo-type revenue share per ship month.  The
+    part dimension reduces to a broadcast promo-partkey set (one
+    ray.put, pc.is_in per batch - never a shuffle join for a
+    dimension-bounded side); each fact batch folds to at most 12
+    (month, promo_c100, total_c100) partial rows, so the exchange is
+    months x blocks.  The share is ONE double division of two exact
+    int64 sums, identical on both sides."""
+    from datetime import datetime
+
+    lo = pa.scalar(datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    promo_keys = part.filter(pc.equal(part["p_type"], "PROMO"))[
+        "p_partkey"
+    ].combine_chunks()
+    promo_ref = ray.put(promo_keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], lo),
+            pc.less(b["l_shipdate"], hi),
+        ))
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(
+            cents, pc.subtract(pa.scalar(100, pa.int64()), pct)
+        ).to_numpy(zero_copy_only=False)
+        month = np.array(
+            [d.month for d in b["l_shipdate"].to_pylist()], np.int64
+        )
+        promo = pc.is_in(
+            b["l_partkey"], value_set=ray.get(promo_ref)
+        ).to_numpy(zero_copy_only=False)
+        tot = np.zeros(13, np.int64)
+        pr = np.zeros(13, np.int64)
+        np.add.at(tot, month, rev)
+        np.add.at(pr, month[promo], rev[promo])
+        live = np.flatnonzero(tot)
+        return pa.table({
+            "ship_month": pa.array(live, pa.int64()),
+            "promo_c100": pa.array(pr[live], pa.int64()),
+            "total_c100": pa.array(tot[live], pa.int64()),
+        })
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey", "l_shipdate", "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ship_month", num_partitions=4)
+        .aggregate(
+            Sum("promo_c100", alias_name="promo_c100"),
+            Sum("total_c100", alias_name="total_c100"),
+        )
+    )
+
+    def share(b: pa.Table) -> pa.Table:
+        p = b["promo_c100"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = b["total_c100"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("promo_share", pa.array(p / t, pa.float64()))
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue, top customers
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = (
+    "SELECT custkey, c.c_name AS c_name, n.n_name AS n_name, revenue_c100 "
+    "FROM ("
+    "  SELECT o.o_custkey AS custkey, "
+    "  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "  (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "  AS revenue_c100 "
+    "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "  WHERE l.l_returnflag = 'R' "
+    "  AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "  AND o.o_orderdate < TIMESTAMP '1996-07-01' "
+    "  GROUP BY o.o_custkey"
+    ") r JOIN customer c ON c.c_custkey = r.custkey "
+    "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+    "ORDER BY revenue_c100 DESC, custkey LIMIT 20"
+)
+
+
+@register("returned_revenue_top_customers", _Q10_SQL)
+def returned_revenue_top_customers(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    a two-quarter window, top 20.  Both join sides are fact-scale, so
+    the orderkey join is a real hash join over batch-partially
+    aggregated lineitem revenue (the shuffle moves (orderkey, partial)
+    pairs, never raw line items); customer name and nation attach as
+    dimension broadcasts AFTER the custkey aggregate, so they touch
+    customer-bounded rows only.  Deterministic (revenue desc, custkey)
+    tie-break."""
+    from datetime import datetime
+
+    from ..functions.joins import broadcast_join, hash_join
+
+    lo = pa.scalar(datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(1996, 7, 1), type=pa.timestamp("us"))
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b["o_orderdate"], lo),
+            pc.less(b["o_orderdate"], hi),
+        )
+        return b.filter(m).select(["o_orderkey", "o_custkey"])
+
+    ok = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilter, batch_format="pyarrow")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), pct))
+        t = pa.table({"orderkey": b["l_orderkey"], "rev": rev})
+        g = t.group_by("orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["orderkey", "rev"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    joined = hash_join(
+        li, ok, on="orderkey", right_on="o_orderkey", num_partitions=4
+    )
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["o_custkey", "rev"]).group_by("o_custkey").aggregate(
+            [("rev", "sum")]
+        )
+        return g.rename_columns(["custkey", "rev"])
+
+    agg = (
+        joined.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("custkey", num_partitions=4)
+        .aggregate(Sum("rev", alias_name="revenue_c100"))
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    out = broadcast_join(agg, cust, on="custkey", right_on="c_custkey")
+    out = broadcast_join(out, nat, on="c_nationkey", right_on="n_nationkey")
+    return (
+        out.select_columns(["custkey", "c_name", "n_name", "revenue_c100"])
+        .sort(["revenue_c100", "custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: argmax supplier(s) by window revenue
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = (
+    "WITH r AS ("
+    "  SELECT l_suppkey AS suppkey, "
+    "  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+    "  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "  AS revenue_c100 "
+    "  FROM lineitem "
+    "  WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "  AND l_shipdate < TIMESTAMP '1996-07-01' "
+    "  GROUP BY l_suppkey"
+    ") SELECT r.suppkey, s.s_name AS s_name, r.revenue_c100 "
+    "FROM r JOIN supplier s ON s.s_suppkey = r.suppkey "
+    "WHERE r.revenue_c100 = (SELECT max(revenue_c100) FROM r) "
+    "ORDER BY r.suppkey"
+)
+
+
+@register("top_supplier_by_revenue", _Q15_SQL)
+def top_supplier_by_revenue(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum window
+    revenue (argmax with exact ties, the reference Q15 semantics).  Per
+    batch the fact scan folds to supplier-bounded (suppkey, rev)
+    partials; one groupby finishes the revenue table; the global max is
+    a scalar aggregate over that supplier-bounded table and the argmax
+    filter + name attach touch only it - the fact table is scanned
+    exactly once."""
+    from datetime import datetime
+
+    from ..functions.joins import broadcast_join
+
+    lo = pa.scalar(datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(1996, 7, 1), type=pa.timestamp("us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"], lo),
+            pc.less(b["l_shipdate"], hi),
+        ))
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), pct))
+        t = pa.table({"suppkey": b["l_suppkey"], "rev": rev})
+        g = t.group_by("suppkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["suppkey", "rev"])
+
+    revtab = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("suppkey", num_partitions=4)
+        .aggregate(Sum("rev", alias_name="revenue_c100"))
+        .materialize()  # supplier-bounded, never fact-scale
+    )
+    mx = revtab.aggregate(Max("revenue_c100", alias_name="mx"))["mx"]
+    top = revtab.filter(
+        lambda r: r["revenue_c100"] == mx
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = broadcast_join(top, supp, on="suppkey", right_on="s_suppkey")
+    return out.select_columns(["suppkey", "s_name", "revenue_c100"]).sort(
+        "suppkey"
+    )
