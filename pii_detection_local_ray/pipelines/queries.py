@@ -22773,3 +22773,428 @@ def top_supplier_by_revenue(sf_dir: str):
     return out.select_columns(["suppkey", "s_name", "revenue_c100"]).sort(
         "suppkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: segment-filtered shipping-priority top orders
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = (
+    "SELECT l.l_orderkey AS orderkey, "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "AS revenue_c100, o.o_orderdate AS o_orderdate "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "AND o.o_orderdate < TIMESTAMP '1996-03-15' "
+    "AND l.l_shipdate > TIMESTAMP '1996-03-15' "
+    "GROUP BY l.l_orderkey, o.o_orderdate "
+    "ORDER BY revenue_c100 DESC, orderkey LIMIT 10"
+)
+
+
+@register("q3_shipping_priority", _Q3_SQL)
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: unshipped-revenue top orders for one market
+    segment.  Both fact sides stay distributed: the segment semi-join
+    is a real hash join against the customer table projected to its
+    key column (a 1/5-of-customers key set is NOT dimension-bounded at
+    corpus scale, so no broadcast), and lineitem revenue folds to
+    per-batch (orderkey, rev) partials before the orderkey hash join.
+    The final groupby carries order-bounded rows only.  Deterministic
+    (revenue desc, orderkey) tie-break."""
+    from datetime import datetime
+
+    from ..functions.joins import hash_join
+
+    cut = pa.scalar(datetime(1996, 3, 15), type=pa.timestamp("us"))
+
+    def cfilter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        )
+
+    bld = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(cfilter, batch_format="pyarrow")
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["o_orderdate"], cut))
+
+    ok = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilter, batch_format="pyarrow")
+    ok = hash_join(ok, bld, on="o_custkey", right_on="c_custkey",
+                   num_partitions=4)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], cut))
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), pct))
+        t = pa.table({"orderkey": b["l_orderkey"], "rev": rev})
+        g = t.group_by("orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["orderkey", "rev"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    joined = hash_join(li, ok, on="orderkey", right_on="o_orderkey",
+                       num_partitions=4)
+    agg = (
+        joined.groupby(["orderkey", "o_orderdate"], num_partitions=4)
+        .aggregate(Sum("rev", alias_name="revenue_c100"))
+    )
+    agg = _pin_ts_us(agg, "o_orderdate")
+    return (
+        agg.select_columns(["orderkey", "revenue_c100", "o_orderdate"])
+        .sort(["revenue_c100", "orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority count gated by an EXISTS semi-join
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM orders o "
+    "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1996-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+@register("q4_order_priority_exists", _Q4_SQL)
+def q4_order_priority_exists(sf_dir: str):
+    """TPC-H Q4 shape: orders per priority that had at least one line
+    item shipped more than 30 days after ordering (the reference's
+    commit/receipt lag re-expressed on the columns this corpus has).
+    The EXISTS collapses to a max-shipdate semi-join: lineitem folds to
+    per-batch (orderkey, max_ship_us) partials, ONE groupby finishes
+    the per-order max, and the correlated comparison is a vectorized
+    int64 microsecond check after an orderkey hash join - no per-order
+    subquery, no row loop."""
+    from datetime import datetime
+
+    from ..functions.joins import hash_join
+
+    lo = pa.scalar(datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(1996, 4, 1), type=pa.timestamp("us"))
+    lag_us = 30 * 86400 * 1_000_000
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], lo),
+            pc.less(b["o_orderdate"], hi),
+        ))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderpriority": b["o_orderpriority"],
+            "odate_us": pc.cast(b["o_orderdate"], pa.int64()),
+        })
+
+    ok = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(ofilter, batch_format="pyarrow")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "orderkey": b["l_orderkey"],
+            "ship_us": pc.cast(b["l_shipdate"], pa.int64()),
+        })
+        g = t.group_by("orderkey").aggregate([("ship_us", "max")])
+        return g.rename_columns(["orderkey", "ship_us"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    maxship = li.groupby("orderkey", num_partitions=4).aggregate(
+        Max("ship_us", alias_name="max_ship_us")
+    )
+
+    joined = hash_join(maxship, ok, on="orderkey", right_on="o_orderkey",
+                       num_partitions=4)
+
+    def late(b: pa.Table) -> pa.Table:
+        m = pc.greater(
+            b["max_ship_us"],
+            pc.add(b["odate_us"], pa.scalar(lag_us, pa.int64())),
+        )
+        return b.filter(m).select(["o_orderpriority"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_orderpriority", "n_orders"])
+
+    return (
+        joined.map_batches(late, batch_format="pyarrow")
+        .groupby("o_orderpriority", num_partitions=4)
+        .count()
+        .map_batches(rename, batch_format="pyarrow")
+        .sort("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local-supplier volume per nation within one region
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = (
+    "SELECT n.n_name AS n_name, "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "AS revenue_c100 "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n.n_name ORDER BY revenue_c100 DESC, n_name"
+)
+
+
+@register("q5_local_supplier_volume", _Q5_SQL)
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue served by LOCAL suppliers (customer and
+    supplier share a nation) per ASIA nation.  Supplier and
+    nation/region are true dimensions: the suppkey->nationkey map is
+    ONE broadcast attached per lineitem batch, and the ASIA nationkey
+    set is resolved driver-side from two tiny tables.  Customer is
+    fact-scale, so orders<->customer is a real hash join; lineitem
+    folds to (orderkey, supp_nation, rev) per-batch partials before
+    the orderkey hash join, and the local-only predicate is one
+    vectorized equality on the joined batch."""
+    from datetime import datetime
+
+    from ..functions.joins import broadcast_join, hash_join
+
+    lo = pa.scalar(datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    asia_rk = reg.filter(pc.equal(reg["r_name"], "ASIA"))["r_regionkey"]
+    asia = nat.filter(pc.is_in(nat["n_regionkey"], value_set=asia_rk))
+    asia_keys = asia["n_nationkey"].combine_chunks()
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], lo),
+            pc.less(b["o_orderdate"], hi),
+        ))
+        return b.select(["o_orderkey", "o_custkey"])
+
+    ok = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilter, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ok = hash_join(ok, cust, on="o_custkey", right_on="c_custkey",
+                   num_partitions=4)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_join(li, supp, on="l_suppkey", right_on="s_suppkey")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["s_nationkey"], value_set=asia_keys))
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), pct))
+        t = pa.table({
+            "orderkey": b["l_orderkey"],
+            "s_nationkey": b["s_nationkey"],
+            "rev": rev,
+        })
+        g = t.group_by(["orderkey", "s_nationkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["orderkey", "s_nationkey", "rev"])
+
+    li = li.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(li, ok, on="orderkey", right_on="o_orderkey",
+                       num_partitions=4)
+
+    def local_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["s_nationkey"], b["c_nationkey"]))
+        return b.select(["s_nationkey", "rev"])
+
+    agg = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("s_nationkey", num_partitions=4)
+        .aggregate(Sum("rev", alias_name="revenue_c100"))
+    )
+    out = broadcast_join(
+        agg, nat.select(["n_nationkey", "n_name"]),
+        on="s_nationkey", right_on="n_nationkey",
+    )
+    return (
+        out.select_columns(["n_name", "revenue_c100"])
+        .sort(["revenue_c100", "n_name"], descending=[True, False])
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral shipping volume between two nations by year
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = (
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "AS revenue_c100 "
+    "FROM supplier s "
+    "JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+    "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+    "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+    "AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate) "
+    "ORDER BY supp_nation, cust_nation, l_year"
+)
+
+
+@register("q7_volume_shipping_pair", _Q7_SQL)
+def q7_volume_shipping_pair(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between two specific nations in
+    both directions, by ship year.  The two nationkey filters prune
+    BOTH fact scans before any exchange (lineitem via the broadcast
+    supplier->nation map, orders via the customer hash join + is_in),
+    so the orderkey hash join only moves rows involving the two
+    nations; the cross-pair predicate (supp != cust nation) is one
+    vectorized inequality.  Ship year is extracted with pc.year -
+    matching DuckDB's year() exactly on microsecond timestamps."""
+    from datetime import datetime
+
+    from ..functions.joins import broadcast_join, hash_join
+
+    lo = pa.scalar(datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    pair = nat.filter(
+        pc.is_in(nat["n_name"], value_set=pa.array(["NATION_3", "NATION_7"]))
+    )
+    pair_keys = pair["n_nationkey"].combine_chunks()
+    names = dict(zip(
+        pair["n_nationkey"].to_pylist(), pair["n_name"].to_pylist()
+    ))
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_shipdate",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+    li = broadcast_join(li, supp, on="l_suppkey", right_on="s_suppkey")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], lo),
+                pc.less(b["l_shipdate"], hi),
+            ),
+            pc.is_in(b["s_nationkey"], value_set=pair_keys),
+        ))
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), pct))
+        t = pa.table({
+            "orderkey": b["l_orderkey"],
+            "s_nationkey": b["s_nationkey"],
+            "l_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+            "rev": rev,
+        })
+        g = t.group_by(["orderkey", "s_nationkey", "l_year"]).aggregate(
+            [("rev", "sum")]
+        )
+        return g.rename_columns(["orderkey", "s_nationkey", "l_year", "rev"])
+
+    li = li.map_batches(li_partial, batch_format="pyarrow")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ok = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    ok = hash_join(ok, cust, on="o_custkey", right_on="c_custkey",
+                   num_partitions=4)
+
+    def ok_prune(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["c_nationkey"], value_set=pair_keys))
+        return b.select(["o_orderkey", "c_nationkey"])
+
+    ok = ok.map_batches(ok_prune, batch_format="pyarrow")
+
+    joined = hash_join(li, ok, on="orderkey", right_on="o_orderkey",
+                       num_partitions=4)
+
+    def cross_pair(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["s_nationkey"], b["c_nationkey"]))
+        return b.select(["s_nationkey", "c_nationkey", "l_year", "rev"])
+
+    agg = (
+        joined.map_batches(cross_pair, batch_format="pyarrow")
+        .groupby(["s_nationkey", "c_nationkey", "l_year"], num_partitions=4)
+        .aggregate(Sum("rev", alias_name="revenue_c100"))
+    )
+
+    def name_pairs(b: pa.Table) -> pa.Table:
+        # nation-pair-bounded result rows (<= 2 pairs x years)
+        sn = [names[k] for k in b["s_nationkey"].to_pylist()]
+        cn = [names[k] for k in b["c_nationkey"].to_pylist()]
+        return pa.table({
+            "supp_nation": pa.array(sn, pa.string()),
+            "cust_nation": pa.array(cn, pa.string()),
+            "l_year": b["l_year"],
+            "revenue_c100": b["revenue_c100"],
+        })
+
+    return (
+        agg.map_batches(name_pairs, batch_format="pyarrow")
+        .sort(["supp_nation", "cust_nation", "l_year"])
+    )
