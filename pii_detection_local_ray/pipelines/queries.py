@@ -23198,3 +23198,318 @@ def q7_volume_shipping_pair(sf_dir: str):
         agg.map_batches(name_pairs, batch_format="pyarrow")
         .sort(["supp_nation", "cust_nation", "l_year"])
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: one nation's market share inside a region, by year
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = (
+    "SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(sum(CASE WHEN s.s_nationkey = 6 THEN "
+    "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT)) ELSE 0 END) "
+    "AS BIGINT) AS nation_c100, "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+    "AS total_c100, "
+    "CAST(sum(CASE WHEN s.s_nationkey = 6 THEN "
+    "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT)) ELSE 0 END) "
+    "AS DOUBLE) / "
+    "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) "
+    "AS mkt_share "
+    "FROM lineitem l "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "WHERE r.r_name = 'AMERICA' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY year(o.o_orderdate) ORDER BY o_year"
+)
+
+
+@register("q8_market_share", _Q8_SQL)
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: NATION_6 suppliers' share of revenue sold to
+    AMERICA-region customers, per order year.  Supplier and
+    nation/region are broadcasts; customer is fact-scale so the region
+    gate rides the orders<->customer hash join; lineitem folds per
+    batch to (orderkey, nation_c100, total_c100) partials (the target-
+    nation split happens BEFORE the exchange, so the orderkey join
+    moves two ints per order).  The share is one double division of
+    two exact int64 sums, identical on both sides."""
+    from datetime import datetime
+
+    from ..functions.joins import broadcast_join, hash_join
+
+    lo = pa.scalar(datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    am_rk = reg.filter(pc.equal(reg["r_name"], "AMERICA"))["r_regionkey"]
+    am_keys = nat.filter(
+        pc.is_in(nat["n_regionkey"], value_set=am_rk)
+    )["n_nationkey"].combine_chunks()
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_join(li, supp, on="l_suppkey", right_on="s_suppkey")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), pct))
+        is6 = pc.equal(b["s_nationkey"], 6)
+        nat_rev = pc.if_else(is6, rev, pa.scalar(0, pa.int64()))
+        t = pa.table({
+            "orderkey": b["l_orderkey"], "nat": nat_rev, "tot": rev,
+        })
+        g = t.group_by("orderkey").aggregate([("nat", "sum"), ("tot", "sum")])
+        return g.rename_columns(["orderkey", "nat", "tot"])
+
+    li = li.map_batches(li_partial, batch_format="pyarrow")
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], lo),
+            pc.less(b["o_orderdate"], hi),
+        ))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+        })
+
+    ok = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilter, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ok = hash_join(ok, cust, on="o_custkey", right_on="c_custkey",
+                   num_partitions=4)
+
+    def am_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["c_nationkey"], value_set=am_keys))
+        return b.select(["o_orderkey", "o_year"])
+
+    ok = ok.map_batches(am_only, batch_format="pyarrow")
+
+    joined = hash_join(li, ok, on="orderkey", right_on="o_orderkey",
+                       num_partitions=4)
+    agg = (
+        joined.groupby("o_year", num_partitions=2)
+        .aggregate(
+            Sum("nat", alias_name="nation_c100"),
+            Sum("tot", alias_name="total_c100"),
+        )
+    )
+
+    def share(b: pa.Table) -> pa.Table:
+        n = b["nation_c100"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = b["total_c100"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("mkt_share", pa.array(n / t, pa.float64()))
+
+    return agg.map_batches(share, batch_format="pyarrow").sort("o_year")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: sole-last-shipper suppliers on multi-supplier orders
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = (
+    "WITH x AS ("
+    "  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS sup_max "
+    "  FROM lineitem GROUP BY l_orderkey, l_suppkey"
+    "), o AS ("
+    "  SELECT l_orderkey, max(sup_max) AS omax, count(*) AS nsupp "
+    "  FROM x GROUP BY l_orderkey"
+    "), w AS ("
+    "  SELECT x.l_orderkey, x.l_suppkey FROM x "
+    "  JOIN o ON x.l_orderkey = o.l_orderkey AND x.sup_max = o.omax "
+    "  WHERE o.nsupp >= 2"
+    "), u AS ("
+    "  SELECT l_orderkey FROM w GROUP BY l_orderkey HAVING count(*) = 1"
+    ") SELECT w.l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM w JOIN u ON w.l_orderkey = u.l_orderkey "
+    "GROUP BY w.l_suppkey ORDER BY n_orders DESC, suppkey LIMIT 5"
+)
+
+
+@register("q21_sole_last_shipper", _Q21_SQL)
+def q21_sole_last_shipper(sf_dir: str):
+    """TPC-H Q21 shape (waiting-orders blame re-expressed on available
+    columns): on orders served by >= 2 suppliers, find the supplier who
+    ALONE shipped last - the unique-argmax-within-group semi-join that
+    makes Q21 hard.  Lineitem folds per batch to (orderkey, suppkey,
+    max_ship_us) partials; one groupby finishes the per-pair max; the
+    per-order argmax-uniqueness test runs inside order-bounded
+    map_groups (each group is that order's supplier set, never fact-
+    scale); the top-5 count is supplier-bounded.  Deterministic
+    (count desc, suppkey) tie-break."""
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "orderkey": b["l_orderkey"],
+            "suppkey": b["l_suppkey"],
+            "ship_us": pc.cast(b["l_shipdate"], pa.int64()),
+        })
+        g = t.group_by(["orderkey", "suppkey"]).aggregate(
+            [("ship_us", "max")]
+        )
+        return g.rename_columns(["orderkey", "suppkey", "ship_us"])
+
+    pair_max = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby(["orderkey", "suppkey"], num_partitions=4)
+        .aggregate(Max("ship_us", alias_name="max_us"))
+    )
+
+    def sole_last(g: pa.Table) -> pa.Table:
+        mu = g["max_us"].to_numpy(zero_copy_only=False)
+        if len(mu) < 2:
+            return pa.table({"suppkey": pa.array([], pa.int64())})
+        omax = mu.max()
+        at = np.flatnonzero(mu == omax)
+        if len(at) != 1:
+            return pa.table({"suppkey": pa.array([], pa.int64())})
+        sk = g["suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"suppkey": pa.array([sk[at[0]]], pa.int64())})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["suppkey", "n_orders"])
+
+    return (
+        pair_max.groupby("orderkey")
+        .map_groups(sole_last, batch_format="pyarrow")
+        .groupby("suppkey", num_partitions=4)
+        .count()
+        .map_batches(rename, batch_format="pyarrow")
+        .sort(["n_orders", "suppkey"], descending=[True, False])
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: above-average-balance customers with no recent orders
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = (
+    "WITH thr AS ("
+    "  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+    "  AS s, CAST(count(*) AS BIGINT) AS n "
+    "  FROM customer WHERE c_acctbal > 0"
+    ") SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey, "
+    "CAST(count(*) AS BIGINT) AS n_custs, "
+    "CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+    "AS acctbal_c100 "
+    "FROM customer c, thr "
+    "WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * thr.n > thr.s "
+    "AND c.c_custkey NOT IN ("
+    "  SELECT o_custkey FROM orders "
+    "  WHERE o_orderdate >= TIMESTAMP '1999-01-01'"
+    ") GROUP BY c.c_nationkey ORDER BY nationkey"
+)
+
+
+@register("q22_idle_rich_customers", _Q22_SQL)
+def q22_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers whose balance beats the positive-
+    balance average but who placed no order since 1999, per nation.
+    The scalar subquery is ONE exact integer aggregate pass (sum_cents,
+    n) and the comparison is cross-multiplied int64 (cents * n > sum) -
+    no float average whose summation order could flip a boundary
+    customer between engines.  The NOT IN collapses to a distinct
+    recent-buyer key set (customer-bounded, not fact-row-bounded)
+    applied as a vectorized is_in anti-mask."""
+    from datetime import datetime
+
+    cut = pa.scalar(datetime(1999, 1, 1), type=pa.timestamp("us"))
+
+    def cents_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64()
+        )
+        pos = pc.filter(cents, pc.greater(b["c_acctbal"], 0.0))
+        return pa.table({
+            "s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64()),
+        })
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    thr = (
+        ray.data.read_parquet(cust_path, columns=["c_acctbal"])
+        .map_batches(cents_partial, batch_format="pyarrow")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+    s, n = int(thr["s"]), int(thr["n"])
+
+    def recent(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["o_orderdate"], cut))
+        return b.select(["o_custkey"])
+
+    buyers = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+        )
+        .map_batches(recent, batch_format="pyarrow")
+        .groupby("o_custkey", num_partitions=4)
+        .count()
+        .to_pandas()["o_custkey"]
+    )
+    buyers_ref = ray.put(pa.array(buyers.to_numpy(), pa.int64()))
+
+    def idle_rich(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64()
+        )
+        rich = pc.greater(
+            pc.multiply(cents, pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64()),
+        )
+        idle = pc.invert(
+            pc.is_in(b["c_custkey"], value_set=ray.get(buyers_ref))
+        )
+        m = pc.and_(rich, idle)
+        return pa.table({
+            "nationkey": pc.cast(pc.filter(b["c_nationkey"], m), pa.int64()),
+            "acct": pc.filter(cents, m),
+            "one": pa.array(np.ones(pc.sum(pc.cast(m, pa.int8())).as_py() or 0,
+                                    np.int64)),
+        })
+
+    return (
+        ray.data.read_parquet(
+            cust_path, columns=["c_custkey", "c_nationkey", "c_acctbal"]
+        )
+        .map_batches(idle_rich, batch_format="pyarrow")
+        .groupby("nationkey", num_partitions=2)
+        .aggregate(
+            Sum("one", alias_name="n_custs"),
+            Sum("acct", alias_name="acctbal_c100"),
+        )
+        .sort("nationkey")
+    )
