@@ -23513,3 +23513,256 @@ def q22_idle_rich_customers(sf_dir: str):
         )
         .sort("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Identifier casing-convention census per source (code-style signal)
+# ---------------------------------------------------------------------------
+
+_IDENT_CASE_SQL = (
+    # re-plant: content = text || repeat(seg, doc_id%4 + 1) with seg
+    # carrying one snake_case, one camelCase and one UPPER_CONST token
+    "WITH planted AS (SELECT source, text || repeat("
+    "' snake_id_' || CAST(doc_id % 7 AS VARCHAR) || "
+    "' camelId' || CAST(doc_id % 5 AS VARCHAR) || "
+    "' UPPER_K_' || CAST(doc_id % 3 AS VARCHAR), "
+    "CAST(doc_id % 4 AS INT) + 1) AS content FROM documents), "
+    "tok AS (SELECT source, "
+    "regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*') AS ts "
+    "FROM planted) "
+    "SELECT source, "
+    "CAST(sum(len(list_filter(ts, x -> regexp_full_match(x, "
+    "'[a-z][a-z0-9]*(_[a-z0-9]+)+')))) AS BIGINT) AS n_snake, "
+    "CAST(sum(len(list_filter(ts, x -> regexp_full_match(x, "
+    "'[a-z][a-z0-9]*([A-Z][a-z0-9]*)+')))) AS BIGINT) AS n_camel, "
+    "CAST(sum(len(list_filter(ts, x -> regexp_full_match(x, "
+    "'[A-Z][A-Z0-9]*(_[A-Z0-9]+)+')))) AS BIGINT) AS n_const, "
+    "CAST(sum(len(ts)) AS BIGINT) AS n_ident "
+    "FROM tok GROUP BY source ORDER BY source"
+)
+
+
+@register("identifier_case_stats", _IDENT_CASE_SQL)
+def identifier_case_stats(sf_dir: str):
+    """Identifier casing-convention census (snake_case vs camelCase vs
+    UPPER_CONST) per source, over planted identifiers.  One compiled
+    token regex + three compiled fullmatch classifiers run per batch;
+    each batch folds to source-bounded (source, 4 counts) partials so
+    the exchange carries sources x blocks rows.  The per-source casing
+    mix is the style fingerprint repo-linters key on."""
+    import re as _re
+
+    tok_re = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+    snake_re = _re.compile(r"[a-z][a-z0-9]*(_[a-z0-9]+)+\Z")
+    camel_re = _re.compile(r"[a-z][a-z0-9]*([A-Z][a-z0-9]*)+\Z")
+    const_re = _re.compile(r"[A-Z][A-Z0-9]*(_[A-Z0-9]+)+\Z")
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for src, i, t in zip(
+            b["source"].to_pylist(),
+            b["doc_id"].to_pylist(),
+            b["text"].to_pylist(),
+        ):
+            seg = f" snake_id_{i % 7} camelId{i % 5} UPPER_K_{i % 3}"
+            content = (t or "") + seg * (i % 4 + 1)
+            row = acc.setdefault(src, [0, 0, 0, 0])
+            for m in tok_re.findall(content):
+                row[3] += 1
+                if snake_re.match(m):
+                    row[0] += 1
+                elif camel_re.match(m):
+                    row[1] += 1
+                elif const_re.match(m):
+                    row[2] += 1
+        ks = sorted(acc)
+        return pa.table({
+            "source": pa.array(ks, pa.string()),
+            "n_snake": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "n_camel": pa.array([acc[k][1] for k in ks], pa.int64()),
+            "n_const": pa.array([acc[k][2] for k in ks], pa.int64()),
+            "n_ident": pa.array([acc[k][3] for k in ks], pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_snake", alias_name="n_snake"),
+            Sum("n_camel", alias_name="n_camel"),
+            Sum("n_const", alias_name="n_const"),
+            Sum("n_ident", alias_name="n_ident"),
+        )
+        .sort("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# String-literal density per document (code-content signal)
+# ---------------------------------------------------------------------------
+
+_STRLIT_SQL = (
+    "WITH planted AS (SELECT doc_id, text || repeat("
+    "' \"lit' || CAST(doc_id % 9 AS VARCHAR) || '\"', "
+    "CAST(doc_id % 5 AS INT)) AS content FROM documents), "
+    "m AS (SELECT doc_id, content, "
+    "regexp_extract_all(content, '\"[^\"\\n]*\"') AS lits FROM planted) "
+    "SELECT doc_id, CAST(len(lits) AS BIGINT) AS n_literals, "
+    "CAST(coalesce(list_sum(list_transform(lits, x -> length(x))), 0) "
+    "AS BIGINT) AS literal_chars, "
+    "CAST(coalesce(list_sum(list_transform(lits, x -> length(x))), 0) "
+    "AS DOUBLE) / CAST(length(content) AS DOUBLE) AS literal_density "
+    "FROM m ORDER BY doc_id"
+)
+
+
+@register("string_literal_density_docs", _STRLIT_SQL)
+def string_literal_density_docs(sf_dir: str):
+    """Double-quoted string-literal share of each file (high literal
+    density flags data-as-code / generated files in a code corpus).
+    Non-overlapping literal scan with ONE compiled regex per batch
+    (Python re and RE2 agree on this quote pattern); the density is an
+    exact int/int double division.  Stateless map_batches; zero
+    shuffles; order preserved by idx."""
+    import re as _re
+
+    lit_re = _re.compile(r'"[^"\n]*"')
+
+    def score(b: pa.Table) -> pa.Table:
+        n_l, chars, dens = [], [], []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            content = (t or "") + f' "lit{i % 9}"' * (i % 5)
+            lits = lit_re.findall(content)
+            lc = sum(len(x) for x in lits)
+            n_l.append(len(lits))
+            chars.append(lc)
+            dens.append(lc / len(content) if content else 0.0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_literals": pa.array(n_l, pa.int64()),
+            "literal_chars": pa.array(chars, pa.int64()),
+            "literal_density": pa.array(dens, pa.float64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Import-dependency census: top modules by import count + importing files
+# ---------------------------------------------------------------------------
+
+_IMPORTS_SQL = (
+    # plant: doc i imports modules (i*7+k)%17 for k in 0..i%3, each
+    # import line repeated i%2+1 times
+    "WITH planted AS (SELECT doc_id, "
+    "list_transform(range(CAST(doc_id % 3 AS INT) + 1), "
+    "k -> 'mod' || CAST((doc_id * 7 + k) % 17 AS VARCHAR)) "
+    "AS mods, CAST(doc_id % 2 AS INT) + 1 AS mult FROM documents), "
+    "flat AS (SELECT doc_id, unnest(mods) AS module, mult FROM planted) "
+    "SELECT module, CAST(sum(mult) AS BIGINT) AS n_imports, "
+    "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+    "FROM flat GROUP BY module "
+    "ORDER BY n_imports DESC, module LIMIT 10"
+)
+
+
+@register("import_graph_top10", _IMPORTS_SQL)
+def import_graph_top10(sf_dir: str):
+    """Import-dependency census over planted import lines: the 10 most-
+    imported modules with total import-statement count AND distinct
+    importing files.  The import scan is a compiled-regex flat map;
+    each batch pre-collapses to (module, n_imports, n_docs) partials -
+    the distinct-doc count composes exactly across batches because
+    every file lives in exactly one batch of the scan.  ONE groupby on
+    the module key (17 here; a fine hash key at corpus scale)."""
+    import re as _re
+
+    imp_re = _re.compile(r"import (mod[0-9]+)")
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for i in b["doc_id"].to_pylist():
+            mult = i % 2 + 1
+            content = "\n".join(
+                f"import mod{(i * 7 + k) % 17}" * 1
+                for k in range(i % 3 + 1)
+                for _ in range(mult)
+            )
+            seen: dict = {}
+            for m in imp_re.findall(content):
+                seen[m] = seen.get(m, 0) + 1
+            for m, c in seen.items():
+                row = acc.setdefault(m, [0, 0])
+                row[0] += c
+                row[1] += 1
+        ks = sorted(acc)
+        return pa.table({
+            "module": pa.array(ks, pa.string()),
+            "n_imports": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "n_docs": pa.array([acc[k][1] for k in ks], pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("module", num_partitions=2)
+        .aggregate(
+            Sum("n_imports", alias_name="n_imports"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .sort(["n_imports", "module"], descending=[True, False])
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-length histogram per source (long-line / minified-file signal)
+# ---------------------------------------------------------------------------
+
+_LINELEN_SQL = (
+    "WITH lines AS (SELECT source, "
+    "unnest(string_split(text, chr(10))) AS l FROM documents) "
+    "SELECT source, "
+    "CAST(least(length(l) // 20, 8) AS BIGINT) AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n_lines "
+    "FROM lines GROUP BY source, bucket ORDER BY source, bucket"
+)
+
+
+@register("line_length_histogram_by_source", _LINELEN_SQL)
+def line_length_histogram_by_source(sf_dir: str):
+    """Line-length histogram (20-char buckets, capped at 8) per source -
+    the minified-file / long-line lint signal.  Each batch folds its
+    line lengths into at most sources x 9 partial rows before the
+    exchange; the groupby moves a bounded histogram, never lines."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for src, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            hist = acc.setdefault(src, np.zeros(9, np.int64))
+            for line in (t or "").split("\n"):
+                hist[min(len(line) // 20, 8)] += 1
+        srcs, buckets, counts = [], [], []
+        for src in sorted(acc):
+            live = np.flatnonzero(acc[src])
+            srcs.extend([src] * len(live))
+            buckets.extend(live.tolist())
+            counts.extend(acc[src][live].tolist())
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "n_lines": pa.array(counts, pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "bucket"], num_partitions=2)
+        .aggregate(Sum("n_lines", alias_name="n_lines"))
+        .sort(["source", "bucket"])
+    )
