@@ -23766,3 +23766,210 @@ def line_length_histogram_by_source(sf_dir: str):
         .aggregate(Sum("n_lines", alias_name="n_lines"))
         .sort(["source", "bucket"])
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC revenue classification via a distributed cumulative-share scan
+# ---------------------------------------------------------------------------
+
+_ABC_SQL = (
+    "WITH r AS (SELECT l_partkey AS partkey, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev "
+    "FROM lineitem GROUP BY l_partkey), "
+    "t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM r), "
+    "c AS (SELECT partkey, rev, "
+    "sum(rev) OVER (ORDER BY rev DESC, partkey) AS cum FROM r) "
+    "SELECT cls, CAST(count(*) AS BIGINT) AS n_parts, "
+    "CAST(sum(rev) AS BIGINT) AS class_c100 FROM ("
+    "SELECT CASE WHEN cum * 10 <= total * 5 THEN 'A' "
+    "WHEN cum * 10 <= total * 8 THEN 'B' ELSE 'C' END AS cls, rev "
+    "FROM c, t) GROUP BY cls ORDER BY cls"
+)
+
+
+@register("abc_part_classes", _ABC_SQL)
+def abc_part_classes(sf_dir: str):
+    """ABC (Pareto-class) inventory classification: parts whose
+    cumulative revenue share - in (revenue desc, partkey) order - stays
+    within 50% are class A, within 80% class B, the tail C.  Unlike the
+    driver-argsort pareto query, the running total here is a
+    DISTRIBUTED two-level scan (the packing.py construction): buckets
+    are revenue bit-length bands (<= 64, magnitude-ordered so band
+    order equals global revenue order), per-band sums make the
+    driver-side exclusive offsets, and each band classifies its own
+    rows with a local cumsum + broadcast offset.  No full sort, no
+    driver materialization of the part table; class thresholds are
+    exact integer cross-products (cum*10 <= total*k)."""
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        )
+        pct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), pct))
+        t = pa.table({"partkey": b["l_partkey"], "rev": rev})
+        g = t.group_by("partkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["partkey", "rev"])
+
+    revtab = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("partkey", num_partitions=4)
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def band(b: pa.Table) -> pa.Table:
+        # bucket = -bit_length(rev): larger revenue -> smaller bucket,
+        # so ascending bucket order IS global revenue-descending order
+        # across bands (ties within a band resolved by the local sort)
+        bk = [-(int(r).bit_length()) for r in b["rev"].to_pylist()]
+        return b.append_column("bucket", pa.array(bk, pa.int64()))
+
+    banded = revtab.map_batches(band, batch_format="pyarrow").materialize()
+
+    sums = sorted(
+        (r["bucket"], r["s"])
+        for r in banded.groupby("bucket")
+        .aggregate(Sum("rev", alias_name="s"))
+        .take_all()
+    )
+    offsets, acc = {}, 0
+    for bkt, s in sums:
+        offsets[bkt] = acc
+        acc += int(s)
+    total = acc
+    off_ref = ray.put(offsets)
+
+    def classify(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)[g["bucket"][0].as_py()]
+        rev = g["rev"].to_numpy(zero_copy_only=False)
+        pk = g["partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, -rev))
+        cum = off + rev[order].cumsum()
+        cls = np.where(
+            cum * 10 <= total * 5, "A",
+            np.where(cum * 10 <= total * 8, "B", "C"),
+        )
+        return pa.table({
+            "cls": pa.array(cls.tolist(), pa.string()),
+            "rev": pa.array(rev[order], pa.int64()),
+        })
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["cls", "n_parts", "class_c100"])
+
+    return (
+        banded.groupby("bucket")
+        .map_groups(classify, batch_format="pyarrow")
+        .groupby("cls", num_partitions=2)
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("rev", alias_name="class_c100"),
+        )
+        .map_batches(
+            lambda b: b.select(["cls", "n_parts", "class_c100"]),
+            batch_format="pyarrow",
+        )
+        .sort("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: stored aggregate + delta == full recompute
+# ---------------------------------------------------------------------------
+
+_IVM_SQL = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(length(text)) AS BIGINT) AS n_chars "
+    "FROM documents GROUP BY source ORDER BY source"
+)
+
+
+@register("ivm_source_stats", _IVM_SQL)
+def ivm_source_stats(sf_dir: str):
+    """Incremental view maintenance: a stored per-source aggregate over
+    the PREVIOUS snapshot (evens, with the changed docs' old content -
+    the snapshot_delta_docs planting) is brought up to date by merging
+    delta contributions (inserted odds: +1/+len; changed evens:
+    0/len_new-len_old) instead of rescanning the snapshot.  All three
+    streams fold to source-bounded partials; the merge is ONE union +
+    groupby of aggregate-grain tables.  The oracle recomputes the
+    current snapshot from scratch - the IVM algebra must land on
+    exactly that."""
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def a_partial(b: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for i, t, src in zip(
+            b["doc_id"].to_pylist(),
+            b["text"].to_pylist(),
+            b["source"].to_pylist(),
+        ):
+            if i % 2 != 0:
+                continue
+            old = (t or "") + " v1" if i % 10 == 6 else (t or "")
+            row = acc.setdefault(src, [0, 0])
+            row[0] += 1
+            row[1] += len(old)
+        ks = sorted(acc)
+        return pa.table({
+            "source": pa.array(ks, pa.string()),
+            "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "n_chars": pa.array([acc[k][1] for k in ks], pa.int64()),
+        })
+
+    # the stored view: materialized once, never rescanned by the merge
+    view_a = (
+        docs.map_batches(a_partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+        .materialize()
+    )
+
+    def d_partial(b: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for i, t, src in zip(
+            b["doc_id"].to_pylist(),
+            b["text"].to_pylist(),
+            b["source"].to_pylist(),
+        ):
+            t = t or ""
+            if i % 2 == 1:  # insert
+                row = acc.setdefault(src, [0, 0])
+                row[0] += 1
+                row[1] += len(t)
+            elif i % 10 == 6:  # update: new minus old content length
+                row = acc.setdefault(src, [0, 0])
+                row[1] += len(t) - (len(t) + len(" v1"))
+        ks = sorted(acc)
+        return pa.table({
+            "source": pa.array(ks, pa.string()),
+            "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "n_chars": pa.array([acc[k][1] for k in ks], pa.int64()),
+        })
+
+    delta = (
+        docs.map_batches(d_partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+    )
+
+    return (
+        view_a.union(delta)
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+        .sort("source")
+    )
