@@ -23973,3 +23973,143 @@ def ivm_source_stats(sf_dir: str):
         )
         .sort("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value per user (trapezoidal TWAP)
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = (
+    "WITH e AS (SELECT user_id, ts, event_id, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "w AS (SELECT user_id, cents, "
+    "lead(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nc, "
+    "CAST(date_diff('microsecond', ts, lead(ts) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS dt "
+    "FROM e) "
+    "SELECT user_id, CAST(sum(dt) AS BIGINT) AS span_us, "
+    "CAST(sum(CAST(cents + nc AS HUGEINT) * dt) AS DOUBLE) / "
+    "(2 * CAST(sum(dt) AS DOUBLE)) AS twap "
+    "FROM w WHERE nc IS NOT NULL GROUP BY user_id "
+    "HAVING sum(dt) > 0 ORDER BY user_id"
+)
+
+
+@register("user_twap_value", _TWAP_SQL)
+def user_twap_value(sf_dir: str):
+    """Trapezoidal time-weighted average value per user (the TWAP every
+    metering/billing pipeline needs): integrate value over the user's
+    event timeline and divide by the span.  Hash-partitioned
+    map_groups per user; the integral accumulates in arbitrary-
+    precision Python ints (cents x microsecond gaps overflow int64 on
+    long spans - the oracle uses HUGEINT for the same reason) and only
+    the final double division leaves the group.  Deterministic
+    (ts, event_id) ordering on both sides."""
+
+    def cents_tbl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "cents": pc.cast(
+                pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+            ),
+        })
+
+    def twap_group(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, c = ts[order].tolist(), c[order].tolist()
+        span = ts[-1] - ts[0] if len(ts) >= 2 else 0
+        if span <= 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "span_us": pa.array([], pa.int64()),
+                "twap": pa.array([], pa.float64()),
+            })
+        num = 0
+        for i in range(len(ts) - 1):
+            num += (c[i] + c[i + 1]) * (ts[i + 1] - ts[i])
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "span_us": pa.array([span], pa.int64()),
+            "twap": pa.array([float(num) / (2 * float(span))], pa.float64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .map_batches(cents_tbl, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(twap_group, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-invariant table checksum per key range (replica anti-entropy)
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_SQL = (
+    "WITH h AS (SELECT o_orderkey // 1000 AS key_range, "
+    "CAST(CONCAT('0x', substr(md5("
+    "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+    "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+    "), 1, 12)) AS BIGINT) % 1000000000 AS hv FROM orders) "
+    "SELECT CAST(key_range AS BIGINT) AS key_range, "
+    "CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(sum(hv) AS BIGINT) AS checksum "
+    "FROM h GROUP BY key_range ORDER BY key_range"
+)
+
+
+@register("table_checksum_by_range", _CHECKSUM_SQL)
+def table_checksum_by_range(sf_dir: str):
+    """Anti-entropy table checksum: an order-invariant (commutative
+    sum) digest of every 1000-key range of the orders table - compare
+    two replicas/snapshots range-by-range and re-sync only ranges whose
+    checksums diverge.  Row digests are md5 over a canonical
+    key|status|cents encoding, truncated to 48 bits and folded mod 1e9
+    so a BIGINT range sum cannot overflow below ~9e9 rows per range
+    (ranges are 1000 keys, so never).  Each batch folds to (range,
+    count, sum) partials; the exchange is range-bounded."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_pylist()
+        stat = b["o_orderstatus"].to_pylist()
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        ).to_pylist()
+        acc: dict = {}
+        for k, s, c in zip(keys, stat, cents):
+            hv = int(
+                hashlib.md5(f"{k}|{s}|{c}".encode()).hexdigest()[:12], 16
+            ) % 1_000_000_000
+            row = acc.setdefault(k // 1000, [0, 0])
+            row[0] += 1
+            row[1] += hv
+        ks = sorted(acc)
+        return pa.table({
+            "key_range": pa.array(ks, pa.int64()),
+            "n_rows": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "checksum": pa.array([acc[k][1] for k in ks], pa.int64()),
+        })
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key_range", num_partitions=2)
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("checksum", alias_name="checksum"),
+        )
+        .sort("key_range")
+    )
