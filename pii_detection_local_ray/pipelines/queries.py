@@ -24113,3 +24113,139 @@ def table_checksum_by_range(sf_dir: str):
         )
         .sort("key_range")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build: validity intervals of a changing attribute
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = (
+    "WITH e AS (SELECT user_id, ts, event_id, "
+    "CAST(round(value * 100) AS BIGINT) // 5000 AS band FROM events), "
+    "o AS (SELECT user_id, ts, band, lag(band) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS pband FROM e), "
+    "chg AS (SELECT user_id, ts, band FROM o "
+    "WHERE pband IS NULL OR band <> pband), "
+    "iv AS (SELECT user_id, band, ts AS valid_from, "
+    "coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts), "
+    "TIMESTAMP '9999-12-31') AS valid_to FROM chg) "
+    "SELECT user_id, band, valid_from, valid_to FROM iv "
+    "ORDER BY user_id, valid_from"
+)
+
+
+@register("scd2_user_value_bands", _SCD2_SQL)
+def scd2_user_value_bands(sf_dir: str):
+    """Slowly-changing-dimension Type 2 build: compress each user's
+    event stream into validity intervals of their value band (the
+    open-ended current row gets the conventional 9999-12-31 sentinel) - the standard dimension-
+    history table every warehouse maintains.  Hash-partitioned
+    map_groups per user: ONE local sort by (ts, event_id), a vectorized
+    change-point diff, and interval assembly; the exchange carries raw
+    events once and intervals (change-point-bounded) once."""
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+        )
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "band": pc.divide(cents, pa.scalar(5000, pa.int64())),
+        })
+
+    def intervals(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        band = g["band"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, band = ts[order], band[order]
+        chg = np.ones(len(band), bool)
+        chg[1:] = band[1:] != band[:-1]
+        cts, cband = ts[chg], band[chg]
+        vto = np.empty(len(cts), np.int64)
+        vto[:-1] = cts[1:]
+        open_end = 253402214400000000  # 9999-12-31 00:00:00 UTC in us
+        valid_to = pa.array(
+            [int(x) for x in vto[:-1]] + [open_end], pa.timestamp("us")
+        )
+        return pa.table({
+            "user_id": pa.array(
+                [g["user_id"][0].as_py()] * len(cts), pa.int64()
+            ),
+            "band": pa.array(cband, pa.int64()),
+            "valid_from": pc.cast(
+                pa.array(cts, pa.int64()), pa.timestamp("us")
+            ),
+            "valid_to": valid_to,
+        })
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(intervals, batch_format="pyarrow")
+        .sort(["user_id", "valid_from"])
+    )
+    out = _pin_ts_us(out, "valid_from")
+    return _pin_ts_us(out, "valid_to")
+
+
+# ---------------------------------------------------------------------------
+# CSV sink + source roundtrip with RFC-4180 quoting
+# ---------------------------------------------------------------------------
+
+_CSVRT_SQL = (
+    "SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 "
+    "THEN c_name || ', \"vip\"' ELSE c_name END AS name, "
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c100 "
+    "FROM customer ORDER BY c_custkey"
+)
+
+
+@register("csv_roundtrip_customers", _CSVRT_SQL)
+def csv_roundtrip_customers(sf_dir: str):
+    """CSV sink + source roundtrip: every block writes one RFC-4180
+    CSV shard (csv.QUOTE_MINIMAL - planted names carry commas AND
+    embedded double-quotes, so the quoting path is live), then the
+    shards are read back with the Arrow CSV reader and must reproduce
+    the table bit-exactly.  Write is per-block (resumable, no single
+    giant file), read is the S9 CSV source path."""
+    import csv as _csv
+    import os
+    import tempfile
+
+    outdir = tempfile.mkdtemp(prefix="csv_rt_")
+
+    def write_block(b: pa.Table) -> pa.Table:
+        keys = b["c_custkey"].to_pylist()
+        if not keys:
+            return pa.table({"path": pa.array([], pa.string())})
+        names = b["c_name"].to_pylist()
+        cents = pc.cast(
+            pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64()
+        ).to_pylist()
+        path = os.path.join(outdir, f"part-{min(keys)}.csv")
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f, quoting=_csv.QUOTE_MINIMAL)
+            w.writerow(["c_custkey", "name", "acctbal_c100"])
+            for k, nm, c in zip(keys, names, cents):
+                if k % 7 == 0:
+                    nm = nm + ', "vip"'
+                w.writerow([k, nm, c])
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    paths = [
+        r["path"]
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal"],
+        )
+        .map_batches(write_block, batch_format="pyarrow")
+        .take_all()
+    ]
+    return ray.data.read_csv(paths).sort("c_custkey")
