@@ -24249,3 +24249,193 @@ def csv_roundtrip_customers(sf_dir: str):
         .take_all()
     ]
     return ray.data.read_csv(paths).sort("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact median transition latency per event-type pair
+# ---------------------------------------------------------------------------
+
+_TRANSGAP_SQL = (
+    "WITH t AS (SELECT user_id, event_type, event_id, ts, "
+    "lead(event_type) OVER w AS nxt, "
+    "CAST(date_diff('microsecond', ts, lead(ts) OVER w) AS BIGINT) AS gap "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "p AS (SELECT event_type || '->' || nxt AS pair, gap, event_id "
+    "FROM t WHERE nxt IS NOT NULL), "
+    "n AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pair), "
+    "r AS (SELECT pair, gap, row_number() OVER ("
+    "PARTITION BY pair ORDER BY gap, event_id) AS rn FROM p) "
+    "SELECT r.pair, n.n, "
+    "CAST(sum(CASE WHEN rn IN ((n.n + 1) // 2, (n.n + 2) // 2) "
+    "THEN gap END) * (CASE WHEN (n.n + 1) // 2 = (n.n + 2) // 2 "
+    "THEN 2 ELSE 1 END) AS BIGINT) AS med2_us "
+    "FROM r JOIN n USING (pair) GROUP BY r.pair, n.n ORDER BY r.pair"
+)
+
+
+@register("transition_gap_median", _TRANSGAP_SQL)
+def transition_gap_median(sf_dir: str):
+    """Exact median latency of each event-type transition (the p50 of
+    'how long from click to purchase') - med2 = lo+hi ranks in int64
+    microseconds, no float percentile.  Transitions derive from ONE
+    per-user map_groups pass (sort + shift, gap per consecutive pair);
+    the per-pair median then uses the distributed rank-selection
+    primitive (functions/ranks.grouped_rank_select), so no pair's gaps
+    ever assemble in one place - only the <= 2 boundary rows per pair
+    reach the driver."""
+    from ..functions.ranks import grouped_median_exact
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+        })
+
+    def transitions(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_pylist()
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        et = [et[i] for i in order]
+        if len(ts) < 2:
+            return pa.table({
+                "pair": pa.array([], pa.string()),
+                "gap": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "pair": pa.array(
+                [f"{a}->{b}" for a, b in zip(et[:-1], et[1:])], pa.string()
+            ),
+            "gap": pa.array(ts[1:] - ts[:-1], pa.int64()),
+            "event_id": pa.array(eid[:-1], pa.int64()),
+        })
+
+    trans = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "event_type", "ts"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(transitions, batch_format="pyarrow")
+        .materialize()  # transition-grain; reused by count + select passes
+    )
+    totals = {
+        r["pair"]: int(r["count()"])
+        for r in trans.groupby("pair").count().take_all()
+    }
+    meds = grouped_median_exact(trans, "pair", "gap", "event_id", totals)
+    pairs = sorted(totals)
+    return ray.data.from_arrow(pa.table({
+        "pair": pa.array(pairs, pa.string()),
+        "n": pa.array([totals[p] for p in pairs], pa.int64()),
+        "med2_us": pa.array(
+            [meds[p][0] + meds[p][1] for p in pairs], pa.int64()
+        ),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase rate per part brand
+# ---------------------------------------------------------------------------
+
+_REPEAT_SQL = (
+    "WITH cb AS (SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS "
+    "brand, l.l_orderkey AS orderkey "
+    "FROM lineitem l "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN part p ON p.p_partkey = l.l_partkey), "
+    "g AS (SELECT brand, custkey, count(*) AS n_orders FROM cb "
+    "GROUP BY brand, custkey) "
+    "SELECT brand, CAST(count(*) AS BIGINT) AS n_customers, "
+    "CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_repeat, "
+    "CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / "
+    "CAST(count(*) AS DOUBLE) AS repeat_rate "
+    "FROM g GROUP BY brand ORDER BY brand"
+)
+
+
+@register("repeat_purchase_rate_by_brand", _REPEAT_SQL)
+def repeat_purchase_rate_by_brand(sf_dir: str):
+    """Repeat-purchase rate per brand: of the customers who ever bought
+    a brand, what share bought it in >= 2 distinct orders?  Brand
+    attaches to the fact scan as a dimension broadcast; custkey rides
+    the orderkey hash join; each batch pre-collapses to DISTINCT
+    (brand, custkey, orderkey) triples before the exchange, so the
+    (brand, custkey) groupby counts distinct orders exactly with plain
+    Sum-able partials (distinct-within-batch + batches partition the
+    join output per orderkey).  The rate is one exact int/int double
+    division."""
+    from ..functions.joins import broadcast_join, hash_join
+
+    brand = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    li = broadcast_join(li, brand, on="l_partkey", right_on="p_partkey")
+
+    def li_distinct(b: pa.Table) -> pa.Table:
+        t = pa.table({"orderkey": b["l_orderkey"], "brand": b["p_brand"]})
+        g = t.group_by(["orderkey", "brand"]).aggregate([])
+        return g
+
+    li = li.map_batches(li_distinct, batch_format="pyarrow")
+
+    ok = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = hash_join(li, ok, on="orderkey", right_on="o_orderkey",
+                       num_partitions=4)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        # one (brand, custkey, orderkey) triple per batch: orderkey
+        # partitions the join output, so batch-distinct == global-distinct
+        t = pa.table({
+            "brand": b["brand"],
+            "custkey": b["o_custkey"],
+            "orderkey": b["orderkey"],
+        })
+        g = t.group_by(["brand", "custkey"]).aggregate([("orderkey", "count_distinct")])
+        return g.rename_columns(["brand", "custkey", "n_orders"])
+
+    pairs = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["brand", "custkey"], num_partitions=4)
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+    def brand_partial(b: pa.Table) -> pa.Table:
+        rep = pc.cast(
+            pc.greater_equal(b["n_orders"], 2), pa.int64()
+        )
+        t = pa.table({
+            "brand": b["brand"],
+            "one": pa.array(np.ones(len(b), np.int64)),
+            "rep": rep,
+        })
+        g = t.group_by("brand").aggregate([("one", "sum"), ("rep", "sum")])
+        return g.rename_columns(["brand", "one", "rep"])
+
+    agg = (
+        pairs.map_batches(brand_partial, batch_format="pyarrow")
+        .groupby("brand", num_partitions=2)
+        .aggregate(
+            Sum("one", alias_name="n_customers"),
+            Sum("rep", alias_name="n_repeat"),
+        )
+    )
+
+    def rate(b: pa.Table) -> pa.Table:
+        n = b["n_customers"].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = b["n_repeat"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("repeat_rate", pa.array(r / n, pa.float64()))
+
+    return agg.map_batches(rate, batch_format="pyarrow").sort("brand")
