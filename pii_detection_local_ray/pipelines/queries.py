@@ -24581,3 +24581,86 @@ def secret_pattern_census(sf_dir: str):
         .aggregate(*[Sum(c, alias_name=c) for c in cols])
         .sort("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) of parts: cheapest-for-the-size frontier
+# ---------------------------------------------------------------------------
+
+_SKYLINE_SQL = (
+    "WITH v AS (SELECT p_partkey AS partkey, "
+    "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c100, "
+    "CAST(p_size AS BIGINT) AS size FROM part) "
+    "SELECT partkey, price_c100, size FROM v p "
+    "WHERE NOT EXISTS (SELECT 1 FROM v q "
+    "WHERE q.price_c100 <= p.price_c100 AND q.size >= p.size "
+    "AND (q.price_c100 < p.price_c100 OR q.size > p.size)) "
+    "ORDER BY price_c100, size DESC, partkey"
+)
+
+
+@register("part_price_size_skyline", _SKYLINE_SQL)
+def part_price_size_skyline(sf_dir: str):
+    """Skyline (Pareto-frontier) query: parts not dominated on
+    (price lower-is-better, size higher-is-better) - the multi-
+    criteria shortlist SQL needs a quadratic NOT EXISTS for.  The
+    distributed algorithm exploits skyline idempotence under union:
+    every block computes its LOCAL frontier (sort by price asc /
+    size desc, one monotone max-size sweep), and only those frontier
+    candidates (frontier-bounded, never the part table) meet for the
+    final sweep.  Equal (price, size) pairs dominate each other
+    strictly in neither direction, so ties all survive - both sides
+    agree."""
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "partkey": pa.array([], pa.int64()),
+                "price_c100": pa.array([], pa.int64()),
+                "size": pa.array([], pa.int64()),
+            })
+        price = pc.cast(
+            pc.round(pc.multiply(b["p_retailprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = b["p_partkey"].to_numpy(zero_copy_only=False)
+        # price asc, size desc: a row is on the frontier iff its size
+        # strictly exceeds every earlier size OR it ties an earlier
+        # (price, size) exactly (mutual non-strict dominance)
+        order = np.lexsort((pk, -size, price))
+        price, size, pk = price[order], size[order], pk[order]
+        keep, best, best_price = [], None, None
+        for i in range(len(pk)):
+            if best is None or size[i] > best:
+                keep.append(i)
+                best, best_price = size[i], price[i]
+            elif size[i] == best and price[i] == best_price:
+                keep.append(i)  # exact tie with the current frontier point
+        idx = np.array(keep, np.int64)
+        return pa.table({
+            "partkey": pa.array(pk[idx], pa.int64()),
+            "price_c100": pa.array(price[idx], pa.int64()),
+            "size": pa.array(size[idx], pa.int64()),
+        })
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "p_partkey": b["partkey"],
+            "p_retailprice": pc.divide(
+                pc.cast(b["price_c100"], pa.float64()), 100.0
+            ),
+            "p_size": b["size"],
+        })
+        return local_skyline(t)
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_retailprice", "p_size"],
+        )
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)  # frontier candidates only: blocks x local frontier
+        .map_batches(rebuild, batch_format="pyarrow")
+        .sort(["price_c100", "size", "partkey"],
+              descending=[False, True, False])
+    )
