@@ -24664,3 +24664,126 @@ def part_price_size_skyline(sf_dir: str):
         .sort(["price_c100", "size", "partkey"],
               descending=[False, True, False])
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_SQL = (
+    "WITH g AS (SELECT count(*) AS k FROM customer "
+    "GROUP BY c_nationkey, c_mktsegment, "
+    "CAST(round(c_acctbal * 100) AS BIGINT) // 200000) "
+    "SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_groups "
+    "FROM g GROUP BY k ORDER BY k"
+)
+
+
+@register("k_anonymity_audit", _KANON_SQL)
+def k_anonymity_audit(sf_dir: str):
+    """k-anonymity audit: equivalence-class size distribution over the
+    quasi-identifier tuple (nation, market segment, $2000 balance band)
+    - the privacy re-identification risk report (k=1 rows are unique,
+    k<3 is the classic red flag).  Batch partials pre-collapse to
+    per-class counts; ONE hash exchange finishes class sizes; the
+    second groupby is class-size-bounded."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64()
+        )
+        t = pa.table({
+            "nk": b["c_nationkey"],
+            "seg": b["c_mktsegment"],
+            "band": pc.divide(cents, pa.scalar(200000, pa.int64())),
+        })
+        g = t.group_by(["nk", "seg", "band"]).aggregate([([], "count_all")])
+        return g.rename_columns(["nk", "seg", "band", "n"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["k", "n_groups"])
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["nk", "seg", "band"], num_partitions=4)
+        .aggregate(Sum("n", alias_name="k"))
+        .map_batches(
+            lambda b: b.select(["k"]), batch_format="pyarrow"
+        )
+        .groupby("k", num_partitions=2)
+        .count()
+        .map_batches(rename, batch_format="pyarrow")
+        .sort("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scrub residual audit: byte-level certification of the production scrubber
+# ---------------------------------------------------------------------------
+
+_SCRUBAUDIT_SQL = (
+    "SELECT doc_id, md5(CASE WHEN doc_id % 4 = 0 THEN text "
+    "ELSE text || ' [REDACTED]' END) AS scrub_md5, "
+    "CAST(0 AS BIGINT) AS n_residual, "
+    "doc_id % 4 <> 0 AS redacted FROM documents ORDER BY doc_id"
+)
+
+
+@register("scrub_residual_audit", _SCRUBAUDIT_SQL)
+def scrub_residual_audit(sf_dir: str):
+    """Byte-level certification of the PRODUCTION scrubber: plant one
+    secret per doc (email / AWS key / GitHub token rotating by family),
+    run the real stages/scrub.ScrubBatch (same combined alternation,
+    same prefilter, same reverse-splice redaction the flagship uses),
+    then (a) md5 the scrubbed bytes against the oracle's independently
+    constructed expectation and (b) re-scan the scrubbed text with the
+    full REGEX_BANK - the residual count must be 0 or secrets leaked
+    through.  Any drift in pattern semantics, match order or splice
+    arithmetic flips the md5."""
+    import hashlib
+
+    from ..stages.scrub import COMBINED_RE, ScrubBatch
+
+    def plant(b: pa.Table) -> pa.Table:
+        out = []
+        for i, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            t = t or ""
+            fam = i % 4
+            if fam == 1:
+                t += f" dev{i}@corp.example.com"
+            elif fam == 2:
+                t += " AKIA" + str(i).rjust(16, "0")
+            elif fam == 3:
+                t += " ghp_" + str(i).rjust(36, "X")
+            out.append(t)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "content": pa.array(out, pa.string()),
+        })
+
+    def audit(b: pa.Table) -> pa.Table:
+        scrubbed = b["scrubbed_content"].to_pylist()
+        md5s = [
+            hashlib.md5((s or "").encode()).hexdigest() for s in scrubbed
+        ]
+        residual = [
+            len(COMBINED_RE.findall(s or "")) for s in scrubbed
+        ]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "scrub_md5": pa.array(md5s, pa.string()),
+            "n_residual": pa.array(residual, pa.int64()),
+            "redacted": b["has_pii"],
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow")
+        .map_batches(ScrubBatch("content"), batch_format="pyarrow")
+        .map_batches(audit, batch_format="pyarrow")
+        .sort("doc_id")
+    )
