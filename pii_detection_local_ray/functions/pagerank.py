@@ -149,3 +149,114 @@ def pagerank_fixed(
         )
 
     return ranks.rename_columns({"r": "pagerank_fixed"})
+
+
+def personalized_pagerank_fixed(
+    edges: ray.data.Dataset, seed_mod: int, iters: int = 3,
+    driver_threshold: int = 100_000,
+) -> ray.data.Dataset:
+    """Personalized PageRank (teleport mass restricted to a seed set):
+    r0[v] = SCALE for seeds else 0; r'[v] = (BASE if seed else 0) +
+    sum of incoming (r[u]*85)//(100*outdeg[u]).  Seeds are the nodes
+    with node % seed_mod == 0 — a predicate rather than a shipped set,
+    so the seed gate costs nothing on the exchange (a real deployment
+    would broadcast a seed Bloom filter the same way).
+
+    Same hybrid shape as pagerank_fixed: numpy recurrence under
+    ``driver_threshold`` edges, identical join+groupby rounds beyond
+    (every exchange carries (node, int64) rows only)."""
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    n_edges = edges.count()
+
+    if n_edges <= driver_threshold:
+        import numpy as np
+
+        rows = edges.take_all()
+        src = np.array([r["src"] for r in rows], dtype=np.int64)
+        dst = np.array([r["dst"] for r in rows], dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        si, di = inv[: len(src)], inv[len(src):]
+        outdeg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+        seed = (nodes % seed_mod == 0)
+        r = np.where(seed, SCALE, 0).astype(np.int64)
+        for _ in range(iters):
+            contrib = (r[si] * 85) // (100 * outdeg[si])
+            acc = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(acc, di, contrib)
+            r = np.where(seed, _BASE, 0).astype(np.int64) + acc
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "ppr_fixed": pa.array(r, pa.int64()),
+        }))
+
+    n_parts = max(1, min(8, n_edges // 4))
+    outdeg = edges.groupby("src").aggregate(Count(alias_name="d"))
+    ew = edges.join(
+        outdeg, join_type="inner", num_partitions=n_parts,
+        on=("src",), right_on=("src",),
+    ).materialize()
+
+    nodes = (
+        edges.map_batches(
+            lambda b: pa.table({"node": b["src"]}), batch_format="pyarrow")
+        .union(edges.map_batches(
+            lambda b: pa.table({"node": b["dst"]}), batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["node"])
+        .materialize()
+    )
+
+    def _seed_base(b: pa.Table, amount: int) -> pa.Table:
+        import numpy as np
+
+        n = b["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": b["node"],
+            "inc": pa.array(
+                np.where(n % seed_mod == 0, amount, 0).astype(np.int64)),
+        })
+
+    ranks = nodes.map_batches(
+        lambda b: _seed_base(b, SCALE).rename_columns(["node", "r"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        joined = ew.join(
+            ranks.rename_columns({"node": "src", "r": "r_src"}),
+            join_type="inner", num_partitions=n_parts,
+            on=("src",), right_on=("src",),
+        )
+
+        def contrib(b: pa.Table) -> pa.Table:
+            r = b["r_src"].to_numpy(zero_copy_only=False)
+            d = b["d"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": b["dst"],
+                "inc": pa.array((r * 85) // (100 * d), pa.int64()),
+            })
+
+        def add_seed_base(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            n = b["node"].to_numpy(zero_copy_only=False)
+            base = np.where(n % seed_mod == 0, _BASE, 0).astype(np.int64)
+            return pa.table({
+                "node": b["node"],
+                "r": pc.add(b["inc"], pa.array(base)).cast(pa.int64()),
+            })
+
+        # the union contributes 0 placeholders so every node survives
+        # the groupby; the seed-only base lands after the sum
+        ranks = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .union(nodes.map_batches(
+                lambda b: _seed_base(b, 0), batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Sum("inc", alias_name="inc"))
+            .map_batches(add_seed_base, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return ranks.rename_columns({"r": "ppr_fixed"})

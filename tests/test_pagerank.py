@@ -55,3 +55,32 @@ class TestPagerank:
         ).take_all()
         b = {r["node"]: r["pagerank_fixed"] for r in out}
         assert a == b
+
+
+class TestPersonalizedPagerank:
+    def _run(self, pairs, iters, seed_mod=5, **kw):
+        out = pr.personalized_pagerank_fixed(
+            _edges(pairs), seed_mod=seed_mod, iters=iters, **kw
+        ).take_all()
+        return {r["node"]: r["ppr_fixed"] for r in out}
+
+    def test_seed_cycle_hand_computed(self, ray_session):
+        # 0 <-> 1 with seed {0} (seed_mod=5): r0 = (S, 0);
+        # round 1: r[0] = BASE + (0*85)//100 = BASE,
+        #          r[1] = 0 + (S*85)//100
+        got = self._run([(0, 1), (1, 0)], iters=1)
+        assert got[0] == pr._BASE
+        assert got[1] == (pr.SCALE * 85) // 100
+
+    def test_nonseed_component_starves(self, ray_session):
+        # 6 <-> 7 disconnected from any seed: no teleport, no inflow
+        # from seeds -> rank decays toward 0 (floor-div damping)
+        got = self._run([(0, 1), (1, 0), (6, 7), (7, 6)], iters=3)
+        assert got[6] < pr.SCALE // 2
+        assert got[0] > got[6]
+
+    def test_driver_and_distributed_paths_agree(self, ray_session):
+        pairs = sorted({(i % 9, (i * 5 + 2) % 9) for i in range(40)})
+        a = self._run(pairs, iters=3)
+        b = self._run(pairs, iters=3, driver_threshold=0)
+        assert a == b
