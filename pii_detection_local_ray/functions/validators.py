@@ -106,3 +106,42 @@ def validate_iban_candidates(
         )
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def aba_valid(num: str) -> bool:
+    """US ABA routing-number checksum (3-7-1 weights, mod 10)."""
+    if len(num) != 9 or not num.isdigit():
+        return False
+    d = [ord(c) - 48 for c in num]
+    s = (
+        3 * (d[0] + d[3] + d[6])
+        + 7 * (d[1] + d[4] + d[7])
+        + (d[2] + d[5] + d[8])
+    )
+    return s % 10 == 0
+
+
+def mrz_check_digit(field: str) -> int:
+    """ICAO Doc 9303 MRZ check digit: 7-3-1 cyclic weights over
+    values digit->itself, A..Z -> 10..35, '<' -> 0, mod 10."""
+    weights = (7, 3, 1)
+    s = 0
+    for i, ch in enumerate(field):
+        if ch.isdigit():
+            v = ord(ch) - 48
+        elif "A" <= ch <= "Z":
+            v = ord(ch) - 55
+        else:  # '<' filler
+            v = 0
+        s += v * weights[i % 3]
+    return s % 10
+
+
+def ean13_valid(num: str) -> bool:
+    """EAN-13 barcode checksum: odd positions x1, even x3 (1-indexed
+    over the first 12), check digit = (10 - s mod 10) mod 10."""
+    if len(num) != 13 or not num.isdigit():
+        return False
+    d = [ord(c) - 48 for c in num]
+    s = sum(d[i] * (1 if i % 2 == 0 else 3) for i in range(12))
+    return (10 - s % 10) % 10 == d[12]
