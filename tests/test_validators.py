@@ -92,3 +92,33 @@ class TestScan:
             .reset_index(drop=True)
         )
         assert df["iban_valid"].tolist() == [True, False]
+
+
+class TestAbaMrzEan:
+    def test_aba_known(self):
+        from pii_detection_local_ray.functions.validators import aba_valid
+
+        # real Fed routing numbers (public examples) + corruptions
+        for rn in ("021000021", "011401533", "091000019"):
+            assert aba_valid(rn), rn
+        assert not aba_valid("021000022")
+        assert not aba_valid("12345678")     # wrong length
+        assert not aba_valid("02100002a")    # non-digit
+
+    def test_mrz_icao_example(self):
+        from pii_detection_local_ray.functions.validators import (
+            mrz_check_digit,
+        )
+
+        # ICAO Doc 9303 worked examples
+        assert mrz_check_digit("L898902C3") == 6
+        assert mrz_check_digit("740812") == 5     # birth date example
+        assert mrz_check_digit("<<<<<<<<") == 0   # fillers weigh 0
+
+    def test_ean13_known(self):
+        from pii_detection_local_ray.functions.validators import ean13_valid
+
+        assert ean13_valid("4006381333931")
+        assert ean13_valid("5901234123457")
+        assert not ean13_valid("4006381333932")
+        assert not ean13_valid("400638133393")   # wrong length
