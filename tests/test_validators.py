@@ -112,7 +112,7 @@ class TestAbaMrzEan:
 
         # ICAO Doc 9303 worked examples
         assert mrz_check_digit("L898902C3") == 6
-        assert mrz_check_digit("740812") == 5     # birth date example
+        assert mrz_check_digit("740812") == 2     # 7-3-1 hand-computed
         assert mrz_check_digit("<<<<<<<<") == 0   # fillers weigh 0
 
     def test_ean13_known(self):
