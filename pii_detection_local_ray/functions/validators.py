@@ -145,3 +145,48 @@ def ean13_valid(num: str) -> bool:
     d = [ord(c) - 48 for c in num]
     s = sum(d[i] * (1 if i % 2 == 0 else 3) for i in range(12))
     return (10 - s % 10) % 10 == d[12]
+
+
+def ssn_classes(area, group, serial):
+    """SSA structure rules for SSN candidates, vectorized over numpy
+    int arrays: area 000/666/9xx never issued, group 00 and serial
+    0000 invalid within an otherwise-plausible area.  Returns a numpy
+    object array of class labels (evaluation order mirrors the SQL
+    CASE: area first, then group, then serial)."""
+    import numpy as np
+
+    area = np.asarray(area, dtype=np.int64)
+    group = np.asarray(group, dtype=np.int64)
+    serial = np.asarray(serial, dtype=np.int64)
+    return np.select(
+        [
+            (area == 0) | (area == 666) | (area >= 900),
+            group == 0,
+            serial == 0,
+        ],
+        ["invalid_area", "invalid_group", "invalid_serial"],
+        default="valid",
+    )
+
+
+def nanp_classes(area, exchange):
+    """NANP structure rules for phone candidates, vectorized: area
+    code and central-office (exchange) code must start 2-9, and X11
+    codes (211..911 pattern d11) are service codes in both positions.
+    Evaluation order mirrors the SQL CASE: area-first-digit, area N11,
+    exchange-first-digit, exchange N11, else valid."""
+    import numpy as np
+
+    area = np.asarray(area, dtype=np.int64)
+    exchange = np.asarray(exchange, dtype=np.int64)
+    return np.select(
+        [
+            area < 200,
+            area % 100 == 11,
+            exchange < 200,
+            exchange % 100 == 11,
+        ],
+        ["bad_area_first", "n11_area", "bad_exchange_first",
+         "n11_exchange"],
+        default="valid",
+    )
