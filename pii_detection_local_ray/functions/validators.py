@@ -190,3 +190,30 @@ def nanp_classes(area, exchange):
          "n11_exchange"],
         default="valid",
     )
+
+
+_VIN_VALUES = {
+    **{c: i for i, c in enumerate("0123456789")},
+    **{c: v for c, v in zip("ABCDEFGH", range(1, 9))},
+    **{c: v for c, v in zip("JKLMN", range(1, 6))},
+    "P": 7,
+    "R": 9,
+    **{c: v for c, v in zip("STUVWXYZ", range(2, 10))},
+}
+_VIN_WEIGHTS = (8, 7, 6, 5, 4, 3, 2, 10, 0, 9, 8, 7, 6, 5, 4, 3, 2)
+
+
+def vin_valid(vin: str) -> bool:
+    """ISO 3779 / 49 CFR 565 VIN check digit: transliterate each of
+    the 17 chars (digits -> value, A..H -> 1..8, J..N -> 1..5, P -> 7,
+    R -> 9, S..Z -> 2..9; I/O/Q never appear), weight by
+    (8,7,6,5,4,3,2,10,0,9,8,7,6,5,4,3,2), and the sum mod 11 must
+    equal position 9 (10 encodes as 'X')."""
+    if len(vin) != 17:
+        return False
+    try:
+        s = sum(_VIN_VALUES[c] * w for c, w in zip(vin, _VIN_WEIGHTS))
+    except KeyError:
+        return False
+    r = s % 11
+    return vin[8] == ("X" if r == 10 else chr(48 + r))

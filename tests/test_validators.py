@@ -122,3 +122,37 @@ class TestAbaMrzEan:
         assert ean13_valid("5901234123457")
         assert not ean13_valid("4006381333932")
         assert not ean13_valid("400638133393")   # wrong length
+
+
+class TestVin:
+    def test_vin_known(self):
+        from pii_detection_local_ray.functions.validators import vin_valid
+
+        # 49 CFR 565 classic demo VIN (check digit X) + all-ones
+        # (weight sum 89, 89 % 11 = 1 -> check digit '1')
+        assert vin_valid("1M8GDM9AXKP042788")
+        assert vin_valid("11111111111111111")
+        assert not vin_valid("1M8GDM9A0KP042788")  # corrupted check
+        assert not vin_valid("1M8GDM9AXKP04278")   # wrong length
+        assert not vin_valid("1M8GDM9AXKP04278I")  # I never appears
+
+    def test_vin_check_digit_encoding(self):
+        from pii_detection_local_ray.functions.validators import (
+            _VIN_VALUES,
+            _VIN_WEIGHTS,
+            vin_valid,
+        )
+
+        # brute-force agreement with an independent transliteration
+        # on a deterministic candidate set
+        import itertools
+
+        alphabet = "0123456789ABCDEFGHJKLMNPRSTUVWXYZ"
+        for seed in range(50):
+            body = [alphabet[(seed * 7 + j * 13) % len(alphabet)]
+                    for j in range(17)]
+            s = sum(_VIN_VALUES[c] * w
+                    for c, w in zip(body, _VIN_WEIGHTS) )
+            r = s % 11
+            body[8] = "X" if r == 10 else chr(48 + r)
+            assert vin_valid("".join(body))
