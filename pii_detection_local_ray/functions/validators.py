@@ -217,3 +217,50 @@ def vin_valid(vin: str) -> bool:
         return False
     r = s % 11
     return vin[8] == ("X" if r == 10 else chr(48 + r))
+
+
+def isbn10_valid(isbn: str) -> bool:
+    """ISBN-10 check digit (ISO 2108): sum of (11 - position) * digit
+    over the 10 positions must be 0 mod 11, where position 10 may be
+    'X' (value 10).  Pure-integer fold; no lookup tables needed."""
+    if len(isbn) != 10:
+        return False
+    total = 0
+    for i, c in enumerate(isbn):
+        if c == "X":
+            if i != 9:
+                return False
+            v = 10
+        elif "0" <= c <= "9":
+            v = ord(c) - 48
+        else:
+            return False
+        total += (10 - i) * v
+    return total % 11 == 0
+
+
+def isin_valid(isin: str) -> bool:
+    """ISIN check digit (ISO 6166): expand letters to two digits
+    (A=10..Z=35), then the Luhn mod-10 checksum over the expanded
+    digit string must hold.  Doubling applies to alternate digits
+    counted from the RIGHT of the expansion (standard Luhn)."""
+    if len(isin) != 12:
+        return False
+    digits: list[int] = []
+    for c in isin:
+        if "0" <= c <= "9":
+            digits.append(ord(c) - 48)
+        elif "A" <= c <= "Z":
+            v = ord(c) - 55
+            digits.append(v // 10)
+            digits.append(v % 10)
+        else:
+            return False
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0

@@ -156,3 +156,62 @@ class TestVin:
             r = s % 11
             body[8] = "X" if r == 10 else chr(48 + r)
             assert vin_valid("".join(body))
+
+
+class TestIsbn10:
+    def test_isbn10_known(self):
+        from pii_detection_local_ray.functions.validators import isbn10_valid
+
+        # classic examples: 0306406152 (Hartley/Zisserman demo),
+        # 080442957X and 097522980X carry the 'X' = 10 check digit
+        assert isbn10_valid("0306406152")
+        assert isbn10_valid("080442957X")
+        assert isbn10_valid("097522980X")
+        assert not isbn10_valid("0306406153")   # corrupted check
+        assert not isbn10_valid("030640615")    # wrong length
+        assert not isbn10_valid("03064061X2")   # X not at position 10
+
+    def test_isbn10_brute_force(self):
+        from pii_detection_local_ray.functions.validators import isbn10_valid
+
+        # independent re-derivation: for every 9-digit body there is
+        # exactly one valid check char
+        for seed in range(40):
+            body = "".join(chr(48 + (seed * 3 + j * 7) % 10)
+                           for j in range(9))
+            s = sum((10 - i) * (ord(c) - 48) for i, c in enumerate(body))
+            r = (-s) % 11
+            check = "X" if r == 10 else chr(48 + r)
+            assert isbn10_valid(body + check)
+            wrong = "0" if check != "0" else "1"
+            assert not isbn10_valid(body + wrong)
+
+
+class TestIsin:
+    def test_isin_known(self):
+        from pii_detection_local_ray.functions.validators import isin_valid
+
+        # public examples: Apple, BP, Bayer, Treasury
+        assert isin_valid("US0378331005")
+        assert isin_valid("GB0002634946")
+        assert isin_valid("DE000BAY0017")
+        assert isin_valid("US9128285M81")
+        assert not isin_valid("US0378331004")   # corrupted check
+        assert not isin_valid("US037833100")    # wrong length
+        assert not isin_valid("us0378331005")   # lowercase rejected
+
+    def test_isin_luhn_expansion(self):
+        from pii_detection_local_ray.functions.validators import (
+            isin_valid,
+            luhn_valid,
+        )
+
+        # the ISIN check is EXACTLY Luhn over the letter expansion:
+        # cross-validate against the card validator on the expansion
+        for body in ["US037833100", "DE000BAY001", "GB000263494",
+                     "XS030573482", "AU0000XVGZA"]:
+            exp = "".join(c if c.isdigit() else str(ord(c) - 55)
+                          for c in body)
+            for check in "0123456789":
+                expect = luhn_valid(exp + check)
+                assert isin_valid(body + check) == expect
