@@ -1,0 +1,54 @@
+"""String-similarity kernels for record linkage.
+
+jaro_winkler reproduces DuckDB's jaro_winkler_similarity bit-for-bit
+(validated pairwise in tests/test_textsim.py): standard Jaro with the
+max(|a|,|b|)/2 - 1 match window, half-transposition count, and the
+Winkler prefix boost (scale 0.1, up to 4 chars) applied only when the
+Jaro score exceeds 0.7."""
+from __future__ import annotations
+
+
+def jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    f1 = [False] * l1
+    f2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s2[j] == c:
+                f1[i] = f2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+
+def jaro_winkler(
+    s1: str, s2: str, prefix_scale: float = 0.1, boost_threshold: float = 0.7
+) -> float:
+    j = jaro(s1, s2)
+    if j > boost_threshold:
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        j = j + l * prefix_scale * (1.0 - j)
+    return j

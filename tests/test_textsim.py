@@ -1,0 +1,32 @@
+"""jaro_winkler must reproduce DuckDB's builtin bit-for-bit: the
+registered query's oracle IS that builtin."""
+import itertools
+
+import duckdb
+import pytest
+
+from pii_detection_local_ray.functions.textsim import jaro, jaro_winkler
+
+
+class TestJaroWinkler:
+    def test_known_values(self):
+        # classic published examples
+        assert jaro("MARTHA", "MARHTA") == pytest.approx(0.944444444444444, abs=1e-12)
+        assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611111111111111, abs=0)
+        assert jaro_winkler("same", "same") == 1.0
+        assert jaro_winkler("abc", "") == 0.0
+        assert jaro_winkler("", "") == 0.0  # DuckDB: empty -> 0
+
+    def test_duckdb_bitwise_parity(self):
+        con = duckdb.connect()
+        names = [
+            "MARTHA", "MARHTA", "DWAYNE", "DUANE", "DIXON", "DICKSONX",
+            "Supplier#000000001", "Supplier#000000010",
+            "Supplier#000000101", "abc", "", "same", "CRATE", "TRACE",
+            "arnab", "aranb", "kitten", "sitting", "a", "ab",
+        ]
+        for a, b in itertools.product(names, repeat=2):
+            d = con.sql(
+                "select jaro_winkler_similarity(?, ?)", params=[a, b]
+            ).fetchone()[0]
+            assert jaro_winkler(a, b) == d, (a, b)
