@@ -264,3 +264,25 @@ def isin_valid(isin: str) -> bool:
                 d -= 9
         total += d
     return total % 10 == 0
+
+
+def cusip_valid(cusip: str) -> bool:
+    """CUSIP check digit (ANSI X9.6): over the first 8 characters,
+    value v = digit, A=10..Z=35; double v at EVEN 1-indexed positions,
+    add the decimal digit sum of each (possibly doubled) value, and the
+    9th character must equal (10 - total mod 10) mod 10.  Pure-integer
+    fold, same validator family as Luhn/ISIN."""
+    if len(cusip) != 9 or not ("0" <= cusip[8] <= "9"):
+        return False
+    total = 0
+    for i, c in enumerate(cusip[:8]):
+        if "0" <= c <= "9":
+            v = ord(c) - 48
+        elif "A" <= c <= "Z":
+            v = ord(c) - 55
+        else:
+            return False
+        if i % 2 == 1:  # even 1-indexed position
+            v *= 2
+        total += v // 10 + v % 10
+    return (10 - total % 10) % 10 == ord(cusip[8]) - 48
