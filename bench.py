@@ -134,15 +134,20 @@ def run_bench() -> dict:
     repo_agg_sec = time.perf_counter() - t0
 
     q_times: dict[str, float] = {"repo_stats": round(repo_agg_sec, 3)}
+    q_errors: dict[str, str] = {}
     skip_all = os.environ.get("GRAFT_SKIP_QUERIES") == "1"
     for name, fn in Q.queries().items():
         if skip_all or name in SKIP_QUERIES:
             continue
         t0 = time.perf_counter()
-        res = fn(SF_DIR)
-        if hasattr(res, "count"):
-            res.count()  # consume lazily-built Datasets
-        q_times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            res = fn(SF_DIR)
+            if hasattr(res, "count"):
+                res.count()  # consume lazily-built Datasets
+            q_times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 - one query must not kill the bench
+            q_times[name] = -1.0
+            q_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     ray.shutdown()
     try:
@@ -162,6 +167,7 @@ def run_bench() -> dict:
         "files_per_sec": round(n_files / headline, 1),
         "mb_per_sec": round(total_bytes / 1e6 / headline, 2),
         "n_repo_groups": int(n_repo),
+        "query_errors": q_errors,
     }
 
 
