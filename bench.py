@@ -146,7 +146,9 @@ def run_bench() -> dict:
                 res.count()  # consume lazily-built Datasets
             q_times[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 - one query must not kill the bench
-            q_times[name] = -1.0
+            # failed queries are OMITTED from q_times (not recorded as a
+            # sentinel) so consumers that sum/average the queries dict are
+            # never skewed; the failure itself lives in query_errors
             q_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     ray.shutdown()

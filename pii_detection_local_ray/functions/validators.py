@@ -268,18 +268,27 @@ def isin_valid(isin: str) -> bool:
 
 def cusip_valid(cusip: str) -> bool:
     """CUSIP check digit (ANSI X9.6): over the first 8 characters,
-    value v = digit, A=10..Z=35; double v at EVEN 1-indexed positions,
-    add the decimal digit sum of each (possibly doubled) value, and the
+    value v = digit, A=10..Z=35, and the PPN special characters
+    '*'=36 '@'=37 '#'=38; double v at EVEN 1-indexed positions, add
+    the decimal digit sum of each (possibly doubled) value, and the
     9th character must equal (10 - total mod 10) mod 10.  Pure-integer
-    fold, same validator family as Luhn/ISIN."""
+    fold, same validator family as Luhn/ISIN.
+
+    NOTE: the census query's candidate regex (``\\b[0-9A-Z]{8}[0-9]\\b``)
+    is intentionally narrower than this validator — PPN identifiers
+    containing * @ # never become candidates, so accepting them here
+    cannot change any registered query's result vs its SQL oracle."""
     if len(cusip) != 9 or not ("0" <= cusip[8] <= "9"):
         return False
+    _special = {"*": 36, "@": 37, "#": 38}
     total = 0
     for i, c in enumerate(cusip[:8]):
         if "0" <= c <= "9":
             v = ord(c) - 48
         elif "A" <= c <= "Z":
             v = ord(c) - 55
+        elif c in _special:
+            v = _special[c]
         else:
             return False
         if i % 2 == 1:  # even 1-indexed position

@@ -215,3 +215,41 @@ class TestIsin:
             for check in "0123456789":
                 expect = luhn_valid(exp + check)
                 assert isin_valid(body + check) == expect
+
+
+class TestCusip:
+    def test_known_valid_cusips(self):
+        from pii_detection_local_ray.functions.validators import cusip_valid
+
+        # real-world issuer CUSIPs with published check digits
+        for c in ["037833100",   # Apple
+                  "38259P508",   # Google
+                  "17275R102",   # Cisco
+                  "594918104",   # Microsoft
+                  "68389X105"]:  # Oracle
+            assert cusip_valid(c), c
+
+    def test_check_digit_change_invalidates(self):
+        from pii_detection_local_ray.functions.validators import cusip_valid
+
+        for d in "012345678":  # every digit but the correct 0
+            if d != "0":
+                assert not cusip_valid("03783310" + d)
+
+    def test_ppn_special_characters_accepted(self):
+        """ANSI X9.6 assigns *=36 @=37 #=38 (private placement
+        numbers); the validator accepts them even though the census
+        candidate regex never produces them."""
+        from pii_detection_local_ray.functions.validators import cusip_valid
+
+        assert cusip_valid("98765#4@1")
+        assert cusip_valid("9128*ABC1")
+        assert not cusip_valid("98765#4@2")
+
+    def test_shape_rejected(self):
+        from pii_detection_local_ray.functions.validators import cusip_valid
+
+        assert not cusip_valid("03783310")     # 8 chars
+        assert not cusip_valid("0378331004")   # 10 chars
+        assert not cusip_valid("03783310X")    # non-digit check char
+        assert not cusip_valid("037a33100")    # lowercase rejected
