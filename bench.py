@@ -5,6 +5,9 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "num_cpus": N, "files_per_sec": ...}
 
   python bench.py                 # GRAFT_SF_DIR (default sf0.1), RAY_GRAFT_CPUS (default 32)
+  python bench.py --quick         # headline + ONLY the 50 driver-rotation
+                                  # queries (the first 50 of the registry
+                                  # export order) - the CI tier, < 2 min
   python bench.py --scaling       # same job at 8 and 32 CPUs in fresh
                                   # processes -> throughputs + efficiency
 """
@@ -136,7 +139,16 @@ def run_bench() -> dict:
     q_times: dict[str, float] = {"repo_stats": round(repo_agg_sec, 3)}
     q_errors: dict[str, str] = {}
     skip_all = os.environ.get("GRAFT_SKIP_QUERIES") == "1"
-    for name, fn in Q.queries().items():
+    # --quick / GRAFT_BENCH_QUICK=1: only the 50 driver-rotation queries
+    # (the first 50 entries of the registry export order - exactly the
+    # set the external driver verifies this round; see the rotation
+    # contract note in README).  Keeps CI under ~2 min while the full
+    # 640-query sweep stays available as the default tier.
+    quick = "--quick" in sys.argv or os.environ.get("GRAFT_BENCH_QUICK") == "1"
+    items = list(Q.queries().items())
+    if quick:
+        items = items[:50]
+    for name, fn in items:
         if skip_all or name in SKIP_QUERIES:
             continue
         t0 = time.perf_counter()

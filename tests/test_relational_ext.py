@@ -780,3 +780,44 @@ def test_hrw_minimal_disruption():
         a, b = assign(d, full), assign(d, without5)
         if a != 5:
             assert b == a  # untouched shard keeps its docs
+
+
+def test_adaptive_join_paths_agree(ray_session, tmp_path):
+    """adaptive_join picks broadcast vs hash purely from the right
+    side's on-disk bytes; both physical plans must produce the same
+    rows (left-join semantics, right key column dropped)."""
+    import ray
+    import ray.data
+
+    from pii_detection_local_ray.functions.joins import adaptive_join
+
+    fact = pa.table({
+        "k": pa.array([1, 2, 3, 2, 5, 1, 9], pa.int64()),
+        "v": pa.array(list(range(7)), pa.int64()),
+    })
+    dim = pa.table({
+        "dk": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "name": pa.array(list("abcde")),
+    })
+    fact_p = str(tmp_path / "fact.parquet")
+    dim_p = str(tmp_path / "dim.parquet")
+    pq.write_table(fact, fact_p)
+    pq.write_table(dim, dim_p)
+
+    def run(threshold):
+        ds = ray.data.read_parquet(fact_p)
+        out = adaptive_join(
+            ds, dim_p, on="k", right_on="dk", columns=["name"],
+            threshold_bytes=threshold, num_partitions=2,
+        )
+        df = out.to_pandas().sort_values(["v"]).reset_index(drop=True)
+        return df
+
+    bcast = run(1 << 30)   # dim well under threshold -> broadcast path
+    hashj = run(1)         # dim over threshold -> hash left_outer path
+    assert sorted(bcast.columns) == sorted(hashj.columns) == ["k", "name", "v"]
+    pd_bcast = bcast[sorted(bcast.columns)]
+    pd_hash = hashj[sorted(hashj.columns)]
+    assert pd_bcast.equals(pd_hash)
+    # unmatched fact key (9) survives with a null name in both paths
+    assert pd_bcast.loc[pd_bcast.k == 9, "name"].isna().all()
