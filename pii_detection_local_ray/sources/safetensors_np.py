@@ -1,0 +1,91 @@
+"""Dependency-free safetensors read/write (numpy only).
+
+The safetensors container (the format the reference's fine-tuned
+checkpoint ships in - model.safetensors next to config.json) is a
+public, deliberately simple layout:
+
+    [8 bytes]  u64 little-endian: byte length N of the JSON header
+    [N bytes]  UTF-8 JSON: {tensor_name: {"dtype": "F32", "shape":
+               [...], "data_offsets": [begin, end]}, ...} with offsets
+               relative to the first byte AFTER the header; an optional
+               "__metadata__" entry carries string key/values
+    [  ...  ]  the raw little-endian C-order tensor bytes, concatenated
+
+This module implements exactly that, so a real checkpoint's weight
+tensors load into numpy arrays in a torch-free container - the seam
+that lets stages/np_transformer.py run the full forward pass in CI.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+
+import numpy as np
+
+_DTYPES = {
+    "F64": np.float64,
+    "F32": np.float32,
+    "F16": np.float16,
+    "I64": np.int64,
+    "I32": np.int32,
+    "I16": np.int16,
+    "I8": np.int8,
+    "U8": np.uint8,
+    "BOOL": np.bool_,
+}
+_DTYPE_NAMES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def save_safetensors(
+    path: str | Path,
+    tensors: dict[str, np.ndarray],
+    metadata: dict[str, str] | None = None,
+) -> None:
+    """Write ``tensors`` to ``path`` in safetensors layout (sorted by
+    name so the bytes are deterministic for a given tensor dict)."""
+    header: dict = {}
+    payload = bytearray()
+    for name in sorted(tensors):
+        arr = np.ascontiguousarray(tensors[name])
+        dt = _DTYPE_NAMES.get(arr.dtype)
+        if dt is None:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {name!r}")
+        raw = arr.tobytes(order="C")
+        header[name] = {
+            "dtype": dt,
+            "shape": list(arr.shape),
+            "data_offsets": [len(payload), len(payload) + len(raw)],
+        }
+        payload.extend(raw)
+    if metadata:
+        header["__metadata__"] = {str(k): str(v) for k, v in metadata.items()}
+    hdr = json.dumps(header, separators=(",", ":")).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hdr)))
+        f.write(hdr)
+        f.write(payload)
+
+
+def load_safetensors(path: str | Path) -> dict[str, np.ndarray]:
+    """Read every tensor in the file into float/int numpy arrays."""
+    blob = Path(path).read_bytes()
+    if len(blob) < 8:
+        raise ValueError(f"{path}: not a safetensors file (too short)")
+    (n,) = struct.unpack("<Q", blob[:8])
+    if 8 + n > len(blob):
+        raise ValueError(f"{path}: header length {n} exceeds file size")
+    header = json.loads(blob[8 : 8 + n].decode("utf-8"))
+    data = blob[8 + n :]
+    out: dict[str, np.ndarray] = {}
+    for name, spec in header.items():
+        if name == "__metadata__":
+            continue
+        dt = _DTYPES.get(spec["dtype"])
+        if dt is None:
+            raise ValueError(f"{path}: unsupported dtype {spec['dtype']}")
+        b0, b1 = spec["data_offsets"]
+        arr = np.frombuffer(data[b0:b1], dtype=dt).reshape(spec["shape"])
+        out[name] = arr.copy()  # own the memory (frombuffer is read-only)
+    return out

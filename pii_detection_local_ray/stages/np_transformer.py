@@ -1,0 +1,172 @@
+"""Numpy transformer encoder: the real forward pass, torch-free.
+
+Runs a BERT-family token-classification checkpoint - REAL weight
+tensors loaded from model.safetensors - through the full padded
+forward pass in plain numpy:
+
+    embedding lookup (word + position) -> LayerNorm
+    N x [multi-head self-attention + residual + LayerNorm,
+         GELU feed-forward + residual + LayerNorm]
+    linear classifier -> per-token logits
+
+This is the in-sandbox realisation of the reference's
+``_run_batch_inference`` (src/inference.py:424-449): same batch
+contract (padded batch, softmax/argmax/max-prob downstream in
+TransformerTokenModel.predict), same weight-file format a torch
+deployment would load - only the tensor engine is numpy instead of
+torch, so CI exercises the decode path end-to-end on real tensor math
+rather than injected logits.  Weight names follow the HF BERT
+convention; Linear weights are stored [out, in] (torch layout), so
+every projection is ``x @ W.T + b``.
+
+Checkpoint dir layout (made by tools/make_tiny_checkpoint.py):
+    model.safetensors   weight tensors (sources/safetensors_np.py)
+    config.json         hidden_size / num_hidden_layers / num_attention_heads /
+                        intermediate_size / max_position_embeddings /
+                        layer_norm_eps / num_labels / vocab (token -> id)
+    label_mapping.json  the standard artifact mapping (model_artifact.py)
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..exceptions import ModelLoadError
+from ..sources.safetensors_np import load_safetensors
+
+
+def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray, eps: float) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * g + b
+
+
+def _gelu(x: np.ndarray) -> np.ndarray:
+    # tanh approximation (the variant BERT checkpoints are trained with)
+    return 0.5 * x * (1.0 + np.tanh(0.7978845608028654 * (x + 0.044715 * x**3)))
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+class NumpyTransformer:
+    """Loads a checkpoint dir and exposes ``forward(encoding) ->
+    logits [batch, seq, num_labels]`` - the exact ``forward_fn`` hook
+    contract of stages/transformer_ner.TransformerTokenModel."""
+
+    def __init__(self, model_dir: str | Path):
+        d = Path(model_dir)
+        cfg_path = d / "config.json"
+        st_path = d / "model.safetensors"
+        if not st_path.exists():
+            raise ModelLoadError(str(d), "no model.safetensors")
+        cfg = json.loads(cfg_path.read_text())
+        for key in (
+            "hidden_size",
+            "num_hidden_layers",
+            "num_attention_heads",
+            "intermediate_size",
+            "vocab",
+        ):
+            if key not in cfg:
+                raise ModelLoadError(str(d), f"config.json missing {key!r}")
+        self.cfg = cfg
+        self.vocab: dict[str, int] = cfg["vocab"]
+        self.unk_id = self.vocab.get("[UNK]", 0)
+        self.eps = float(cfg.get("layer_norm_eps", 1e-12))
+        self.n_layers = int(cfg["num_hidden_layers"])
+        self.n_heads = int(cfg["num_attention_heads"])
+        self.hidden = int(cfg["hidden_size"])
+        self.num_labels = int(cfg["num_labels"])
+        self.max_pos = int(cfg.get("max_position_embeddings", 512))
+        w = load_safetensors(st_path)
+        # promote to float64 once at load: exactness of the softmax/argmax
+        # contract beats the memory of a tiny checkpoint
+        self.w = {k: v.astype(np.float64) for k, v in w.items()}
+        need = ["embeddings.word_embeddings.weight", "classifier.weight"]
+        for k in need:
+            if k not in self.w:
+                raise ModelLoadError(str(d), f"checkpoint missing tensor {k!r}")
+
+    # -- encoding hook ---------------------------------------------------
+
+    def token_ids(self, tokens: list[list[str]]) -> np.ndarray:
+        """[batch, seq] int ids for already-padded token rows."""
+        return np.array(
+            [[self.vocab.get(t, self.unk_id) for t in row] for row in tokens],
+            dtype=np.int64,
+        )
+
+    # -- the forward pass ------------------------------------------------
+
+    def forward(self, encoding: dict) -> np.ndarray:
+        ids = self.token_ids(encoding["tokens"])
+        mask = np.asarray(encoding["attention_mask"], dtype=np.float64)
+        B, L = ids.shape
+        if L > self.max_pos:
+            raise ModelLoadError(
+                str(self.max_pos),
+                f"sequence length {L} exceeds max_position_embeddings",
+            )
+        w = self.w
+        x = (
+            w["embeddings.word_embeddings.weight"][ids]
+            + w["embeddings.position_embeddings.weight"][:L][None, :, :]
+        )
+        x = _layer_norm(
+            x, w["embeddings.LayerNorm.weight"], w["embeddings.LayerNorm.bias"], self.eps
+        )
+        hd = self.hidden // self.n_heads
+        # additive mask: -1e9 on padded KEY positions
+        add_mask = (1.0 - mask)[:, None, None, :] * -1e9
+        for i in range(self.n_layers):
+            p = f"encoder.layer.{i}."
+
+            def lin(name: str, inp: np.ndarray) -> np.ndarray:
+                return inp @ w[p + name + ".weight"].T + w[p + name + ".bias"]
+
+            q = lin("attention.self.query", x)
+            k = lin("attention.self.key", x)
+            v = lin("attention.self.value", x)
+
+            def heads(t: np.ndarray) -> np.ndarray:
+                return t.reshape(B, L, self.n_heads, hd).transpose(0, 2, 1, 3)
+
+            qh, kh, vh = heads(q), heads(k), heads(v)
+            scores = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(hd) + add_mask
+            ctx = _softmax(scores) @ vh
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, self.hidden)
+            att = lin("attention.output.dense", ctx)
+            x = _layer_norm(
+                x + att,
+                w[p + "attention.output.LayerNorm.weight"],
+                w[p + "attention.output.LayerNorm.bias"],
+                self.eps,
+            )
+            h = _gelu(lin("intermediate.dense", x))
+            o = h @ w[p + "output.dense.weight"].T + w[p + "output.dense.bias"]
+            x = _layer_norm(
+                x + o,
+                w[p + "output.LayerNorm.weight"],
+                w[p + "output.LayerNorm.bias"],
+                self.eps,
+            )
+        return x @ w["classifier.weight"].T + w["classifier.bias"]
+
+    def encoder_features(self, encoding: dict) -> np.ndarray:
+        """[batch, seq, hidden] pre-classifier features (used by the
+        checkpoint builder to fit the classifier head)."""
+        w = self.w
+        saved = (w["classifier.weight"], w["classifier.bias"])
+        eye = np.eye(self.hidden, dtype=np.float64)
+        w["classifier.weight"], w["classifier.bias"] = eye, np.zeros(self.hidden)
+        try:
+            feats = self.forward(encoding)
+        finally:
+            w["classifier.weight"], w["classifier.bias"] = saved
+        return feats

@@ -14,11 +14,13 @@ Mirrors the reference's batched forward-pass contract
 
 Model selection (``select_token_model``): a model dir holding real
 weights (pytorch_model.bin / model.safetensors) with torch+transformers
-importable loads the real thing; otherwise the deterministic stub.  The
-container for CI has neither torch nor weights, so the real branch is
-exercised through ``forward_fn`` injection (fixed logits) - the padded
-batch/softmax/argmax/offset plumbing is real and conformance-tested, only
-the weight loading needs a GPU cluster.
+importable loads the HF stack; without torch, a ``model.safetensors``
+checkpoint whose config carries a vocab loads through the NUMPY backend
+(stages/np_transformer.py) - the full embedding -> attention ->
+classifier forward pass on the real weight tensors, so CI proves the
+decode path end-to-end on real tensor math (tools/make_tiny_checkpoint.py
+builds the committed ~60 kB fixture).  Only when neither backend can
+load does selection fall back to the deterministic stub.
 """
 
 from __future__ import annotations
@@ -76,11 +78,24 @@ class TransformerTokenModel:
                 AutoTokenizer,
             )
         except ImportError as exc:
-            raise ModelLoadError(
-                str(self.model_path),
-                "transformer path requires torch + transformers "
-                f"(not installed): {exc}",
-            ) from exc
+            # no torch in this container: a safetensors checkpoint with
+            # an embedded vocab still runs the REAL forward pass through
+            # the numpy encoder backend (same weight tensors, same padded
+            # batch contract - see stages/np_transformer.py)
+            from .np_transformer import NumpyTransformer
+
+            try:
+                backend = NumpyTransformer(self.model_path)
+            except (ModelLoadError, OSError, ValueError, KeyError):
+                raise ModelLoadError(
+                    str(self.model_path),
+                    "transformer path requires torch + transformers or a "
+                    "numpy-loadable safetensors checkpoint (config.json "
+                    f"with vocab + model.safetensors): {exc}",
+                ) from exc
+            self.forward_fn = backend.forward
+            self.num_labels = backend.num_labels
+            return
         tokenizer = AutoTokenizer.from_pretrained(str(self.model_path))
         model = AutoModelForTokenClassification.from_pretrained(
             str(self.model_path)

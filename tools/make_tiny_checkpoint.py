@@ -1,0 +1,181 @@
+"""Build the tiny REAL transformer checkpoint fixture (~60 kB).
+
+Creates a complete token-classification checkpoint in the reference's
+artifact format - model.safetensors (real weight tensors), config.json,
+label_mapping.json - that stages/np_transformer.py runs through the
+full numpy forward pass (embedding -> 2 x multi-head attention + FFN ->
+classifier).  The encoder weights are seeded-random (a frozen random
+feature encoder); the classifier head is FIT by multinomial logistic
+regression (plain numpy gradient descent) on the encoder's own output
+features over the seven canonical reference texts
+(reference test_detector.py:77-141), then temperature-scaled so every
+token's max softmax probability clears the 0.5 confidence threshold.
+
+The result: loading the committed weights from disk and running the
+real tensor math reproduces the reference's golden entities - no
+injected logits anywhere.  Regenerate with:
+
+    PYTHONPATH=/root/repo python tools/make_tiny_checkpoint.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+# (text, whitespace-token labels) - the canonical detection-semantics
+# texts of reference test_detector.py:77-141 with their golden spans
+EXAMPLES: list[tuple[str, list[str]]] = [
+    ("Contact me at john.doe@example.com", ["O", "O", "O", "B-EMAIL"]),
+    ("My name is John Doe", ["O", "O", "O", "B-PERSON", "I-PERSON"]),
+    ("Call me at 555-123-4567", ["O", "O", "O", "B-PHONE"]),
+    ("My SSN is 123-45-6789", ["O", "O", "O", "B-SSN"]),
+    (
+        "Email a@b.co or call 555-123-4567",
+        ["O", "B-EMAIL", "O", "O", "B-PHONE"],
+    ),
+    (
+        "Acme Corp. announced a new product",
+        ["B-ORG", "I-ORG", "O", "O", "O", "O"],
+    ),
+    ("The weather is nice today", ["O", "O", "O", "O", "O"]),
+]
+
+HIDDEN = 32
+LAYERS = 2
+HEADS = 4
+INTERMEDIATE = 64
+MAX_POS = 64
+SEED = 7
+
+
+def _random_encoder(rng: np.random.Generator, vocab_size: int) -> dict:
+    """Seeded-random encoder weights (HF BERT tensor names/layout)."""
+
+    def n(*shape, scale=0.2):
+        return rng.normal(0.0, scale, size=shape).astype(np.float32)
+
+    w: dict[str, np.ndarray] = {
+        "embeddings.word_embeddings.weight": n(vocab_size, HIDDEN, scale=0.8),
+        "embeddings.position_embeddings.weight": n(MAX_POS, HIDDEN, scale=0.1),
+        "embeddings.LayerNorm.weight": np.ones(HIDDEN, np.float32),
+        "embeddings.LayerNorm.bias": np.zeros(HIDDEN, np.float32),
+    }
+    for i in range(LAYERS):
+        p = f"encoder.layer.{i}."
+        for proj in ("query", "key", "value"):
+            w[p + f"attention.self.{proj}.weight"] = n(HIDDEN, HIDDEN)
+            w[p + f"attention.self.{proj}.bias"] = n(HIDDEN, scale=0.05)
+        w[p + "attention.output.dense.weight"] = n(HIDDEN, HIDDEN)
+        w[p + "attention.output.dense.bias"] = n(HIDDEN, scale=0.05)
+        w[p + "attention.output.LayerNorm.weight"] = np.ones(HIDDEN, np.float32)
+        w[p + "attention.output.LayerNorm.bias"] = np.zeros(HIDDEN, np.float32)
+        w[p + "intermediate.dense.weight"] = n(INTERMEDIATE, HIDDEN)
+        w[p + "intermediate.dense.bias"] = n(INTERMEDIATE, scale=0.05)
+        w[p + "output.dense.weight"] = n(HIDDEN, INTERMEDIATE)
+        w[p + "output.dense.bias"] = n(HIDDEN, scale=0.05)
+        w[p + "output.LayerNorm.weight"] = np.ones(HIDDEN, np.float32)
+        w[p + "output.LayerNorm.bias"] = np.zeros(HIDDEN, np.float32)
+    w["classifier.weight"] = np.zeros((1, HIDDEN), np.float32)  # fit below
+    w["classifier.bias"] = np.zeros(1, np.float32)
+    return w
+
+
+def build_tiny_checkpoint(out_dir: str | Path, seed: int = SEED) -> Path:
+    from pii_detection_local_ray.sources.model_artifact import build_label_mapping
+    from pii_detection_local_ray.sources.safetensors_np import save_safetensors
+    from pii_detection_local_ray.stages.np_transformer import NumpyTransformer
+    from pii_detection_local_ray.stages.transformer_ner import TransformerTokenModel
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    # vocab: specials + every whitespace token of the canonical texts
+    words = sorted({t for text, _ in EXAMPLES for t in text.split()})
+    vocab = {t: i for i, t in enumerate(["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + words)}
+
+    types = sorted({l[2:] for _, labs in EXAMPLES for l in labs if l != "O"})
+    mapping = build_label_mapping(types)
+    label2id = mapping["label2id"]
+    num_labels = mapping["num_labels"]
+
+    w = _random_encoder(rng, len(vocab))
+    w["classifier.weight"] = np.zeros((num_labels, HIDDEN), np.float32)
+    w["classifier.bias"] = np.zeros(num_labels, np.float32)
+
+    cfg = {
+        "model_type": "bert-tiny-numpy",
+        "hidden_size": HIDDEN,
+        "num_hidden_layers": LAYERS,
+        "num_attention_heads": HEADS,
+        "intermediate_size": INTERMEDIATE,
+        "max_position_embeddings": MAX_POS,
+        "layer_norm_eps": 1e-12,
+        "num_labels": num_labels,
+        "max_length": 512,
+        "vocab": vocab,
+    }
+    (out / "config.json").write_text(json.dumps(cfg, indent=2))
+    (out / "label_mapping.json").write_text(json.dumps(mapping, indent=2))
+    save_safetensors(out / "model.safetensors", w, {"format": "pt"})
+
+    # ---- fit the classifier head on the frozen encoder's features ----
+    model = NumpyTransformer(out)
+    shell = TransformerTokenModel(out, forward_fn=model.forward, num_labels=num_labels)
+    texts = [t for t, _ in EXAMPLES]
+    enc = shell._encode(texts)
+    feats = model.encoder_features(enc)  # [B, L, H]
+
+    B, L, H = feats.shape
+    y = np.zeros((B, L), np.int64)  # default O (= id 0) incl CLS/SEP/PAD
+    for bi, (_, labs) in enumerate(EXAMPLES):
+        for ti, lab in enumerate(labs):
+            y[bi, 1 + ti] = label2id[lab]  # +1 skips [CLS]
+    X = feats.reshape(B * L, H)
+    t = y.reshape(B * L)
+
+    # multinomial logistic regression, full-batch gradient descent
+    W = np.zeros((num_labels, H))
+    b = np.zeros(num_labels)
+    onehot = np.eye(num_labels)[t]
+    for _ in range(800):
+        z = X @ W.T + b
+        z -= z.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        g = (p - onehot) / len(X)
+        W -= 2.0 * (g.T @ X)
+        b -= 2.0 * g.sum(axis=0)
+
+    # temperature-scale for confidence: every token must clear the 0.5
+    # threshold (reference CONFIDENCE_THRESHOLD) with margin
+    for scale in (1.0, 2.0, 4.0, 8.0):
+        z = X @ (W * scale).T + b * scale
+        z -= z.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        if (p.argmax(axis=1) == t).all() and p.max(axis=1).min() > 0.9:
+            break
+    W, b = W * scale, b * scale
+
+    pred = (X @ W.T + b).argmax(axis=1)
+    if not (pred == t).all():
+        raise RuntimeError(
+            f"classifier fit failed: {(pred != t).sum()} of {len(t)} tokens wrong"
+        )
+
+    w["classifier.weight"] = W.astype(np.float32)
+    w["classifier.bias"] = b.astype(np.float32)
+    save_safetensors(out / "model.safetensors", w, {"format": "pt"})
+    return out
+
+
+if __name__ == "__main__":
+    dest = sys.argv[1] if len(sys.argv) > 1 else "tests/fixtures/tiny_ckpt"
+    p = build_tiny_checkpoint(dest)
+    size = sum(f.stat().st_size for f in p.iterdir())
+    print(f"checkpoint at {p} ({size/1024:.1f} KiB)")
