@@ -210,3 +210,138 @@ def test_default_fetch_fails_loudly_without_datasets_lib():
 
     with pytest.raises(RuntimeError, match="datasets"):
         default_fetch("any/dataset")
+
+
+# -- VERDICT r4 item 6: full offline lifecycle ---------------------------
+# reference run_data_pipeline.py:34-106: download -> consolidate ->
+# prepare.  The network is replaced by FILE-BACKED fixtures (one parquet
+# file per (hf_id, split) on local disk, read back through pyarrow);
+# everything after that - ingest quirks, resumable save, adapter
+# consolidation to the unified (tokens, labels, source) schema, label
+# mapping + deterministic train/val split + artifact - runs for real.
+
+
+class FileFetch(FakeFetch):
+    """Serve each (hf_id, split) from a parquet FILE on disk - the
+    offline stand-in for the HF network download."""
+
+    def __init__(self, fixture_dir):
+        super().__init__()
+        import pyarrow.parquet as pq
+
+        self.dir = fixture_dir
+        self.files = {}
+        for hf_id, payload in self.datasets.items():
+            safe = hf_id.replace("/", "__")
+            for split, tbl in payload["splits"].items():
+                p = fixture_dir / f"{safe}__{split}.parquet"
+                pq.write_table(tbl, p)
+                self.files[(hf_id, split)] = p
+
+    def __call__(self, hf_id, config=None, revision=None,
+                 verification_mode=None):
+        import pyarrow.parquet as pq
+
+        self.calls.append((hf_id, config, revision, verification_mode))
+        meta = self.datasets[hf_id]
+        return {
+            "splits": {
+                split: pq.read_table(self.files[(hf_id, split)])
+                for split in meta["splits"]
+            },
+            "label_names": meta.get("label_names"),
+        }
+
+
+def test_full_lifecycle_offline(ray_session, tmp_path):
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pii_detection_local_ray.functions.bio import normalise_label
+    from pii_detection_local_ray.pipelines.train import fit_lexicon_model
+    from pii_detection_local_ray.sources.adapters import union_sources
+
+    fixtures = tmp_path / "hf_files"
+    fixtures.mkdir()
+    fetch = FileFetch(fixtures)
+
+    # -- stage 1: download (ingest every registered dataset) -----------
+    out = tmp_path / "downloaded"
+    rows = ingest_all(fetch, out)
+    assert len(rows) == 10
+    assert all(r["num_rows"] > 0 for r in rows)
+    # every saved split committed its _SUCCESS marker
+    for r in rows:
+        for p in r["paths"]:
+            assert (out / (p.split("/")[-1] + "._SUCCESS")).exists()
+
+    # -- stage 2: consolidate (per-source adapters -> unified schema) --
+    def bio_conv(source):
+        def conv(b: pa.Table) -> pa.Table:
+            toks = [t.split() for t in b["text"].to_pylist()]
+            labs = b["bio_labels"].to_pylist()
+            return pa.table({
+                "tokens": pa.array(toks, pa.list_(pa.string())),
+                "labels": pa.array(labs, pa.list_(pa.string())),
+                "source": pa.array([source] * len(b)),
+            })
+
+        return conv
+
+    def int_conv(source, names):
+        def conv(b: pa.Table) -> pa.Table:
+            labs = [
+                [names[int(t)] for t in row]
+                for row in b["ner_tags"].to_pylist()
+            ]
+            return pa.table({
+                "tokens": b["tokens"].cast(pa.list_(pa.string())),
+                "labels": pa.array(labs, pa.list_(pa.string())),
+                "source": pa.array([source] * len(b)),
+            })
+
+        return conv
+
+    parts = []
+    for name, conv in [
+        ("ai4privacy_400k_train", bio_conv("ai4privacy_400k")),
+        ("isotonic_pii_200k_all_data", bio_conv("isotonic_pii_200k")),
+        ("wikiann_train", int_conv("wikiann", ["O", "B-PER", "I-PER"])),
+        ("conll2003_train", int_conv("conll2003", ["O", "B-PER", "B-ORG"])),
+    ]:
+        parts.append(
+            ray.data.read_parquet(str(out / name)).map_batches(
+                conv, batch_format="pyarrow"
+            )
+        )
+    consolidated = union_sources(parts)
+    n_total = consolidated.count()
+    assert n_total == 6 + 3 + 5 + 5
+
+    # labels survived normalisation-compatible (every non-O label maps)
+    for row in consolidated.take(5):
+        for lab in row["labels"]:
+            if lab != "O":
+                assert normalise_label(lab.replace("B-", "").replace("I-", ""))
+
+    # -- stage 3: prepare (label mapping + train/val split + artifact) -
+    model_dir = tmp_path / "prepared_model"
+    summary = fit_lexicon_model(consolidated, model_dir, val_frac=0.34)
+    mapping = json.loads((model_dir / "label_mapping.json").read_text())
+    assert mapping["labels"][0] == "O"
+    assert mapping["num_labels"] == len(mapping["labels"])
+    # the seen entity types flow from the ingested fixtures into the map
+    assert any(l.startswith("B-") for l in mapping["labels"])
+    assert (model_dir / "config.json").exists()
+    assert (model_dir / "evaluation_results.json").exists()
+    # split is a partition: train + val row counts cover the input
+    assert summary["n_train"] + summary["n_val"] == n_total
+    assert summary["n_val"] > 0
+
+    # -- resumability across the whole lifecycle -----------------------
+    calls_before = len(fetch.calls)
+    rows2 = ingest_all(fetch, out)
+    assert [r["num_rows"] for r in rows2] == [r["num_rows"] for r in rows]
+    assert len(fetch.calls) == calls_before + 10  # re-fetch, re-use saves
