@@ -65,7 +65,11 @@ def shuffle_partitions(
 
 @lru_cache(maxsize=64)
 def dir_shuffle_partitions(
-    sf_dir: str, tables: tuple[str, ...] | None = None, floor: int = 4
+    sf_dir: str,
+    tables: tuple[str, ...] | None = None,
+    floor: int = 4,
+    target_partition_bytes: int = TARGET_PARTITION_BYTES,
+    min_partition_bytes: int = MIN_PARTITION_BYTES,
 ) -> int:
     """shuffle_partitions() for a directory of Parquet tables: sum the
     on-disk file sizes (an os.stat per file - never reads data), inflate
@@ -94,7 +98,12 @@ def dir_shuffle_partitions(
                     )
     except OSError:
         total = 0
-    return shuffle_partitions(total * PARQUET_INFLATION, floor=floor)
+    return shuffle_partitions(
+        total * PARQUET_INFLATION,
+        floor=floor,
+        target_partition_bytes=target_partition_bytes,
+        min_partition_bytes=min_partition_bytes,
+    )
 
 
 def broadcast_join(

@@ -821,3 +821,59 @@ def test_adaptive_join_paths_agree(ray_session, tmp_path):
     assert pd_bcast.equals(pd_hash)
     # unmatched fact key (9) survives with a null name in both paths
     assert pd_bcast.loc[pd_bcast.k == 9, "name"].isna().all()
+
+
+def test_shuffle_partitions_math(ray_session):
+    from pii_detection_local_ray.functions.joins import shuffle_partitions
+
+    # tiny input: floor wins
+    assert shuffle_partitions(0) == 4
+    assert shuffle_partitions(1 << 20) == 4
+    # medium input: parallelism bound (capped by cluster CPUs), never
+    # making partitions smaller than min_partition_bytes
+    import ray
+
+    cpus = int(ray.cluster_resources()["CPU"])
+    mid = shuffle_partitions(100 << 20)  # 100 MB / 4 MB min = 25
+    assert mid == max(4, min(cpus, 25))
+    # huge input: the memory bound dominates (one reducer never holds
+    # more than target_partition_bytes)
+    assert shuffle_partitions(100 << 30) == (100 << 30) // (128 << 20)
+    # knobs respected
+    assert shuffle_partitions(1 << 30, target_partition_bytes=1 << 20) == 1024
+
+
+def test_dir_shuffle_partitions_scales_with_input(ray_session, tmp_path):
+    import numpy as np
+
+    from pii_detection_local_ray.functions.joins import (
+        MIN_PARTITION_BYTES,
+        PARQUET_INFLATION,
+        dir_shuffle_partitions,
+    )
+
+    small = tmp_path / "small"
+    small.mkdir()
+    pq.write_table(pa.table({"x": list(range(100))}), small / "t.parquet")
+    assert dir_shuffle_partitions(str(small)) == 4  # floor
+
+    # a dir big enough that the memory (by_size) bound engages once the
+    # per-reducer target is lowered (the test Ray session has only 4
+    # CPUs, so the parallelism bound alone can never exceed the floor);
+    # incompressible payload so the on-disk size is predictable
+    big = tmp_path / "big"
+    big.mkdir()
+    rng = np.random.default_rng(0)
+    n = (6 * MIN_PARTITION_BYTES) // 8  # ~24 MB of int64 noise
+    pq.write_table(
+        pa.table({"x": rng.integers(0, 1 << 62, int(n))}),
+        big / "t.parquet",
+    )
+    import os
+
+    disk = os.path.getsize(big / "t.parquet")
+    derived = dir_shuffle_partitions(str(big), target_partition_bytes=1 << 20)
+    assert derived == (disk * PARQUET_INFLATION) // (1 << 20) > 4
+
+    # missing directory: unknown size degrades to the floor, not a crash
+    assert dir_shuffle_partitions(str(tmp_path / "nope")) == 4
