@@ -165,3 +165,102 @@ class TestRealForwardPass:
         for text, want in GOLDEN:
             r = det.detect_batch([text])[0]
             assert [(e["type"], e["text"]) for e in r["entities"]] == want
+
+
+class TestEncoderMathConformance:
+    def test_forward_matches_hand_computation(self, tmp_path):
+        """Independent check of the tensor math: a 1-layer, 1-head,
+        hidden=2 checkpoint with hand-chosen weights, verified against
+        an in-test re-derivation written directly from the BERT
+        equations (embedding+LN, scaled-dot-product attention with the
+        additive key mask, GELU FFN, residual LNs, classifier)."""
+        import json
+
+        from pii_detection_local_ray.sources.safetensors_np import (
+            save_safetensors,
+        )
+        from pii_detection_local_ray.stages.np_transformer import (
+            NumpyTransformer,
+        )
+
+        H, F, V, K = 2, 3, 5, 2
+        rng = np.random.default_rng(123)
+
+        def t(*shape):
+            return rng.normal(0, 0.7, size=shape).astype(np.float32)
+
+        w = {
+            "embeddings.word_embeddings.weight": t(V, H),
+            "embeddings.position_embeddings.weight": t(8, H),
+            "embeddings.LayerNorm.weight": t(H) + 1.0,
+            "embeddings.LayerNorm.bias": t(H),
+            "classifier.weight": t(K, H),
+            "classifier.bias": t(K),
+        }
+        p = "encoder.layer.0."
+        for proj in ("query", "key", "value"):
+            w[p + f"attention.self.{proj}.weight"] = t(H, H)
+            w[p + f"attention.self.{proj}.bias"] = t(H)
+        w[p + "attention.output.dense.weight"] = t(H, H)
+        w[p + "attention.output.dense.bias"] = t(H)
+        w[p + "attention.output.LayerNorm.weight"] = t(H) + 1.0
+        w[p + "attention.output.LayerNorm.bias"] = t(H)
+        w[p + "intermediate.dense.weight"] = t(F, H)
+        w[p + "intermediate.dense.bias"] = t(F)
+        w[p + "output.dense.weight"] = t(H, F)
+        w[p + "output.dense.bias"] = t(H)
+        w[p + "output.LayerNorm.weight"] = t(H) + 1.0
+        w[p + "output.LayerNorm.bias"] = t(H)
+
+        d = tmp_path / "ckpt"
+        d.mkdir()
+        vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3, "hi": 4}
+        (d / "config.json").write_text(json.dumps({
+            "model_type": "bert-tiny-numpy", "hidden_size": H,
+            "num_hidden_layers": 1, "num_attention_heads": 1,
+            "intermediate_size": F, "max_position_embeddings": 8,
+            "layer_norm_eps": 1e-12, "num_labels": K, "vocab": vocab,
+        }))
+        save_safetensors(d / "model.safetensors", w)
+        model = NumpyTransformer(d)
+
+        tokens = [["[CLS]", "hi", "[SEP]", "[PAD]"]]
+        mask = np.array([[1, 1, 1, 0]], np.int64)
+        got = model.forward({"tokens": tokens, "attention_mask": mask})
+
+        # ---- independent re-derivation (float64) ----
+        W = {k: v.astype(np.float64) for k, v in w.items()}
+        ids = [vocab[t_] for t_ in tokens[0]]
+        x = (W["embeddings.word_embeddings.weight"][ids]
+             + W["embeddings.position_embeddings.weight"][:4])
+
+        def ln(v, g, b):
+            mu = v.mean(-1, keepdims=True)
+            var = ((v - mu) ** 2).mean(-1, keepdims=True)
+            return (v - mu) / np.sqrt(var + 1e-12) * g + b
+
+        x = ln(x, W["embeddings.LayerNorm.weight"],
+               W["embeddings.LayerNorm.bias"])
+        q = x @ W[p + "attention.self.query.weight"].T + W[
+            p + "attention.self.query.bias"]
+        k = x @ W[p + "attention.self.key.weight"].T + W[
+            p + "attention.self.key.bias"]
+        v = x @ W[p + "attention.self.value.weight"].T + W[
+            p + "attention.self.value.bias"]
+        scores = q @ k.T / np.sqrt(H) + (1 - mask[0])[None, :] * -1e9
+        e = np.exp(scores - scores.max(-1, keepdims=True))
+        att = (e / e.sum(-1, keepdims=True)) @ v
+        att = att @ W[p + "attention.output.dense.weight"].T + W[
+            p + "attention.output.dense.bias"]
+        x = ln(x + att, W[p + "attention.output.LayerNorm.weight"],
+               W[p + "attention.output.LayerNorm.bias"])
+        h = x @ W[p + "intermediate.dense.weight"].T + W[
+            p + "intermediate.dense.bias"]
+        h = 0.5 * h * (1 + np.tanh(
+            np.sqrt(2 / np.pi) * (h + 0.044715 * h ** 3)))
+        o = h @ W[p + "output.dense.weight"].T + W[p + "output.dense.bias"]
+        x = ln(x + o, W[p + "output.LayerNorm.weight"],
+               W[p + "output.LayerNorm.bias"])
+        want = x @ W["classifier.weight"].T + W["classifier.bias"]
+
+        np.testing.assert_allclose(got[0], want, rtol=1e-10, atol=1e-10)
