@@ -877,3 +877,63 @@ def test_dir_shuffle_partitions_scales_with_input(ray_session, tmp_path):
 
     # missing directory: unknown size degrades to the floor, not a crash
     assert dir_shuffle_partitions(str(tmp_path / "nope")) == 4
+
+
+def test_hash_exchange_whole_block_canary(ray_session):
+    """CANARY for the whole-blocks-per-partition invariant several
+    round-5 query plans rely on (q3/q4 per-order resolution inside join
+    output blocks, q21/modal-type bucket folds): Ray's hash-shuffle
+    finalize currently yields ONE block per partition (see
+    ray/data/_internal/execution/operators/hash_shuffle.py - the
+    'TODO break down blocks to target size' is unimplemented), so a
+    map_batches(batch_size=None) after a hash join/groupby sees every
+    key's rows in a single batch.  If a Ray upgrade starts slicing
+    partition output into multiple blocks, THIS TEST FAILS - revisit
+    every map_batches(..., batch_size=None) that documents the
+    whole-blocks contract (grep for 'one block per partition').
+    The shuffle here is sized so a split-on-target-block-size
+    implementation would certainly slice it: ~8 MB into 2 partitions
+    under a 1 MB target_max_block_size override."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+    from ray.data.context import DataContext
+
+    from pii_detection_local_ray.functions.joins import hash_join
+
+    ctx = DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 1 << 20  # 1 MB
+    try:
+        n = 200_000
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array(np.arange(n, dtype=np.int64) % 1000),
+            "pay": pa.array(np.arange(n, dtype=np.int64)),
+        }))
+        right = ray.data.from_arrow(pa.table({
+            "rk": pa.array(np.arange(1000, dtype=np.int64)),
+            "tag": pa.array(np.arange(1000, dtype=np.int64) * 7),
+        }))
+        joined = hash_join(left, right, on="k", right_on="rk",
+                           num_partitions=2)
+
+        def key_spans(b: pa.Table) -> pa.Table:
+            ks = np.unique(b["k"].to_numpy(zero_copy_only=False))
+            return pa.table({"k": pa.array(ks, pa.int64()),
+                             "one": pa.array(np.ones(len(ks), np.int64))})
+
+        spans = (
+            joined.map_batches(key_spans, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("k", num_partitions=2)
+            .aggregate(Sum("one", alias_name="n_batches"))
+            .take_all()
+        )
+        worst = max(int(r["n_batches"]) for r in spans)
+        assert worst == 1, (
+            f"a join key appeared in {worst} distinct whole-block batches: "
+            "Ray now slices hash-shuffle partition output - audit every "
+            "batch_size=None block-local fold in pipelines/queries.py"
+        )
+    finally:
+        ctx.target_max_block_size = old_target
