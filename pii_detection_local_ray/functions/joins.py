@@ -64,20 +64,11 @@ def shuffle_partitions(
 
 
 @lru_cache(maxsize=64)
-def dir_shuffle_partitions(
-    sf_dir: str,
-    tables: tuple[str, ...] | None = None,
-    floor: int = 4,
-    target_partition_bytes: int = TARGET_PARTITION_BYTES,
-    min_partition_bytes: int = MIN_PARTITION_BYTES,
-) -> int:
-    """shuffle_partitions() for a directory of Parquet tables: sum the
-    on-disk file sizes (an os.stat per file - never reads data), inflate
-    by PARQUET_INFLATION to approximate Arrow memory, and derive the
-    width.  ``tables=None`` sums every .parquet in the directory - an
-    upper bound that is safe for memory and costs only task overhead
-    when a query shuffles a smaller table.  Cached per (dir, tables):
-    one stat sweep serves every query in a session."""
+def _dir_parquet_bytes(sf_dir: str, tables: tuple[str, ...] | None) -> int:
+    """Cached stat sweep: total on-disk Parquet bytes for the dir (the
+    only expensive part of dir_shuffle_partitions - the width itself is
+    recomputed per call so a changed CPU count, e.g. ray.init after a
+    pre-init call or a scaled cluster, is never frozen into the cache)."""
     total = 0
     try:
         names = (
@@ -98,6 +89,29 @@ def dir_shuffle_partitions(
                     )
     except OSError:
         total = 0
+    return total
+
+
+def dir_shuffle_partitions(
+    sf_dir: str,
+    tables: tuple[str, ...] | None = None,
+    floor: int = 4,
+    target_partition_bytes: int = TARGET_PARTITION_BYTES,
+    min_partition_bytes: int = MIN_PARTITION_BYTES,
+) -> int:
+    """shuffle_partitions() for a directory of Parquet tables: sum the
+    on-disk file sizes (an os.stat per file - never reads data), inflate
+    by PARQUET_INFLATION to approximate Arrow memory, and derive the
+    width.  ``tables=None`` sums every .parquet in the directory - an
+    upper bound that is safe for memory and costs only task overhead
+    when a query shuffles a smaller table.  Cached per (dir, tables):
+    one stat sweep serves every query in a session (only the byte
+    total is cached - the CPU-dependent width computes fresh each
+    call).  The whole-dir default is an UPPER BOUND: safe for reducer
+    memory, paying only task overhead when the actual shuffled side is
+    a folded partial far smaller than the directory - pass ``tables=``
+    to scope the estimate when that overhead matters."""
+    total = _dir_parquet_bytes(str(sf_dir), tables)
     return shuffle_partitions(
         total * PARQUET_INFLATION,
         floor=floor,

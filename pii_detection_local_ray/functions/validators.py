@@ -266,6 +266,9 @@ def isin_valid(isin: str) -> bool:
     return total % 10 == 0
 
 
+_CUSIP_SPECIAL = {"*": 36, "@": 37, "#": 38}  # ANSI X9.6 PPN characters
+
+
 def cusip_valid(cusip: str) -> bool:
     """CUSIP check digit (ANSI X9.6): over the first 8 characters,
     value v = digit, A=10..Z=35, and the PPN special characters
@@ -280,15 +283,14 @@ def cusip_valid(cusip: str) -> bool:
     cannot change any registered query's result vs its SQL oracle."""
     if len(cusip) != 9 or not ("0" <= cusip[8] <= "9"):
         return False
-    _special = {"*": 36, "@": 37, "#": 38}
     total = 0
     for i, c in enumerate(cusip[:8]):
         if "0" <= c <= "9":
             v = ord(c) - 48
         elif "A" <= c <= "Z":
             v = ord(c) - 55
-        elif c in _special:
-            v = _special[c]
+        elif c in _CUSIP_SPECIAL:
+            v = _CUSIP_SPECIAL[c]
         else:
             return False
         if i % 2 == 1:  # even 1-indexed position

@@ -61,6 +61,7 @@ class NumpyTransformer:
 
     def __init__(self, model_dir: str | Path):
         d = Path(model_dir)
+        self.model_dir = d
         cfg_path = d / "config.json"
         st_path = d / "model.safetensors"
         if not st_path.exists():
@@ -109,9 +110,13 @@ class NumpyTransformer:
         mask = np.asarray(encoding["attention_mask"], dtype=np.float64)
         B, L = ids.shape
         if L > self.max_pos:
+            # the encode layer truncates to the backend's max_pos (see
+            # TransformerTokenModel MAX_LENGTH clamping), so this can
+            # only fire on a caller bypassing that contract
             raise ModelLoadError(
-                str(self.max_pos),
-                f"sequence length {L} exceeds max_position_embeddings",
+                str(self.model_dir),
+                f"sequence length {L} exceeds max_position_embeddings "
+                f"{self.max_pos}",
             )
         w = self.w
         x = (

@@ -95,6 +95,11 @@ class TransformerTokenModel:
                 ) from exc
             self.forward_fn = backend.forward
             self.num_labels = backend.num_labels
+            # clamp the encode width to the checkpoint's position table:
+            # a doc longer than max_pos-2 tokens TRUNCATES (the same
+            # contract as the HF tokenizer's truncation=True) instead
+            # of crashing the NER actor mid-pipeline
+            self.MAX_LENGTH = min(self.MAX_LENGTH, backend.max_pos)
             return
         tokenizer = AutoTokenizer.from_pretrained(str(self.model_path))
         model = AutoModelForTokenClassification.from_pretrained(

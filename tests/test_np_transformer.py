@@ -264,3 +264,25 @@ class TestEncoderMathConformance:
         want = x @ W["classifier.weight"].T + W["classifier.bias"]
 
         np.testing.assert_allclose(got[0], want, rtol=1e-10, atol=1e-10)
+
+
+class TestLongInputTruncation:
+    def test_long_doc_truncates_instead_of_crashing(self):
+        """Regression (round-5 review): a doc longer than the
+        checkpoint's max_position_embeddings-2 tokens must truncate
+        (HF tokenizer truncation contract), not kill the NER actor."""
+        from pii_detection_local_ray.stages.ner import NERDetector
+
+        det = NERDetector(str(FIXTURE))
+        long_doc = "word " * 200 + "then email john.doe@example.com"
+        r = det.detect_batch([long_doc])[0]
+        assert r["error"] is None
+        # the entity sits beyond the truncation horizon: dropped, but
+        # the pipeline survives and the row keeps its shape
+        assert isinstance(r["entities"], list)
+        # a long doc whose PII is INSIDE the window still detects
+        front = "Contact me at john.doe@example.com " + "pad " * 200
+        r2 = det.detect_batch([front])[0]
+        assert [(e["type"], e["text"]) for e in r2["entities"]] == [
+            ("EMAIL", "john.doe@example.com")
+        ]

@@ -126,30 +126,52 @@ def build_tiny_checkpoint(out_dir: str | Path, seed: int = SEED) -> Path:
     # ---- fit the classifier head on the frozen encoder's features ----
     model = NumpyTransformer(out)
     shell = TransformerTokenModel(out, forward_fn=model.forward, num_labels=num_labels)
-    texts = [t for t, _ in EXAMPLES]
+    # augmentation: attention mixes every position's features with its
+    # context, so the classifier must also see each canonical text
+    # drowned in out-of-vocabulary context ([UNK] runs before/after) -
+    # otherwise a long real document full of unseen words shifts the
+    # features off the training manifold and flips labels.  Offsets of
+    # the labelled tokens shift by n_prefix_unks in the padded variants.
+    train_rows: list[tuple[str, list[str], int]] = []
+    for text, labs in EXAMPLES:
+        train_rows.append((text, labs, 0))
+        # suffix runs up to the truncation cap (MAX_LENGTH-2 = 62
+        # tokens total after clamping to the fixture's max_pos 64)
+        train_rows.append((text + " " + " ".join(["[UNK]"] * 20), labs, 0))
+        train_rows.append((text + " " + " ".join(["[UNK]"] * 56), labs, 0))
+        train_rows.append((" ".join(["[UNK]"] * 12) + " " + text, labs, 12))
+        train_rows.append(
+            (" ".join(["[UNK]"] * 30) + " " + text + " "
+             + " ".join(["[UNK]"] * 24), labs, 30))
+    texts = [t for t, _, _ in train_rows]
     enc = shell._encode(texts)
     feats = model.encoder_features(enc)  # [B, L, H]
 
     B, L, H = feats.shape
     y = np.zeros((B, L), np.int64)  # default O (= id 0) incl CLS/SEP/PAD
-    for bi, (_, labs) in enumerate(EXAMPLES):
+    for bi, (_, labs, shift) in enumerate(train_rows):
         for ti, lab in enumerate(labs):
-            y[bi, 1 + ti] = label2id[lab]  # +1 skips [CLS]
-    X = feats.reshape(B * L, H)
-    t = y.reshape(B * L)
+            y[bi, 1 + shift + ti] = label2id[lab]  # +1 skips [CLS]
+    # PAD positions never reach the BIO decoder (offset (0,0) skip),
+    # and their attention-masked features are unconstrained - exclude
+    # them from the fit instead of forcing them to O
+    keep = np.asarray(enc["attention_mask"], dtype=bool).reshape(B * L)
+    X = feats.reshape(B * L, H)[keep]
+    t = y.reshape(B * L)[keep]
 
     # multinomial logistic regression, full-batch gradient descent
     W = np.zeros((num_labels, H))
     b = np.zeros(num_labels)
     onehot = np.eye(num_labels)[t]
-    for _ in range(800):
+    for it in range(4000):
         z = X @ W.T + b
         z -= z.max(axis=1, keepdims=True)
         p = np.exp(z)
         p /= p.sum(axis=1, keepdims=True)
         g = (p - onehot) / len(X)
-        W -= 2.0 * (g.T @ X)
-        b -= 2.0 * g.sum(axis=0)
+        lr = 2.0 if it < 1000 else 1.0
+        W -= lr * (g.T @ X)
+        b -= lr * g.sum(axis=0)
 
     # temperature-scale for confidence: every token must clear the 0.5
     # threshold (reference CONFIDENCE_THRESHOLD) with margin
